@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float|double>` columns, built entirely from
+  * codegen'd higher-order functions (`zip_with` / `aggregate` / `transform`)
+  * — no Scala UDFs, so the whole similarity pipeline stays inside
+  * whole-stage codegen (SURVEY.md §2.8 / X3).
+  *
+  * All arithmetic is promoted to double and folded left-to-right, which is
+  * also what DuckDB's list functions do — keeping oracle comparisons tight.
+  */
+object VectorFunctions {
+
+  /** Element-wise promote to double (float arrays come off parquet as
+    * `array<float>`; compute in double). */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Left-to-right fold of the element-wise product: the dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Euclidean (L2) distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Sign bit of the projection of `a` onto a fixed hyperplane vector —
+    * one bit of a random-hyperplane LSH signature. `plane` must be a
+    * literal array column of the same dimension. */
+  def hyperplaneBit(a: Column, plane: Column): Column =
+    (dot(a, plane) >= 0).cast("int")
+}

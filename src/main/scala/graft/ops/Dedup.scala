@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.7 X1/X2): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale posture (100 TB):
+  *   - exact dedup is a single hash shuffle on a 32-byte digest, not on the
+  *     full text — group keys stay small no matter how big documents get;
+  *   - MinHash/LSH banding turns the quadratic all-pairs problem into a
+  *     join keyed on (band, band-signature): only documents sharing a band
+  *     bucket are compared, the classic MMDS §3 construction;
+  *   - SimHash reduces each document to 64 bits; near-dup candidates are
+  *     found by joining on rotated bit-blocks (Hamming ≤ k ⇒ some block of
+  *     bits equal), again avoiding all-pairs;
+  *   - everything is built from codegen'd built-ins (xxhash64, higher-order
+  *     array functions) — no UDFs on the hot path.
+  */
+object Dedup {
+
+  /** X1 — exact dedup: group by content digest, keep the smallest id.
+    * Hashing first means the shuffle carries 32-byte keys, not documents. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Word-level shingles of size n as a deduplicated array column. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(textCol, " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
+        i => array_join(slice(words, i, lit(n)), " ")))
+  }
+
+  /** MinHash signature of a shingle-set: for each of `numHashes` seeded
+    * xxhash64 functions, the minimum hash over the set. Deterministic (seeds
+    * are the hash-function index). */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleArr, sh => xxhash64(lit(seed), sh)))
+    }: _*)
+
+  /** X2 — MinHash-LSH near-duplicate candidate pairs.
+    *
+    * signature → split into `bands` bands of `rowsPerBand` hashes → explode
+    * one row per band → shuffle-join on (band-index, band-hash) → candidate
+    * pairs, deduped. Estimated Jaccard = fraction of matching signature
+    * positions. Only candidates sharing a full band collide, so the join
+    * fan-out is the LSH collision set, not n². */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      shingleSize: Int = 3, bands: Int = 8,
+                      rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      }: _*)).as(Seq("band", "band_hash")))
+
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** 64-bit SimHash over words: per-word xxhash64; each of the 64 bit
+    * positions votes +1/-1 by that bit; final bit = sign of the vote sum.
+    * Pure expression tree — stays in codegen. */
+  def simhash(textCol: Column): Column = {
+    val wordHashes = transform(split(textCol, " "), w => xxhash64(w))
+    // bit positions are static → unroll the 64 votes as one expression tree
+    (0 until 64).map { bit =>
+      val vote = aggregate(wordHashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: Hamming(a,b) ≤ blocks-1 guarantees at
+    * least one of `blocks` 16-bit blocks is equal (pigeonhole) — join per
+    * block, then verify exact Hamming distance. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val blocks = 4 // 4 × 16-bit blocks of the 64-bit hash
+    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val blocked = hashed.select(col("id"), col("sh"),
+      posexplode(array((0 until blocks).map { b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("block", "block_val")))
+    val a = blocked.select(col("block"), col("block_val"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("block"), col("block_val"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** X2 exact variant — n-gram Jaccard similarity of shingle sets, computed
+    * with an inverted-index join (shingle → doc) instead of all-pairs: the
+    * exact verifier behind the MinHash estimate. Keep the candidate set
+    * bounded upstream (filter/bucket) at scale. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val a = sh.select(col("shingle"), col("id").as("id_a"))
+    val b = sh.select(col("shingle"), col("id").as("id_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.7 X4):
+  * quality scoring, token counting, language-ID heuristic, document
+  * fingerprinting. All pure expression trees (codegen'd, oracle-expressible);
+  * no UDFs.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token estimate: count of `[a-z]+|[0-9]+` runs (a portable,
+    * regex-only stand-in for a real subword tokenizer). */
+  def tokenEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0)))
+
+  /** Mean word length, rounded. */
+  def avgWordLen(text: Column): Column = {
+    val words = split(text, " ")
+    round(
+      aggregate(words, lit(0), (acc, w) => acc + length(w)).cast("double") /
+        greatest(size(words), lit(1)), 4)
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of words that are stopwords (a fluency proxy). */
+  def stopwordRatio(text: Column): Column = {
+    val words = split(text, " ")
+    round(
+      size(filter(words, w => w.isin(stopwords.map(x => x: Any): _*))).cast("double") /
+        greatest(size(words), lit(1)), 4)
+  }
+
+  /** Composite quality score in [0,1]: length in a healthy band, some
+    * stopwords present, words not degenerate. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val nWords = wordCount(text)
+    val lenScore = least(nWords.cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore + stopScore) / 2.0, 4)
+  }
+
+  /** Tiny per-language marker wordlists for the n-gram/stopword language-ID
+    * heuristic. (Real pipelines use fastText-style models; the operator shape
+    * — score per language, argmax — is what matters here.) */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "is"),
+    "es" -> Seq("el", "la", "de", "es"),
+    "zh" -> Seq("de", "le", "shi", "zai"))
+
+  /** Hits of a marker list in the word array. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(split(text, " "), w => w.isin(markers.map(x => x: Any): _*)))
+
+  /** Predicted language = argmax over marker hits, 'und' when all zero.
+    * Deterministic tie-break by language code order. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      (lang, markerHits(text, ms))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, hits), acc) =>
+      when(hits === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: sha256 of the whitespace-normalized, lowercased
+    * text — the canonical-form exact-dup key (X1/X4 fingerprinting). */
+  def fingerprint(text: Column): Column =
+    sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
+
+  /** Rolling polynomial hash over words (base-31 mod 2^61-1 style, via
+    * left fold) — an order-sensitive fingerprint, unlike the set-based
+    * shingle hashes. */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, " "), lit(0L),
+      (acc, w) => acc * 31L + xxhash64(w) % 1000003L)
+}

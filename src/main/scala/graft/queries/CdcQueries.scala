@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{CanalJson, CdcApply}
+
+/** Canal-json CDC pipeline exposed as named queries over the embedded
+  * replay fixture (FIXTURES.md §A; run_test.sh workload). These are
+  * rows-only checks for the driver (the wire format isn't in the parquet
+  * testdata); full semantic assertions live in the ScalaTest specs.
+  *
+  * `sfDir` is unused — the fixture is self-contained so the queries run
+  * under any scale factor. */
+object CdcQueries {
+
+  /** T1-T5 — parse + flatten + envelope: the per-row event stream. */
+  def cdc_parse_events(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CanalJson.events(CanalJson.fixtureRaw(s))
+      .select($"timestamp", $"database", $"table", $"operation", $"op",
+        to_json($"data").as("data_json"),
+        to_json($"old_data").as("old_data_json"),
+        $"sql", $"partition", $"offset")
+      .orderBy($"offset", $"data_json")
+  }
+
+  /** T2/T6 — dead-letter routing with reason classification
+    * (invalid_format / ddl / parse_error → M4/M5 counters). */
+  def cdc_invalid_routing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CanalJson.invalid(CanalJson.parse(CanalJson.fixtureRaw(s)))
+      .groupBy($"reason").agg(count(lit(1)).as("cnt"))
+      .orderBy($"reason")
+  }
+
+  /** M1 — per-(table, op) operation counters over the event stream. */
+  def cdc_op_counts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CanalJson.events(CanalJson.fixtureRaw(s))
+      .groupBy($"table", $"op").agg(count(lit(1)).as("cnt"))
+      .orderBy($"table", $"op")
+  }
+
+  /** W1-W6 — CDC apply: materialized latest state per key with delete
+    * tombstones, idempotent under the fixture's duplicate delivery. */
+  def cdc_materialize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcApply.materialize(CanalJson.events(CanalJson.fixtureRaw(s)))
+      .select($"database", $"table", $"pk", $"op",
+        to_json($"data").as("data_json"), $"timestamp")
+      .orderBy($"table", $"pk")
+  }
+
+  /** W4 — old→new transition audit (status changes with old images). */
+  def cdc_transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcApply.transitions(
+        CanalJson.events(CanalJson.fixtureRaw(s)), "status")
+      .orderBy($"pk", $"timestamp")
+  }
+
+  /** T7 — typed per-table view: products with DECIMAL(10,2) price
+    * discipline (money never becomes double). */
+  def cdc_typed_products(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CanalJson.typedView(
+        CanalJson.events(CanalJson.fixtureRaw(s)),
+        "products", CanalJson.productsSchema)
+      .orderBy($"offset", $"id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_parse_events" -> cdc_parse_events _,
+    "cdc_invalid_routing" -> cdc_invalid_routing _,
+    "cdc_op_counts" -> cdc_op_counts _,
+    "cdc_materialize" -> cdc_materialize _,
+    "cdc_transitions" -> cdc_transitions _,
+    "cdc_typed_products" -> cdc_typed_products _,
+  )
+
+  /** Not DuckDB-expressible (embedded wire-format fixture, not parquet
+    * tables) → rows-only checks per the driver contract. */
+  val oracleSql: Map[String, String] = Map()
+}

@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.7) as named queries
+  * over the `documents` / `embeddings` tables: deduplication (exact, MinHash
+  * LSH, SimHash, exact n-gram Jaccard), vector similarity search (brute-force
+  * + LSH), text analysis (quality, language-ID, token counts, fingerprints),
+  * and multimodal column plumbing.
+  *
+  * Sketch/hash-based operators (MinHash, SimHash, LSH) are deterministic but
+  * depend on xxhash64 — not DuckDB-expressible, so they get the weaker
+  * rows-only check; each has an exact counterpart that IS oracle-checked
+  * (x2_ngram_jaccard verifies the MinHash estimate's target, x3_cosine_topk
+  * verifies the ANN path's target).
+  */
+object LlmOps {
+
+  /** X1 — exact dedup by content digest (shuffle on 32-byte sha, not text). */
+  def x1_dedup_exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exact(documents(s, dir), "text", "doc_id")
+      .orderBy($"text_sha")
+  }
+
+  /** X1b — dedup summary per language: total vs distinct texts. */
+  def x1_dedup_stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct($"text").as("n_distinct"),
+           countDistinct(TextOps.fingerprint($"text")).as("n_fingerprints"))
+      .orderBy($"lang")
+  }
+
+  /** X2 — exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index
+    * join. The oracle-checkable ground truth for MinHash. */
+  def x2_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
+        shingleSize = 3, minJaccard = 0.3)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** X2b — MinHash-LSH near-dup candidates (rows-only: xxhash64-based). */
+  def x2_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.25)
+      .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** X2c — SimHash near-dup candidates at Hamming ≤ 12 of 64 bits
+    * (rows-only: xxhash64-based). */
+  def x2_simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashPairs(documents(s, dir), "text", "doc_id", maxHamming = 12)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** X3 — exact brute-force cosine top-5 for the first 20 query vectors.
+    * Rounded sim + id tie-break keeps ranking deterministic cross-engine. */
+  def x3_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter($"vec_id" < 20), emb, k = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** X3b — LSH-bucketed approximate top-5 (rows-only; recall measured in
+    * ScalaTest against x3's exact answer). */
+  def x3_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    Similarity.lshTopK(emb.filter($"vec_id" < 20), emb, k = 5, dim = 64)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** X3c — embedding-cosine near-duplicate detection: pairs of *distinct*
+    * vectors with cosine ≥ 0.95 among a bounded candidate window (id-banded
+    * to stay linear — full-scale path uses x3b's LSH buckets). */
+  def x3_cosine_neardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.cosine
+    val a = embeddings(s, dir).select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
+      ($"vec_id" / 100).cast("long").as("band"))
+    val b = embeddings(s, dir).select($"vec_id".as("id_b"), $"embedding".as("emb_b"),
+      ($"vec_id" / 100).cast("long").as("band"))
+    a.join(b, Seq("band"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", round(cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
+      .filter($"cos_sim" >= 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** X4 — per-document text quality metrics. */
+  def x4_text_quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(
+        $"doc_id",
+        TextOps.wordCount($"text").as("n_words"),
+        TextOps.tokenEstimate($"text").as("n_tokens_est"),
+        TextOps.avgWordLen($"text").as("avg_word_len"),
+        TextOps.stopwordRatio($"text").as("stopword_ratio"),
+        TextOps.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** X4b — language-ID heuristic vs the labeled lang column: confusion
+    * counts per (actual, predicted). */
+  def x4_langid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"lang", TextOps.langId($"text").as("pred_lang"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** X4c — document fingerprints (canonical sha256; rolling hash is
+    * ScalaTest-covered since xxhash64 isn't oracle-expressible). */
+  def x4_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", TextOps.fingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** X5 — multimodal join: text ⋈ embedding by id with typed metadata
+    * (dim, norm) — the schema/partitioning plumbing for opaque columns. */
+  def x5_multimodal_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.l2Norm
+    documents(s, dir)
+      .join(embeddings(s, dir), $"doc_id" === $"vec_id")
+      .select($"doc_id", $"lang", $"source", $"label",
+        size($"embedding").as("dim"),
+        round(l2Norm($"embedding"), 4).as("emb_norm"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** X6 — JSON prop extraction + aggregation over the extracted key. */
+  def x6_props_agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select(get_json_object($"props", "$.k").cast("int").as("k_int"), $"value")
+      .groupBy(($"k_int" % 10).as("k_mod"))
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"k_mod")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_dedup_exact" -> x1_dedup_exact _,
+    "x1_dedup_stats" -> x1_dedup_stats _,
+    "x2_ngram_jaccard" -> x2_ngram_jaccard _,
+    "x2_minhash_lsh" -> x2_minhash_lsh _,
+    "x2_simhash" -> x2_simhash _,
+    "x3_cosine_topk" -> x3_cosine_topk _,
+    "x3_ann_lsh" -> x3_ann_lsh _,
+    "x3_cosine_neardup" -> x3_cosine_neardup _,
+    "x4_text_quality" -> x4_text_quality _,
+    "x4_langid" -> x4_langid _,
+    "x4_fingerprint" -> x4_fingerprint _,
+    "x5_multimodal_join" -> x5_multimodal_join _,
+    "x6_props_agg" -> x6_props_agg _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x1_dedup_exact" ->
+      """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
+    "x1_dedup_stats" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+        |  count(DISTINCT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_fingerprints
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x2_ngram_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM words, range(1, greatest(len(w) - 1, 1)) r(i)),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 4) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x3_cosine_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 3) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "x3_cosine_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON (a.vec_id // 100) = (b.vec_id // 100) AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x4_text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_tokens_est,
+        |  round(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+        |    / greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+        |    / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+        |  round((least(len(string_split(text, ' ')) / 50.0, 1.0) +
+        |         least(round(CAST(len(list_filter(string_split(text, ' '),
+        |             w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+        |           / greatest(len(string_split(text, ' ')), 1), 4) * 5.0, 1.0)) / 2.0, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','of','is'], w))) AS h_en,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['el','la','de','es'], w))) AS h_es,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(['de','le','shi','zai'], w))) AS h_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(h_en, h_es, h_zh) = 0 THEN 'und'
+        |         WHEN h_en = greatest(h_en, h_es, h_zh) THEN 'en'
+        |         WHEN h_es = greatest(h_en, h_es, h_zh) THEN 'es'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM scored)
+        |SELECT lang, pred_lang, count(*) AS cnt FROM pred
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "x4_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x5_multimodal_join" ->
+      """SELECT doc_id, lang, source, label,
+        |  len(embedding) AS dim,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS emb_norm,
+        |  n_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "x6_props_agg" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+  )
+}

