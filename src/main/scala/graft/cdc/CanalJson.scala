@@ -48,6 +48,13 @@ object CanalJson {
     StructField("mysqlType", MapType(StringType, StringType), nullable = true),
   ))
 
+  /** Parse-time schema: envelope + corrupt-record capture. PERMISSIVE
+    * `from_json` yields an all-null struct (not a null struct) for malformed
+    * input, so parse failures are only detectable via
+    * `columnNameOfCorruptRecord` — `_corrupt_record` holds the raw text of
+    * any line that failed to parse. */
+  val parseSchema: StructType = envelopeSchema.add("_corrupt_record", StringType)
+
   /** Flattened per-row event schema produced by [[flatten]] (FIXTURES.md
     * §A.3; ES mapping index.js:200-211). */
   val eventColumns: Seq[String] = Seq(
@@ -62,13 +69,15 @@ object CanalJson {
       .foldLeft(raw) { case (df, (c, t)) =>
         if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(t))
       }
-    withProv.withColumn("parsed", from_json(col("value").cast("string"), envelopeSchema))
+    withProv.withColumn("parsed",
+      from_json(col("value").cast("string"), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
   }
 
   /** Validity predicate: the reference accepts a message iff `data` is an
-    * array (index.js:244). `from_json` gives null for both malformed JSON and
-    * a missing/null `data` field, so one null check covers the parse-error
-    * and DDL/format branches. */
+    * array (index.js:244). Malformed JSON parses to a struct whose only
+    * non-null field is `_corrupt_record` — its `data` is null, so one null
+    * check covers the parse-error and DDL/format branches. */
   def isValid: Column = col("parsed").isNotNull && col("parsed.data").isNotNull
 
   /** Dead-letter branch (T2/T6): messages that failed parse or carry no
@@ -78,7 +87,7 @@ object CanalJson {
       .select(
         col("value"),
         col("partition"), col("offset"),
-        when(col("parsed").isNull, "parse_error")
+        when(col("parsed").isNull || col("parsed._corrupt_record").isNotNull, "parse_error")
           .when(col("parsed.isDdl") === true || col("parsed.sql").isNotNull, "ddl")
           .otherwise("invalid_format").as("reason"))
 

@@ -27,13 +27,18 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Word-level shingles of size n as a deduplicated array column. */
+  /** Word-level shingles of size n as a deduplicated array column.
+    * Documents shorter than n words yield an empty set (the guard matters:
+    * an unguarded `sequence(1, size-n+1)` is descending for short docs and
+    * `slice` throws). */
   def shingles(textCol: Column, n: Int): Column = {
     val words = split(textCol, " ")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
-        i => array_join(slice(words, i, lit(n)), " ")))
+    when(size(words) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(words) - (n - 1)),
+          i => array_join(slice(words, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature of a shingle-set: for each of `numHashes` seeded
@@ -55,9 +60,17 @@ object Dedup {
                       shingleSize: Int = 3, bands: Int = 8,
                       rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    // Two narrow passes, then a lineage cut: the shingle set is computed once
+    // (not once per hash function), and localCheckpoint materializes the
+    // signatures so neither the band projection nor the two self-join sides
+    // can re-inline the shingle+minhash tree (Catalyst's CollapseProject made
+    // that mistake 16× over in an earlier revision — 1887 s at sf0.1).
+    // Docs with no shingles (< shingleSize words) can't be near-dups; drop them.
+    val sigs = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .localCheckpoint(false)
 
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -81,29 +94,48 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
-  /** 64-bit SimHash over words: per-word xxhash64; each of the 64 bit
-    * positions votes +1/-1 by that bit; final bit = sign of the vote sum.
-    * Pure expression tree — stays in codegen. */
-  def simhash(textCol: Column): Column = {
-    val wordHashes = transform(split(textCol, " "), w => xxhash64(w))
-    // bit positions are static → unroll the 64 votes as one expression tree
+  /** 64 sign-of-vote bits from a materialized word-hash array column.
+    * Each vote is one `aggregate` pass over the (already computed) array —
+    * callers MUST bind `wordHashes` to a real column, never an inline
+    * `transform(split(...))` tree, or every vote recomputes the hashing. */
+  private def simhashFromHashes(wordHashes: Column): Column =
     (0 until 64).map { bit =>
       val vote = aggregate(wordHashes, lit(0),
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
-  /** SimHash near-dup candidates: Hamming(a,b) ≤ blocks-1 guarantees at
-    * least one of `blocks` 16-bit blocks is equal (pigeonhole) — join per
-    * block, then verify exact Hamming distance. */
+  /** 64-bit SimHash over words: per-word xxhash64; each of the 64 bit
+    * positions votes +1/-1 by that bit; final bit = sign of the vote sum. */
+  def simhash(textCol: Column): Column =
+    simhashFromHashes(transform(split(textCol, " "), w => xxhash64(w)))
+
+  /** SimHash frame (id, sh) with the word-hash array materialized first so
+    * the 64 votes read it instead of re-hashing the text 64×. */
+  def simhashFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        transform(split(col(textCol), " "), w => xxhash64(w)).as("wh"))
+      .localCheckpoint(false)
+      .select(col("id"), simhashFromHashes(col("wh")).as("sh"))
+
+  /** SimHash near-dup candidates: by pigeonhole, Hamming(a,b) ≤ k guarantees
+    * at least one of (k+1) bit-blocks is equal — join per block, then verify
+    * exact Hamming distance. Block count derives from `maxHamming` (a fixed
+    * block count silently drops pairs beyond its guarantee). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val blocks = 4 // 4 × 16-bit blocks of the 64-bit hash
-    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val blocks = maxHamming + 1
+    // block b spans bits [64*b/blocks, 64*(b+1)/blocks) — widths differ by
+    // at most one bit; every bit belongs to exactly one block
+    val bounds = (0 to blocks).map(b => 64 * b / blocks)
+    val hashed = simhashFrame(df, textCol, idCol).localCheckpoint(false)
     val blocked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until blocks).map { b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL)
+        val start = bounds(b)
+        val width = bounds(b + 1) - start
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        shiftright(col("sh"), start).bitwiseAND(mask)
       }: _*)).as(Seq("block", "block_val")))
     val a = blocked.select(col("block"), col("block_val"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("block"), col("block_val"), col("id").as("id_b"), col("sh").as("sh_b"))

@@ -10,40 +10,54 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Word-array variants: every metric below has a form taking the split
+    * word array, so a multi-metric projection splits the text ONCE into a
+    * materialized column instead of once per metric (the text-based wrappers
+    * re-split per call — fine standalone, 5× wasted work when composed). */
+
+  def wordCountArr(words: Column): Column = size(words)
+
   /** Whitespace token count. */
-  def wordCount(text: Column): Column = size(split(text, " "))
+  def wordCount(text: Column): Column = wordCountArr(split(text, " "))
 
   /** BPE-ish token estimate: count of `[a-z]+|[0-9]+` runs (a portable,
     * regex-only stand-in for a real subword tokenizer). */
   def tokenEstimate(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0)))
 
-  /** Mean word length, rounded. */
-  def avgWordLen(text: Column): Column = {
-    val words = split(text, " ")
+  def avgWordLenArr(words: Column): Column =
     round(
       aggregate(words, lit(0), (acc, w) => acc + length(w)).cast("double") /
         greatest(size(words), lit(1)), 4)
-  }
+
+  /** Mean word length, rounded. */
+  def avgWordLen(text: Column): Column = avgWordLenArr(split(text, " "))
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Fraction of words that are stopwords (a fluency proxy). */
-  def stopwordRatio(text: Column): Column = {
-    val words = split(text, " ")
+  def stopwordRatioArr(words: Column): Column =
     round(
       size(filter(words, w => w.isin(stopwords.map(x => x: Any): _*))).cast("double") /
         greatest(size(words), lit(1)), 4)
-  }
+
+  /** Fraction of words that are stopwords (a fluency proxy). */
+  def stopwordRatio(text: Column): Column = stopwordRatioArr(split(text, " "))
 
   /** Composite quality score in [0,1]: length in a healthy band, some
-    * stopwords present, words not degenerate. Deterministic arithmetic only. */
-  def qualityScore(text: Column): Column = {
-    val nWords = wordCount(text)
-    val lenScore = least(nWords.cast("double") / 50.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round((lenScore + stopScore) / 2.0, 4)
+    * stopwords present, words not degenerate. Deterministic arithmetic only.
+    * Composed from the ALREADY-ROUNDED stopword ratio so the oracle SQL can
+    * reproduce it bit-for-bit. */
+  def qualityScoreArr(words: Column): Column = {
+    val lenScore = least(wordCountArr(words).cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatioArr(words) * 5.0, lit(1.0))
+    // round to 5, not 4: lenScore has ≤2 decimals and stopScore ≤4, so the
+    // half-sum has ≤5 — rounding at 4 hits exact .xxxx5 ties where Spark
+    // (shortest-decimal-repr HALF_UP) and C-family engines (binary double)
+    // systematically disagree; at 5 there is no tie to break
+    round((lenScore + stopScore) / 2.0, 5)
   }
+
+  def qualityScore(text: Column): Column = qualityScoreArr(split(text, " "))
 
   /** Tiny per-language marker wordlists for the n-gram/stopword language-ID
     * heuristic. (Real pipelines use fastText-style models; the operator shape
@@ -53,21 +67,28 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "es"),
     "zh" -> Seq("de", "le", "shi", "zai"))
 
-  /** Hits of a marker list in the word array. */
+  /** Hits of a marker list in a word array. */
+  def markerHitsArr(words: Column, markers: Seq[String]): Column =
+    size(filter(words, w => w.isin(markers.map(x => x: Any): _*)))
+
   def markerHits(text: Column, markers: Seq[String]): Column =
-    size(filter(split(text, " "), w => w.isin(markers.map(x => x: Any): _*)))
+    markerHitsArr(split(text, " "), markers)
 
   /** Predicted language = argmax over marker hits, 'und' when all zero.
-    * Deterministic tie-break by language code order. */
-  def langId(text: Column): Column = {
+    * Deterministic tie-break by language code order. Bind `words` to a
+    * materialized column: the argmax references each per-language score
+    * several times. */
+  def langIdArr(words: Column): Column = {
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      (lang, markerHits(text, ms))
+      (lang, markerHitsArr(words, ms))
     }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und")) { case ((lang, hits), acc) =>
       when(hits === best && best > 0, lang).otherwise(acc)
     }
   }
+
+  def langId(text: Column): Column = langIdArr(split(text, " "))
 
   /** Document fingerprint: sha256 of the whitespace-normalized, lowercased
     * text — the canonical-form exact-dup key (X1/X4 fingerprinting). */

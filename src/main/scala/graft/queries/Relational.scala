@@ -265,7 +265,7 @@ object Relational {
           .cast(DecimalType(18, 2)).as("charged"),
         ceil($"l_quantity").as("qty_ceil"),
         floor($"l_quantity").as("qty_floor"),
-        abs($"l_discount" - 0.05).as("disc_dev"),
+        round(abs($"l_discount" - 0.05), 4).as("disc_dev"),
         round(sqrt($"l_extendedprice"), 4).as("price_sqrt"))
       .orderBy($"l_orderkey", $"l_linenumber")
   }
@@ -464,7 +464,7 @@ object Relational {
         |       * (1 + CAST(l_tax AS DECIMAL(6,2))), 2) AS DECIMAL(18,2)) AS charged,
         |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
         |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
-        |  abs(l_discount - 0.05) AS disc_dev,
+        |  round(abs(l_discount - 0.05), 4) AS disc_dev,
         |  round(sqrt(l_extendedprice), 4) AS price_sqrt
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q20_json_fns" ->

@@ -40,12 +40,19 @@ object CdcPipeline {
               col("partition"), col("offset"))
 
   /** File-based source of canal-json lines (the test/replay path — S2's
-    * stand-in; same wire format, no TiCDC dependency). */
+    * stand-in; same wire format, no TiCDC dependency).
+    *
+    * The offset must be STABLE across task retries and restarts — it feeds
+    * the (partition, offset, pos) idempotency key in CdcApply.dedupDelivery.
+    * `monotonically_increasing_id()` is not (and is rejected outright in
+    * streaming plans), so the offset is derived from the message content:
+    * identical redelivered lines collapse to the same key, which is exactly
+    * the at-least-once dedup semantics the key exists for. */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.format("text").load(dir)
       .select(col("value"),
         lit(0).as("partition"),
-        monotonically_increasing_id().as("offset"))
+        xxhash64(col("value")).as("offset"))
 
   /** Valid-branch event stream: parse → filter valid → flatten to the
     * per-row envelope. Works on any (value, partition, offset) frame. */

@@ -48,8 +48,8 @@ class CanalJsonSpec extends SparkSpec {
       .groupBy($"reason").count().as[(String, Long)].collect().toMap
     assert(inv("ddl") === 1)
     assert(inv("parse_error") === 1)
-    // 10 fixture lines: 8 valid messages → flattened events ≥ 8
-    assert(events.count() === 10) // 3+1+2+1+1+1+1(no-es)+1(dup) rows
+    // 10 fixture lines: 8 valid messages flatten to 11 rows
+    assert(events.count() === 11) // 3+1+2+1+1+1+1(no-es)+1(dup)
   }
 
   test("T7 typed view: DECIMAL(10,2) price stays decimal, ints typed") {
@@ -63,7 +63,10 @@ class CanalJsonSpec extends SparkSpec {
     assert(laptop === "165.00")
   }
 
-  test("parse is PERMISSIVE: malformed JSON yields null struct, stream never dies") {
-    assert(parsed.filter($"parsed".isNull).count() === 1)
+  test("parse is PERMISSIVE: malformed JSON lands in _corrupt_record, stream never dies") {
+    // PERMISSIVE from_json returns an all-null struct (never a null struct);
+    // the corrupt-record column is the only reliable parse-failure signal
+    assert(parsed.filter($"parsed._corrupt_record".isNotNull).count() === 1)
+    assert(parsed.filter($"parsed._corrupt_record".isNotNull && $"parsed.data".isNotNull).count() === 0)
   }
 }

@@ -38,14 +38,14 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("fingerprint is whitespace/case-normalized sha256") {
-    val fp = Seq(("A  B c",), ("a b C",)).toDF("t")
+    val fp = Seq("A  B c", "a b C").toDF("t")
       .select(TextOps.fingerprint($"t")).as[String].collect()
     assert(fp(0) === fp(1))
     assert(fp(0).matches("[0-9a-f]{64}"))
   }
 
   test("rolling hash is order-sensitive, deterministic") {
-    val h = Seq(("a b",), ("b a",), ("a b",)).toDF("t")
+    val h = Seq("a b", "b a", "a b").toDF("t")
       .select(TextOps.rollingHash($"t")).as[Long].collect()
     assert(h(0) !== h(1))
     assert(h(0) === h(2))

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import graft.SparkSpec
 import graft.cdc.CanalJson
-import org.apache.spark.sql.execution.streaming.MemoryStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -20,7 +20,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[String]
     val raw = mem.toDF().withColumnRenamed("value", "value")
       .withColumn("partition", lit(0))
-      .withColumn("offset", monotonically_increasing_id())
+      .withColumn("offset", xxhash64($"value")) // stable content-derived offset (streaming bans monotonically_increasing_id)
     val q = plan(raw).writeStream.format("memory").queryName(name).outputMode(mode).start()
     mem.addData(lines: _*)
     q.processAllAvailable()
@@ -42,7 +42,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
     val raw = mem.toDF()
-      .withColumn("partition", lit(0)).withColumn("offset", monotonically_increasing_id())
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
     val q = CdcPipeline.operationCounts(CdcPipeline.events(raw))
       .writeStream.format("memory").queryName("op_counts").outputMode(OutputMode.Complete()).start()
     mem.addData(CanalJson.fixtureLines.map(_._1): _*)
@@ -50,7 +50,8 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val counts = spark.table("op_counts").as[(String, String, Long)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
-    assert(counts(("products", "insert")) === 4) // 3 seed + 1 defaulted... products table
+    assert(counts(("products", "insert")) === 3) // 3-row seed INSERT
+    assert(counts(("unknown", "insert")) === 1)  // missing-table line defaults to 'unknown'
     assert(counts(("orders", "update")) === 2)   // incl. duplicate delivery
     assert(counts(("products", "delete")) === 1)
   }
