@@ -61,8 +61,11 @@ class HistogramQuantile(buckets: Array[Double], q: Double)
     buckets.last
   }
 
+  // ExpressionEncoder, not javaSerialization: the buffer crosses the
+  // partial→final agg exchange on every shuffle — ObjectOutputStream there
+  // is pure overhead for a long[]
   override def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 

@@ -69,6 +69,53 @@ object CdcQueries {
       .orderBy($"offset", $"id")
   }
 
+  /** M4 — message-status counter as the success ∪ invalid-reason union
+    * (kafka_messages_processed_total{status}, index.js:113-118): every
+    * fixture line lands in exactly one status bucket. */
+  def cdc_message_status(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = CanalJson.parse(CanalJson.fixtureRaw(s))
+    val success = parsed.filter(CanalJson.isValid)
+      .agg(count(lit(1)).as("cnt")).select(lit("success").as("status"), $"cnt")
+    val invalid = CanalJson.invalid(parsed)
+      .groupBy($"reason".as("status")).agg(count(lit(1)).as("cnt"))
+    success.unionByName(invalid).orderBy($"status")
+  }
+
+  /** M3/M5/M6 — engine health surface: run the embedded fixture through the
+    * real streaming path (file source → parse/flatten → incremental
+    * materialize sink) with [[graft.streaming.PipelineHealth]] attached, then
+    * surface the gauges and sink counters as one metric table — the
+    * /health + /metrics scrape analog (index.js:390-457). */
+  def cdc_health_surface(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{CdcPipeline, PipelineHealth}
+    val listener = new PipelineHealth.HealthListener
+    s.streams.addListener(listener)
+    PipelineHealth.SinkCounters.reset()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_health").toString
+    try {
+      val in = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(in)
+      java.nio.file.Files.write(in.resolve("fixture.jsonl"),
+        CanalJson.fixtureLines.map(_._1).mkString("\n").getBytes("UTF-8"))
+      val events = CanalJson.events(CdcPipeline.fileSource(s, in.toString))
+      val q = CdcPipeline.materializeSink(events.coalesce(1),
+        s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.streams.removeListener(listener)
+    val gauges = Seq(
+      ("engine", "queries_started", listener.queriesStarted.sum),
+      ("engine", "queries_terminated", listener.queriesTerminated.sum),
+      ("engine", "rows_processed", listener.rowsProcessed.sum),
+      ("engine", "application_errors", listener.errorCounts.map(_._2).sum))
+    val sinks = PipelineHealth.SinkCounters.snapshot
+      .map { case (op, st, n) => (s"sink_$op", st, n) }
+    (gauges ++ sinks).toDF("component", "metric", "value")
+      .orderBy($"component", $"metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_parse_events" -> cdc_parse_events _,
     "cdc_invalid_routing" -> cdc_invalid_routing _,
@@ -76,6 +123,8 @@ object CdcQueries {
     "cdc_materialize" -> cdc_materialize _,
     "cdc_transitions" -> cdc_transitions _,
     "cdc_typed_products" -> cdc_typed_products _,
+    "cdc_message_status" -> cdc_message_status _,
+    "cdc_health_surface" -> cdc_health_surface _,
   )
 
   /** Not DuckDB-expressible (embedded wire-format fixture, not parquet

@@ -162,6 +162,39 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X5b — media envelope normalization ([[graft.ops.Multimodal.toMediaFrame]]):
+    * opaque payload (here: the document text's UTF-8 bytes standing in for
+    * image bytes) wrapped with typed metadata. Fully oracle-checkable —
+    * byte length and sha-256 are engine-independent. */
+  def x5_media_envelope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Multimodal
+    Multimodal.toMediaFrame(
+        documents(s, dir).withColumn("kind", lit("text")),
+        "doc_id", "text", "kind")
+      .select($"media_id", $"media_type", $"n_bytes", $"checksum")
+      .orderBy($"media_id")
+  }
+
+  /** X5c — stubbed decode + feature extraction over the media envelope
+    * (mapPartitions plumbing; rows-only — the deterministic fake codec isn't
+    * SQL-expressible). Joins decode metadata with the extracted feature
+    * vector's norm so both operators are exercised end-to-end. */
+  def x5_media_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Multimodal
+    import graft.functions.VectorFunctions.l2Norm
+    val media = Multimodal.toMediaFrame(
+      documents(s, dir).withColumn("kind", lit("image")),
+      "doc_id", "text", "kind")
+    Multimodal.decodeImages(media)
+      .join(Multimodal.extractFeatures(media, dim = 16), "media_id")
+      .select($"media_id", $"width", $"height", $"channels",
+        size($"features").as("dim"),
+        round(l2Norm($"features"), 4).as("feature_norm"))
+      .orderBy($"media_id")
+  }
+
   /** X6 — JSON prop extraction + aggregation over the extracted key. */
   def x6_props_agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -185,6 +218,8 @@ object LlmOps {
     "x4_langid" -> x4_langid _,
     "x4_fingerprint" -> x4_fingerprint _,
     "x5_multimodal_join" -> x5_multimodal_join _,
+    "x5_media_envelope" -> x5_media_envelope _,
+    "x5_media_features" -> x5_media_features _,
     "x6_props_agg" -> x6_props_agg _,
   )
 
@@ -282,6 +317,11 @@ object LlmOps {
         |  n_chars
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+    "x5_media_envelope" ->
+      """SELECT doc_id AS media_id, 'text' AS media_type,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
     "x6_props_agg" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -71,6 +71,52 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P2 — long-window rate / increase (1 h): the dashboard pie + hourly
+    * recording rules (increase/rate(...[1h]), recording-rules.yml:9-10).
+    * For an event stream, increase over the window IS the windowed count. */
+  def p2_increase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("increase"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"increase",
+              round($"increase" / 3600.0, 6).as("rate_per_sec"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  /** P7 — sustained-threshold alert (`for:` hold-down, alerts.yml:6-34) as
+    * the oracle-expressible batch twin: runs of consecutive per-minute
+    * buckets whose rate exceeds the threshold, gaps-and-islands style
+    * ([[graft.streaming.Alerts.sustainedThresholdBatch]]); the streaming
+    * flatMapGroupsWithState form is ScalaTest-covered. */
+  def p7_sustained_threshold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = events(s, dir)
+      .groupBy($"event_type".as("key"), date_trunc("minute", $"ts").as("bucket_start"))
+      .agg(count(lit(1)).cast("double").as("rate"))
+    graft.streaming.Alerts.sustainedThresholdBatch(rates, threshold = 1.0, sustainBuckets = 2)
+      .orderBy($"key", $"breach_start")
+  }
+
+  /** P8 — staleness / absence detection (alerts.yml:16-24 "processing
+    * stopped"): minutes inside the stream's span where a label saw zero
+    * events — anti-join of the expected (label × minute-spine) grid against
+    * observed minutes. State is bounded by the time span, not data size. */
+  def p8_staleness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select($"event_type", date_trunc("minute", $"ts").as("minute")).distinct()
+    val spine = ev.agg(min($"minute").as("lo"), max($"minute").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 MINUTE"))).as("minute"))
+    ev.select($"event_type").distinct()
+      .crossJoin(spine)
+      .join(ev, Seq("event_type", "minute"), "left_anti")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("stale_minutes"),
+           min($"minute").as("first_stale"), max($"minute").as("last_stale"))
+      .orderBy($"event_type")
+  }
+
   /** P3 — ratio of rates: error ratio per 1-hour window
     * (cdc:processing_errors:ratio, recording-rules.yml:16-17). */
   def p3_error_ratio(s: SparkSession, dir: String): DataFrame = {
@@ -186,6 +232,9 @@ object MetricsOps {
     "m2_histogram" -> m2_histogram _,
     "m7_app_state" -> m7_app_state _,
     "p1_rate" -> p1_rate _,
+    "p2_increase" -> p2_increase _,
+    "p7_sustained_threshold" -> p7_sustained_threshold _,
+    "p8_staleness" -> p8_staleness _,
     "p3_error_ratio" -> p3_error_ratio _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
@@ -251,6 +300,42 @@ object MetricsOps {
         |  count(*) AS cnt, round(count(*) / 300.0, 6) AS rate_per_sec
         |FROM events GROUP BY bucket_start, event_type
         |ORDER BY bucket_start, event_type""".stripMargin,
+    "p2_increase" ->
+      """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+        |  count(*) AS increase, round(count(*) / 3600.0, 6) AS rate_per_sec
+        |FROM events GROUP BY bucket_start, event_type
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    "p7_sustained_threshold" ->
+      """WITH rates AS (
+        |  SELECT event_type AS key, date_trunc('minute', ts) AS bucket_start,
+        |    CAST(count(*) AS DOUBLE) AS rate
+        |  FROM events GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT key, bucket_start,
+        |    CASE WHEN rate > 1.0 THEN 1 ELSE 0 END AS breach,
+        |    row_number() OVER (PARTITION BY key ORDER BY bucket_start) AS rn,
+        |    sum(CASE WHEN rate > 1.0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY key ORDER BY bucket_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn_breach
+        |  FROM rates)
+        |SELECT key, count(*) AS run_len,
+        |  min(bucket_start) AS breach_start, max(bucket_start) AS breach_end
+        |FROM flagged WHERE breach = 1
+        |GROUP BY key, rn - rn_breach
+        |HAVING count(*) >= 2
+        |ORDER BY key, breach_start""".stripMargin,
+    "p8_staleness" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT event_type, date_trunc('minute', ts) AS minute FROM events),
+        |span AS (SELECT min(minute) AS lo, max(minute) AS hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute FROM span),
+        |keys AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT k.event_type, count(*) AS stale_minutes,
+        |  min(s.minute) AS first_stale, max(s.minute) AS last_stale
+        |FROM keys k CROSS JOIN spine s
+        |WHERE NOT EXISTS (SELECT 1 FROM ev e
+        |                  WHERE e.event_type = k.event_type AND e.minute = s.minute)
+        |GROUP BY k.event_type ORDER BY k.event_type""".stripMargin,
     "p3_error_ratio" ->
       """SELECT date_trunc('hour', ts) AS bucket_start,
         |  count(*) AS n_total,

@@ -93,27 +93,56 @@ object CdcPipeline {
       .trigger(Trigger.ProcessingTime("5 seconds")) // ES refresh_interval analog
 
   /** Materialized-state sink (CDC apply, §2.5): per micro-batch, upsert the
-    * latest image per key into a parquet state dir. Batch-id logging makes
-    * replays observable; the apply itself is idempotent (latest-by-key is
-    * deterministic under duplicate delivery). */
-  def materializeSink(events: DataFrame, statePath: String, checkpoint: String)
-      : DataStreamWriter[Row] =
+    * latest image per key into a parquet state dir. The apply is idempotent
+    * (latest-by-key is deterministic under duplicate delivery).
+    *
+    * Incremental by key-hash bucket: state is partitioned by
+    * `bucket = pmod(xxhash64(database, table, pk), nBuckets)`; each batch
+    * reads ONLY the buckets its keys touch (partition-pruned scan) and
+    * dynamic partition overwrite rewrites only those directories. Per-batch
+    * I/O is O(touched state), not O(total state) — the property that keeps a
+    * continuously running apply viable as state grows. The only driver-side
+    * collect is the ≤ nBuckets dirty-bucket ids (metadata, not data). */
+  def materializeSink(events: DataFrame, statePath: String, checkpoint: String,
+                      nBuckets: Int = 32): DataStreamWriter[Row] =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val prev =
-          try spark.read.parquet(statePath)
-          catch { case _: Throwable => spark.emptyDataFrame }
-        val merged =
-          if (prev.isEmpty) batch
-          else prev.select(batch.columns.map(col).toSeq: _*).unionByName(batch)
-        graft.cdc.CdcApply.materialize(merged)
-          .write.mode("overwrite").parquet(statePath + ".tmp")
-        // atomic-ish swap: rewrite target from tmp (single-JVM test harness;
-        // production would use a transactional table format)
-        spark.read.parquet(statePath + ".tmp")
-          .write.mode("overwrite").parquet(statePath)
+        try {
+          val spark = batch.sparkSession
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          val keyed = batch.withColumn("bucket",
+            pmod(xxhash64(col("database"), col("table"),
+              element_at(col("data"), "id")), lit(nBuckets)))
+          val dirty = keyed.select("bucket").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val prev =
+            try spark.read.parquet(statePath)
+              .filter(col("bucket").isin(dirty: _*)) // partition-pruned
+            catch { case _: Throwable => spark.emptyDataFrame }
+          val merged =
+            if (prev.isEmpty) keyed
+            else prev.select(keyed.columns.map(col).toSeq: _*).unionByName(keyed)
+          val materialized = graft.cdc.CdcApply.materialize(merged).persist()
+          materialized
+            .write.mode("overwrite").partitionBy("bucket").parquet(statePath)
+          // dynamic overwrite never touches a partition with no output rows:
+          // a dirty bucket whose keys were ALL tombstoned must be cleared
+          // explicitly or stale state survives the delete
+          val remaining = materialized.select("bucket").distinct()
+            .collect().map(_.getLong(0)).toSet
+          materialized.unpersist()
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          (dirty.toSet -- remaining).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/bucket=$b"), true)
+          }
+          PipelineHealth.SinkCounters.inc("materialize", "success")
+        } catch {
+          case e: Throwable =>
+            PipelineHealth.SinkCounters.inc("materialize", "error")
+            throw e
+        }
         ()
       }
 }

@@ -92,6 +92,60 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq(3L)) // only the 3-bucket island qualifies
   }
 
+  test("incremental materialize sink: correct state across 3 micro-batches, tombstones applied") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.cdc.CdcApply
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    graft.streaming.PipelineHealth.SinkCounters.reset()
+    val mem = MemoryStream[String]
+    val raw = mem.toDF()
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+    val q = CdcPipeline.materializeSink(CdcPipeline.events(raw),
+      s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
+    val lines = CanalJson.fixtureLines.map(_._1)
+    mem.addData(lines(0), lines(1)); q.processAllAvailable()          // seed inserts
+    mem.addData(lines(2), lines(3), lines(4)); q.processAllAvailable() // updates
+    mem.addData(lines(5), lines(8), lines(9)); q.processAllAvailable() // delete + dup
+    q.stop()
+    val state = spark.read.parquet(s"$tmp/state")
+      .select($"table", $"pk", $"op", element_at($"data", "price").as("price"))
+      .as[(String, String, String, Option[String])].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // matches the batch-materialize result on the same workload
+    assert(state(("products", "1")) === (("update", Some("165.00")))) // latest image won
+    assert(state(("products", "2")) === (("update", Some("50.05"))))
+    assert(!state.contains(("products", "3")))                        // tombstoned across batches
+    assert(state(("orders", "10"))._1 === "update")                   // dup delivery collapsed
+    assert(state(("unknown", "99"))._1 === "insert")
+    assert(state.size === 5) // products{1,2} + users 1 + orders 10 + unknown 99; products 3 deleted
+    // sink counters saw one success per micro-batch (M3)
+    val ok = graft.streaming.PipelineHealth.SinkCounters.snapshot
+      .collectFirst { case ("materialize", "success", n) => n }
+    assert(ok.exists(_ >= 3))
+  }
+
+  test("M5: terminal query exception is counted by error type") {
+    implicit val sqlCtx = spark.sqlContext
+    val l = new PipelineHealth.HealthListener
+    spark.streams.addListener(l)
+    try {
+      val mem = MemoryStream[String]
+      val q = mem.toDF().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("boom")
+        }.start()
+      mem.addData("x")
+      intercept[Exception] { q.processAllAvailable() }
+      intercept[Exception] { q.awaitTermination() }
+      // listener bus is async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (l.errorCounts.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(l.errorCounts.nonEmpty)
+      assert(l.queriesTerminated.sum >= 1)
+    } finally spark.streams.removeListener(l)
+  }
+
   test("dead-letter stream: malformed + DDL routed, valid not") {
     val streamed = runStream(CanalJson.fixtureLines.map(_._1), "dead_letter",
       raw => CdcPipeline.deadLetter(raw).groupBy($"reason").count(),
