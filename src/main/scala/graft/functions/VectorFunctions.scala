@@ -1,12 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float|double>` columns, built entirely from
-  * codegen'd higher-order functions (`zip_with` / `aggregate` / `transform`)
-  * — no Scala UDFs, so the whole similarity pipeline stays inside
-  * whole-stage codegen (SURVEY.md §2.8 / X3).
+/** Vector math over `array<float|double>` columns. The dot product — the
+  * only per-element hot loop — is the native codegen
+  * [[VectorDotProduct]] expression; everything else composes it
+  * (SURVEY.md §2.8 / X3). Higher-order functions are interpreted per
+  * element in Spark, which made the HOF formulation the bench bottleneck.
   *
   * All arithmetic is promoted to double and folded left-to-right, which is
   * also what DuckDB's list functions do — keeping oracle comparisons tight.
@@ -17,14 +18,14 @@ object VectorFunctions {
     * `array<float>`; compute in double). */
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Left-to-right fold of the element-wise product: the dot product. */
+  /** Dot product: native codegen loop, left-to-right accumulation (float
+    * elements widened exactly — bit-identical to the double fold). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    GraftColumnBridge.column(VectorDotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** L2 norm. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in [-1, 1]. */
   def cosine(a: Column, b: Column): Column =

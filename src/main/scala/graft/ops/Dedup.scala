@@ -110,13 +110,26 @@ object Dedup {
   def simhash(textCol: Column): Column =
     simhashFromHashes(transform(split(textCol, " "), w => xxhash64(w)))
 
-  /** SimHash frame (id, sh) with the word-hash array materialized first so
-    * the 64 votes read it instead of re-hashing the text 64×. */
-  def simhashFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-        transform(split(col(textCol), " "), w => xxhash64(w)).as("wh"))
-      .localCheckpoint(false)
-      .select(col("id"), simhashFromHashes(col("wh")).as("sh"))
+  /** SimHash frame (id, sh), computed as one explode + a single 64-column
+    * hash aggregation instead of 64 interpreted `aggregate` lambdas per row:
+    * word-level rows (id, xxhash64(word)) → codegen'd partial/final agg of
+    * 64 ±1 vote sums → bit assembly. Identical vote semantics to
+    * [[simhash]] (duplicates counted, empty text = one empty-string word);
+    * one narrow shuffle on id. */
+  def simhashFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val wordHashes = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    val voteCols = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$bit")
+    }
+    wordHashes.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { bit =>
+          when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
 
   /** SimHash near-dup candidates: by pigeonhole, Hamming(a,b) ≤ k guarantees
     * at least one of (k+1) bit-blocks is equal — join per block, then verify
@@ -153,12 +166,18 @@ object Dedup {
     * bounded upstream (filter/bucket) at scale. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleSize)).as("shingle"))
+    // one narrow pass computes the exploded shingle set; localCheckpoint so
+    // the three consumers (sizes + both join sides) don't re-shingle; join
+    // on the 8-byte shingle hash, not the string — the inverted-index
+    // shuffle carries fixed-width keys (collisions: ~n²/2⁶⁴, negligible)
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("shingle_h"))
+      .localCheckpoint(false)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
-    val a = sh.select(col("shingle"), col("id").as("id_a"))
-    val b = sh.select(col("shingle"), col("id").as("id_b"))
-    a.join(b, Seq("shingle"))
+    val a = sh.select(col("shingle_h"), col("id").as("id_a"))
+    val b = sh.select(col("shingle_h"), col("id").as("id_b"))
+    a.join(b, Seq("shingle_h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")

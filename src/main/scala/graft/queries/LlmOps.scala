@@ -195,6 +195,21 @@ object LlmOps {
       .orderBy($"media_id")
   }
 
+  /** X5d — frame sampling plumbing: per media row, the sampled frame
+    * offsets for 1-per-500ms sampling of a (deterministic fake) duration —
+    * `posexplode` over the offset sequence, the row-shape a real container
+    * seeker would fill. Oracle-checkable: the sequence arithmetic is SQL. */
+  def x5_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id".as("media_id"),
+        ($"n_chars" % 5000).cast("long").as("duration_ms"))
+      .select($"media_id", $"duration_ms",
+        posexplode(sequence(lit(0L), greatest($"duration_ms" - 1, lit(0L)), lit(500L)))
+          .as(Seq("frame_idx", "frame_offset_ms")))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   /** X6 — JSON prop extraction + aggregation over the extracted key. */
   def x6_props_agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -220,6 +235,7 @@ object LlmOps {
     "x5_multimodal_join" -> x5_multimodal_join _,
     "x5_media_envelope" -> x5_media_envelope _,
     "x5_media_features" -> x5_media_features _,
+    "x5_frame_sample" -> x5_frame_sample _,
     "x6_props_agg" -> x6_props_agg _,
   )
 
@@ -322,6 +338,14 @@ object LlmOps {
         |  octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    "x5_frame_sample" ->
+      """SELECT media_id, duration_ms,
+        |  CAST(frame_offset_ms // 500 AS INT) AS frame_idx, frame_offset_ms
+        |FROM (
+        |  SELECT doc_id AS media_id, CAST(n_chars % 5000 AS BIGINT) AS duration_ms,
+        |    unnest(generate_series(0, greatest(n_chars % 5000 - 1, 0), 500)) AS frame_offset_ms
+        |  FROM documents)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "x6_props_agg" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -1,0 +1,68 @@
+package graft.cdc
+
+import java.sql.Timestamp
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property tests (SURVEY.md §5.2): CDC materialization equals a naive
+  * sequential replay for arbitrary event sequences, and is idempotent under
+  * at-least-once duplicate delivery. */
+object CdcApplyProps extends Properties("CdcApply") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15) // each trial runs Spark jobs; keep it tight
+
+  private lazy val spark = graft.SparkSpec.session
+
+  case class Ev(table: String, pk: String, op: String, es: Long, offset: Long,
+                price: String)
+
+  private val genEv: Gen[Ev] = for {
+    table <- Gen.oneOf("products", "orders")
+    pk <- Gen.choose(1, 5).map(_.toString)
+    op <- Gen.frequency(5 -> "insert", 3 -> "update", 2 -> "delete")
+    es <- Gen.choose(0L, 40L)
+    price <- Gen.choose(1, 999).map(c => s"$c.00")
+  } yield Ev(table, pk, op, es, 0L, price)
+
+  /** Build a DataFrame in the CanalJson.events envelope shape. */
+  private def toEvents(evs: Seq[Ev]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    evs.map { e =>
+      (new Timestamp(e.es * 1000), "testdb", e.table, e.op.toUpperCase, e.op,
+        Map("id" -> e.pk, "price" -> e.price), Option.empty[Map[String, String]],
+        Option.empty[String], 0, e.offset, 0)
+    }.toDF("timestamp", "database", "table", "operation", "op",
+      "data", "old_data", "sql", "partition", "offset", "pos")
+  }
+
+  /** Naive replay: last event per key by (es, offset) wins; delete removes. */
+  private def naive(evs: Seq[Ev]): Map[(String, String), (String, String)] =
+    evs.groupBy(e => (e.table, e.pk))
+      .view.mapValues(_.maxBy(e => (e.es, e.offset)))
+      .collect { case (k, last) if last.op != "delete" => k -> (last.op, last.price) }
+      .toMap
+
+  private def materialized(evs: Seq[Ev]): Map[(String, String), (String, String)] = {
+    import org.apache.spark.sql.functions._
+    CdcApply.materialize(toEvents(evs))
+      .select(col("table"), col("pk"), col("op"),
+        element_at(col("data"), "price").as("price"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3)))
+      .toMap
+  }
+
+  property("materialize == naive sequential replay") =
+    forAll(Gen.listOfN(30, genEv)) { evs0 =>
+      val evs = evs0.zipWithIndex.map { case (e, i) => e.copy(offset = i.toLong) }
+      materialized(evs) == naive(evs)
+    }
+
+  property("idempotent under at-least-once duplicate delivery") =
+    forAll(Gen.listOfN(20, genEv), Gen.choose(1, 10)) { (evs0, dupCount) =>
+      val evs = evs0.zipWithIndex.map { case (e, i) => e.copy(offset = i.toLong) }
+      val withDups = evs ++ evs.take(dupCount) // replay a prefix verbatim
+      materialized(withDups) == materialized(evs)
+    }
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the 100 TB posture checks (SURVEY.md §4):
+  * filters and column pruning must reach the parquet scan, small dims must
+  * broadcast, and the similarity hot loop must be inside whole-stage codegen.
+  * Runs against sf0.001 so the plans are the real ones the driver benches. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: predicate pushdown + column pruning reach the parquet scan") {
+    val p = plan(Relational.q2_filter_project(spark, dir))
+    assert(p.contains("PushedFilters:"), "expected pushed filters in scan")
+    assert(p.contains("GreaterThan(l_quantity") || p.contains("l_quantity"),
+      s"quantity predicate not pushed:\n$p")
+    // pruned read schema: only the 5 projected columns + filter columns
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  test("q3: dimension join is a broadcast, not a shuffle") {
+    val p = plan(Relational.q3_join_broadcast(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("x3 cosine top-k: dot product is codegen'd, query side broadcast") {
+    val df = LlmOps.x3_cosine_topk(spark, dir)
+    val p = plan(df)
+    assert(p.contains("vector_dot"), s"expected native vector_dot:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+    // AQE only reveals codegen spans in the FINAL plan — execute, then check
+    // the scoring projection sits inside a WholeStageCodegen span
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with a "*(n) " prefix in the final AQE plan
+    assert(finalPlan.contains("*("), s"no codegen span in final plan:\n$finalPlan")
+  }
+
+  test("x1 exact dedup shuffles digests, not documents") {
+    val p = plan(LlmOps.x1_dedup_exact(spark, dir))
+    // partial agg before the exchange means the shuffle carries (sha, min, cnt)
+    assert(p.contains("partial_"), s"expected partial aggregation before shuffle:\n$p")
+  }
+}

@@ -146,6 +146,31 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(l)
   }
 
+  test("event-store sink: parquet partitioned by (table, event_date), exactly the valid events") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val mem = MemoryStream[String]
+    val raw = mem.toDF()
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+    val q = CdcPipeline.eventStoreSink(CdcPipeline.events(raw),
+        s"$tmp/store", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    mem.addData(CanalJson.fixtureLines.map(_._1): _*)
+    q.awaitTermination(60000)
+    val stored = spark.read.parquet(s"$tmp/store")
+    assert(stored.count() === 11) // all valid flattened events
+    // partition layout prunes by table + day
+    val dirs = new java.io.File(s"$tmp/store").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("table=products")), dirs.mkString(","))
+    val tableDirs = new java.io.File(s"$tmp/store/table=products").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(tableDirs.exists(_.startsWith("event_date=")), tableDirs.mkString(","))
+    // a table+date predicate prunes to a partition subset (scan, not full read)
+    val pruned = spark.read.parquet(s"$tmp/store")
+      .filter($"table" === "products" && $"event_date" === "2024-01-01")
+    assert(pruned.count() === 6) // 3 seed + 2 update + 1 delete
+  }
+
   test("dead-letter stream: malformed + DDL routed, valid not") {
     val streamed = runStream(CanalJson.fixtureLines.map(_._1), "dead_letter",
       raw => CdcPipeline.deadLetter(raw).groupBy($"reason").count(),
