@@ -109,11 +109,25 @@ object CdcQueries {
       ("engine", "queries_started", listener.queriesStarted.sum),
       ("engine", "queries_terminated", listener.queriesTerminated.sum),
       ("engine", "rows_processed", listener.rowsProcessed.sum),
-      ("engine", "application_errors", listener.errorCounts.map(_._2).sum))
+      ("engine", "application_errors", listener.errorCounts.map(_._2).sum),
+      ("engine", "batches_completed_min1",
+        math.min(listener.batchesCompleted.sum, 1L))) // clamp: empty-batch count varies by trigger timing
     val sinks = PipelineHealth.SinkCounters.snapshot
       .map { case (op, st, n) => (s"sink_$op", st, n) }
     (gauges ++ sinks).toDF("component", "metric", "value")
       .orderBy($"component", $"metric")
+  }
+
+  /** S6 — log shipping (filebeat analog): docker json-file lines → parse →
+    * per-(stream, level, component) counts; malformed lines survive as
+    * UNKNOWN. */
+  def s6_log_levels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.LogShipping
+    LogShipping.parse(LogShipping.fixtureRaw(s))
+      .groupBy($"stream", $"level", $"component")
+      .agg(count(lit(1)).as("cnt"), max($"ts").as("last_ts"))
+      .orderBy($"stream", $"level", $"component")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -125,6 +139,7 @@ object CdcQueries {
     "cdc_typed_products" -> cdc_typed_products _,
     "cdc_message_status" -> cdc_message_status _,
     "cdc_health_surface" -> cdc_health_surface _,
+    "s6_log_levels" -> s6_log_levels _,
   )
 
   /** Not DuckDB-expressible (embedded wire-format fixture, not parquet

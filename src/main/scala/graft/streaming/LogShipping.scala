@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Log-shipping source (SURVEY.md S6 — docker/filebeat.yml:1-18): the
+  * reference ships docker JSON container logs to the search store; here the
+  * same dataflow is a text stream → JSON parse → level/component extraction
+  * → the shared event-store sink.
+  *
+  * Docker's json-file driver writes one JSON object per line:
+  * `{"log":"...\n","stream":"stdout","time":"2024-01-01T00:00:00.0Z"}`.
+  * The level/component extraction mirrors what filebeat processors would
+  * tag; malformed lines survive as `level = UNKNOWN` (T6 skip-on-error).
+  */
+object LogShipping {
+
+  val dockerLogSchema: StructType = StructType(Seq(
+    StructField("log", StringType, nullable = true),
+    StructField("stream", StringType, nullable = true),
+    StructField("time", StringType, nullable = true)))
+
+  /** Streaming source: a directory of docker json-file logs. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("text").load(dir)
+
+  /** Parse + enrich: works identically on batch and streaming frames
+    * (same contract as [[graft.cdc.CanalJson]]). */
+  def parse(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("j", from_json(col("value"), dockerLogSchema))
+      .select(
+        coalesce(to_timestamp(col("j.time")), current_timestamp()).as("ts"),
+        coalesce(col("j.stream"), lit("unknown")).as("stream"),
+        coalesce(col("j.log"), col("value")).as("log"))
+      .withColumn("level",
+        when(regexp_extract(col("log"), "\\b(ERROR|WARN|INFO|DEBUG)\\b", 1) === "",
+          "UNKNOWN")
+          .otherwise(regexp_extract(col("log"), "\\b(ERROR|WARN|INFO|DEBUG)\\b", 1)))
+      .withColumn("component",
+        when(regexp_extract(col("log"), "\\[([a-z-]+)\\]", 1) === "", "unknown")
+          .otherwise(regexp_extract(col("log"), "\\[([a-z-]+)\\]", 1)))
+
+  /** Embedded fixture: the reference consumer's own log shapes
+    * (node-consumer/index.js logging: startup, per-event, error paths). */
+  val fixtureLines: Seq[String] = Seq(
+    """{"log":"INFO [consumer] connected to kafka brokers\n","stream":"stdout","time":"2024-01-01T00:00:00.000Z"}""",
+    """{"log":"INFO [consumer] processed event table=products op=insert\n","stream":"stdout","time":"2024-01-01T00:00:01.000Z"}""",
+    """{"log":"INFO [consumer] processed event table=orders op=update\n","stream":"stdout","time":"2024-01-01T00:00:02.000Z"}""",
+    """{"log":"WARN [elasticsearch] index latency above 500ms\n","stream":"stderr","time":"2024-01-01T00:00:03.000Z"}""",
+    """{"log":"ERROR [elasticsearch] index failed: connection reset\n","stream":"stderr","time":"2024-01-01T00:00:04.000Z"}""",
+    """{"log":"DEBUG [metrics] scrape served in 2ms\n","stream":"stdout","time":"2024-01-01T00:00:05.000Z"}""",
+    """plain non-json line from a misconfigured container""",
+  )
+
+  def fixtureRaw(s: SparkSession): DataFrame = {
+    import s.implicits._
+    fixtureLines.toDF("value")
+  }
+}

@@ -44,6 +44,7 @@ object PipelineHealth {
     val queriesTerminated = new LongAdder
     val batchesCompleted = new LongAdder
     val rowsProcessed = new LongAdder
+    val batchDurationMsTotal = new LongAdder // M2/M6: engine-side latency gauge
     private val errors = new ConcurrentHashMap[String, LongAdder]()
 
     override def onQueryStarted(e: QueryStartedEvent): Unit =
@@ -51,6 +52,7 @@ object PipelineHealth {
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       batchesCompleted.increment()
       rowsProcessed.add(e.progress.numInputRows)
+      batchDurationMsTotal.add(e.progress.batchDuration)
     }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
       queriesTerminated.increment()

@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** Native VectorDotProduct expression: value semantics, SQL registration,
+  * float/double handling. */
+class VectorExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/cosine over float arrays match hand-computed values") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val (d, c) = df.select(VF.dot($"a", $"b"), round(VF.cosine($"a", $"b"), 6))
+      .as[(Double, Double)].head()
+    assert(d === 32.0)
+    assert(c === BigDecimal(32.0 / (math.sqrt(14.0) * math.sqrt(77.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("mixed float/double inputs and mismatched lengths (shorter wins)") {
+    val df = Seq((Seq(1.0f, 2.0f, 9.0f), Seq(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(VF.dot($"a", $"b")).as[Double].head() === 11.0)
+  }
+
+  test("null vector yields null, not a crash") {
+    val df = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    val r = df.select(VF.dot($"a", $"b")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("registered as a SQL function via GraftExtensions") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(r === 11.0)
+    // plans the native expression, not a UDF wrapper
+    val plan = spark.sql(
+      "SELECT vector_dot(array(1.0d), array(2.0d))").queryExecution.analyzed.toString
+    assert(plan.contains("vector_dot"), plan)
+  }
+
+  test("rejects non-numeric-array inputs at analysis time") {
+    val df = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
+    intercept[Exception] { df.select(VF.dot($"a", $"b")).collect() }
+  }
+}
