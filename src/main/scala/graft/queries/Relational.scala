@@ -320,6 +320,33 @@ object Relational {
       .orderBy($"bucket_start")
   }
 
+  /** Salted skew-join (§4 scale posture): same result set as q4's plain
+    * fact-fact join, but the shuffle key is (key, salt) so a hot orderkey
+    * spreads over 8 reducers. Oracle = the plain-join SQL — salting must be
+    * result-invariant. */
+  def q24_salted_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.SkewJoin.saltedJoin(
+        lineitem(s, dir).withColumnRenamed("l_orderkey", "okey"),
+        orders(s, dir).withColumnRenamed("o_orderkey", "okey"),
+        key = "okey", saltBy = Seq("okey", "l_linenumber"), salts = 8)
+      .groupBy($"o_orderstatus")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Salted two-phase aggregation: per-key counts+sums with a bounded
+    * final-stage fan-in. Oracle = the plain aggregation. */
+  def q25_salted_agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.SkewJoin.saltedAgg(
+        lineitem(s, dir), key = "l_returnflag", valueCol = "l_quantity",
+        saltBy = Seq("l_orderkey", "l_linenumber"), salts = 8)
+      .select($"l_returnflag", $"cnt", round($"sum_l_quantity", 2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -344,6 +371,8 @@ object Relational {
     "q21_array_fns" -> q21_array_fns _,
     "q22_decimal" -> q22_decimal _,
     "q23_time_bucket" -> q23_time_bucket _,
+    "q24_salted_join" -> q24_salted_join _,
+    "q25_salted_agg" -> q25_salted_agg _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -486,5 +515,14 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS bucket_start, count(*) AS cnt,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
+    "q24_salted_join" ->
+      """SELECT o_orderstatus,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q25_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
