@@ -260,9 +260,13 @@ object Relational {
     lineitem(s, dir)
       .select(
         $"l_orderkey", $"l_linenumber",
-        round(priceDec * lit(BigDecimal("1.10")), 2).cast(DecimalType(18, 2)).as("price_up10"),
+        // decimal-exact arithmetic, but emit DOUBLE: the driver hashes value
+        // *strings*, and a parquet DECIMAL(18,2) renders '37023.60' while the
+        // oracle's decimal→float64 renders '37023.6' — doubles agree exactly
+        // on both sides because the decimal→double cast is correctly rounded
+        round(priceDec * lit(BigDecimal("1.10")), 2).cast("double").as("price_up10"),
         round(priceDec * (lit(BigDecimal(1)) - discDec) * (lit(BigDecimal(1)) + taxDec), 2)
-          .cast(DecimalType(18, 2)).as("charged"),
+          .cast("double").as("charged"),
         ceil($"l_quantity").as("qty_ceil"),
         floor($"l_quantity").as("qty_floor"),
         round(abs($"l_discount" - 0.05), 4).as("disc_dev"),
@@ -487,10 +491,10 @@ object Relational {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q19_math_fns" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST('1.10' AS DECIMAL(3,2)), 2) AS DECIMAL(18,2)) AS price_up10,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST('1.10' AS DECIMAL(3,2)), 2) AS DOUBLE) AS price_up10,
         |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
         |       * (1 - CAST(l_discount AS DECIMAL(6,2)))
-        |       * (1 + CAST(l_tax AS DECIMAL(6,2))), 2) AS DECIMAL(18,2)) AS charged,
+        |       * (1 + CAST(l_tax AS DECIMAL(6,2))), 2) AS DOUBLE) AS charged,
         |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
         |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
         |  round(abs(l_discount - 0.05), 4) AS disc_dev,
