@@ -30,6 +30,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // Release anything the query pinned (persist/localCheckpoint inside
+      // operators like the LSH signature materialization): leaked blocks
+      // GC-thrash every later query in the shared JVM.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%9.3f s")
       name -> sec
