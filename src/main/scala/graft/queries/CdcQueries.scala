@@ -1,8 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.cdc.{CanalJson, CdcApply}
+import graft.tables.Tables
 
 /** Canal-json CDC pipeline exposed as named queries over the embedded
   * replay fixture (FIXTURES.md §A; run_test.sh workload). These are
@@ -130,6 +132,85 @@ object CdcQueries {
       .orderBy($"stream", $"level", $"component")
   }
 
+  /** T1/T3/T4/T5/T7 — oracle-checked wire-format roundtrip: build canal-json
+    * envelopes deterministically FROM the orders parquet table (one multi-row
+    * UPDATE per customer, `old[i]` markers derived from `data[i]`'s key), run
+    * them through the REAL parse → flatten → positional-zip → typing path,
+    * and emit values DuckDB can derive independently from the base columns.
+    * A mis-parsed cell, misaligned zip, or wrong flatten position all
+    * hash-mismatch — this is the oracle gate the embedded fixture (not being
+    * parquet) cannot provide. */
+  def cdc_wire_parse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(18, 2)).cast("string").as("total_str"))
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_list(struct($"o_orderkey", $"o_orderstatus", $"total_str")))
+        .as("rows"))
+    val envelope = struct(
+      transform($"rows", r => map(
+        lit("id"), r.getField("o_orderkey").cast("string"),
+        lit("status"), r.getField("o_orderstatus"),
+        lit("total"), r.getField("total_str"))).as("data"),
+      transform($"rows", r => map(
+        lit("prev_status"), concat(lit("was-"), r.getField("o_orderkey").cast("string"))))
+        .as("old"),
+      lit("UPDATE").as("type"), lit("orders").as("table"), lit("testdb").as("database"),
+      (lit(1704067200000L) + $"o_custkey").as("es"), lit(false).as("isDdl"))
+    val raw = grouped.select(to_json(envelope).as("value"),
+      lit(0).as("partition"), $"o_custkey".cast("bigint").as("offset"))
+    CanalJson.events(raw)
+      .select($"database", $"table", $"op",
+        element_at($"data", "id").cast("bigint").as("id"),
+        element_at($"data", "status").as("status"),
+        element_at($"data", "total").cast(DecimalType(18, 2)).cast("double").as("total"),
+        element_at($"old_data", "prev_status").as("prev_status"),
+        $"pos", unix_millis($"timestamp").as("es_ms"))
+      .orderBy($"id")
+  }
+
+  /** W1/W2/W5/W6 — oracle-checked CDC apply: per order an INSERT('pending'),
+    * an UPDATE(final status), for every 7th key a DELETE tombstone, plus a
+    * duplicate delivery of every UPDATE (same kafka coordinate). Materialized
+    * state must be exactly "latest image per surviving key" — which DuckDB
+    * derives straight from the base table. */
+  def cdc_wire_latest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey".as("id"), $"o_orderstatus".as("final_status"))
+    def line(op: String, status: Column, esOff: Int) = to_json(struct(
+      array(map(lit("id"), $"id".cast("string"), lit("status"), status)).as("data"),
+      lit(op).as("type"), lit("orders").as("table"), lit("testdb").as("database"),
+      (lit(1704067200000L) + $"id" * 3 + esOff).as("es"), lit(false).as("isDdl")))
+    def raw(df: DataFrame, op: String, status: Column, esOff: Int) = df.select(
+      line(op, status, esOff).as("value"),
+      lit(0).as("partition"), ($"id" * 3 + esOff).cast("bigint").as("offset"))
+    val ins = raw(base, "INSERT", lit("pending"), 0)
+    val upd = raw(base, "UPDATE", $"final_status", 1)
+    val del = raw(base.filter($"id" % 7 === 0), "DELETE", $"final_status", 2)
+    val all = ins.unionByName(upd).unionByName(del).unionByName(upd) // redelivery
+    CdcApply.materialize(CanalJson.events(all))
+      .select($"pk".cast("bigint").as("id"),
+        element_at($"data", "status").as("status"),
+        $"op", unix_millis($"timestamp").as("es_ms"))
+      .orderBy($"id")
+  }
+
+  /** S5 — snapshot export/restore (backup.sh/restore.sh analog) as an
+    * oracle-checked roundtrip: materialized CDC state → parquet snapshot with
+    * manifest → restore (manifest row-count validated). The restored frame
+    * must equal what DuckDB derives from the base table — a torn or lossy
+    * snapshot hash-mismatches. */
+  def s5_snapshot_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Snapshot
+    val state = cdc_wire_latest(s, dir)
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    Snapshot.export(state, snapDir, Map("source" -> s"$dir/orders.parquet"))
+    Snapshot.restore(s, snapDir).orderBy($"id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_parse_events" -> cdc_parse_events _,
     "cdc_invalid_routing" -> cdc_invalid_routing _,
@@ -140,9 +221,32 @@ object CdcQueries {
     "cdc_message_status" -> cdc_message_status _,
     "cdc_health_surface" -> cdc_health_surface _,
     "s6_log_levels" -> s6_log_levels _,
+    "cdc_wire_parse" -> cdc_wire_parse _,
+    "cdc_wire_latest" -> cdc_wire_latest _,
+    "s5_snapshot_roundtrip" -> s5_snapshot_roundtrip _,
   )
 
-  /** Not DuckDB-expressible (embedded wire-format fixture, not parquet
-    * tables) → rows-only checks per the driver contract. */
-  val oracleSql: Map[String, String] = Map()
+  /** The embedded-fixture queries are not DuckDB-expressible (the wire data
+    * isn't in the parquet testdata) → rows-only checks per the driver
+    * contract. The `cdc_wire_*` pair closes that gap: wire data generated
+    * from the orders table, ground truth derived from the same base columns. */
+  val oracleSql: Map[String, String] = Map(
+    "cdc_wire_parse" ->
+      """SELECT 'testdb' AS "database", 'orders' AS "table", 'update' AS op,
+        |  o_orderkey AS id, o_orderstatus AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  'was-' || CAST(o_orderkey AS VARCHAR) AS prev_status,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS INTEGER) AS pos,
+        |  1704067200000 + o_custkey AS es_ms
+        |FROM orders ORDER BY id""".stripMargin,
+    "cdc_wire_latest" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status, 'update' AS op,
+        |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
+        |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY id""".stripMargin,
+    // the snapshot roundtrip must restore exactly the materialized state
+    "s5_snapshot_roundtrip" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status, 'update' AS op,
+        |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
+        |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY id""".stripMargin,
+  )
 }
