@@ -85,4 +85,85 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Train IVF coarse centroids with fixed-iteration Lloyd's k-means on a
+    * deterministic sample (first `sampleN` vectors by id). Model-fitting is
+    * driver-side on purpose — the sample is tiny and the resulting centroids
+    * broadcast as literals, exactly like an ML `fit` step; the distributed
+    * work (assignment, probe, re-rank) stays in the plan. Deterministic:
+    * ordered sample, seedless arithmetic, fixed iteration count. */
+  def trainIvfCentroids(corpus: DataFrame, dim: Int, nLists: Int,
+                        sampleN: Int = 512, iters: Int = 3): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nLists, s"sample ${sample.length} < nLists $nLists")
+    // init: spread over the ordered sample (deterministic k-means++ stand-in)
+    var cents = Array.tabulate(nLists)(i => sample((i * sample.length) / nLists).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Long](nLists)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nLists) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(nLists) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** Squared L2 distance of an embedding column to a literal centroid. */
+  private def sqDist(emb: Column, cent: Array[Double]): Column = {
+    val centCol = array(cent.map(lit): _*)
+    aggregate(zip_with(emb, centCol, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** (distance, list) structs to every centroid — `array_min`/`array_sort`
+    * over this gives argmin / nearest-n with deterministic tie-break on the
+    * list index, all inside codegen. */
+  private def distStructs(emb: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(emb, c).as("d"), lit(i).as("list"))
+    }: _*)
+
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * corpus vectors are assigned to their nearest coarse centroid (the
+    * inverted lists; at 100 TB these are the partition keys of the stored
+    * index), queries probe their `nProbe` nearest lists only, and candidates
+    * re-rank by exact cosine. Complements [[lshTopK]]: data-adaptive buckets
+    * vs oblivious hyperplanes. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              nLists: Int = 16, nProbe: Int = 4, roundTo: Int = 3): DataFrame = {
+    val cents = trainIvfCentroids(corpus, dim, nLists)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      array_min(distStructs(col("embedding"), cents)).getField("list").as("list"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(array_sort(distStructs(col("embedding"), cents)), 1, nProbe))
+          .as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe.list").as("list"))
+    // (query, neighbor) pairs are unique by construction — each corpus vector
+    // lives in exactly one list and a query probes distinct lists — so no
+    // dedup exchange is needed before the ranking shuffle
+    val scored = broadcast(probes).join(c, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), roundTo).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -86,6 +86,17 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3b' — IVF-bucketed approximate top-5 (rows-only; recall measured in
+    * ScalaTest against x3's exact answer). Data-adaptive coarse quantizer vs
+    * the oblivious hyperplanes of x3_ann_lsh. */
+  def x3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    Similarity.ivfTopK(emb.filter($"vec_id" < 20), emb, k = 5, dim = 64)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** X3c — embedding-cosine near-duplicate detection. Candidates come from a
     * 4-bit sign-LSH bucket (axis-aligned hyperplanes: the sign of the first
     * four dimensions) — a similarity-correlated bucket that is still
@@ -228,6 +239,7 @@ object LlmOps {
     "x2_simhash" -> x2_simhash _,
     "x3_cosine_topk" -> x3_cosine_topk _,
     "x3_ann_lsh" -> x3_ann_lsh _,
+    "x3_ann_ivf" -> x3_ann_ivf _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
     "x4_text_quality" -> x4_text_quality _,
     "x4_langid" -> x4_langid _,

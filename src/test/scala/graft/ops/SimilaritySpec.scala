@@ -50,4 +50,23 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall $recall below 0.8")
   }
+
+  test("IVF top-k achieves high recall vs brute force and is deterministic") {
+    def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 970.0f)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) Array.fill(dim)(1.0f) else Array.fill(dim)(-1.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + noise(i, d) }.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.ivfTopK(queries, corpus, k = 5, dim = dim, nLists = 8, nProbe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = run()
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8")
+    assert(run() === approx, "IVF result must be deterministic across runs")
+  }
 }
