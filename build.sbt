@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // memory a real 32-core executor would get.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+UseG1GC",
+  // Whole-stage codegen emits one or more JIT-compiled classes per query;
+  // a 70-query run overflows the default 240 MB code cache, the JIT stops
+  // compiling, and hot generated code (and expression eval like from_json)
+  // silently drops to the interpreter — 10-100x slowdowns that look like
+  // random per-query degradation late in a run.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

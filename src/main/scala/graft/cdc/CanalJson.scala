@@ -92,9 +92,18 @@ object CanalJson {
           .otherwise("invalid_format").as("reason"))
 
   /** Stage 2 — flatten valid envelopes into one row per changed row, with the
-    * positional old-image zip and the full output envelope. */
+    * positional old-image zip and the full output envelope.
+    *
+    * No explicit `filter(isValid)`: posexplode (outer = false) emits zero
+    * rows for a null `data` — exactly the validity predicate — and an
+    * explicit filter is actively harmful, because predicate pushdown
+    * substitutes the `parsed` alias into the Filter and the (non-codegen)
+    * from_json then re-parses every message 2 extra times per row. The
+    * optimizer's InferFiltersFromGenerate re-creates that same filter, so
+    * engine sessions exclude it (see Bench/Verify builders); the parse then
+    * runs exactly once per message. */
   def flatten(parsed: DataFrame): DataFrame =
-    parsed.filter(isValid)
+    parsed
       .select(col("parsed"), col("partition"), col("offset"),
               posexplode(col("parsed.data")).as(Seq("pos", "row_data")))
       .select(

@@ -132,6 +132,36 @@ object CdcQueries {
       .orderBy($"stream", $"level", $"component")
   }
 
+  /** S6 (oracle-checked) — log-shipping wire roundtrip: docker json-file
+    * lines generated deterministically FROM the orders table, run through the
+    * REAL parse path (from_json → timestamp coalesce → regex level/component
+    * extraction), emitting values DuckDB derives independently from the base
+    * columns. A mis-parsed line, wrong regex group, or timestamp drift all
+    * hash-mismatch — the oracle gate the embedded fixture cannot provide. */
+  def s6_wire_logs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.LogShipping
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey".as("id"), $"o_orderstatus".as("st"))
+      .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
+    val level = element_at(
+      array(lit("INFO"), lit("WARN"), lit("ERROR"), lit("DEBUG")),
+      ($"id" % 4 + 1).cast("int"))
+    val component = when($"id" % 3 === 0, "consumer").otherwise("elasticsearch")
+    val line = to_json(struct(
+      concat(level, lit(" ["), component, lit("] order id="), $"id",
+        lit(" status="), $"st", lit("\n")).as("log"),
+      when($"id" % 5 === 0, "stderr").otherwise("stdout").as("stream"),
+      date_format(
+        timestamp_seconds(lit(1704067200L) + $"id" % 86400),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'").as("time")))
+    LogShipping.parse(base.select(line.as("value")))
+      .select(
+        regexp_extract($"log", "id=(\\d+)", 1).cast("bigint").as("id"),
+        unix_timestamp($"ts").as("ts_s"), $"stream", $"level", $"component")
+      .orderBy($"id")
+  }
+
   /** T1/T3/T4/T5/T7 — oracle-checked wire-format roundtrip: build canal-json
     * envelopes deterministically FROM the orders parquet table (one multi-row
     * UPDATE per customer, `old[i]` markers derived from `data[i]`'s key), run
@@ -145,6 +175,7 @@ object CdcQueries {
     val grouped = Tables.orders(s, dir)
       .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
         $"o_totalprice".cast(DecimalType(18, 2)).cast("string").as("total_str"))
+      .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
       .groupBy($"o_custkey")
       .agg(sort_array(collect_list(struct($"o_orderkey", $"o_orderstatus", $"total_str")))
         .as("rows"))
@@ -177,8 +208,13 @@ object CdcQueries {
     * derives straight from the base table. */
   def cdc_wire_latest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // wireParallelism: the generated wire lines inherit the base table's file
+    // splits — one task per union branch for a small parquet file, which
+    // serializes the (per-row-expensive) json parse. A real Kafka/log source
+    // arrives pre-partitioned; the generator must spread explicitly.
     val base = Tables.orders(s, dir)
       .select($"o_orderkey".as("id"), $"o_orderstatus".as("final_status"))
+      .repartition(s.sparkContext.defaultParallelism)
     def line(op: String, status: Column, esOff: Int) = to_json(struct(
       array(map(lit("id"), $"id".cast("string"), lit("status"), status)).as("data"),
       lit(op).as("type"), lit("orders").as("table"), lit("testdb").as("database"),
@@ -221,6 +257,7 @@ object CdcQueries {
     "cdc_message_status" -> cdc_message_status _,
     "cdc_health_surface" -> cdc_health_surface _,
     "s6_log_levels" -> s6_log_levels _,
+    "s6_wire_logs" -> s6_wire_logs _,
     "cdc_wire_parse" -> cdc_wire_parse _,
     "cdc_wire_latest" -> cdc_wire_latest _,
     "s5_snapshot_roundtrip" -> s5_snapshot_roundtrip _,
@@ -231,6 +268,13 @@ object CdcQueries {
     * contract. The `cdc_wire_*` pair closes that gap: wire data generated
     * from the orders table, ground truth derived from the same base columns. */
   val oracleSql: Map[String, String] = Map(
+    "s6_wire_logs" ->
+      """SELECT o_orderkey AS id,
+        |  1704067200 + o_orderkey % 86400 AS ts_s,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'stderr' ELSE 'stdout' END AS stream,
+        |  ['INFO','WARN','ERROR','DEBUG'][CAST(o_orderkey % 4 AS INT) + 1] AS level,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'consumer' ELSE 'elasticsearch' END AS component
+        |FROM orders ORDER BY id""".stripMargin,
     "cdc_wire_parse" ->
       """SELECT 'testdb' AS "database", 'orders' AS "table", 'update' AS op,
         |  o_orderkey AS id, o_orderstatus AS status,

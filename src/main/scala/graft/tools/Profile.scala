@@ -1,61 +1,76 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Dedup
+import graft.cdc.{CanalJson, CdcApply}
+import graft.tables.Tables
 
-/** Ad-hoc stage profiler for the dedup operators (dev tool, not part of the
-  * driver contract). Times each phase of the MinHash pipeline separately so
-  * regressions point at a stage, not a query. */
+/** Ad-hoc stage profiler (dev tool, not part of the driver contract). Times
+  * each phase of a hot query separately so regressions point at a stage, not
+  * a query. Modes: `cdc` (wire-format apply pipeline), `misc` (q19 / x6 /
+  * simhash stages). */
 object Profile {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
-    println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    println(f"[profile] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     r
   }
 
+  def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = args.headOption.getOrElse("cdc")
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    time("read+count")(docs.count())
+    if (mode == "cdc") {
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      val base = Tables.orders(spark, dir)
+        .select($"o_orderkey".as("id"), $"o_orderstatus".as("final_status"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      def line(op: String, status: Column, esOff: Int) = to_json(struct(
+        array(map(lit("id"), $"id".cast("string"), lit("status"), status)).as("data"),
+        lit(op).as("type"), lit("orders").as("table"), lit("testdb").as("database"),
+        (lit(1704067200000L) + $"id" * 3 + esOff).as("es"), lit(false).as("isDdl")))
+      def raw(df: DataFrame, op: String, status: Column, esOff: Int) = df.select(
+        line(op, status, esOff).as("value"),
+        lit(0).as("partition"), ($"id" * 3 + esOff).cast("bigint").as("offset"))
+      val ins = raw(base, "INSERT", lit("pending"), 0)
+      val upd = raw(base, "UPDATE", $"final_status", 1)
+      val del = raw(base.filter($"id" % 7 === 0), "DELETE", $"final_status", 2)
+      val all = ins.unionByName(upd).unionByName(del).unionByName(upd)
 
-    val sh = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
-    time("shingles only")(sh.write.format("noop").mode("overwrite").save())
-
-    val sigs = sh.filter(size(col("sh")) > 0)
-      .select(col("id"), Dedup.minhashSignature(col("sh"), 16).as("sig"))
-    time("shingles+signature")(sigs.write.format("noop").mode("overwrite").save())
-
-    val ck = time("localCheckpoint")(sigs.localCheckpoint(true))
-
-    val banded = ck.select(col("id"), col("sig"),
-      posexplode(array((0 until 8).map { b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * 2 + 1, 2)))
-      }: _*)).as(Seq("band", "band_hash")))
-    time("banding")(banded.write.format("noop").mode("overwrite").save())
-
-    time("full minhashLshPairs")(
-      Dedup.minhashLshPairs(docs, "text", "doc_id",
-        shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.25)
-        .write.format("noop").mode("overwrite").save())
-
-    time("full simhashPairs")(
-      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 7)
-        .write.format("noop").mode("overwrite").save())
-
-    time("full ngramJaccardPairs")(
-      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3)
-        .write.format("noop").mode("overwrite").save())
-
+      val ev = CanalJson.events(all)
+      val nJson = ev.queryExecution.optimizedPlan.toString
+        .sliding("from_json".length).count(_ == "from_json")
+      println(s"[profile] from_json instances in optimized plan: $nJson")
+      time("full cdc_wire_latest #1")(
+        noop(graft.queries.CdcQueries.cdc_wire_latest(spark, dir)))
+      time("full cdc_wire_latest #2")(
+        noop(graft.queries.CdcQueries.cdc_wire_latest(spark, dir)))
+      time("full cdc_wire_latest #3")(
+        noop(graft.queries.CdcQueries.cdc_wire_latest(spark, dir)))
+    } else {
+      time("q19_math_fns")(noop(graft.queries.Relational.q19_math_fns(spark, dir)))
+      val ev = Tables.events(spark, dir)
+      time("events count")(ev.count())
+      time("x6 get_json_object")(noop(
+        ev.select(get_json_object($"props", "$.k").cast("int").as("k"), $"value")))
+      time("x6_props_agg full")(noop(graft.queries.LlmOps.x6_props_agg(spark, dir)))
+      val docs = Tables.documents(spark, dir)
+      time("simhashFrame")(noop(graft.ops.Dedup.simhashFrame(docs, "text", "doc_id")))
+      time("x2_simhash full")(noop(graft.queries.LlmOps.x2_simhash(spark, dir)))
+    }
     spark.stop()
   }
 }
