@@ -22,19 +22,11 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("cdc")
     val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.EngineSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
     if (mode == "cdc") {
-      spark.conf.set("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       val base = Tables.orders(spark, dir)
         .select($"o_orderkey".as("id"), $"o_orderstatus".as("final_status"))
         .repartition(spark.sparkContext.defaultParallelism)
@@ -50,16 +42,12 @@ object Profile {
       val del = raw(base.filter($"id" % 7 === 0), "DELETE", $"final_status", 2)
       val all = ins.unionByName(upd).unionByName(del).unionByName(upd)
 
-      val ev = CanalJson.events(all)
-      val nJson = ev.queryExecution.optimizedPlan.toString
-        .sliding("from_json".length).count(_ == "from_json")
-      println(s"[profile] from_json instances in optimized plan: $nJson")
-      time("full cdc_wire_latest #1")(
-        noop(graft.queries.CdcQueries.cdc_wire_latest(spark, dir)))
-      time("full cdc_wire_latest #2")(
-        noop(graft.queries.CdcQueries.cdc_wire_latest(spark, dir)))
-      time("full cdc_wire_latest #3")(
-        noop(graft.queries.CdcQueries.cdc_wire_latest(spark, dir)))
+      for (i <- 1 to 6) {
+        time(s"x2_minhash_lsh #$i")(
+          noop(graft.queries.LlmOps.x2_minhash_lsh(spark, dir)))
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     } else {
       time("q19_math_fns")(noop(graft.queries.Relational.q19_math_fns(spark, dir)))
       val ev = Tables.events(spark, dir)

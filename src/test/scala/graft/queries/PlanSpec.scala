@@ -41,6 +41,21 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("*("), s"no codegen span in final plan:\n$finalPlan")
   }
 
+  test("cdc events plan parses each message exactly once") {
+    import graft.cdc.CanalJson
+    import org.apache.spark.sql.functions._
+    // spark.range, not a Seq: a LocalRelation would be constant-folded away
+    val raw = spark.range(10).select(
+      concat(lit("""{"data":[{"id":""""), col("id"),
+        lit(""""}],"type":"INSERT","table":"t","es":1704067200000}""")).as("value"),
+      lit(0).as("partition"), col("id").as("offset"))
+    val s = CanalJson.events(raw).queryExecution.optimizedPlan.toString
+    val n = s.sliding("from_json".length).count(_ == "from_json")
+    // An explicit validity filter or InferFiltersFromGenerate (excluded in
+    // EngineSession) would alias-substitute the parse and triple this.
+    assert(n == 1, s"expected exactly 1 from_json instance, found $n:\n$s")
+  }
+
   test("x1 exact dedup shuffles digests, not documents") {
     val p = plan(LlmOps.x1_dedup_exact(spark, dir))
     // partial agg before the exchange means the shuffle carries (sha, min, cnt)
