@@ -32,10 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+UseG1GC",
   // Whole-stage codegen emits one or more JIT-compiled classes per query;
-  // a 70-query run overflows the default 240 MB code cache, the JIT stops
-  // compiling, and hot generated code (and expression eval like from_json)
-  // silently drops to the interpreter — 10-100x slowdowns that look like
-  // random per-query degradation late in a run.
-  "-XX:ReservedCodeCacheSize=1g",
+  // a 70-query run overflows the default 240 MB code cache, flushing then
+  // evicts the shared hot library methods (Jackson, regex) between uses,
+  // and row work silently drops to the interpreter — 10-100x slowdowns
+  // (plus a GC storm: interpreted code gets no escape analysis) that look
+  // like random per-query degradation late in a run.
+  "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
-)
+) ++ (if (sys.env.contains("SPARK_GRAFT_EVENTLOG"))
+        Seq("-Dspark.eventLog.enabled=true",
+            "-Dspark.eventLog.dir=/tmp/spark-events")
+      else Seq())

@@ -42,12 +42,14 @@ object Profile {
       val del = raw(base.filter($"id" % 7 === 0), "DELETE", $"final_status", 2)
       val all = ins.unionByName(upd).unionByName(del).unionByName(upd)
 
-      for (i <- 1 to 6) {
-        time(s"x2_minhash_lsh #$i")(
-          noop(graft.queries.LlmOps.x2_minhash_lsh(spark, dir)))
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      }
+      time("events(flatten)")(noop(CanalJson.events(all)))
+      time("materialize")(noop(CdcApply.materialize(CanalJson.events(all))))
+      time("full cdc_wire_latest")(
+        noop(graft.queries.CdcQueries.cdc_wire_latest(spark, dir)))
+      time("full cdc_wire_parse")(
+        noop(graft.queries.CdcQueries.cdc_wire_parse(spark, dir)))
+      time("full s6_wire_logs")(
+        noop(graft.queries.CdcQueries.s6_wire_logs(spark, dir)))
     } else {
       time("q19_math_fns")(noop(graft.queries.Relational.q19_math_fns(spark, dir)))
       val ev = Tables.events(spark, dir)
