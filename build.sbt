@@ -39,6 +39,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // like random per-query degradation late in a run.
   "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
+  // Every query loads fresh codegen classes, which invalidates profiles and
+  // deoptimizes the shared expression-eval library methods (Jackson/JSON,
+  // regex) over and over; once a method crosses HotSpot's recompilation
+  // cutoff it is marked not-compilable and runs INTERPRETED for the rest of
+  // the JVM — observed as 10-20x task-CPU inflation on whichever queries ran
+  // after the cutoff hit. Lift the cutoffs and add compiler threads so
+  // recompilation converges instead of giving up.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
+  "-XX:CICompilerCount=16",
 ) ++ (if (sys.env.contains("SPARK_GRAFT_EVENTLOG"))
         Seq("-Dspark.eventLog.enabled=true",
             "-Dspark.eventLog.dir=/tmp/spark-events")
