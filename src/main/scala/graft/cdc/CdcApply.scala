@@ -48,6 +48,15 @@ object CdcApply {
       .drop("rn")
   }
 
+  /** Temporal (as-of) materialization: the table state as it stood at
+    * `asOfMs` (epoch ms, inclusive) — the audit-log read the event store
+    * exists for ("what did this row look like before the incident").
+    * Identical plan shape to [[materialize]]; the time predicate is pushed
+    * below the ranking shuffle, so at scale it prunes event-store partitions
+    * before any exchange. */
+  def stateAsOf(events: DataFrame, asOfMs: Long, pkCol: String = "id"): DataFrame =
+    materialize(events.filter(unix_millis(col("timestamp")) <= asOfMs), pkCol)
+
   /** Audit view: per-key change history with old→new transition columns for a
     * named attribute (W4 status transitions; W2 price deltas). */
   def transitions(events: DataFrame, attr: String): DataFrame =

@@ -206,16 +206,21 @@ object CdcQueries {
     * duplicate delivery of every UPDATE (same kafka coordinate). Materialized
     * state must be exactly "latest image per surviving key" — which DuckDB
     * derives straight from the base table. */
-  def cdc_wire_latest(s: SparkSession, dir: String): DataFrame = {
+  /** Shared wire-event generator for the oracle-checked apply queries: per
+    * order an INSERT('pending', es = base+3id), an UPDATE(final status, +1),
+    * for every 7th key a DELETE tombstone (+2), plus a duplicate delivery of
+    * every UPDATE (same kafka coordinate).
+    *
+    * wireParallelism: the generated wire lines inherit the base table's file
+    * splits — one task per union branch for a small parquet file, which
+    * serializes the (per-row-expensive) json parse. A real Kafka/log source
+    * arrives pre-partitioned; the generator must spread explicitly.
+    * 1-in-4 key subsample: the hash-checked apply semantics are volume-
+    * independent, and ~1.1M generated lines at sf0.1 made this fixture (and
+    * the snapshot roundtrip that reuses it) half the bench for no extra
+    * coverage. */
+  private def wireOrderEvents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // wireParallelism: the generated wire lines inherit the base table's file
-    // splits — one task per union branch for a small parquet file, which
-    // serializes the (per-row-expensive) json parse. A real Kafka/log source
-    // arrives pre-partitioned; the generator must spread explicitly.
-    // 1-in-4 key subsample: the hash-checked apply semantics are volume-
-    // independent, and ~1.1M generated lines at sf0.1 made this fixture (and
-    // the snapshot roundtrip that reuses it) half the bench for no extra
-    // coverage.
     val base = Tables.orders(s, dir)
       .filter($"o_orderkey" % 4 === 0)
       .select($"o_orderkey".as("id"), $"o_orderstatus".as("final_status"))
@@ -230,13 +235,28 @@ object CdcQueries {
     val ins = raw(base, "INSERT", lit("pending"), 0)
     val upd = raw(base, "UPDATE", $"final_status", 1)
     val del = raw(base.filter($"id" % 7 === 0), "DELETE", $"final_status", 2)
-    val all = ins.unionByName(upd).unionByName(del).unionByName(upd) // redelivery
-    CdcApply.materialize(CanalJson.events(all))
-      .select($"pk".cast("bigint").as("id"),
+    CanalJson.events(
+      ins.unionByName(upd).unionByName(del).unionByName(upd)) // redelivery
+  }
+
+  private def wireState(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"pk".cast("bigint").as("id"),
         element_at($"data", "status").as("status"),
         $"op", unix_millis($"timestamp").as("es_ms"))
       .orderBy($"id")
   }
+
+  def cdc_wire_latest(s: SparkSession, dir: String): DataFrame =
+    wireState(CdcApply.materialize(wireOrderEvents(s, dir)))
+
+  /** W2'/temporal — state **as of** a mid-stream cutoff (base epoch +15000
+    * ms): keys ≤ 4999 have their full history visible (UPDATE wins, every
+    * 7th tombstoned away), key 5000 has only its INSERT visible ('pending'),
+    * later keys don't exist yet. One cutoff exercises all three visibility
+    * classes, and DuckDB derives each from the key arithmetic alone. */
+  def cdc_wire_asof(s: SparkSession, dir: String): DataFrame =
+    wireState(CdcApply.stateAsOf(wireOrderEvents(s, dir), 1704067200000L + 15000L))
 
   /** S5 — snapshot export/restore (backup.sh/restore.sh analog) as an
     * oracle-checked roundtrip: materialized CDC state → parquet snapshot with
@@ -265,6 +285,7 @@ object CdcQueries {
     "s6_wire_logs" -> s6_wire_logs _,
     "cdc_wire_parse" -> cdc_wire_parse _,
     "cdc_wire_latest" -> cdc_wire_latest _,
+    "cdc_wire_asof" -> cdc_wire_asof _,
     "s5_snapshot_roundtrip" -> s5_snapshot_roundtrip _,
   )
 
@@ -292,6 +313,18 @@ object CdcQueries {
       """SELECT o_orderkey AS id, o_orderstatus AS status, 'update' AS op,
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
+        |ORDER BY id""".stripMargin,
+    // integer key arithmetic: UPDATE (+1 ms) and DELETE (+2 ms) are visible
+    // at cutoff +15000 exactly for id <= 4999; key 5000 is INSERT-only
+    "cdc_wire_asof" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey <= 4999 THEN o_orderstatus ELSE 'pending' END AS status,
+        |  CASE WHEN o_orderkey <= 4999 THEN 'update' ELSE 'insert' END AS op,
+        |  1704067200000 + o_orderkey * 3
+        |    + CASE WHEN o_orderkey <= 4999 THEN 1 ELSE 0 END AS es_ms
+        |FROM orders
+        |WHERE o_orderkey % 4 = 0 AND o_orderkey * 3 <= 15000
+        |  AND NOT (o_orderkey % 7 = 0 AND o_orderkey <= 4999)
         |ORDER BY id""".stripMargin,
     // the snapshot roundtrip must restore exactly the materialized state
     "s5_snapshot_roundtrip" ->

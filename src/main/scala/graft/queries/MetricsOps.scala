@@ -117,6 +117,24 @@ object MetricsOps {
       .orderBy($"event_type")
   }
 
+  /** P10 — gap-based sessionization (session_window, 5-minute gap): per-user
+    * activity sessions over the event stream — the windowed-aggregation shape
+    * the fixed windows (P1/P2/P9) can't express because the bucket boundary
+    * is data-dependent. Batch twin of the streaming
+    * `groupBy(session_window(...))` (identical call on a readStream frame);
+    * at scale it is one shuffle on user_id + an in-partition merge sort, the
+    * same cost envelope as the W2 latest-by-key ranking. Oracle =
+    * gaps-and-islands over lag(). */
+  def p10_sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(session_window($"ts", "5 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
   /** P3 — ratio of rates: error ratio per 1-hour window
     * (cdc:processing_errors:ratio, recording-rules.yml:16-17). */
   def p3_error_ratio(s: SparkSession, dir: String): DataFrame = {
@@ -235,6 +253,7 @@ object MetricsOps {
     "p2_increase" -> p2_increase _,
     "p7_sustained_threshold" -> p7_sustained_threshold _,
     "p8_staleness" -> p8_staleness _,
+    "p10_sessions" -> p10_sessions _,
     "p3_error_ratio" -> p3_error_ratio _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
@@ -336,6 +355,21 @@ object MetricsOps {
         |WHERE NOT EXISTS (SELECT 1 FROM ev e
         |                  WHERE e.event_type = k.event_type AND e.minute = s.minute)
         |GROUP BY k.event_type ORDER BY k.event_type""".stripMargin,
+    "p10_sessions" ->
+      """WITH brk AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS b
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(b) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM brk)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 5 MINUTE AS session_end, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "p3_error_ratio" ->
       """SELECT date_trunc('hour', ts) AS bucket_start,
         |  count(*) AS n_total,
