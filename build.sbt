@@ -27,8 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with an 8g heap full-GC-stalls unpredictably (10-40 s pauses
-  // mid-query); the box has 128 GiB — give the single-JVM "cluster" the
-  // memory a real 32-core executor would get.
+  // mid-query); the bench box has 128 GiB — give the single-JVM "cluster"
+  // the memory a real 32-core executor would get. On a smaller host set
+  // SPARK_DRIVER_MEM explicitly (e.g. SPARK_DRIVER_MEM=8g sbt test) — 48g
+  // is the bench-box default, not a requirement.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:+UseG1GC",
   // Whole-stage codegen emits one or more JIT-compiled classes per query;

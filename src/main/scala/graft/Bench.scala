@@ -1,24 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
 
 /** Driver bench contract: run every SparkEntry query on SPARK_GRAFT_SF_DIR,
   * print ONE JSON line with total + per-query seconds.
+  *
+  * Isolation: by default the entry process spawns ONE CHILD JVM PER QUERY
+  * (same classpath + JVM flags, `SPARK_GRAFT_ONLY=<name>`) and aggregates
+  * the children's measurements. A 70-query run in a single JVM couples every
+  * query through JIT/code-cache state — whole-stage codegen loads fresh
+  * classes per query, profiles invalidate, and hot library methods
+  * (Jackson, regex) deopt — which made same-code queries swing 10-30x
+  * between runs. Per-query JVMs make each number reproducible; JVM + session
+  * startup stays OUT of the measurement (the child times only the query).
+  *
+  * Escape hatches: SPARK_GRAFT_NO_FORK=1 runs everything inline (fast local
+  * iteration), SPARK_GRAFT_ONLY=a,b,c limits the query set in either mode.
   *
   * Queries are materialized through the `noop` sink (not `.count()`) so
   * column pruning can't skip projection work and the measured time reflects
   * the full operator, while still avoiding any collect-to-driver cost. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def runInline(names: Seq[String], sfDir: String, cpus: String): Seq[(String, Double)] = {
     val spark = EngineSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Optional comma-separated subset for local iteration, e.g.
-    //   SPARK_GRAFT_ONLY=q4_join_shuffle,q8_outer_join
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // Warm the shared machinery (parquet reader, codegen compiler, shuffle,
+    // noop sink) before the first measured query: a cold JVM otherwise bills
+    // ~3-4 s of one-time class loading to whichever query runs first — which
+    // in forked mode is EVERY query.
+    try spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count()
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -33,13 +49,60 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $sec%9.3f s")
       name -> sec
     }
+    spark.stop()
+    results
+  }
+
+  /** Spawn one child JVM per query; the child re-enters [[main]] with
+    * SPARK_GRAFT_FORKED=1 and prints its own JSON line, from which the
+    * parent extracts the inside-the-JVM query time. A child that dies or
+    * emits no JSON is recorded at its wall-clock time (upper bound) so the
+    * bench line stays complete. */
+  private def runForked(names: Seq[String]): Seq[(String, Double)] = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    names.map { name =>
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_FORKED", "1")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val t0 = System.nanoTime()
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
+      val sec = re.findFirstMatchIn(out).map(_.group(1).toDouble) match {
+        case Some(v) if rc == 0 => v
+        case _ =>
+          System.err.println(s"[bench] $name child rc=$rc, no result — recording wall time")
+          wall
+      }
+      System.err.println(f"[bench] $name%-24s $sec%9.3f s  (wall ${wall}%.1f s)")
+      name -> sec
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated subset for local iteration, e.g.
+    //   SPARK_GRAFT_ONLY=q4_join_shuffle,q8_outer_join
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val inline = sys.env.get("SPARK_GRAFT_FORKED").contains("1") ||
+      sys.env.get("SPARK_GRAFT_NO_FORK").contains("1")
+    val results = if (inline) runInline(names, sfDir, cpus) else runForked(names)
     // Keep the JSON line compact (3-decimal seconds): the driver parses it
     // out of a bounded tail of the process output, so an over-long line gets
     // truncated mid-JSON and recorded as unparseable.
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     Console.out.flush()
   }

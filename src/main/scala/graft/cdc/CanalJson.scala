@@ -127,6 +127,31 @@ object CanalJson {
   /** parse + flatten in one call (the valid branch of the pipeline). */
   def events(raw: DataFrame): DataFrame = flatten(parse(raw))
 
+  /** M4/M5 'error' — per-row runtime-error predicate: a payload cell that is
+    * present but not a well-formed number where the upstream DDL declares
+    * DECIMAL (products.price, schema.sql:8). This is the deterministic batch
+    * analog of the reference's per-message runtime failure (index.js:327
+    * counts `status='error'` when indexing throws; the consumer skips the
+    * message and continues). A regex, not a cast: Spark 4's ANSI mode makes
+    * a failing cast throw instead of yielding null. */
+  def processErrorRow(data: Column): Column =
+    element_at(data, "price").isNotNull &&
+      !element_at(data, "price").rlike("^-?[0-9]+(\\.[0-9]+)?$")
+
+  /** [[processErrorRow]] lifted to the parsed (pre-flatten) message: the
+    * reference classifies status per kafka message, so one bad row poisons
+    * its whole envelope. */
+  def processError: Column =
+    exists(col("parsed.data"), m => processErrorRow(m))
+
+  /** A valid-envelope message whose payload fails processing — parses and
+    * validates, then errors downstream (the M4 'error' branch that the clean
+    * fixture never takes). Kept OUT of [[fixtureLines]] so the parse/apply
+    * queries keep their shapes; the M4 and health-surface queries append it
+    * explicitly. */
+  val poisonLine: String =
+    """{"data":[{"id":"666","name":"Poison","price":"not-a-number","stock":"1"}],"old":null,"type":"INSERT","table":"products","database":"testdb","es":1704067400000,"isDdl":false,"sql":null,"pkNames":["id"]}"""
+
   /** Per-table typed view: project map-typed `data` into typed columns per an
     * upstream DDL schema (T7 payload typing; DECIMAL stays DecimalType —
     * money never silently becomes double). */

@@ -125,20 +125,27 @@ object Similarity {
     cents
   }
 
-  /** Squared L2 distance of an embedding column to a literal centroid. */
-  private def sqDist(emb: Column, cent: Array[Double]): Column = {
+  /** Squared L2 distance of an embedding column to a literal centroid,
+    * expanded as ‖x−c‖² = ‖x‖² − 2·(x·c) + ‖c‖² so every per-element loop is
+    * the native codegen [[graft.functions.VectorDotProduct]]. The naive
+    * `aggregate(zip_with(...))` form is interpreted per element and, times
+    * nLists centroids per row, dominated the whole bench (~224 s at sf0.1).
+    * ‖c‖² folds to a driver-side literal; ‖x‖² (`xNorm2`) is computed once
+    * per row and shared across all centroids. */
+  private def sqDist(emb: Column, xNorm2: Column, cent: Array[Double]): Column = {
     val centCol = array(cent.map(lit): _*)
-    aggregate(zip_with(emb, centCol, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    xNorm2 - lit(2.0) * dot(emb, centCol) + lit(cent.map(x => x * x).sum)
   }
 
   /** (distance, list) structs to every centroid — `array_min`/`array_sort`
     * over this gives argmin / nearest-n with deterministic tie-break on the
     * list index, all inside codegen. */
-  private def distStructs(emb: Column, cents: Array[Array[Double]]): Column =
+  private def distStructs(emb: Column, cents: Array[Array[Double]]): Column = {
+    val xNorm2 = dot(emb, emb)
     array(cents.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(emb, c).as("d"), lit(i).as("list"))
+      struct(sqDist(emb, xNorm2, c).as("d"), lit(i).as("list"))
     }: _*)
+  }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
     * corpus vectors are assigned to their nearest coarse centroid (the

@@ -53,35 +53,63 @@ object CdcQueries {
       .orderBy($"table", $"pk")
   }
 
-  /** W4 — old→new transition audit (status changes with old images). */
+  /** W4 (oracle-checked) — old→new transition audit over the wire generator:
+    * every UPDATE carries old=[{status:'pending'}], so the audit view must
+    * show exactly one pending→final transition per key after at-least-once
+    * dedup. DuckDB derives both images from the base table. The embedded-
+    * fixture form of the same audit stays covered by CdcApplySpec. */
   def cdc_transitions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    CdcApply.transitions(
-        CanalJson.events(CanalJson.fixtureRaw(s)), "status")
-      .orderBy($"pk", $"timestamp")
+    CdcApply.transitions(CdcApply.dedupDelivery(wireOrderEvents(s, dir)), "status")
+      .select($"pk".cast("bigint").as("id"), $"old_status", $"new_status",
+        unix_millis($"timestamp").as("es_ms"))
+      .orderBy($"id")
   }
 
-  /** T7 — typed per-table view: products with DECIMAL(10,2) price
-    * discipline (money never becomes double). */
+  /** T7 (oracle-checked) — typed per-table view with DECIMAL(10,2) price
+    * discipline (money never becomes double): product INSERT envelopes
+    * generated from the orders table, run through the real parse → flatten →
+    * typed-cast path. A lossy string→DECIMAL cast or a double sneaking in
+    * hash-mismatches against DuckDB's decimal arithmetic. */
   def cdc_typed_products(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    CanalJson.typedView(
-        CanalJson.events(CanalJson.fixtureRaw(s)),
-        "products", CanalJson.productsSchema)
-      .orderBy($"offset", $"id")
+    val base = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 4 === 0)
+      .select($"o_orderkey".as("id"),
+        $"o_totalprice".cast(DecimalType(10, 2)).cast("string").as("price_str"))
+      .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
+    val line = to_json(struct(
+      array(map(
+        lit("id"), $"id".cast("string"),
+        lit("name"), concat(lit("item-"), $"id"),
+        lit("price"), $"price_str",
+        lit("stock"), ($"id" % 100).cast("string"))).as("data"),
+      lit("INSERT").as("type"), lit("products").as("table"), lit("testdb").as("database"),
+      (lit(1704067200000L) + $"id").as("es"), lit(false).as("isDdl")))
+    val raw = base.select(line.as("value"),
+      lit(0).as("partition"), $"id".cast("bigint").as("offset"))
+    CanalJson.typedView(CanalJson.events(raw), "products", CanalJson.productsSchema)
+      .select($"id", $"name", $"price", $"stock", $"op", $"offset")
+      .orderBy($"id")
   }
 
-  /** M4 — message-status counter as the success ∪ invalid-reason union
-    * (kafka_messages_processed_total{status}, index.js:113-118): every
-    * fixture line lands in exactly one status bucket. */
+  /** M4 — message-status counter as the success ∪ error ∪ invalid-reason
+    * union (kafka_messages_processed_total{status}, index.js:309-327): every
+    * line lands in exactly one status bucket. The poison line materializes
+    * the 'error' branch — valid envelope, payload that fails processing —
+    * which the clean fixture never takes. */
   def cdc_message_status(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val parsed = CanalJson.parse(CanalJson.fixtureRaw(s))
-    val success = parsed.filter(CanalJson.isValid)
-      .agg(count(lit(1)).as("cnt")).select(lit("success").as("status"), $"cnt")
+    val raw = CanalJson.fixtureRaw(s).unionByName(
+      Seq((CanalJson.poisonLine, 0, 100L)).toDF("value", "partition", "offset"))
+    val parsed = CanalJson.parse(raw)
+    val valid = parsed.filter(CanalJson.isValid)
+    val byOutcome = valid
+      .select(when(CanalJson.processError, "error").otherwise("success").as("status"))
+      .groupBy($"status").agg(count(lit(1)).as("cnt"))
     val invalid = CanalJson.invalid(parsed)
       .groupBy($"reason".as("status")).agg(count(lit(1)).as("cnt"))
-    success.unionByName(invalid).orderBy($"status")
+    byOutcome.unionByName(invalid).orderBy($"status")
   }
 
   /** M3/M5/M6 — engine health surface: run the embedded fixture through the
@@ -96,11 +124,15 @@ object CdcQueries {
     s.streams.addListener(listener)
     PipelineHealth.SinkCounters.reset()
     val tmp = java.nio.file.Files.createTempDirectory("graft_health").toString
+    deleteOnExit(tmp)
     try {
       val in = java.nio.file.Paths.get(tmp, "in")
       java.nio.file.Files.createDirectories(in)
+      // fixture + the poison line: the health surface must show the sink's
+      // per-row error route (M4 'error' / M5), not just the happy path
       java.nio.file.Files.write(in.resolve("fixture.jsonl"),
-        CanalJson.fixtureLines.map(_._1).mkString("\n").getBytes("UTF-8"))
+        (CanalJson.fixtureLines.map(_._1) :+ CanalJson.poisonLine)
+          .mkString("\n").getBytes("UTF-8"))
       val events = CanalJson.events(CdcPipeline.fileSource(s, in.toString))
       val q = CdcPipeline.materializeSink(events.coalesce(1),
         s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
@@ -201,15 +233,12 @@ object CdcQueries {
       .orderBy($"id")
   }
 
-  /** W1/W2/W5/W6 — oracle-checked CDC apply: per order an INSERT('pending'),
-    * an UPDATE(final status), for every 7th key a DELETE tombstone, plus a
-    * duplicate delivery of every UPDATE (same kafka coordinate). Materialized
-    * state must be exactly "latest image per surviving key" — which DuckDB
-    * derives straight from the base table. */
-  /** Shared wire-event generator for the oracle-checked apply queries: per
-    * order an INSERT('pending', es = base+3id), an UPDATE(final status, +1),
-    * for every 7th key a DELETE tombstone (+2), plus a duplicate delivery of
-    * every UPDATE (same kafka coordinate).
+  /** Shared wire-event generator for the oracle-checked apply queries
+    * (W1/W2/W5/W6): per order an INSERT('pending', es = base+3id), an
+    * UPDATE(final status, +1), for every 7th key a DELETE tombstone (+2),
+    * plus a duplicate delivery of every UPDATE (same kafka coordinate).
+    * Materialized state must be exactly "latest image per surviving key" —
+    * which DuckDB derives straight from the base table.
     *
     * wireParallelism: the generated wire lines inherit the base table's file
     * splits — one task per union branch for a small parquet file, which
@@ -225,10 +254,17 @@ object CdcQueries {
       .filter($"o_orderkey" % 4 === 0)
       .select($"o_orderkey".as("id"), $"o_orderstatus".as("final_status"))
       .repartition(s.sparkContext.defaultParallelism)
-    def line(op: String, status: Column, esOff: Int) = to_json(struct(
-      array(map(lit("id"), $"id".cast("string"), lit("status"), status)).as("data"),
-      lit(op).as("type"), lit("orders").as("table"), lit("testdb").as("database"),
-      (lit(1704067200000L) + $"id" * 3 + esOff).as("es"), lit(false).as("isDdl")))
+    def line(op: String, status: Column, esOff: Int) = {
+      // UPDATEs carry the positional old image (index.js:255): old[0] pairs
+      // with data[0] — the W4 transition-audit input
+      val old = if (op == "UPDATE") array(map(lit("status"), lit("pending")))
+                else lit(null).cast("array<map<string,string>>")
+      to_json(struct(
+        array(map(lit("id"), $"id".cast("string"), lit("status"), status)).as("data"),
+        old.as("old"),
+        lit(op).as("type"), lit("orders").as("table"), lit("testdb").as("database"),
+        (lit(1704067200000L) + $"id" * 3 + esOff).as("es"), lit(false).as("isDdl")))
+    }
     def raw(df: DataFrame, op: String, status: Column, esOff: Int) = df.select(
       line(op, status, esOff).as("value"),
       lit(0).as("partition"), ($"id" * 3 + esOff).cast("bigint").as("offset"))
@@ -266,11 +302,28 @@ object CdcQueries {
   def s5_snapshot_roundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.Snapshot
-    val state = cdc_wire_latest(s, dir)
+    // localCheckpoint: the wire pipeline (generate → parse → materialize)
+    // runs ONCE; the snapshot write and the manifest count both read the
+    // checkpointed blocks instead of re-running the fixture generation —
+    // previously this query regenerated ~270k wire lines twice.
+    val state = cdc_wire_latest(s, dir).localCheckpoint()
     val snapDir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    deleteOnExit(snapDir)
     Snapshot.export(state, snapDir, Map("source" -> s"$dir/orders.parquet"))
     Snapshot.restore(s, snapDir).orderBy($"id")
   }
+
+  /** Recursively delete a temp dir at JVM exit — repeated bench/verify runs
+    * must not accumulate snapshot copies under /tmp. Exit-time (not eager):
+    * the returned DataFrame still reads the snapshot files lazily. */
+  private def deleteOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_parse_events" -> cdc_parse_events _,
@@ -314,6 +367,19 @@ object CdcQueries {
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
         |ORDER BY id""".stripMargin,
+    // one pending→final transition per key (redelivery collapsed by dedup)
+    "cdc_transitions" ->
+      """SELECT o_orderkey AS id, 'pending' AS old_status,
+        |  o_orderstatus AS new_status,
+        |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
+        |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY id""".stripMargin,
+    "cdc_typed_products" ->
+      """SELECT o_orderkey AS id,
+        |  'item-' || CAST(o_orderkey AS VARCHAR) AS name,
+        |  CAST(o_totalprice AS DECIMAL(10,2)) AS price,
+        |  CAST(o_orderkey % 100 AS INT) AS stock,
+        |  'insert' AS op, o_orderkey AS "offset"
+        |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY id""".stripMargin,
     // integer key arithmetic: UPDATE (+1 ms) and DELETE (+2 ms) are visible
     // at cutoff +15000 exactly for id <= 4999; key 5000 is INSERT-only
     "cdc_wire_asof" ->

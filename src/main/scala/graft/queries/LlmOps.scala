@@ -97,6 +97,32 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3-SQL — the same exact top-k expressed through the engine's SQL
+    * surface: [[graft.GraftExtensions]] registers the native codegen
+    * `vector_dot`, and the whole query (including cosine built from three
+    * dot products) runs via `spark.sql` over a temp view — proving a
+    * reference user can drive the engine from SQL alone. Distinct query
+    * range from [[x3_cosine_topk]] so the two entries aren't copies. */
+  def x3_sql_topk(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    embeddings(s, dir).createOrReplaceTempView("embeddings_sql")
+    s.sql("""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(vector_dot(q.embedding, c.embedding) /
+                (sqrt(vector_dot(q.embedding, q.embedding)) *
+                 sqrt(vector_dot(c.embedding, c.embedding))), 3) AS sim
+        FROM embeddings_sql q JOIN embeddings_sql c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id >= 20 AND q.vec_id < 40),
+      ranked AS (
+        SELECT query_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  }
+
   /** X3c — embedding-cosine near-duplicate detection. Candidates come from a
     * 4-bit sign-LSH bucket (axis-aligned hyperplanes: the sign of the first
     * four dimensions) — a similarity-correlated bucket that is still
@@ -241,6 +267,7 @@ object LlmOps {
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_ivf" -> x3_ann_ivf _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
+    "x3_sql_topk" -> x3_sql_topk _,
     "x4_text_quality" -> x4_text_quality _,
     "x4_langid" -> x4_langid _,
     "x4_fingerprint" -> x4_fingerprint _,
@@ -286,6 +313,19 @@ object LlmOps {
         |                                 CAST(c.embedding AS DOUBLE[])), 3) AS sim
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 20),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "x3_sql_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 3) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id >= 20 AND q.vec_id < 40),
         |ranked AS (
         |  SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank

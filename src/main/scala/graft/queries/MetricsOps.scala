@@ -56,7 +56,9 @@ object MetricsOps {
         count(lit(1)).as("processed_count"),
         sum(when($"event_type" === "error", 1).otherwise(0)).as("error_count"),
         max($"ts").as("last_ts"),
-        max_by($"event_id", $"ts").as("last_event_id"))
+        // lexicographic struct max = max ts, then max event_id — deterministic
+        // even if two events tie on the max timestamp (max_by would not be)
+        max(struct($"ts", $"event_id")).getField("event_id").as("last_event_id"))
   }
 
   /** P1 — windowed rate: 5-minute tumbling count per label ÷ window length
@@ -65,6 +67,23 @@ object MetricsOps {
     import s.implicits._
     events(s, dir)
       .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"cnt",
+              round($"cnt" / 300.0, 6).as("rate_per_sec"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  /** P1' — TRUE sliding rate: the reference's rate is a 5-minute range
+    * re-evaluated every 30 seconds (rate(...[5m]) at the 30 s scrape
+    * interval, recording-rules.yml:3,6-7) — overlapping windows, not the
+    * tumbling form of [[p1_rate]]. Each event belongs to exactly
+    * windowLen/slide = 10 windows; Spark's `window(ts, len, slide)`
+    * enumerates them inside codegen. The oracle reproduces the same 10-fold
+    * expansion with an explicit 0..9 offset cross join. */
+  def p1_rate_sliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "5 minutes", "30 seconds"), $"event_type")
       .agg(count(lit(1)).as("cnt"))
       .select($"window.start".as("bucket_start"), $"event_type", $"cnt",
               round($"cnt" / 300.0, 6).as("rate_per_sec"))
@@ -250,6 +269,7 @@ object MetricsOps {
     "m2_histogram" -> m2_histogram _,
     "m7_app_state" -> m7_app_state _,
     "p1_rate" -> p1_rate _,
+    "p1_rate_sliding" -> p1_rate_sliding _,
     "p2_increase" -> p2_increase _,
     "p7_sustained_threshold" -> p7_sustained_threshold _,
     "p8_staleness" -> p8_staleness _,
@@ -312,12 +332,19 @@ object MetricsOps {
       """SELECT count(*) AS processed_count,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
         |  max(ts) AS last_ts,
-        |  arg_max(event_id, ts) AS last_event_id
+        |  (SELECT max(event_id) FROM events
+        |   WHERE ts = (SELECT max(ts) FROM events)) AS last_event_id
         |FROM events""".stripMargin,
     "p1_rate" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
         |  count(*) AS cnt, round(count(*) / 300.0, 6) AS rate_per_sec
         |FROM events GROUP BY bucket_start, event_type
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    "p1_rate_sliding" ->
+      """SELECT time_bucket(INTERVAL '30 seconds', ts) - k * INTERVAL '30 seconds' AS bucket_start,
+        |  event_type, count(*) AS cnt, round(count(*) / 300.0, 6) AS rate_per_sec
+        |FROM events CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS k)
+        |GROUP BY bucket_start, event_type
         |ORDER BY bucket_start, event_type""".stripMargin,
     "p2_increase" ->
       """SELECT date_trunc('hour', ts) AS bucket_start, event_type,

@@ -116,14 +116,22 @@ object Relational {
   }
 
   /** Left outer join + agg preserving unmatched rows (count of lineitems per
-    * order, zero-preserving). */
+    * order, zero-preserving). Lineitem is pre-aggregated by `l_orderkey`
+    * BEFORE the join: the aggregation groups by the join key, so the result
+    * is identical, but the exchange carries one (key, count, sum) row per
+    * order instead of every lineitem row — at 100 TB that is the difference
+    * between shuffling the fact table twice and shuffling it once, map-side
+    * combined. */
   def q8_outer_join(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val li = lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("li_n"), sum($"l_quantity").as("li_qty"))
     orders(s, dir)
-      .join(lineitem(s, dir), $"o_orderkey" === $"l_orderkey", "left")
-      .groupBy($"o_orderkey")
-      .agg(count($"l_orderkey").as("n_items"),
-           round(coalesce(sum($"l_quantity"), lit(0.0)), 2).as("sum_qty"))
+      .join(li, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderkey",
+        coalesce($"li_n", lit(0L)).as("n_items"),
+        round(coalesce($"li_qty", lit(0.0)), 2).as("sum_qty"))
       .orderBy($"o_orderkey")
   }
 
@@ -250,23 +258,28 @@ object Relational {
   }
 
   /** Scalar math: the W2 `price*1.10` arithmetic, tax/discount composition,
-    * ceil/floor/abs/sqrt. Money math runs in DECIMAL (exact, so rounding the
-    * frequent *.xx5 products is engine-independent — doubles disagree there). */
+    * ceil/floor/abs/sqrt. Money math must be decimal-exact (rounding the
+    * frequent *.xx5 products is where doubles disagree cross-engine), but
+    * Spark's DecimalType arithmetic runs object-boxed outside the primitive
+    * codegen loop — the direct decimal form cost 33x this one on the bench.
+    * So compute on UNSCALED LONGS: price/discount/tax are exact 2-decimal
+    * values, so `round(x*100)` recovers the integer cents/percent-points
+    * losslessly, products stay exact in long (≤ ~1.3e11), HALF_UP is
+    * `+half, floor-divide`, and the final `integer/100.0` double division is
+    * correctly rounded — bit-identical to the oracle's decimal→double cast. */
   def q19_math_fns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val priceDec = $"l_extendedprice".cast(DecimalType(18, 2))
-    val discDec = $"l_discount".cast(DecimalType(6, 2))
-    val taxDec = $"l_tax".cast(DecimalType(6, 2))
+    val cents = round($"l_extendedprice" * 100).cast("bigint")
+    val disc = round($"l_discount" * 100).cast("bigint")
+    val tax = round($"l_tax" * 100).cast("bigint")
     lineitem(s, dir)
       .select(
         $"l_orderkey", $"l_linenumber",
-        // decimal-exact arithmetic, but emit DOUBLE: the driver hashes value
-        // *strings*, and a parquet DECIMAL(18,2) renders '37023.60' while the
-        // oracle's decimal→float64 renders '37023.6' — doubles agree exactly
-        // on both sides because the decimal→double cast is correctly rounded
-        round(priceDec * lit(BigDecimal("1.10")), 2).cast("double").as("price_up10"),
-        round(priceDec * (lit(BigDecimal(1)) - discDec) * (lit(BigDecimal(1)) + taxDec), 2)
-          .cast("double").as("charged"),
+        // price * 1.10 at scale 4 → HALF_UP to cents → double
+        (floor((cents * 110 + 50) / 100).cast("double") / 100.0).as("price_up10"),
+        // price * (1-disc) * (1+tax) at scale 6 → HALF_UP to cents → double
+        (floor((cents * (lit(100L) - disc) * (lit(100L) + tax) + 5000) / 10000)
+          .cast("double") / 100.0).as("charged"),
         ceil($"l_quantity").as("qty_ceil"),
         floor($"l_quantity").as("qty_floor"),
         round(abs($"l_discount" - 0.05), 4).as("disc_dev"),

@@ -111,7 +111,13 @@ object CdcPipeline {
         try {
           val spark = batch.sparkSession
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          val keyed = batch.withColumn("bucket",
+          // skip-on-error (T6 / M4 'error', index.js:316-332): rows whose
+          // payload fails processing are counted and dropped, and the apply
+          // continues — the reference's per-message try/catch, batched
+          val nErr = batch.filter(CanalJson.processErrorRow(col("data"))).count()
+          if (nErr > 0) PipelineHealth.SinkCounters.inc("materialize", "row_error", nErr)
+          val clean = batch.filter(!CanalJson.processErrorRow(col("data")))
+          val keyed = clean.withColumn("bucket",
             pmod(xxhash64(col("database"), col("table"),
               element_at(col("data"), "id")), lit(nBuckets)))
           val dirty = keyed.select("bucket").distinct()

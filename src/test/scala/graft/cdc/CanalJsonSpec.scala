@@ -63,6 +63,20 @@ class CanalJsonSpec extends SparkSpec {
     assert(laptop === "165.00")
   }
 
+  test("M4 three-way status: success, invalid reasons, and a materialized error branch") {
+    val statuses = graft.queries.CdcQueries.cdc_message_status(spark, "")
+      .as[(String, Long)].collect().toMap
+    assert(statuses("success") === 8)     // the 8 clean valid messages
+    assert(statuses("error") === 1)       // the poison line: valid envelope, failing payload
+    assert(statuses("ddl") === 1)
+    assert(statuses("parse_error") === 1)
+    // poison parses as VALID (it is not a format problem) and errors later
+    val poison = CanalJson.parse(Seq((CanalJson.poisonLine, 0, 100L))
+      .toDF("value", "partition", "offset"))
+    assert(poison.filter(CanalJson.isValid).count() === 1)
+    assert(poison.filter(CanalJson.processError).count() === 1)
+  }
+
   test("parse is PERMISSIVE: malformed JSON lands in _corrupt_record, stream never dies") {
     // PERMISSIVE from_json returns an all-null struct (never a null struct);
     // the corrupt-record column is the only reliable parse-failure signal

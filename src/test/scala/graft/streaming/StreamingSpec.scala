@@ -124,6 +124,28 @@ class StreamingSpec extends SparkSpec {
     assert(ok.exists(_ >= 3))
   }
 
+  test("M4 error route: poison row is counted and skipped, the sink keeps running") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_poison").toString
+    graft.streaming.PipelineHealth.SinkCounters.reset()
+    val mem = MemoryStream[String]
+    val raw = mem.toDF()
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+    val q = CdcPipeline.materializeSink(CdcPipeline.events(raw),
+      s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
+    val lines = CanalJson.fixtureLines.map(_._1)
+    mem.addData(lines(0), CanalJson.poisonLine) // clean seed + poison in one batch
+    q.processAllAvailable()                     // must NOT throw (skip-on-error)
+    q.stop()
+    val counters = graft.streaming.PipelineHealth.SinkCounters.snapshot
+      .map { case (op, st, n) => (op, st) -> n }.toMap
+    assert(counters(("materialize", "row_error")) === 1)
+    assert(counters(("materialize", "success")) >= 1)
+    val state = spark.read.parquet(s"$tmp/state")
+    assert(state.filter($"pk" === "666").count() === 0) // poison never applied
+    assert(state.count() === 3)                         // the 3 seed rows survive
+  }
+
   test("M5: terminal query exception is counted by error type") {
     implicit val sqlCtx = spark.sqlContext
     val l = new PipelineHealth.HealthListener
