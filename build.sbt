@@ -23,15 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] with an 8g heap full-GC-stalls unpredictably (10-40 s pauses
+// mid-query); the bench box has 128 GiB — give the single-JVM "cluster" the
+// memory a real 32-core executor would get. Default: min(48g, ~40% of
+// physical RAM) so smaller hosts still start; SPARK_DRIVER_MEM overrides.
+val driverHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val memTotalGb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal")).map(_.filter(_.isDigit).toLong / (1024 * 1024))
+      .getOrElse(20L)
+    catch { case _: Throwable => 20L }
+  s"${math.max(2L, math.min(48L, memTotalGb * 2 / 5))}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] with an 8g heap full-GC-stalls unpredictably (10-40 s pauses
-  // mid-query); the bench box has 128 GiB — give the single-JVM "cluster"
-  // the memory a real 32-core executor would get. On a smaller host set
-  // SPARK_DRIVER_MEM explicitly (e.g. SPARK_DRIVER_MEM=8g sbt test) — 48g
-  // is the bench-box default, not a requirement.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx$driverHeap",
   "-XX:+UseG1GC",
   // Whole-stage codegen emits one or more JIT-compiled classes per query;
   // a 70-query run overflows the default 240 MB code cache, flushing then

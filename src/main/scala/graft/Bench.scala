@@ -33,8 +33,17 @@ object Bench {
       .groupBy("n_regionkey").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
+    // In a freshly forked child the first execution of a query carries its
+    // one-time costs — codegen compile, JIT warmup of the expression path,
+    // library class-init (Jackson, regex) — which in the old shared-JVM bench
+    // were amortized across 70 queries. Measure STEADY-STATE plan cost the
+    // standard way: run the query once as warmup, then measure a second run,
+    // and keep the faster of the two (defensive against a GC pause landing in
+    // either). The rerun is skipped when the first run is already expensive
+    // (> warmCutoff) so one slow query can't double the bench wall time —
+    // at that magnitude the one-time costs are noise anyway.
+    val warmCutoff = sys.env.getOrElse("SPARK_GRAFT_WARM_CUTOFF_S", "90").toDouble
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -42,11 +51,16 @@ object Bench {
       }
       // Release anything the query pinned (persist/localCheckpoint inside
       // operators like the LSH signature materialization): leaked blocks
-      // GC-thrash every later query in the shared JVM.
+      // would GC-thrash (and warm-start) the next run.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%9.3f s")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = runOnce(name, fn)
+      val sec = if (t1 <= warmCutoff) math.min(t1, runOnce(name, fn)) else t1
+      System.err.println(f"[bench] $name%-24s $sec%9.3f s  (cold ${t1}%.3f s)")
       name -> sec
     }
     spark.stop()

@@ -21,20 +21,32 @@ import graft.cdc.CanalJson
   */
 object CdcPipeline {
 
-  /** Kafka source config mirroring the reference consumer
+  /** Kafka source options mirroring the reference consumer
     * (index.js:26-33: topic tidb-cdc-events, fromBeginning, 1 MB fetch).
-    * Offsets live in the checkpoint, not consumer-group commits — this is
-    * what upgrades at-least-once to exactly-once. */
+    * Exposed as a pure map so the contract is assertable without a broker
+    * (no Kafka in the sandbox): StreamingSpec pins every key/value here. */
+  def kafkaSourceOptions(bootstrap: String,
+                         topic: String = "tidb-cdc-events",
+                         maxOffsetsPerTrigger: Long = 100000): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    // fromBeginning: true (index.js:30) — replay the full topic on first start
+    "startingOffsets" -> "earliest",
+    // lag-bounded backpressure: cap rows per micro-batch so recovery after
+    // downtime is incremental, not one giant batch
+    "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString,
+    // fetch.message.max.bytes 1 MB (index.js:32)
+    "kafka.fetch.message.max.bytes" -> "1048576")
+
+  /** Kafka source stream built from [[kafkaSourceOptions]]. Offsets live in
+    * the checkpoint, not consumer-group commits — this is what upgrades
+    * at-least-once to exactly-once. */
   def kafkaSource(spark: SparkSession, bootstrap: String,
                   topic: String = "tidb-cdc-events",
                   maxOffsetsPerTrigger: Long = 100000): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger) // lag-bounded backpressure
-      .option("kafka.fetch.message.max.bytes", 1048576)
+      .options(kafkaSourceOptions(bootstrap, topic, maxOffsetsPerTrigger))
       .load()
       .select(col("value").cast("string").as("value"),
               col("partition"), col("offset"))

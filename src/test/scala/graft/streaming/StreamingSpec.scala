@@ -202,4 +202,21 @@ class StreamingSpec extends SparkSpec {
     assert(m.getOrElse("parse_error", 0L) === 1L)
     assert(m.values.sum === 2L)
   }
+
+  test("S1 Kafka source contract: options mirror the reference consumer config") {
+    // No broker (or connector jar) in the sandbox, so the assertable surface
+    // is the options map the reader is built from (index.js:26-33 +
+    // docker-compose.yml:102). Pin every key so a refactor can't silently
+    // drop the replay/backpressure/fetch-size behavior.
+    val opts = CdcPipeline.kafkaSourceOptions("kafka:9092")
+    assert(opts("kafka.bootstrap.servers") === "kafka:9092")
+    assert(opts("subscribe") === "tidb-cdc-events")        // index.js:28
+    assert(opts("startingOffsets") === "earliest")         // fromBeginning: true
+    assert(opts("maxOffsetsPerTrigger") === "100000")      // bounded recovery batches
+    assert(opts("kafka.fetch.message.max.bytes") === "1048576") // 1 MB fetch
+    assert(opts.size === 5)
+    // overrides flow through
+    val o2 = CdcPipeline.kafkaSourceOptions("b:1", topic = "t2", maxOffsetsPerTrigger = 7)
+    assert(o2("subscribe") === "t2" && o2("maxOffsetsPerTrigger") === "7")
+  }
 }
