@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CdcQueries, LlmOps, MetricsOps, Relational}
+import graft.queries.{CdcQueries, CurationQueries, LlmOps, MetricsOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ MetricsOps.queries ++ LlmOps.queries ++ CdcQueries.queries
+    Relational.queries ++ MetricsOps.queries ++ LlmOps.queries ++
+      CurationQueries.queries ++ CdcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ MetricsOps.oracleSql ++ LlmOps.oracleSql ++ CdcQueries.oracleSql
+    Relational.oracleSql ++ MetricsOps.oracleSql ++ LlmOps.oracleSql ++
+      CurationQueries.oracleSql ++ CdcQueries.oracleSql
 }

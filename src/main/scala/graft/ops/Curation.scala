@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines (SURVEY.md §2.7
+  * X7): deterministic split assignment, per-group quota capping (data
+  * mixing), token-budget bin-packing (sequence packing), and shard
+  * interleaving (training-order randomization).
+  *
+  * Everything here is integer arithmetic over ids and token counts — exact
+  * on any engine, so every operator is DuckDB-oracle-checkable (unlike the
+  * xxhash64-based dedup family). The mixing functions are small modular
+  * LCG-style maps: not cryptographic, but deterministic, reproducible across
+  * engines, and well-spread for bucketing/splitting purposes.
+  *
+  * Scale notes (100 TB): all four operators are a single hash-partitioned
+  * shuffle — split/bucket assignment is a stateless projection (no shuffle at
+  * all), quota-cap and bin-pack are one window per group key, and interleave
+  * windows by shard. There is deliberately NO global `orderBy` anywhere: a
+  * total order over 100 TB is a range-shuffle bottleneck, so packing and
+  * interleaving order only WITHIN their partition key.
+  */
+object Curation {
+
+  /** Deterministic pseudo-random bucket in [0, buckets) from an id:
+    * affine map mod the prime 1e9+7, then reduced. Exact in int64 for
+    * ids < ~9.2e12 (id * 1000003 must not overflow). */
+  def hashBucket(id: Column, buckets: Int): Column =
+    ((id * 1000003L + 12345L) % 1000000007L) % buckets
+
+  /** Train/validation/test split assignment by [[hashBucket]] percent —
+    * the standard leakage-free split: membership depends only on the id,
+    * so re-runs and incremental appends never move a document between
+    * splits. */
+  def splitAssign(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val b = hashBucket(id, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Lehmer / Park-Miller step: (id+1) * 48271 mod (2^31 - 1). A bijection
+    * on [1, 2^31-2], so ordering by it is a deterministic pseudo-random
+    * PERMUTATION of ids below 2^31-2 — the "global shuffle" of a training
+    * run, without a random source. */
+  def permuteHash(id: Column): Column =
+    (id + 1L) * 48271L % 2147483647L
+
+  /** Per-group quota cap (data mixing / curation): keep the top `cap` rows
+    * of each group by `order` (descending), deterministic tie-break on
+    * `tieBreak` ascending. One window shuffle on the group keys; the filter
+    * happens before any downstream join sees the data. */
+  def quotaCap(df: DataFrame, group: Seq[Column], order: Column,
+               tieBreak: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(group: _*).orderBy(order.desc, tieBreak.asc)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+  }
+
+  /** Offset-based token bin-packing (sequence packing): within each
+    * `group`, documents in `orderCol` order are laid end-to-end and a
+    * document belongs to the bin its FIRST token lands in:
+    * `bin = floor(start_offset / budget)`. One window per group, exact
+    * integer math (cumulative sums stay < 2^53 so the floor-of-double is
+    * exact). A document longer than `budget` straddles bins — offset
+    * packing charges it to its starting bin, the standard approximation
+    * when the consumer re-chunks anyway. */
+  def binPack(df: DataFrame, group: Column, orderCol: Column,
+              tokens: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(orderCol.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tok", tokens)
+      .withColumn("start_offset", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("start_offset") / lit(budget)).cast("bigint"))
+  }
+
+  /** Shard interleaving: deal rows into `nShards` shards in
+    * [[permuteHash]]-permuted order, with the position of each row inside
+    * its shard. Downstream training readers consume shards independently —
+    * each shard is a deterministic pseudo-random sample of the whole, so
+    * any prefix of any shard is an unbiased mix (no curriculum accidents
+    * from source/time locality in ingest order). */
+  def interleaveShards(df: DataFrame, id: Column, nShards: Int): DataFrame = {
+    val h = permuteHash(id)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h").asc, id.asc)
+    df.withColumn("h", h)
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("h")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import graft.ops.{Curation, TextOps}
+
+/** Dataset-curation operators (SURVEY.md §2.7 X7) as named queries over the
+  * `documents` table: deterministic train/val/test split, per-source quota
+  * capping, token-budget bin-packing, and shard interleaving — the
+  * assemble-the-training-set stage that sits after dedup/quality (X1-X4) in
+  * a real pipeline. All four are integer-exact, so unlike the xxhash64
+  * sketch family every entry here is DuckDB-oracle-checked.
+  */
+object CurationQueries {
+
+  /** X7a — leakage-free split assignment: bucket + split per document,
+    * derived only from doc_id (stable under re-runs and appends). */
+  def x7_split_assign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id",
+        Curation.hashBucket($"doc_id", 100).as("bucket"),
+        Curation.splitAssign($"doc_id").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** X7b — per-source quota cap (data mixing): keep at most 20 documents
+    * per source, preferring longer ones; deterministic tie-break on id. */
+  def x7_quota_cap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.quotaCap(documents(s, dir),
+        Seq($"source"), $"n_chars", $"doc_id", cap = 20)
+      .select($"source", $"rk", $"doc_id", $"n_chars")
+      .orderBy($"source", $"rk")
+  }
+
+  /** X7c — token bin-packing per language: documents laid end-to-end in
+    * doc_id order; bin = starting token offset div 2048. */
+  def x7_binpack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.binPack(documents(s, dir), $"lang", $"doc_id",
+        TextOps.tokenEstimate($"text"), budget = 2048)
+      .select($"lang", $"doc_id", $"n_tok", $"start_offset", $"bin")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  /** X7d — shard interleaving: 8 shards in Lehmer-permuted order, position
+    * within shard. Any shard prefix is an unbiased sample of the corpus. */
+  def x7_interleave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.interleaveShards(documents(s, dir), $"doc_id", nShards = 8)
+      .select($"shard", $"pos", $"doc_id")
+      .orderBy($"shard", $"pos")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x7_split_assign" -> x7_split_assign _,
+    "x7_quota_cap" -> x7_quota_cap _,
+    "x7_binpack" -> x7_binpack _,
+    "x7_interleave" -> x7_interleave _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x7_split_assign" ->
+      """SELECT doc_id,
+        |  ((doc_id * 1000003 + 12345) % 1000000007) % 100 AS bucket,
+        |  CASE WHEN ((doc_id * 1000003 + 12345) % 1000000007) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id * 1000003 + 12345) % 1000000007) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x7_quota_cap" ->
+      """SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+    "x7_binpack" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_offset
+        |  FROM tok)
+        |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok, start_offset,
+        |  CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin
+        |FROM packed ORDER BY lang, doc_id""".stripMargin,
+    "x7_interleave" ->
+      """WITH h AS (
+        |  SELECT doc_id, ((doc_id + 1) * 48271) % 2147483647 AS hv
+        |  FROM documents),
+        |sharded AS (
+        |  SELECT doc_id, hv, CAST(hv % 8 AS INT) AS shard FROM h)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hv ASC, doc_id ASC) AS INT) AS pos,
+        |  doc_id
+        |FROM sharded ORDER BY shard, pos""".stripMargin,
+  )
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators (X7): split stability, quota enforcement,
+  * packing invariants, interleave is a balanced permutation. Runs on the
+  * sf0.001 documents table (the smallest driver-generated fixture). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = graft.tables.Tables.documents(spark, dir)
+
+  test("X7a split: covers all docs, is id-stable, fractions near 90/5/5") {
+    val out = CurationQueries.x7_split_assign(spark, dir).cache()
+    val n = docs.count()
+    assert(out.count() === n)
+    val byWay = out.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(byWay.keySet.subsetOf(Set("train", "val", "test")))
+    // hash split on a small fixture: train should dominate, both holdouts exist
+    assert(byWay("train") > n * 7 / 10, s"train=${byWay.get("train")} of $n")
+    assert(byWay.getOrElse("val", 0L) > 0 && byWay.getOrElse("test", 0L) > 0)
+    // determinism: same assignment on re-evaluation
+    val again = CurationQueries.x7_split_assign(spark, dir)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("X7b quota cap: at most 20 per source, kept rows are each source's longest") {
+    val out = CurationQueries.x7_quota_cap(spark, dir).cache()
+    val per = out.groupBy($"source").count().as[(String, Long)].collect()
+    assert(per.nonEmpty && per.forall(_._2 <= 20))
+    // no dropped doc may be strictly longer than a kept doc of the same source
+    val minKept = out.groupBy($"source").agg(min($"n_chars").as("min_kept"))
+    val dropped = docs.join(out.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val violations = dropped.join(minKept, "source")
+      .filter($"n_chars" > $"min_kept").count()
+    assert(violations === 0)
+    out.unpersist()
+  }
+
+  test("X7c bin-pack: offsets are gapless cumulative sums, bin = offset div budget") {
+    val out = CurationQueries.x7_binpack(spark, dir).cache()
+    assert(out.count() === docs.count())
+    // per lang: offsets start at 0 and each row's offset = previous offset + previous n_tok
+    val bad = out.withColumn("expected",
+        coalesce(lag($"start_offset" + $"n_tok", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"lang").orderBy($"doc_id")),
+          lit(0L)))
+      .filter($"start_offset" =!= $"expected").count()
+    assert(bad === 0)
+    val wrongBin = out.filter($"bin" =!= floor($"start_offset" / 2048.0).cast("bigint")).count()
+    assert(wrongBin === 0)
+    out.unpersist()
+  }
+
+  test("X7d interleave: a permutation — every doc exactly once, shards balanced, pos dense") {
+    val out = CurationQueries.x7_interleave(spark, dir).cache()
+    val n = docs.count()
+    assert(out.count() === n)
+    assert(out.select($"doc_id").distinct().count() === n)
+    // dense positions per shard: max(pos) == count
+    val dense = out.groupBy($"shard")
+      .agg(count(lit(1)).as("cnt"), max($"pos").as("maxp"))
+      .filter($"cnt" =!= $"maxp").count()
+    assert(dense === 0)
+    // Lehmer permutation spreads ids: no shard may hoard (> 2x fair share)
+    val maxShard = out.groupBy($"shard").count().agg(max($"count")).as[Long].head()
+    assert(maxShard < 2 * n / 8 + 8, s"max shard size $maxShard of $n")
+    out.unpersist()
+  }
+}
