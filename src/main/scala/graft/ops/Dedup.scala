@@ -83,14 +83,27 @@ object Dedup {
     val b = banded.select(col("band"), col("band_hash"),
       col("id").as("id_b"), col("sig").as("sig_b"))
 
+    // A pair colliding in k bands appears k times; emit it ONCE — at the
+    // first band whose hashes are equal — with a stateless filter instead of
+    // a groupBy(id_a, id_b) dedup: the estimate depends only on the two
+    // signatures, so the duplicate rows were identical and the dedup shuffle
+    // was pure waste. The recomputed band hashes use the same function as the
+    // join key, so hash-collision behavior stays consistent with the join.
+    def bandHash(sig: Column, b: Int): Column =
+      xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+    val firstMatchingBand = (0 until bands).map { j =>
+      col("band") <= j || bandHash(col("sig_a"), j) =!= bandHash(col("sig_b"), j)
+    }.reduce(_ && _)
+    // positionwise signature agreement as a codegen'd sum of comparisons
+    // (getItem unrolled), not an interpreted zip_with/aggregate fold
+    val estJaccard = (0 until numHashes).map { i =>
+      when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1).otherwise(0)
+    }.reduce(_ + _).cast("double") / numHashes
+
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(firstMatchingBand)
+      .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }
 
@@ -152,12 +165,27 @@ object Dedup {
       }: _*)).as(Seq("block", "block_val")))
     val a = blocked.select(col("block"), col("block_val"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("block"), col("block_val"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // Emit-once + early Hamming cut, both stateless: a pair whose hashes
+    // agree in k blocks would surface k times (near-identical docs agree in
+    // nearly all blocks), and false candidates (block equal, Hamming > max)
+    // used to ride through the dedup shuffle too. Filtering on exact Hamming
+    // AND "this is the first equal block" removes the groupBy(id_a, id_b)
+    // exchange entirely — the Hamming distance is a function of the two
+    // signatures, so duplicate occurrences carried no information.
+    def blockOf(sh: Column, j: Int): Column = {
+      val start = bounds(j)
+      val width = bounds(j + 1) - start
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftright(sh, start).bitwiseAND(mask)
+    }
+    val firstEqualBlock = (0 until blocks).map { j =>
+      col("block") <= j || blockOf(col("sh_a"), j) =!= blockOf(col("sh_b"), j)
+    }.reduce(_ && _)
     a.join(b, Seq("block", "block_val"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("hamming")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming && firstEqualBlock)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** X2 exact variant — n-gram Jaccard similarity of shingle sets, computed
