@@ -75,6 +75,29 @@ object Curation {
       .withColumn("bin", floor(col("start_offset") / lit(budget)).cast("bigint"))
   }
 
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * n-gram shingles it shares with ANY document of an evaluation set —
+    * documents over a threshold are flagged for exclusion from training
+    * (they would leak benchmark answers). Implemented as an inverted-index
+    * semi-structure: explode both sides to (id, shingle-hash), join on the
+    * 8-byte hash (fixed-width shuffle keys; collisions ~n²/2⁶⁴ — callers
+    * needing exactness join on the shingle string), count distinct matches
+    * per corpus doc. At 100 TB the eval side is small — Spark broadcasts it
+    * and the corpus side never shuffles. */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, textCol: String,
+                    idCol: String, shingleSize: Int = 3): DataFrame = {
+    def shingleHashes(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(Dedup.shingles(col(textCol), shingleSize)).as("shingle"))
+      .select(col(as), xxhash64(col("shingle")).as("shingle_h"))
+    val evalSh = shingleHashes(eval, "eval_id")
+      .select(col("shingle_h")).distinct()
+    shingleHashes(corpus, "doc_id")
+      .join(broadcast(evalSh), Seq("shingle_h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle_h")).as("n_common"))
+  }
+
   /** Shard interleaving: deal rows into `nShards` shards in
     * [[permuteHash]]-permuted order, with the position of each row inside
     * its shard. Downstream training readers consume shards independently —

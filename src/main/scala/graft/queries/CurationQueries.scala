@@ -54,11 +54,27 @@ object CurationQueries {
       .orderBy($"shard", $"pos")
   }
 
+  /** X8 — benchmark decontamination: documents sharing ≥ 1 three-shingle
+    * with the held-out eval slice (doc_id % 97 == 0), with the shared
+    * distinct-shingle count and an exclusion flag at ≥ 5. The eval side is
+    * tiny and broadcast — the corpus side never shuffles before the
+    * per-doc count. */
+  def x8_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    Curation.decontaminate(
+        docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+        "text", "doc_id")
+      .select($"doc_id", $"n_common", ($"n_common" >= 5).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x7_split_assign" -> x7_split_assign _,
     "x7_quota_cap" -> x7_quota_cap _,
     "x7_binpack" -> x7_binpack _,
     "x7_interleave" -> x7_interleave _,
+    "x8_decontaminate" -> x8_decontaminate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -88,6 +104,21 @@ object CurationQueries {
         |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok, start_offset,
         |  CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin
         |FROM packed ORDER BY lang, doc_id""".stripMargin,
+    "x8_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
+        |eval_sh AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, count(DISTINCT s.shingle) AS n_common,
+        |  count(DISTINCT s.shingle) >= 5 AS contaminated
+        |FROM sh s JOIN eval_sh e USING (shingle)
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "x7_interleave" ->
       """WITH h AS (
         |  SELECT doc_id, ((doc_id + 1) * 48271) % 2147483647 AS hv

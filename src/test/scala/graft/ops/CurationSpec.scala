@@ -56,6 +56,27 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("X8 decontaminate: counts shared distinct shingles against the eval set only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 'a b c' tail
+      (2L, "a b c d e"),                                   // 3 shingles, all in eval doc 100
+      (3L, "totally unrelated words here none shared")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "a b c d e f"),                               // shingles: a b c, b c d, c d e, d e f
+      (101L, "the quick brown fox sat")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, eval, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out(2L) === 3L)  // a-b-c, b-c-d, c-d-e
+    assert(out(1L) === 2L)  // 'the quick brown', 'quick brown fox'
+    assert(!out.contains(3L))
+    // driver-query shape: eval ids never appear, counts at least 1
+    val q = CurationQueries.x8_decontaminate(spark, dir)
+    assert(q.filter($"doc_id" % 97 === 0).count() === 0)
+    assert(q.filter($"n_common" < 1).count() === 0)
+  }
+
   test("X7d interleave: a permutation — every doc exactly once, shards balanced, pos dense") {
     val out = CurationQueries.x7_interleave(spark, dir).cache()
     val n = docs.count()
