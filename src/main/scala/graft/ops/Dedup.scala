@@ -107,6 +107,61 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** MinHash-LSH with an md5-derived hash family and string band keys —
+    * the PORTABLE twin of [[minhashLshPairs]]: every step (min over
+    * `int(md5(seed|shingle)[0:15 hex])`, band-key equality, positionwise
+    * agreement) is exactly reproducible in ANSI-ish SQL, so the whole sketch
+    * pipeline is oracle-checkable, not just its exact-Jaccard target.
+    * Trade-offs vs the fast twin: md5 costs more than xxhash64 and string
+    * band keys shuffle wider than 8-byte hashes — use the xxhash64 form at
+    * scale, this form to certify the algorithm. */
+  def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                              shingleSize: Int = 3, bands: Int = 8,
+                              rowsPerBand: Int = 2, minJaccard: Double = 0.25): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // Hash family: one md5 per SEED PAIR, split into two 60-bit positive
+    // hashes (hex chars 1-15 and 16-30) — halves the md5 work, and the
+    // shingle set is exploded so the mins run as one codegen'd partial
+    // aggregation (md5 shared across the pair by subexpression elimination)
+    // instead of numHashes interpreted array_min(transform(...)) lambdas.
+    val shRows = df
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("s"))
+      // materialize each pair's md5 ONCE as a projection column — aggregate
+      // expressions don't subexpression-share, so min-ing over md5 inline
+      // would hash twice per pair
+      .select(col("id") +: (0 until bands).map(sd =>
+        md5(concat(lit(s"$sd|"), col("s"))).as(s"m$sd")): _*)
+    val minCols = (0 until numHashes).map { i =>
+      min(conv(substring(col(s"m${i / 2}"), 1 + 15 * (i % 2), 15), 16, 10)
+        .cast("bigint")).as(s"h$i")
+    }
+    val sigs = shRows.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .localCheckpoint(false)
+    def bandKey(sig: Column, b: Int): Column =
+      concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val firstMatchingBand = (0 until bands).map { j =>
+      col("band") <= j || bandKey(col("sig_a"), j) =!= bandKey(col("sig_b"), j)
+    }.reduce(_ && _)
+    val estJaccard = (0 until numHashes).map { i =>
+      when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1).otherwise(0)
+    }.reduce(_ + _).cast("double") / numHashes
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(firstMatchingBand)
+      .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
   /** 64 sign-of-vote bits from a materialized word-hash array column.
     * Each vote is one `aggregate` pass over the (already computed) array —
     * callers MUST bind `wordHashes` to a real column, never an inline

@@ -56,6 +56,18 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** X2b' — the md5-hash-family MinHash-LSH twin: identical banding
+    * pipeline, portable hash family, so the WHOLE sketch computation
+    * (signatures, band collision, agreement estimate) is hash-checked
+    * against DuckDB — the oracle the xxhash64 twin structurally can't have. */
+  def x2_minhash_md5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashLshPairsPortable(documents(s, dir), "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.25)
+      .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** X2c — SimHash near-dup candidates at Hamming ≤ 7 of 64 bits
     * (rows-only: xxhash64-based). Block count derives from the bound
     * (pigeonhole: 8 × 8-bit blocks), so recall is guaranteed, and 8-bit
@@ -262,6 +274,7 @@ object LlmOps {
     "x1_dedup_stats" -> x1_dedup_stats _,
     "x2_ngram_jaccard" -> x2_ngram_jaccard _,
     "x2_minhash_lsh" -> x2_minhash_lsh _,
+    "x2_minhash_md5" -> x2_minhash_md5 _,
     "x2_simhash" -> x2_simhash _,
     "x3_cosine_topk" -> x3_cosine_topk _,
     "x3_ann_lsh" -> x3_ann_lsh _,
@@ -305,6 +318,37 @@ object LlmOps {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x2_minhash_md5" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |sig AS (
+        |  SELECT doc_id, seed,
+        |    min(CAST(('0x' || substr(md5((seed // 2) || '|' || shingle),
+        |                             1 + 15 * (seed % 2), 15)) AS BIGINT)) AS h
+        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bandrows AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY doc_id, seed // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |agree AS (
+        |  SELECT c.id_a, c.id_b, sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS n_agree
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, round(n_agree / 16.0, 4) AS est_jaccard
+        |FROM agree WHERE n_agree / 16.0 >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
     "x3_cosine_topk" ->
       """WITH scored AS (

@@ -49,6 +49,15 @@ class DedupSpec extends SparkSpec {
     assert(est12 === 1.0) // identical texts → identical signatures
   }
 
+  test("portable md5 minhash: same contract as the xxhash64 twin") {
+    val pairs = Dedup.minhashLshPairsPortable(docs, "text", "doc_id", 3, 8, 2, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // identical texts collide in every band with estimate 1.0 under ANY family
+    assert(pairs.exists(t => (t._1, t._2) == (1L, 2L) && t._3 === 1.0))
+    // emit-once: no duplicate (id_a, id_b) rows
+    assert(pairs.map(t => (t._1, t._2)).distinct.size === pairs.size)
+  }
+
   test("simhash: identical texts → identical hash; near-dups within small hamming") {
     val h = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
