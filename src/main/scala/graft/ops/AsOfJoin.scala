@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic as-of (temporal) join — for every left row, the single latest
+  * right row of the same key with `rightTs <= leftTs` (inclusive). Spark has
+  * no native as-of join; the naive encodings are a non-equi range join
+  * (quadratic per key) or a broadcast + filter + argmax (re-shuffles per
+  * step). This is the scale-correct form: UNION both sides, ONE shuffle on
+  * the key, an in-partition sort by (ts, side), and a running
+  * `last(_, ignoreNulls)` window carrying each right payload forward —
+  * identical cost envelope to a window aggregation regardless of how many
+  * right rows precede each left row.
+  *
+  * Contract: right must be unique per (key, rightTs) — pre-aggregate
+  * duplicates (e.g. `max(id)`) or matches at tied timestamps are
+  * nondeterministic. Ties between a left and right row at the SAME ts match
+  * (inclusive), same as DuckDB/Pandas/kdb as-of semantics — the right side
+  * sorts before the left at equal ts.
+  */
+object AsOfJoin {
+
+  /** Left as-of join: `left` columns plus `asof_<p>` for every right payload
+    * column `p` (null when no prior right row exists). `right` must contain
+    * the key columns, `rightTs`, and the payload columns. */
+  def asofJoinPrior(left: DataFrame, right: DataFrame, key: Seq[String],
+                    leftTs: String, rightTs: String,
+                    payload: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select((key :+ rightTs) .map(col) ++ payload.map(col): _*)
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .drop(rightTs)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(s"asof_$p",
+        last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .drop((payload ++ Seq("__ts", "__side")): _*)
+  }
+}

@@ -364,6 +364,28 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** As-of (temporal) join: every event joined to the same user's most
+    * recent 'error' event at-or-before its timestamp — the point-in-time
+    * enrichment Spark lacks natively. One union + one key shuffle + one
+    * in-partition sort ([[graft.ops.AsOfJoin]]); the oracle is DuckDB's
+    * native ASOF LEFT JOIN, certifying the window encoding against a real
+    * as-of implementation. Right side pre-deduped per (user, ts) as the
+    * operator contract requires. */
+  def q26_asof_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val errors = ev.filter($"event_type" === "error")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("err_id"))
+      .withColumn("err_ts", $"ts")
+    graft.ops.AsOfJoin.asofJoinPrior(
+        ev.select($"event_id", $"user_id", $"ts"), errors,
+        key = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("err_id", "err_ts"))
+      .select($"event_id", $"user_id", $"asof_err_id", $"asof_err_ts")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -390,6 +412,7 @@ object Relational {
     "q23_time_bucket" -> q23_time_bucket _,
     "q24_salted_join" -> q24_salted_join _,
     "q25_salted_agg" -> q25_salted_agg _,
+    "q26_asof_join" -> q26_asof_join _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -541,5 +564,13 @@ object Relational {
     "q25_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q26_asof_join" ->
+      """WITH err AS (
+        |  SELECT user_id, ts, max(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, err.err_id AS asof_err_id, err.ts AS asof_err_ts
+        |FROM events e ASOF LEFT JOIN err
+        |  ON e.user_id = err.user_id AND e.ts >= err.ts
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

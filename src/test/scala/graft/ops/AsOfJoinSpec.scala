@@ -1,0 +1,46 @@
+package graft.ops
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** As-of join semantics on a hand-built fixture: latest-prior match,
+  * inclusive ties, null when nothing precedes, key isolation. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("asof: latest prior right row per key, inclusive at equal ts, null before first") {
+    val left = Seq(
+      (1, ts(0), "l-a"),  // before any right row of key 1 → null
+      (1, ts(4), "l-b"),  // after r@1 only → p=100
+      (1, ts(5), "l-c"),  // tie with r@5 → inclusive → p=101
+      (1, ts(9), "l-d"),  // after both → p=101
+      (2, ts(3), "l-e"),  // key 2 has r@2 → p=200; key 1 rows invisible
+      (3, ts(3), "l-f")   // key 3 has no right rows at all → null
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1, ts(1), 100),
+      (1, ts(5), 101),
+      (2, ts(2), 200)
+    ).toDF("k", "rts", "p")
+
+    val out = AsOfJoin.asofJoinPrior(left, right,
+        key = Seq("k"), leftTs = "ts", rightTs = "rts", payload = Seq("p"))
+      .select($"tag", $"asof_p")
+      .as[(String, Option[Int])].collect().toMap
+
+    assert(out === Map(
+      "l-a" -> None, "l-b" -> Some(100), "l-c" -> Some(101),
+      "l-d" -> Some(101), "l-e" -> Some(200), "l-f" -> None))
+  }
+
+  test("asof: left columns pass through untouched, one output row per left row") {
+    val left = Seq((1, ts(4), 7.5), (1, ts(6), 8.5)).toDF("k", "ts", "v")
+    val right = Seq((1, ts(5), "x")).toDF("k", "rts", "s")
+    val out = AsOfJoin.asofJoinPrior(left, right, Seq("k"), "ts", "rts", Seq("s"))
+    assert(out.count() === 2)
+    assert(out.columns.toSet === Set("k", "ts", "v", "asof_s"))
+    assert(out.filter($"v" === 7.5).select($"asof_s").first().isNullAt(0))
+  }
+}
