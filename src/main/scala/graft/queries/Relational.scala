@@ -386,6 +386,42 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Range (interval-containment) join: every event matched to the gap-based
+    * session that contains it — sessions from `session_window` (identical
+    * construction to p10), containment via the bucketized
+    * [[graft.ops.RangeJoin]] (no per-key rows × intervals blow-up). The
+    * oracle derives the same sessions with gaps-and-islands SQL and joins on
+    * the raw inequality — certifying both the session intervals and the
+    * bucketized containment against the direct range predicate. */
+  def q27_range_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val sessions = ev
+      .groupBy(session_window($"ts", "5 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"), $"sw.end".as("session_end"))
+    graft.ops.RangeJoin.intervalJoin(
+        ev.select($"event_id", $"user_id", $"ts"), sessions,
+        key = Seq("user_id"), tsCol = "ts",
+        startCol = "session_start", endCol = "session_end")
+      .select($"event_id", $"user_id", $"session_start", $"session_end")
+      .orderBy($"event_id")
+  }
+
+  /** Pivot (long→wide): per-user event counts spread over the five event
+    * types — `groupBy().pivot()` with an explicit value list (deterministic
+    * columns, single shuffle with map-side partial aggregation). */
+  def q28_pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .count()
+    wide.select($"user_id" +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -413,6 +449,8 @@ object Relational {
     "q24_salted_join" -> q24_salted_join _,
     "q25_salted_agg" -> q25_salted_agg _,
     "q26_asof_join" -> q26_asof_join _,
+    "q27_range_join" -> q27_range_join _,
+    "q28_pivot" -> q28_pivot _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -572,5 +610,33 @@ object Relational {
         |FROM events e ASOF LEFT JOIN err
         |  ON e.user_id = err.user_id AND e.ts >= err.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q27_range_join" ->
+      """WITH brk AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS b
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(b) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM brk),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 5 MINUTE AS session_end
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT e.event_id, e.user_id, s.session_start, s.session_end
+        |FROM events e JOIN sess s
+        |  ON e.user_id = s.user_id
+        | AND e.ts >= s.session_start AND e.ts < s.session_end
+        |ORDER BY e.event_id""".stripMargin,
+    "q28_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
