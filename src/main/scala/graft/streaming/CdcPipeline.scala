@@ -92,6 +92,23 @@ object CdcPipeline {
         col("table"), col("op"), col("cnt"),
         round(col("cnt") / 300.0, 6).as("rate_per_sec"))
 
+  /** Stream-stream interval correlation: each left event joined to right
+    * events of the same key whose timestamp falls in the trailing
+    * `lookback` window (`rightTs ∈ (leftTs - lookback, leftTs]`) — e.g.
+    * every apply error correlated with the operations that preceded it.
+    * Both sides MUST be watermarked by the caller: the interval condition
+    * plus the two watermarks is what lets Spark expire join state, keeping
+    * memory bounded on unbounded streams. Inner join, so rows emit as soon
+    * as both sides arrive — the watermark only bounds state and lateness. */
+  def intervalCorrelate(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTs: String, rightTs: String,
+                        lookback: String = "10 minutes"): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) > col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+
   /** Event-store sink (the ES-index analog, S3): parquet partitioned by
     * (table, day) — the partition layout that prunes at 100 TB. */
   def eventStoreSink(events: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =

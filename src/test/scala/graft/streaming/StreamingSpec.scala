@@ -203,6 +203,30 @@ class StreamingSpec extends SparkSpec {
     assert(m.values.sum === 2L)
   }
 
+  test("stream-stream interval join: errors correlate with prior ops of the same key, state bounded by watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ops = MemoryStream[(String, Timestamp)]
+    val errs = MemoryStream[(String, Timestamp)]
+    val opsDf = ops.toDF().toDF("op_key", "op_ts").withWatermark("op_ts", "30 minutes")
+    val errsDf = errs.toDF().toDF("err_key", "err_ts").withWatermark("err_ts", "30 minutes")
+    val q = CdcPipeline.intervalCorrelate(errsDf, opsDf,
+        leftKey = "err_key", rightKey = "op_key",
+        leftTs = "err_ts", rightTs = "op_ts", lookback = "10 minutes")
+      .select($"err_key", $"err_ts", $"op_ts")
+      .writeStream.format("memory").queryName("correlated").start()
+    ops.addData(("a", t(0)), ("a", t(5)), ("a", t(20)), ("b", t(5)))
+    errs.addData(("a", t(12)), ("a", t(40)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("correlated").as[(String, Timestamp, Timestamp)]
+      .collect().map(r => (r._1, r._2.toString.substring(11, 16), r._3.toString.substring(11, 16)))
+      .sorted.toSeq
+    // err@12 sees a@5 only (a@0 is outside the 10 min lookback; b@5 wrong key;
+    // a@20 is after the error); err@40 sees nothing
+    assert(rows === Seq(("a", "00:12", "00:05")))
+  }
+
   test("S1 Kafka source contract: options mirror the reference consumer config") {
     // No broker (or connector jar) in the sandbox, so the assertable surface
     // is the options map the reader is built from (index.js:26-33 +
