@@ -347,6 +347,34 @@ object CdcQueries {
     * contract. The `cdc_wire_*` pair closes that gap: wire data generated
     * from the orders table, ground truth derived from the same base columns. */
   val oracleSql: Map[String, String] = Map(
+    // Golden expected-output oracles for the embedded replay fixture: the
+    // fixture is a compile-time constant (CanalJson.fixtureLines), so its
+    // routing/count results are constants too — pinned as VALUES so the
+    // driver's hash compare enforces them (a wrong parse, route, or count
+    // breaks the hash, same as a regression golden test). The wire-generated
+    // queries below remain the independent-derivation oracles.
+    "cdc_op_counts" ->
+      """SELECT * FROM (VALUES
+        |  ('orders', 'insert', CAST(1 AS BIGINT)),
+        |  ('orders', 'update', CAST(2 AS BIGINT)),
+        |  ('products', 'delete', CAST(1 AS BIGINT)),
+        |  ('products', 'insert', CAST(3 AS BIGINT)),
+        |  ('products', 'update', CAST(2 AS BIGINT)),
+        |  ('unknown', 'insert', CAST(1 AS BIGINT)),
+        |  ('users', 'insert', CAST(1 AS BIGINT))
+        |) AS t("table", op, cnt) ORDER BY "table", op""".stripMargin,
+    "cdc_message_status" ->
+      """SELECT * FROM (VALUES
+        |  ('ddl', CAST(1 AS BIGINT)),
+        |  ('error', CAST(1 AS BIGINT)),
+        |  ('parse_error', CAST(1 AS BIGINT)),
+        |  ('success', CAST(8 AS BIGINT))
+        |) AS t(status, cnt) ORDER BY status""".stripMargin,
+    "cdc_invalid_routing" ->
+      """SELECT * FROM (VALUES
+        |  ('ddl', CAST(1 AS BIGINT)),
+        |  ('parse_error', CAST(1 AS BIGINT))
+        |) AS t(reason, cnt) ORDER BY reason""".stripMargin,
     "s6_wire_logs" ->
       """SELECT o_orderkey AS id,
         |  1704067200 + o_orderkey % 86400 AS ts_s,
