@@ -40,11 +40,12 @@ object AsOfJoin {
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"asof_$p",
-        last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
-    }
-    carried
+    // all payloads in one projection → a single Window node (chained
+    // withColumn left two same-spec Window passes in the physical plan)
+    val asofCols = payload.map(p =>
+      last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w).as(s"asof_$p"))
+    unioned
+      .select(col("*") +: asofCols: _*)
       .filter(col("__side") === 1)
       .drop((payload ++ Seq("__ts", "__side")): _*)
   }
