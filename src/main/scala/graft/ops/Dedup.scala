@@ -243,6 +243,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** X9 — resolve near-dup pairs into duplicate CLUSTERS: connected
+    * components of the pair graph by iterative min-label propagation
+    * ("hash-min"). Each node starts labeled with its own id; every round each
+    * node takes the min of its label and its neighbors' labels; convergence
+    * in O(graph diameter) rounds. Near-dup clusters are shallow (diameter
+    * 2-4 — docs similar to a common ancestor), so the loop exits after 2-3
+    * rounds in practice; `maxIters` bounds pathological chains. Every round
+    * is one co-partitioned shuffle join (labels⋈edges on the node id) plus a
+    * min-aggregate — no driver-side data, and `localCheckpoint` cuts the
+    * lineage so plan size stays constant across rounds. At extreme diameters
+    * the two-phase large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce") halves round count; hash-min is the right
+    * trade for dedup-shaped graphs.
+    *
+    * Returns (id, cluster_id) for every node that appears in `pairs`;
+    * cluster_id = min node id of the component, so the row with
+    * `id == cluster_id` is the canonical keeper. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(false)
+      // scalar-only convergence probe: any node whose label still shrank?
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** X2 exact variant — n-gram Jaccard similarity of shingle sets, computed
     * with an inverted-index join (shingle → doc) instead of all-pairs: the
     * exact verifier behind the MinHash estimate. Keep the candidate set

@@ -259,6 +259,20 @@ object LlmOps {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  /** X9 — duplicate clusters: the exact near-dup pair graph (x2's 0.3
+    * Jaccard threshold) resolved into connected components, each doc mapped
+    * to its cluster's min-id canonical keeper. The step a real dedup
+    * pipeline runs AFTER pair generation — drop every row where
+    * `doc_id != cluster_id`. Oracle: DuckDB recursive CTE reachability. */
+  def x9_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
+      shingleSize = 3, minJaccard = 0.3)
+    Dedup.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
   /** X6 — JSON prop extraction + aggregation over the extracted key. */
   def x6_props_agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -289,6 +303,7 @@ object LlmOps {
     "x5_media_features" -> x5_media_features _,
     "x5_frame_sample" -> x5_frame_sample _,
     "x6_props_agg" -> x6_props_agg _,
+    "x9_dup_clusters" -> x9_dup_clusters _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -446,5 +461,35 @@ object LlmOps {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+    // x2_ngram_jaccard's pair SQL + recursive reachability: a node's
+    // cluster_id = min id reachable in the symmetric pair graph
+    "x9_dup_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
   )
 }
