@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2.7 X4):
@@ -101,4 +101,37 @@ object TextOps {
   def rollingHash(text: Column): Column =
     aggregate(split(text, " "), lit(0L),
       (acc, w) => acc * 31L + xxhash64(w) % 1000003L)
+
+  /** BM25 relevance of every document against a fixed term set (Robertson/
+    * Sparck Jones "+1" idf — never negative). The corpus-statistics shape is
+    * what matters at scale: `avgdl`/`N` collapse to ONE aggregate row that
+    * broadcasts into the per-(doc, term) scoring join, per-term document
+    * frequencies broadcast likewise, and the only wide exchanges are the two
+    * word-level aggregations (tf, dl) — both map-side-combined counts keyed
+    * by doc id. No all-terms index is materialized: tf is filtered to the
+    * query terms BEFORE its shuffle.
+    *
+    * Returns (doc_id, score) for docs containing ≥1 query term; score
+    * rounded to 4 for cross-engine stability. */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val tf = words.filter(col("w").isin(terms.map(x => x: Any): _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+    // lengthNorm = k1 * (1 - b + b * dl/avgdl), associated to match the
+    // oracle SQL term-for-term (double ops are commutative, not associative)
+    val lengthNorm = (lit(1.0 - b) + (col("dl").cast("double") / col("avgdl")) * b) * k1
+    val contrib = idf * (col("tf") * (k1 + 1.0)) / (col("tf") + lengthNorm)
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(contrib), 4).as("bm25"))
+  }
 }

@@ -259,6 +259,16 @@ object LlmOps {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  /** X4d — BM25 relevance scoring against a fixed query-term set: tf / dl
+    * per doc, df per term, corpus stats (N, avgdl) as one broadcast row.
+    * The retrieval-scoring member of the text-analysis family. */
+  def x4_bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.bm25(documents(s, dir), "text", "doc_id",
+        terms = Seq("vector", "join", "stream"))
+      .orderBy($"doc_id")
+  }
+
   /** X9 — duplicate clusters: the exact near-dup pair graph (x2's 0.3
     * Jaccard threshold) resolved into connected components, each doc mapped
     * to its cluster's min-id canonical keeper. The step a real dedup
@@ -303,6 +313,7 @@ object LlmOps {
     "x5_media_features" -> x5_media_features _,
     "x5_frame_sample" -> x5_frame_sample _,
     "x6_props_agg" -> x6_props_agg _,
+    "x4_bm25" -> x4_bm25 _,
     "x9_dup_clusters" -> x9_dup_clusters _,
   )
 
@@ -461,6 +472,25 @@ object LlmOps {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+    "x4_bm25" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM words
+        |  WHERE w IN ('vector', 'join', 'stream') GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w)
+        |SELECT tf.doc_id,
+        |  round(sum(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |    (tf * 2.2) /
+        |    (tf + (0.25 + CAST(dl AS DOUBLE) / avgdl * 0.75) * 1.2)), 4) AS bm25
+        |FROM tf
+        |JOIN dl USING (doc_id)
+        |JOIN dfreq USING (w)
+        |CROSS JOIN stats
+        |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
     // x2_ngram_jaccard's pair SQL + recursive reachability: a node's
     // cluster_id = min id reachable in the symmetric pair graph
     "x9_dup_clusters" ->

@@ -50,4 +50,20 @@ class TextOpsSpec extends SparkSpec {
     assert(h(0) !== h(1))
     assert(h(0) === h(2))
   }
+
+  test("bm25: term-free docs absent, higher tf wins, rarer term outranks common") {
+    val corpus = Seq(
+      (1L, "cat cat cat dog"),   // tf(cat)=3
+      (2L, "cat dog dog dog"),   // tf(cat)=1, same length
+      (3L, "bird bird bird uncommon"), // rare term, no cat
+      (4L, "dog dog dog dog"),   // no query terms at all
+    ).toDF("doc_id", "text")
+    val scores = TextOps.bm25(corpus, "text", "doc_id", Seq("cat", "uncommon"))
+      .as[(Long, Double)].collect().toMap
+    assert(!scores.contains(4L)) // no query term -> no row
+    assert(scores(1L) > scores(2L)) // more cat occurrences, equal doc length
+    // 'uncommon' appears in 1 of 4 docs, 'cat' in 2 of 4: idf favors doc 3
+    assert(scores(3L) > scores(2L))
+    scores.values.foreach(s => assert(s > 0))
+  }
 }
