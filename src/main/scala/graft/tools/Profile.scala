@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.SparkEntry
 import graft.cdc.{CanalJson, CdcApply}
 import graft.tables.Tables
 
@@ -50,6 +51,14 @@ object Profile {
         noop(graft.queries.CdcQueries.cdc_wire_parse(spark, dir)))
       time("full s6_wire_logs")(
         noop(graft.queries.CdcQueries.s6_wire_logs(spark, dir)))
+    } else if (mode == "explain") {
+      // usage: runMain graft.tools.Profile explain <sfDir> <name1,name2,...>
+      val names = args.drop(2).headOption.map(_.split(",").toSeq)
+        .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+      names.foreach { n =>
+        println(s"===== $n =====")
+        println(SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan)
+      }
     } else {
       time("q19_math_fns")(noop(graft.queries.Relational.q19_math_fns(spark, dir)))
       val ev = Tables.events(spark, dir)
