@@ -109,6 +109,23 @@ object CdcPipeline {
         col(rightTs) > col(leftTs) - expr(s"INTERVAL $lookback") &&
         col(rightTs) <= col(leftTs))
 
+  /** At-least-once → effectively-once: drop redelivered wire records by
+    * their delivery identity (source partition, offset) with
+    * `dropDuplicatesWithinWatermark` — dedup state is keyed by the 16-byte
+    * identity (not event payloads) and EXPIRES at the watermark horizon, so
+    * state size is bounded by (delay window × ingest rate) regardless of how
+    * long the stream runs. The streaming twin of the batch apply's
+    * idempotence: upstream Kafka redelivery disappears before any counter
+    * or sink sees the row. Place BEFORE metric operators — latest-by-key
+    * apply is naturally idempotent, but counters double-count redelivery.
+    * `pos` (row index within a multi-row wire envelope) is part of the
+    * identity: one redelivered record flattens to N rows that share
+    * (partition, offset) and must all survive exactly once. */
+  def dedupDelivery(events: DataFrame, eventTime: String = "timestamp",
+                    delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark("partition", "offset", "pos")
+
   /** Event-store sink (the ES-index analog, S3): parquet partitioned by
     * (table, day) — the partition layout that prunes at 100 TB. */
   def eventStoreSink(events: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =

@@ -56,6 +56,28 @@ class StreamingSpec extends SparkSpec {
     assert(counts(("products", "delete")) === 1)
   }
 
+  test("dedupDelivery: redelivered record dropped across micro-batches, state keyed by (partition, offset)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val raw = mem.toDF()
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+    val q = CdcPipeline.dedupDelivery(CdcPipeline.events(raw))
+      .writeStream.format("memory").queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    val lines = CanalJson.fixtureLines.map(_._1).distinct
+    mem.addData(lines: _*)
+    q.processAllAvailable()
+    // redeliver an already-seen record in a LATER micro-batch — the dedup
+    // state must remember it (identical content → identical derived offset)
+    mem.addData(lines.find(_.contains("\"status\":\"completed\"")).get)
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("dedup_out").groupBy($"table", $"op").count()
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(counts(("orders", "update")) === 1) // redelivery suppressed
+    assert(counts(("products", "insert")) === 3)
+    assert(counts(("products", "delete")) === 1)
+  }
+
   test("P7 sustained threshold: fires only after the hold-down duration") {
     import Alerts._
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
