@@ -259,6 +259,29 @@ object LlmOps {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  /** X3e — int8 storage quantization certificate: per vector, the exact
+    * integer fingerprint of its quantized codes (sum / sum-of-squares /
+    * min / max — associative-exact, so float summation order can't drift)
+    * plus the achieved max reconstruction error. The storage-path twin of
+    * the ANN operators: 1 byte per dimension on the shuffle wire. */
+  def x3_quantize_int8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Quantize
+    embeddings(s, dir)
+      .select($"vec_id", $"embedding",
+        Quantize.int8Scale($"embedding").as("scale"))
+      .select($"vec_id", $"scale",
+        Quantize.int8($"embedding", $"scale").as("q"), $"embedding")
+      .select($"vec_id",
+        round($"scale", 7).as("scale_r"),
+        aggregate($"q", lit(0L), (acc, v) => acc + v).as("q_sum"),
+        aggregate($"q", lit(0L), (acc, v) => acc + v * v).as("q_sumsq"),
+        array_min($"q").as("q_min"),
+        array_max($"q").as("q_max"),
+        round(Quantize.maxAbsError($"embedding", $"q", $"scale"), 6).as("max_abs_err"))
+      .orderBy($"vec_id")
+  }
+
   /** X4d — BM25 relevance scoring against a fixed query-term set: tf / dl
     * per doc, df per term, corpus stats (N, avgdl) as one broadcast row.
     * The retrieval-scoring member of the text-analysis family. */
@@ -314,6 +337,7 @@ object LlmOps {
     "x5_frame_sample" -> x5_frame_sample _,
     "x6_props_agg" -> x6_props_agg _,
     "x4_bm25" -> x4_bm25 _,
+    "x3_quantize_int8" -> x3_quantize_int8 _,
     "x9_dup_clusters" -> x9_dup_clusters _,
   )
 
@@ -472,6 +496,26 @@ object LlmOps {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+    "x3_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x ->
+        |      CAST(least(greatest(floor(x / scale + 0.5), -127.0), 127.0) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 7) AS scale_r,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, c -> c * c)) AS BIGINT) AS q_sumsq,
+        |  CAST(list_min(qv) AS INTEGER) AS q_min,
+        |  CAST(list_max(qv) AS INTEGER) AS q_max,
+        |  round(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(v[i] - qv[i] * scale))), 6) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "x4_bm25" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
