@@ -147,6 +147,46 @@ object Similarity {
     }: _*)
   }
 
+  /** Persist the IVF inverted lists as a parquet index partitioned BY LIST:
+    * at 100 TB this is the serving layout — each probe reads only its list's
+    * directory (partition-pruned scan), so a query batch touches
+    * |union of probed lists| / nLists of the index bytes instead of the full
+    * corpus. Returns the trained centroids (the driver-side model that
+    * routes probes). */
+  def writeIvfIndex(corpus: DataFrame, dim: Int, nLists: Int,
+                    path: String): Array[Array[Double]] = {
+    val cents = trainIvfCentroids(corpus, dim, nLists)
+    corpus.select(col("vec_id"), col("embedding"),
+        array_min(distStructs(col("embedding"), cents)).getField("list").as("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+    cents
+  }
+
+  /** Query a persisted IVF index: assign probes, collect the DISTINCT probed
+    * list ids (bounded metadata, ≤ nLists ints — the only driver-side step),
+    * then re-rank against a partition-pruned read of exactly those lists.
+    * Identical ranking semantics to [[ivfTopK]]. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+                       indexPath: String, cents: Array[Array[Double]], k: Int,
+                       nProbe: Int = 4, roundTo: Int = 3): DataFrame = {
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(array_sort(distStructs(col("embedding"), cents)), 1, nProbe))
+          .as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe.list").as("list"))
+    val probedLists: Array[Int] =
+      probes.select(col("list")).distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(indexPath)
+      .filter(col("list").isin(probedLists.map(x => x: Any): _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("list"))
+    val scored = broadcast(probes).join(c, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), roundTo).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
     * corpus vectors are assigned to their nearest coarse centroid (the
     * inverted lists; at 100 TB these are the partition keys of the stored

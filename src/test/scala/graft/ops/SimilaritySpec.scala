@@ -69,4 +69,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
     assert(run() === approx, "IVF result must be deterministic across runs")
   }
+
+  test("persisted IVF index: partition-pruned probe read matches in-memory ivfTopK") {
+    def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 970.0f)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) Array.fill(dim)(1.0f) else Array.fill(dim)(-1.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + noise(i, d) }.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 6)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      val cents = Similarity.writeIvfIndex(corpus, dim, nLists = 8, path = dir)
+      val fromIndex = Similarity.ivfTopKFromIndex(spark, queries, dir, cents,
+        k = 5, nProbe = 2)
+      val inMem = Similarity.ivfTopK(queries, corpus, k = 5, dim = dim,
+        nLists = 8, nProbe = 2)
+      assert(
+        fromIndex.select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+          .collect().toSet ===
+        inMem.select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+          .collect().toSet)
+      // the probe read must prune on the partition column, not scan+filter
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("list"),
+        s"expected partition-pruned index scan, got:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
