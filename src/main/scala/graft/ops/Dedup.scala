@@ -178,39 +178,65 @@ object Dedup {
   def simhash(textCol: Column): Column =
     simhashFromHashes(transform(split(textCol, " "), w => xxhash64(w)))
 
-  /** SimHash frame (id, sh), computed as one explode + a single 64-column
-    * hash aggregation instead of 64 interpreted `aggregate` lambdas per row:
-    * word-level rows (id, xxhash64(word)) → codegen'd partial/final agg of
-    * 64 ±1 vote sums → bit assembly. Identical vote semantics to
-    * [[simhash]] (duplicates counted, empty text = one empty-string word);
-    * one narrow shuffle on id. */
-  def simhashFrame(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val wordHashes = df
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
-    val voteCols = (0 until 64).map { bit =>
+  /** SimHash assembly from word-level (id, h) hash rows: one codegen'd
+    * partial/final agg of `nBits` ±1 vote sums, then bit assembly — instead
+    * of `nBits` interpreted `aggregate` lambdas per row; one narrow shuffle
+    * on id. */
+  private def simhashFromWordHashFrame(wordHashes: DataFrame, nBits: Int): DataFrame = {
+    val voteCols = (0 until nBits).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$bit")
     }
     wordHashes.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
       .select(col("id"),
-        (0 until 64).map { bit =>
+        (0 until nBits).map { bit =>
           when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
+
+  /** SimHash frame (id, sh) over 64 xxhash64-derived bits. Identical vote
+    * semantics to [[simhash]] (duplicates counted, empty text = one
+    * empty-string word). */
+  def simhashFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashFromWordHashFrame(
+      df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+        .select(col("id"), xxhash64(col("w")).as("h")),
+      64)
+
+  /** PORTABLE SimHash twin: 60 bits from `int(md5(word)[0:15 hex])` — every
+    * step (word hash, bit votes, bit assembly) is reproducible in ANSI-ish
+    * SQL, so the signature pipeline is oracle-checkable end-to-end, exactly
+    * like [[minhashLshPairsPortable]] vs the xxhash64 fast twin. */
+  def simhashFramePortable(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    simhashFromWordHashFrame(
+      df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+        .select(col("id"),
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("bigint").as("h")),
+      60)
 
   /** SimHash near-dup candidates: by pigeonhole, Hamming(a,b) ≤ k guarantees
     * at least one of (k+1) bit-blocks is equal — join per block, then verify
     * exact Hamming distance. Block count derives from `maxHamming` (a fixed
     * block count silently drops pairs beyond its guarantee). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+                   maxHamming: Int = 3): DataFrame =
+    simhashPairsFromFrame(simhashFrame(df, textCol, idCol), 64, maxHamming)
+
+  /** [[simhashPairs]] over the md5-portable 60-bit signature — with the
+    * signature AND the pair derivation (block join, exact Hamming verify)
+    * oracle-checkable in SQL. */
+  def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                           maxHamming: Int = 3): DataFrame =
+    simhashPairsFromFrame(simhashFramePortable(df, textCol, idCol), 60, maxHamming)
+
+  private def simhashPairsFromFrame(frame: DataFrame, nBits: Int,
+                                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits, s"maxHamming must be in [0, ${nBits - 1}]")
     val blocks = maxHamming + 1
-    // block b spans bits [64*b/blocks, 64*(b+1)/blocks) — widths differ by
-    // at most one bit; every bit belongs to exactly one block
-    val bounds = (0 to blocks).map(b => 64 * b / blocks)
-    val hashed = simhashFrame(df, textCol, idCol).localCheckpoint(false)
+    // block b spans bits [nBits*b/blocks, nBits*(b+1)/blocks) — widths differ
+    // by at most one bit; every bit belongs to exactly one block
+    val bounds = (0 to blocks).map(b => nBits * b / blocks)
+    val hashed = frame.localCheckpoint(false)
     val blocked = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until blocks).map { b =>
         val start = bounds(b)

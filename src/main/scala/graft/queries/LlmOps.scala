@@ -78,6 +78,15 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** X2c' — the md5-portable SimHash twin: 60-bit signatures and the
+    * Hamming ≤ 7 block-join pair derivation, every step SQL-reproducible —
+    * the oracle the xxhash64 SimHash structurally can't have. */
+  def x2_simhash_md5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashPairsPortable(documents(s, dir), "text", "doc_id", maxHamming = 7)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** X3 — exact brute-force cosine top-5 for the first 20 query vectors.
     * Rounded sim + id tie-break keeps ranking deterministic cross-engine. */
   def x3_cosine_topk(s: SparkSession, dir: String): DataFrame = {
@@ -323,6 +332,7 @@ object LlmOps {
     "x2_minhash_lsh" -> x2_minhash_lsh _,
     "x2_minhash_md5" -> x2_minhash_md5 _,
     "x2_simhash" -> x2_simhash _,
+    "x2_simhash_md5" -> x2_simhash_md5 _,
     "x3_cosine_topk" -> x3_cosine_topk _,
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_ivf" -> x3_ann_ivf _,
@@ -496,6 +506,29 @@ object LlmOps {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+    // signature pipeline (word md5 hashes -> 60 bit votes -> bit assembly)
+    // plus brute-force Hamming verify; the engine's block join is only a
+    // candidate-pruning optimization, so pair semantics compare exactly
+    "x2_simhash_md5" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wh AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+        |  FROM words),
+        |bits AS (SELECT unnest(range(60)) AS bit),
+        |votes AS (
+        |  SELECT doc_id, bit,
+        |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM wh CROSS JOIN bits GROUP BY doc_id, bit),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sh, b.sh)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
     "x3_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

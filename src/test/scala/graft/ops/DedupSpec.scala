@@ -72,4 +72,15 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
+
+  test("portable simhash twin: 60-bit signatures, identical texts at hamming 0") {
+    val sigs = Dedup.simhashFramePortable(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    sigs.values.foreach(sh => assert(sh >= 0 && sh < (1L << 60)))
+    assert(sigs(1L) === sigs(2L))
+    val pairs = Dedup.simhashPairsPortable(docs, "text", "doc_id", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(!pairs.exists { case (a, b, _) => a == 5L || b == 5L })
+  }
 }
