@@ -294,6 +294,18 @@ object CdcQueries {
   def cdc_wire_asof(s: SparkSession, dir: String): DataFrame =
     wireState(CdcApply.stateAsOf(wireOrderEvents(s, dir), 1704067200000L + 15000L))
 
+  /** W8/incremental view — a grouped count maintained purely from ±1 event
+    * deltas (INSERT +new, UPDATE +new/−old, DELETE −current), never
+    * rescanning state, must equal DuckDB's recompute from the base table.
+    * The generator's redelivered UPDATE makes dedup-before-delta
+    * load-bearing: skip it and every net count double-applies the
+    * transition, hash-mismatching. */
+  def cdc_wire_agg_maintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcApply.maintainCounts(wireOrderEvents(s, dir), "status")
+      .orderBy($"status")
+  }
+
   /** S5 — snapshot export/restore (backup.sh/restore.sh analog) as an
     * oracle-checked roundtrip: materialized CDC state → parquet snapshot with
     * manifest → restore (manifest row-count validated). The restored frame
@@ -339,6 +351,7 @@ object CdcQueries {
     "cdc_wire_parse" -> cdc_wire_parse _,
     "cdc_wire_latest" -> cdc_wire_latest _,
     "cdc_wire_asof" -> cdc_wire_asof _,
+    "cdc_wire_agg_maintain" -> cdc_wire_agg_maintain _,
     "s5_snapshot_roundtrip" -> s5_snapshot_roundtrip _,
   )
 
@@ -395,6 +408,13 @@ object CdcQueries {
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
         |ORDER BY id""".stripMargin,
+    // delta maintenance == recompute: the 'pending' group nets to zero
+    // (every INSERT's +1 cancelled by its UPDATE's −old), tombstoned keys
+    // net to zero everywhere — what survives is the final-status census
+    "cdc_wire_agg_maintain" ->
+      """SELECT o_orderstatus AS status, count(*) AS cnt
+        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
     // one pending→final transition per key (redelivery collapsed by dedup)
     "cdc_transitions" ->
       """SELECT o_orderkey AS id, 'pending' AS old_status,

@@ -51,4 +51,15 @@ class CdcApplySpec extends SparkSpec {
       .select(element_at($"data", "password")).as[String].head()
     assert(u.length === 64 && u.matches("[0-9a-f]+"))
   }
+
+  test("W8 delta maintenance == recompute from materialized state") {
+    val orders = events.filter($"table" === "orders")
+    val maintained = CdcApply.maintainCounts(orders, "status")
+      .as[(String, Long)].collect().toMap
+    val recomputed = CdcApply.materialize(orders)
+      .select(element_at($"data", "status")).as[String].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(maintained === recomputed) // pending nets to 0; completed survives
+    assert(maintained === Map("completed" -> 1L))
+  }
 }
