@@ -65,4 +65,60 @@ object CdcApplyProps extends Properties("CdcApply") {
       val withDups = evs ++ evs.take(dupCount) // replay a prefix verbatim
       materialized(withDups) == materialized(evs)
     }
+
+  /** W8: a WELL-FORMED event chain (insert only when absent, update/delete
+    * only when present, update old image = the previous live value) built by
+    * replaying random intents against a driver-side state map. `es` strictly
+    * increases so ordering is unambiguous. */
+  private case class Chain(events: Seq[Ev], oldImages: Map[Long, String])
+
+  private def wellFormed(intents: Seq[Ev]): Chain = {
+    val live = scala.collection.mutable.Map[(String, String), String]() // key -> price
+    val out = Seq.newBuilder[Ev]
+    val olds = Map.newBuilder[Long, String]
+    var i = 0
+    intents.foreach { in =>
+      val k = (in.table, in.pk)
+      val ev = live.get(k) match {
+        case None => in.copy(op = "insert", es = i.toLong, offset = i.toLong)
+        case Some(prev) =>
+          if (in.op == "insert") in.copy(op = "update", es = i.toLong, offset = i.toLong)
+          // a CDC DELETE carries the row's last image, not arbitrary data
+          else if (in.op == "delete") in.copy(es = i.toLong, offset = i.toLong, price = prev)
+          else in.copy(es = i.toLong, offset = i.toLong)
+      }
+      if (ev.op == "update") olds += (ev.offset -> live(k))
+      if (ev.op == "delete") live.remove(k) else live(k) = ev.price
+      out += ev
+      i += 1
+    }
+    Chain(out.result(), olds.result())
+  }
+
+  /** Events frame where updates carry their true old price image. */
+  private def toEventsWithOld(c: Chain): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    c.events.map { e =>
+      val old = c.oldImages.get(e.offset).map(p => Map("price" -> p))
+      (new Timestamp(e.es * 1000), "testdb", e.table, e.op.toUpperCase, e.op,
+        Map("id" -> e.pk, "price" -> e.price), old,
+        Option.empty[String], 0, e.offset, 0)
+    }.toDF("timestamp", "database", "table", "operation", "op",
+      "data", "old_data", "sql", "partition", "offset", "pos")
+  }
+
+  property("W8 maintainCounts == recompute for any well-formed chain") =
+    forAll(Gen.listOfN(25, genEv)) { intents =>
+      val chain = wellFormed(intents)
+      val df = toEventsWithOld(chain)
+      val maintained = {
+        import org.apache.spark.sql.functions._
+        CdcApply.maintainCounts(df, "price")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val recomputed = naive(chain.events)
+        .values.map(_._2).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      maintained == recomputed
+    }
 }
