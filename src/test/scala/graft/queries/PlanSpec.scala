@@ -61,4 +61,18 @@ class PlanSpec extends SparkSpec {
     // partial agg before the exchange means the shuffle carries (sha, min, cnt)
     assert(p.contains("partial_"), s"expected partial aggregation before shuffle:\n$p")
   }
+
+  test("x4 bm25: corpus stats and per-term dfs broadcast; tf/dl map-side combined") {
+    val p = plan(LlmOps.x4_bm25(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus stats should broadcast into the scoring join:\n$p")
+    assert(p.contains("partial_count"), s"word counts must map-side combine:\n$p")
+  }
+
+  test("w8 maintain: deltas partial-agg before the single group shuffle") {
+    import graft.cdc.{CanalJson, CdcApply}
+    val p = plan(CdcApply.maintainCounts(
+      CanalJson.events(CanalJson.fixtureRaw(spark)), "status"))
+    assert(p.contains("partial_sum"), s"expected map-side combined deltas:\n$p")
+  }
 }
