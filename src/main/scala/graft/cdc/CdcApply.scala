@@ -77,18 +77,21 @@ object CdcApply {
     * combined); state size is |groups|, not |keys|. */
   def maintainCounts(events: DataFrame, attr: String,
                      pkCol: String = "id"): DataFrame = {
-    val e = events
-      .withColumn("__pk", element_at(col("data"), pkCol))
+    // project to scalars BEFORE the identity dedup: the exchange then
+    // carries 7 narrow columns instead of the full data/old_data maps
+    val e = events.select(
+        col("database"), col("table"), col("op"), col("timestamp"),
+        element_at(col("data"), pkCol).as("__pk"),
+        element_at(col("data"), attr).as("__new"),
+        element_at(col("old_data"), attr).as("__old"))
       .dropDuplicates(Seq("database", "table", "op", "timestamp", "__pk"))
-    val newVal = element_at(col("data"), attr)
-    val oldVal = element_at(col("old_data"), attr)
     val plus = e.filter(col("op") === "insert" ||
-        (col("op") === "update" && oldVal.isNotNull))
-      .select(newVal.as("g"), lit(1L).as("delta"))
+        (col("op") === "update" && col("__old").isNotNull))
+      .select(col("__new").as("g"), lit(1L).as("delta"))
     val minusDel = e.filter(col("op") === "delete")
-      .select(newVal.as("g"), lit(-1L).as("delta"))
-    val minusOld = e.filter(col("op") === "update" && oldVal.isNotNull)
-      .select(oldVal.as("g"), lit(-1L).as("delta"))
+      .select(col("__new").as("g"), lit(-1L).as("delta"))
+    val minusOld = e.filter(col("op") === "update" && col("__old").isNotNull)
+      .select(col("__old").as("g"), lit(-1L).as("delta"))
     plus.unionByName(minusDel).unionByName(minusOld)
       .groupBy(col("g")).agg(sum(col("delta")).as("cnt"))
       .filter(col("cnt") =!= 0)
