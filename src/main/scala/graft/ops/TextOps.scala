@@ -102,6 +102,30 @@ object TextOps {
     aggregate(split(text, " "), lit(0L),
       (acc, w) => acc * 31L + xxhash64(w) % 1000003L)
 
+  /** Overlapping word-window chunking — the embedding/RAG prep step: split
+    * each document into `chunkSize`-word windows advancing by
+    * `chunkSize - overlap`, so consecutive chunks share `overlap` words of
+    * context. Pure expression tree (sequence → slice → posexplode): one
+    * generate per row, no shuffle at all — chunking 100 TB is
+    * embarrassingly parallel and stays inside whole-stage codegen. Trailing
+    * windows shorter than `overlap` are dropped (their words are fully
+    * contained in the previous chunk); a document shorter than one window
+    * yields exactly one chunk. */
+  def chunkWords(df: DataFrame, textCol: String, idCol: String,
+                 chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("w")), lit(1)), lit(stride)),
+          s => slice(col("w"), s, lit(chunkSize)))).as(Seq("chunk_idx", "chunk")))
+      .filter(col("chunk_idx") === 0 || size(col("chunk")) > overlap)
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(col("chunk"), " ").as("chunk_text"),
+        size(col("chunk")).as("chunk_words"))
+  }
+
   /** BM25 relevance of every document against a fixed term set (Robertson/
     * Sparck Jones "+1" idf — never negative). The corpus-statistics shape is
     * what matters at scale: `avgdl`/`N` collapse to ONE aggregate row that

@@ -301,6 +301,15 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X4e — overlapping word-window chunking (32-word windows, 8-word
+    * overlap): the embedding-prep explode, shuffle-free per document. */
+  def x4_chunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.chunkWords(documents(s, dir), "text", "doc_id",
+        chunkSize = 32, overlap = 8)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** X9 — duplicate clusters: the exact near-dup pair graph (x2's 0.3
     * Jaccard threshold) resolved into connected components, each doc mapped
     * to its cluster's min-id canonical keeper. The step a real dedup
@@ -347,6 +356,7 @@ object LlmOps {
     "x5_frame_sample" -> x5_frame_sample _,
     "x6_props_agg" -> x6_props_agg _,
     "x4_bm25" -> x4_bm25 _,
+    "x4_chunk" -> x4_chunk _,
     "x3_quantize_int8" -> x3_quantize_int8 _,
     "x9_dup_clusters" -> x9_dup_clusters _,
   )
@@ -568,6 +578,22 @@ object LlmOps {
         |JOIN dfreq USING (w)
         |CROSS JOIN stats
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    "x4_chunk" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |starts AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w), 1), 24)) AS s
+        |  FROM words),
+        |chunks AS (
+        |  SELECT doc_id, CAST((s - 1) / 24 AS INTEGER) AS chunk_idx,
+        |    w[s:s+31] AS chunk
+        |  FROM starts)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(chunk, ' ') AS chunk_text,
+        |  CAST(len(chunk) AS INTEGER) AS chunk_words
+        |FROM chunks
+        |WHERE chunk_idx = 0 OR len(chunk) > 8
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // x2_ngram_jaccard's pair SQL + recursive reachability: a node's
     // cluster_id = min id reachable in the symmetric pair graph
     "x9_dup_clusters" ->

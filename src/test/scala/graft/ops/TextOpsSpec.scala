@@ -51,6 +51,22 @@ class TextOpsSpec extends SparkSpec {
     assert(h(0) === h(2))
   }
 
+  test("chunking: overlap preserved, short tail dropped, tiny doc = one chunk") {
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b"),                                    // shorter than one window
+    ).toDF("doc_id", "text")
+    val chunks = TextOps.chunkWords(corpus, "text", "doc_id", chunkSize = 4, overlap = 2)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // stride 2: starts 1,3,5,7,9 -> windows of 4,4,4,4,2; the length-2 tail
+    // (== overlap) is dropped
+    assert(chunks(1L).map(_._3).toSeq === Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(chunks(1L).map(_._2).toSeq === Seq(0, 1, 2, 3))
+    assert(chunks(2L).map(_._3).toSeq === Seq("a b"))
+  }
+
   test("bm25: term-free docs absent, higher tf wins, rarer term outranks common") {
     val corpus = Seq(
       (1L, "cat cat cat dog"),   // tf(cat)=3
