@@ -78,6 +78,31 @@ class StreamingSpec extends SparkSpec {
     assert(counts(("products", "delete")) === 1)
   }
 
+  test("W8 delta maintenance runs incrementally: update-mode counts match batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.cdc.CdcApply
+    val mem = MemoryStream[String]
+    val raw = mem.toDF()
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+    val q = CdcApply.maintainCounts(
+        CdcPipeline.events(raw).filter($"table" === "orders"), "status")
+      .writeStream.format("memory").queryName("w8_stream")
+      .outputMode(OutputMode.Complete()).start()
+    val lines = CanalJson.fixtureLines.map(_._1)
+    mem.addData(lines.take(5): _*)     // includes the orders INSERT + UPDATE
+    q.processAllAvailable()
+    mem.addData(lines.drop(5): _*)     // includes the redelivered UPDATE
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("w8_stream").as[(String, Long)].collect().toMap
+    val batch = CdcApply.maintainCounts(
+        CanalJson.events(CanalJson.fixtureRaw(spark)).filter($"table" === "orders"),
+        "status")
+      .as[(String, Long)].collect().toMap
+    assert(streamed === batch)
+    assert(streamed === Map("completed" -> 1L))
+  }
+
   test("P7 sustained threshold: fires only after the hold-down duration") {
     import Alerts._
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
