@@ -422,6 +422,36 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** GROUPING SETS with an explicit set list — finer than rollup/cube (the
+    * (flag,status) + (status) + () lattice skips the (flag) level). Runs
+    * through `spark.sql` on a temp view: the SQL entry path, one expand +
+    * one aggregate exchange, `grouping_id()` disambiguating the null rows. */
+  def q29_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             grouping_id(l_returnflag, l_linestatus) AS gid,
+             count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem_v
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY gid, l_returnflag, l_linestatus""")
+  }
+
+  /** RANGE-frame window: per customer, each order's trailing-30-day revenue
+    * — a frame over the ORDER VALUE (day number), not row count, so tied
+    * dates aggregate all peers regardless of row order (deterministic where
+    * a rowsBetween frame wouldn't be). */
+  def q30_range_window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayNum = datediff($"o_orderdate", lit("1970-01-01"))
+    val w = Window.partitionBy($"o_custkey").orderBy(dayNum)
+      .rangeBetween(-30, 0)
+    orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        round(sum($"o_totalprice").over(w), 2).as("trailing_30d"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -451,6 +481,8 @@ object Relational {
     "q26_asof_join" -> q26_asof_join _,
     "q27_range_join" -> q27_range_join _,
     "q28_pivot" -> q28_pivot _,
+    "q29_grouping_sets" -> q29_grouping_sets _,
+    "q30_range_window" -> q30_range_window _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -638,5 +670,19 @@ object Relational {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q29_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q30_range_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }
