@@ -452,6 +452,22 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Statistical aggregates — var/stddev/covar/corr per group. Rounding
+    * absorbs the engines' different merge orders (both use pairwise/Chan
+    * update formulas; agreement is ~1e-11 relative, the rounding threshold
+    * is 50× above worst-case drift at this scale). */
+  def q31_stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(stddev_samp($"l_extendedprice"), 2).as("sd_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("cov_qty_price"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -483,6 +499,7 @@ object Relational {
     "q28_pivot" -> q28_pivot _,
     "q29_grouping_sets" -> q29_grouping_sets _,
     "q30_range_window" -> q30_range_window _,
+    "q31_stats" -> q31_stats _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -684,5 +701,12 @@ object Relational {
         |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q31_stats" ->
+      """SELECT l_returnflag,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
