@@ -39,6 +39,12 @@ class VectorExpressionSpec extends SparkSpec {
     val plan = spark.sql(
       "SELECT vector_dot(array(1.0d), array(2.0d))").queryExecution.analyzed.toString
     assert(plan.contains("vector_dot"), plan)
+    // composed functions: SQL route builds the same tree as the Column API
+    val cos = spark.sql(
+      "SELECT vector_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "vector_norm(array(3.0d, 4.0d)) AS n")
+      .as[(Double, Double)].head()
+    assert(cos === ((1.0, 5.0)))
   }
 
   test("rejects non-numeric-array inputs at analysis time") {
