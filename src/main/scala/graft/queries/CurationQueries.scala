@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
-import graft.ops.{Curation, TextOps}
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Curation, Dedup, TextOps}
 
 /** Dataset-curation operators (SURVEY.md §2.7 X7) as named queries over the
   * `documents` table: deterministic train/val/test split, per-source quota
@@ -69,12 +70,41 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** X10 — the assembled end-to-end curation pipeline, every stage an
+    * operator certified on its own elsewhere: exact dedup (min id per
+    * digest) → near-dup cluster resolution (keep each cluster's canonical)
+    * → quality floor → leakage-free split assignment → per-(lang, split)
+    * census with token budget. One query proving the operators COMPOSE —
+    * the shape a real training-data build runs nightly. */
+  def x10_pipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exactKept = documents(s, dir)
+      .withColumn("__keep",
+        min($"doc_id").over(Window.partitionBy(sha2($"text", 256))))
+      .filter($"doc_id" === $"__keep")
+      .drop("__keep")
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(exactKept, "text", "doc_id",
+        shingleSize = 3, minJaccard = 0.3))
+    val kept = exactKept.join(
+      clusters.filter($"id" =!= $"cluster_id").select($"id".as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    kept
+      .filter(TextOps.qualityScore($"text") >= 0.5)
+      .select($"lang", Curation.splitAssign($"doc_id").as("split"),
+        TextOps.wordCount($"text").as("n_words"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("total_words"))
+      .orderBy($"lang", $"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x7_split_assign" -> x7_split_assign _,
     "x7_quota_cap" -> x7_quota_cap _,
     "x7_binpack" -> x7_binpack _,
     "x7_interleave" -> x7_interleave _,
     "x8_decontaminate" -> x8_decontaminate _,
+    "x10_pipeline" -> x10_pipeline _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -129,5 +159,56 @@ object CurationQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hv ASC, doc_id ASC) AS INT) AS pos,
         |  doc_id
         |FROM sharded ORDER BY shard, pos""".stripMargin,
+    // the x1 + x9 + x4-quality + x7-split oracles composed end-to-end
+    "x10_pipeline" ->
+      """WITH RECURSIVE survivors AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+        |    FROM documents) WHERE doc_id = keep),
+        |words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM survivors),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.dst, w2.label FROM walk w2 JOIN edges e ON e.src = w2.id),
+        |dropped AS (
+        |  SELECT id FROM walk GROUP BY id HAVING id <> min(label)),
+        |kept AS (
+        |  SELECT s.* FROM survivors s
+        |  LEFT JOIN dropped d ON s.doc_id = d.id WHERE d.id IS NULL),
+        |quality AS (
+        |  SELECT *,
+        |    round((least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
+        |           least(round(CAST(len(list_filter(string_split(text, ' '),
+        |               w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+        |             / greatest(len(string_split(text, ' ')), 1), 4) * 5.0, 1.0)) / 2.0, 5) AS q
+        |  FROM kept)
+        |SELECT lang,
+        |  CASE WHEN ((doc_id * 1000003 + 12345) % 1000000007) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id * 1000003 + 12345) % 1000000007) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words
+        |FROM quality WHERE q >= 0.5
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
   )
 }
