@@ -103,6 +103,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Map("completed" -> 1L))
   }
 
+  test("P10 streaming sessionization: sessions emit only after the watermark passes their gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window($"ts", "5 minutes").as("sw"), $"user")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user", $"n_events")
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode(OutputMode.Append()).start()
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    mem.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"))
+    q.processAllAvailable()
+    val early = spark.table("sessions_stream").count()
+    // a much later event advances the watermark past both sessions' ends
+    mem.addData((ts(20), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_stream")
+      .as[(String, Long)].collect().toSet
+    assert(early === 0, "no session may emit before the watermark passes its end")
+    // a's 2-event session and b's singleton closed; a's 00:20 session still open
+    assert(closed === Set(("a", 2L), ("b", 1L)))
+  }
+
   test("P7 sustained threshold: fires only after the hold-down duration") {
     import Alerts._
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
