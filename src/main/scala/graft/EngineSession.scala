@@ -30,4 +30,16 @@ object EngineSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.excludedRules", excludedRules)
+
+  /** Production streaming-state configuration: the RocksDB provider spills
+    * state to local disk instead of holding it in an executor heap map —
+    * the difference between "state fits in RAM" and "state fits on disk"
+    * for long-horizon dedup/session/alert state at 100 TB ingest. Changelog
+    * checkpointing ships per-batch deltas to the checkpoint location rather
+    * than full snapshots. Per-QUERY conf: apply via `spark.conf.set` (or at
+    * session build) before starting the stream. */
+  val rocksDbStateConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
 }

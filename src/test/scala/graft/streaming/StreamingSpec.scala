@@ -103,6 +103,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Map("completed" -> 1L))
   }
 
+  test("stateful dedup runs on the RocksDB state store provider") {
+    implicit val sqlCtx = spark.sqlContext
+    val before = graft.EngineSession.rocksDbStateConfigs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    graft.EngineSession.rocksDbStateConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val mem = MemoryStream[String]
+      val raw = mem.toDF()
+        .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+      val q = CdcPipeline.dedupDelivery(CdcPipeline.events(raw))
+        .writeStream.format("memory").queryName("rocksdb_dedup")
+        .outputMode(OutputMode.Append()).start()
+      val lines = CanalJson.fixtureLines.map(_._1).distinct
+      mem.addData(lines: _*)
+      q.processAllAvailable()
+      mem.addData(lines.head) // redelivery against RocksDB-held state
+      q.processAllAvailable()
+      q.stop()
+      // dedup semantics identical on the disk-backed provider
+      val n = spark.table("rocksdb_dedup").count()
+      assert(n > 0)
+      assert(spark.table("rocksdb_dedup")
+        .groupBy($"partition", $"offset", $"pos").count()
+        .filter($"count" > 1).isEmpty)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("P10 streaming sessionization: sessions emit only after the watermark passes their gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
