@@ -63,6 +63,16 @@ class CanalJsonSpec extends SparkSpec {
     assert(laptop === "165.00")
   }
 
+  test("T7 schema evolution: a column added upstream but absent in old events reads null, no crash") {
+    import org.apache.spark.sql.types._
+    val evolved = StructType(CanalJson.productsSchema.fields :+
+      StructField("discount_pct", DecimalType(5, 2)))
+    val typed = CanalJson.typedView(events, "products", evolved)
+    val rows = typed.select($"id", $"discount_pct").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.isNullAt(1)), "pre-DDL events must read the new column as null")
+  }
+
   test("M4 three-way status: success, invalid reasons, and a materialized error branch") {
     val statuses = graft.queries.CdcQueries.cdc_message_status(spark, "")
       .as[(String, Long)].collect().toMap
