@@ -78,4 +78,13 @@ object HistogramQuantile {
   def histogramQuantile(c: Column, q: Double,
                         buckets: Array[Double] = referenceBuckets): Column =
     udaf(new HistogramQuantile(buckets, q)).apply(c)
+
+  /** Register as a SQL aggregate (`SELECT histogram_quantile_p95(latency)`)
+    * — the §2.8 UDAF surface for SQL users; q is baked per name because SQL
+    * UDAF parameters must be data columns, not constants. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99").foreach { case (q, n) =>
+      spark.udf.register(s"histogram_quantile_$n",
+        udaf(new HistogramQuantile(referenceBuckets, q)))
+    }
 }

@@ -41,4 +41,15 @@ class HistogramQuantileSpec extends SparkSpec {
     // hq = 2 + 3*(50-20)/30 = 5.0
     assert(math.abs(out - 5.0) < 1e-9)
   }
+
+  test("registered as SQL aggregates: histogram_quantile_p50/p95/p99") {
+    HistogramQuantile.registerSql(spark)
+    Seq((0.04), (0.04), (0.4), (0.4)).toDF("latency").createOrReplaceTempView("lat_v")
+    val r = spark.sql(
+      "SELECT histogram_quantile_p50(latency) AS p50, histogram_quantile_p99(latency) AS p99 FROM lat_v")
+      .as[(Double, Double)].head()
+    // reference buckets: p50 rank 2 of 4 falls in (0.01, 0.05]; p99 in (0.1, 0.5]
+    assert(r._1 > 0.01 && r._1 <= 0.05)
+    assert(r._2 > 0.1 && r._2 <= 0.5)
+  }
 }
