@@ -310,6 +310,21 @@ object LlmOps {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** X4f — corpus vocabulary: top-50 words by frequency with deterministic
+    * (count desc, word asc) tie-break, plus document frequency — the
+    * tokenizer-training / stopword-discovery census. One word-level
+    * map-side-combined aggregation; the top-k is a tiny ordered limit. */
+  def x4_vocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct($"doc_id").as("doc_freq"))
+      .orderBy($"occurrences".desc, $"w".asc)
+      .limit(50)
+  }
+
   /** X9 — duplicate clusters: the exact near-dup pair graph (x2's 0.3
     * Jaccard threshold) resolved into connected components, each doc mapped
     * to its cluster's min-id canonical keeper. The step a real dedup
@@ -357,6 +372,7 @@ object LlmOps {
     "x6_props_agg" -> x6_props_agg _,
     "x4_bm25" -> x4_bm25 _,
     "x4_chunk" -> x4_chunk _,
+    "x4_vocab" -> x4_vocab _,
     "x3_quantize_int8" -> x3_quantize_int8 _,
     "x9_dup_clusters" -> x9_dup_clusters _,
   )
@@ -578,6 +594,10 @@ object LlmOps {
         |JOIN dfreq USING (w)
         |CROSS JOIN stats
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    "x4_vocab" ->
+      """SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY occurrences DESC, w ASC LIMIT 50""".stripMargin,
     "x4_chunk" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
