@@ -468,6 +468,22 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Bloom-pruned semi join: identical result to a plain left-semi, but a
+    * broadcast bloom probe drops non-matching fact rows before the join
+    * exchange (`graft/ops/BloomPrune.scala`) — the explicit form of the
+    * runtime row filter selective fact⋈dim joins need at 100 TB. */
+  def q32_bloom_semi_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = orders(s, dir)
+      .filter($"o_orderpriority".startsWith("1"))
+      .select($"o_orderkey")
+    graft.ops.BloomPrune.semiJoin(lineitem(s, dir), urgent,
+        "l_orderkey", "o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -500,6 +516,7 @@ object Relational {
     "q29_grouping_sets" -> q29_grouping_sets _,
     "q30_range_window" -> q30_range_window _,
     "q31_stats" -> q31_stats _,
+    "q32_bloom_semi_join" -> q32_bloom_semi_join _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -708,5 +725,13 @@ object Relational {
         |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // bloom pre-filter is semantics-free (no false negatives; positives
+    // removed by the exact semi join) -> oracle is the plain semi join
+    "q32_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1%')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
