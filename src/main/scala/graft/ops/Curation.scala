@@ -41,6 +41,20 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Z-order (Morton) interleave of two non-negative dimension columns:
+    * bit i of x lands at position 2i, bit i of y at 2i+1. Sorting or
+    * range-partitioning 100 TB by this value co-locates rows that are close
+    * in BOTH dimensions, so min/max file statistics prune scans filtered on
+    * either column — the standard multi-dimensional layout trick
+    * (Delta/Iceberg `ZORDER BY`), as a plain codegen'd expression. */
+  def zOrder(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(1), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(1), 2 * b + 1))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** Lehmer / Park-Miller step: (id+1) * 48271 mod (2^31 - 1). A bijection
     * on [1, 2^31-2], so ordering by it is a deterministic pseudo-random
     * PERMUTATION of ids below 2^31-2 — the "global shuffle" of a training

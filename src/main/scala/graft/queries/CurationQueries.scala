@@ -70,6 +70,18 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** X7e — Z-order layout key: Morton-interleave (custkey, orderkey) low
+    * bits; ordering by it is the multi-dimensional clustering a 100 TB
+    * event store writes with so min/max stats prune on either column. */
+  def x7_zorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        Curation.zOrder($"o_custkey" % 1024, $"o_orderkey" % 1024, bits = 10)
+          .as("z"))
+      .orderBy($"z", $"o_orderkey")
+  }
+
   /** X10 — the assembled end-to-end curation pipeline, every stage an
     * operator certified on its own elsewhere: exact dedup (min id per
     * digest) → near-dup cluster resolution (keep each cluster's canonical)
@@ -104,6 +116,7 @@ object CurationQueries {
     "x7_binpack" -> x7_binpack _,
     "x7_interleave" -> x7_interleave _,
     "x8_decontaminate" -> x8_decontaminate _,
+    "x7_zorder" -> x7_zorder _,
     "x10_pipeline" -> x10_pipeline _,
   )
 
@@ -159,6 +172,15 @@ object CurationQueries {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hv ASC, doc_id ASC) AS INT) AS pos,
         |  doc_id
         |FROM sharded ORDER BY shard, pos""".stripMargin,
+    // disjoint interleaved bits: sum == bitwise-or, and + is portable
+    "x7_zorder" -> {
+      val terms = (0 until 10).flatMap(b => Seq(
+        s"(((o_custkey % 1024) >> $b) & 1) * ${1L << (2 * b)}",
+        s"(((o_orderkey % 1024) >> $b) & 1) * ${1L << (2 * b + 1)}"))
+      s"""SELECT o_orderkey, o_custkey,
+         |  ${terms.mkString(" + ")} AS z
+         |FROM orders ORDER BY z, o_orderkey""".stripMargin
+    },
     // the x1 + x9 + x4-quality + x7-split oracles composed end-to-end
     "x10_pipeline" ->
       """WITH RECURSIVE survivors AS (

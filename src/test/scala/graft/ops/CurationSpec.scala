@@ -92,4 +92,16 @@ class CurationSpec extends SparkSpec {
     assert(maxShard < 2 * n / 8 + 8, s"max shard size $maxShard of $n")
     out.unpersist()
   }
+
+  test("X7e z-order: interleave matches reference bit math and is locality-preserving") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(b => (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))).sum
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L))
+    val got = rows.toDF("x", "y")
+      .select(Curation.zOrder($"x", $"y", bits = 10).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq === rows.map { case (x, y) => ref(x, y, 10) })
+    // interleave of max 10-bit values fills 20 bits exactly
+    assert(ref(1023L, 1023L, 10) === (1L << 20) - 1)
+  }
 }
