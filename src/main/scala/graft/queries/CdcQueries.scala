@@ -66,6 +66,19 @@ object CdcQueries {
       .orderBy($"id")
   }
 
+  /** Exact-cents price string: o_totalprice is an exact 2-decimal value
+    * stored as double, so `round(x*100)` recovers the integer cents
+    * losslessly (the q19 pattern) and formatting those cents as `d.dd` is
+    * engine-independent — unlike a double→DECIMAL cast, where Spark rounds
+    * the shortest decimal representation and DuckDB rounds the binary value,
+    * disagreeing on totals whose decimal form ends in `.xx5`. The oracle SQL
+    * mirrors the identical cents arithmetic. */
+  private def priceStr(price: Column): Column = {
+    val cents = round(price * 100).cast("bigint")
+    concat((cents / 100).cast("bigint").cast("string"), lit("."),
+      lpad((cents % 100).cast("string"), 2, "0"))
+  }
+
   /** T7 (oracle-checked) — typed per-table view with DECIMAL(10,2) price
     * discipline (money never becomes double): product INSERT envelopes
     * generated from the orders table, run through the real parse → flatten →
@@ -75,8 +88,7 @@ object CdcQueries {
     import s.implicits._
     val base = Tables.orders(s, dir)
       .filter($"o_orderkey" % 4 === 0)
-      .select($"o_orderkey".as("id"),
-        $"o_totalprice".cast(DecimalType(10, 2)).cast("string").as("price_str"))
+      .select($"o_orderkey".as("id"), priceStr($"o_totalprice").as("price_str"))
       .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
     val line = to_json(struct(
       array(map(
@@ -90,6 +102,42 @@ object CdcQueries {
       lit(0).as("partition"), $"id".cast("bigint").as("offset"))
     CanalJson.typedView(CanalJson.events(raw), "products", CanalJson.productsSchema)
       .select($"id", $"name", $"price", $"stock", $"op", $"offset")
+      .orderBy($"id")
+  }
+
+  /** T7' (oracle-checked) — typed view over the FULL `orders` DDL type
+    * surface (sql/schema.sql:22-30): BIGINT keys, INT quantity,
+    * DECIMAL(10,2) money, STRING status, and TIMESTAMP created_at — every
+    * scalar type the upstream schema declares, through the same
+    * parse → flatten → typed-cast path as [[cdc_typed_products]]. The
+    * created_at roundtrip (format in UTC → wire string → cast back) is
+    * lossless at second precision; DuckDB rebuilds the same instant with
+    * naive-timestamp interval arithmetic. */
+  def cdc_typed_orders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 4 === 1)
+      .select($"o_orderkey".as("id"), $"o_custkey".as("user_id"),
+        $"o_orderstatus".as("st"), priceStr($"o_totalprice").as("price_str"))
+      .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
+    val createdAt = date_format(
+      timestamp_seconds(lit(1704067200L) + $"id" % 86400), "yyyy-MM-dd HH:mm:ss")
+    val line = to_json(struct(
+      array(map(
+        lit("id"), $"id".cast("string"),
+        lit("user_id"), $"user_id".cast("string"),
+        lit("product_id"), ($"id" % 1000).cast("string"),
+        lit("quantity"), ($"id" % 10 + 1).cast("string"),
+        lit("total_price"), $"price_str",
+        lit("status"), $"st",
+        lit("created_at"), createdAt)).as("data"),
+      lit("INSERT").as("type"), lit("orders").as("table"), lit("testdb").as("database"),
+      (lit(1704067200000L) + $"id").as("es"), lit(false).as("isDdl")))
+    val raw = base.select(line.as("value"),
+      lit(0).as("partition"), $"id".cast("bigint").as("offset"))
+    CanalJson.typedView(CanalJson.events(raw), "orders", CanalJson.ordersSchema)
+      .select($"id", $"user_id", $"product_id", $"quantity", $"total_price",
+        $"status", $"created_at", $"op", $"offset")
       .orderBy($"id")
   }
 
@@ -204,9 +252,13 @@ object CdcQueries {
     * parquet) cannot provide. */
   def cdc_wire_parse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // 1-in-4 key subsample, same rationale as wireOrderEvents: the parse
+    // semantics are volume-independent and the full table made this fixture
+    // dominate the CDC bench slice for no extra coverage.
     val grouped = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 4 === 0)
       .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
-        $"o_totalprice".cast(DecimalType(18, 2)).cast("string").as("total_str"))
+        priceStr($"o_totalprice").as("total_str"))
       .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
       .groupBy($"o_custkey")
       .agg(sort_array(collect_list(struct($"o_orderkey", $"o_orderstatus", $"total_str")))
@@ -344,6 +396,7 @@ object CdcQueries {
     "cdc_materialize" -> cdc_materialize _,
     "cdc_transitions" -> cdc_transitions _,
     "cdc_typed_products" -> cdc_typed_products _,
+    "cdc_typed_orders" -> cdc_typed_orders _,
     "cdc_message_status" -> cdc_message_status _,
     "cdc_health_surface" -> cdc_health_surface _,
     "s6_log_levels" -> s6_log_levels _,
@@ -395,14 +448,16 @@ object CdcQueries {
         |  ['INFO','WARN','ERROR','DEBUG'][CAST(o_orderkey % 4 AS INT) + 1] AS level,
         |  CASE WHEN o_orderkey % 3 = 0 THEN 'consumer' ELSE 'elasticsearch' END AS component
         |FROM orders ORDER BY id""".stripMargin,
+    // total mirrors priceStr→DECIMAL(18,2)→double: exact cents / 100 is the
+    // correctly-rounded double on both engines
     "cdc_wire_parse" ->
       """SELECT 'testdb' AS "database", 'orders' AS "table", 'update' AS op,
         |  o_orderkey AS id, o_orderstatus AS status,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS total,
         |  'was-' || CAST(o_orderkey AS VARCHAR) AS prev_status,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS INTEGER) AS pos,
         |  1704067200000 + o_custkey AS es_ms
-        |FROM orders ORDER BY id""".stripMargin,
+        |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY id""".stripMargin,
     "cdc_wire_latest" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status, 'update' AS op,
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
@@ -421,13 +476,34 @@ object CdcQueries {
         |  o_orderstatus AS new_status,
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY id""".stripMargin,
+    // price mirrors priceStr: exact integer cents → 'd.dd' string → DECIMAL
     "cdc_typed_products" ->
-      """SELECT o_orderkey AS id,
+      """WITH cents AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT o_orderkey AS id,
         |  'item-' || CAST(o_orderkey AS VARCHAR) AS name,
-        |  CAST(o_totalprice AS DECIMAL(10,2)) AS price,
+        |  CAST(CAST(c // 100 AS VARCHAR) || '.' ||
+        |       lpad(CAST(c % 100 AS VARCHAR), 2, '0') AS DECIMAL(10,2)) AS price,
         |  CAST(o_orderkey % 100 AS INT) AS stock,
         |  'insert' AS op, o_orderkey AS "offset"
-        |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY id""".stripMargin,
+        |FROM cents ORDER BY id""".stripMargin,
+    // full orders DDL type surface; total_price mirrors priceStr, created_at
+    // rebuilt from the same seconds arithmetic on a naive timestamp
+    "cdc_typed_orders" ->
+      """WITH cents AS (
+        |  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 4 = 1)
+        |SELECT o_orderkey AS id, o_custkey AS user_id,
+        |  o_orderkey % 1000 AS product_id,
+        |  CAST(o_orderkey % 10 + 1 AS INT) AS quantity,
+        |  CAST(CAST(c // 100 AS VARCHAR) || '.' ||
+        |       lpad(CAST(c % 100 AS VARCHAR), 2, '0') AS DECIMAL(10,2)) AS total_price,
+        |  o_orderstatus AS status,
+        |  TIMESTAMP '2024-01-01 00:00:00'
+        |    + (o_orderkey % 86400) * INTERVAL 1 SECOND AS created_at,
+        |  'insert' AS op, o_orderkey AS "offset"
+        |FROM cents ORDER BY id""".stripMargin,
     // integer key arithmetic: UPDATE (+1 ms) and DELETE (+2 ms) are visible
     // at cutoff +15000 exactly for id <= 4999; key 5000 is INSERT-only
     "cdc_wire_asof" ->
