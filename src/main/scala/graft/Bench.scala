@@ -14,6 +14,15 @@ import scala.jdk.CollectionConverters._
   * between runs. Per-query JVMs make each number reproducible; JVM + session
   * startup stays OUT of the measurement (the child times only the query).
   *
+  * Truncation posture: the driver captures a BOUNDED TAIL of process output
+  * (~2 KB) and parses the JSON line out of it — at ~100 queries the full
+  * per-query map no longer fits, and round 5's total was clipped away with
+  * the line's head. So the full per-query detail ({cold, warm} seconds) is
+  * always written to a file (SPARK_GRAFT_DETAIL, default BENCH_DETAIL.json
+  * in the working directory), and the stdout line adapts: the complete map
+  * when it fits comfortably inside the tail, otherwise a compact total-first
+  * line carrying only the slowest queries plus a pointer to the detail file.
+  *
   * Escape hatches: SPARK_GRAFT_NO_FORK=1 runs everything inline (fast local
   * iteration), SPARK_GRAFT_ONLY=a,b,c limits the query set in either mode.
   *
@@ -22,7 +31,11 @@ import scala.jdk.CollectionConverters._
   * the full operator, while still avoiding any collect-to-driver cost. */
 object Bench {
 
-  private def runInline(names: Seq[String], sfDir: String, cpus: String): Seq[(String, Double)] = {
+  /** One measurement: cold = first (fork-fresh) run, warm = steady-state
+    * plan cost (min of first and second run; see [[runInline]]). */
+  private final case class Timing(name: String, cold: Double, warm: Double)
+
+  private def runInline(names: Seq[String], sfDir: String, cpus: String): Seq[Timing] = {
     val spark = EngineSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the shared machinery (parquet reader, codegen compiler, shuffle,
@@ -61,18 +74,19 @@ object Bench {
       val t1 = runOnce(name, fn)
       val sec = if (t1 <= warmCutoff) math.min(t1, runOnce(name, fn)) else t1
       System.err.println(f"[bench] $name%-24s $sec%9.3f s  (cold ${t1}%.3f s)")
-      name -> sec
+      Timing(name, t1, sec)
     }
     spark.stop()
     results
   }
 
   /** Spawn one child JVM per query; the child re-enters [[main]] with
-    * SPARK_GRAFT_FORKED=1 and prints its own JSON line, from which the
-    * parent extracts the inside-the-JVM query time. A child that dies or
-    * emits no JSON is recorded at its wall-clock time (upper bound) so the
-    * bench line stays complete. */
-  private def runForked(names: Seq[String]): Seq[(String, Double)] = {
+    * SPARK_GRAFT_FORKED=1 and prints its own JSON line (a one-query map, so
+    * it always fits the tail), from which the parent extracts the
+    * inside-the-JVM warm + cold times. A child that dies or emits no JSON is
+    * recorded at its wall-clock time (upper bound) so the bench line stays
+    * complete. */
+  private def runForked(names: Seq[String]): Seq[Timing] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
@@ -88,16 +102,40 @@ object Bench {
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       val rc = proc.waitFor()
       val wall = (System.nanoTime() - t0) / 1e9
-      val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
-      val sec = re.findFirstMatchIn(out).map(_.group(1).toDouble) match {
-        case Some(v) if rc == 0 => v
-        case _ =>
+      val q = java.util.regex.Pattern.quote(name)
+      def extract(section: String): Option[Double] =
+        ("\"" + section + "\":\\{\"" + q + "\":([0-9.]+)").r
+          .findFirstMatchIn(out).map(_.group(1).toDouble)
+      val t = extract("queries").filter(_ => rc == 0) match {
+        case Some(warm) => Timing(name, extract("cold").getOrElse(warm), warm)
+        case None =>
           System.err.println(s"[bench] $name child rc=$rc, no result — recording wall time")
-          wall
+          Timing(name, wall, wall)
       }
-      System.err.println(f"[bench] $name%-24s $sec%9.3f s  (wall ${wall}%.1f s)")
-      name -> sec
+      System.err.println(f"[bench] $name%-24s ${t.warm}%9.3f s  (wall ${wall}%.1f s)")
+      t
     }
+  }
+
+  private def jsonMap(entries: Seq[(String, Double)]): String =
+    entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+
+  /** Full per-query record — the artifact the bounded tail cannot clip. */
+  private def writeDetail(path: String, results: Seq[Timing],
+                          total: Double, sfDir: String): Unit = {
+    val rows = results.map(t =>
+      f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f}""")
+    val json =
+      f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
+         | "methodology": "per-query forked JVM; warm = min of 2 runs, cold = first run",
+         | "sf": "$sfDir",
+         | "queries": {
+         |${rows.mkString(",\n")}
+         |}}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes("UTF-8"))
+    ()
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,16 +146,33 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val inline = sys.env.get("SPARK_GRAFT_FORKED").contains("1") ||
-      sys.env.get("SPARK_GRAFT_NO_FORK").contains("1")
+    val isChild = sys.env.get("SPARK_GRAFT_FORKED").contains("1")
+    val inline = isChild || sys.env.get("SPARK_GRAFT_NO_FORK").contains("1")
     val results = if (inline) runInline(names, sfDir, cpus) else runForked(names)
-    // Keep the JSON line compact (3-decimal seconds): the driver parses it
-    // out of a bounded tail of the process output, so an over-long line gets
-    // truncated mid-JSON and recorded as unparseable.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_.warm).sum
+    val totalStr = f"$total%.3f"
+    if (!isChild) {
+      val detail = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+      try writeDetail(detail, results, total, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+      }
+    }
+    val warm = jsonMap(results.map(t => t.name -> t.warm))
+    val cold = jsonMap(results.map(t => t.name -> t.cold))
+    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$warm,"cold":$cold,"sf":"$sfDir"}"""
+    // The driver parses the line from a bounded ~2 KB output tail; a line
+    // that outgrows it gets clipped mid-JSON (round 5 lost the total this
+    // way). Keep the full map only while it fits comfortably; otherwise emit
+    // a compact total-first line with the slowest queries and point at the
+    // detail file for the rest.
+    val line =
+      if (full.length <= 1400) full
+      else {
+        val slowest = jsonMap(results.sortBy(-_.warm).take(12).map(t => t.name -> t.warm))
+        s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      }
+    println(line)
     Console.out.flush()
   }
 }
