@@ -144,27 +144,36 @@ object LlmOps {
       ORDER BY query_id, rank""")
   }
 
-  /** X3c — embedding-cosine near-duplicate detection. Candidates come from a
-    * 4-bit sign-LSH bucket (axis-aligned hyperplanes: the sign of the first
-    * four dimensions) — a similarity-correlated bucket that is still
-    * DuckDB-expressible, unlike seeded random hyperplanes. Pairs sharing a
-    * bucket are verified by exact cosine; threshold 0.3 is calibrated to the
-    * fixture's similarity range (its max within-bucket cosine is ~0.51, so
-    * the result is non-empty at every SF). */
+  /** X3c — embedding-cosine near-duplicate detection, the DuckDB-checkable
+    * certification twin of the banded-LSH family. Candidates come from a
+    * 16-bit sign-LSH bucket (axis-aligned hyperplanes: the sign of the first
+    * 16 dimensions) — similarity-correlated and still DuckDB-expressible,
+    * unlike seeded random hyperplanes. 16 bits keeps bucket occupancy ~1 on
+    * this corpus (max observed 2 at every SF; asserted in SimilaritySpec),
+    * so the within-bucket pair join stays near-linear instead of the n²/16
+    * cartesian a 4-bit bucket degenerates into. Pairs sharing a bucket are
+    * verified by exact cosine; threshold 0.2 is calibrated so the survivor
+    * set is non-empty at every SF under the tighter bucket.
+    *
+    * NOT the production path at scale: a single global sign bucket has no
+    * recall guarantee and its occupancy is corpus-dependent. At 100 TB use
+    * the banded sketch family — [[graft.ops.Dedup.minhashLshPairs]] /
+    * [[graft.ops.Dedup.simhashPairs]] for documents,
+    * [[graft.ops.Similarity.lshTopK]] for embeddings — whose multi-band
+    * OR-construction bounds both candidate volume and missed-pair odds. */
   def x3_cosine_neardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions.cosine
     def bucketed(idAs: String, embAs: String) =
       embeddings(s, dir).select(
         $"vec_id".as(idAs), $"embedding".as(embAs),
-        ((element_at($"embedding", 1) > 0).cast("int") * 8 +
-         (element_at($"embedding", 2) > 0).cast("int") * 4 +
-         (element_at($"embedding", 3) > 0).cast("int") * 2 +
-         (element_at($"embedding", 4) > 0).cast("int")).as("bucket"))
+        (1 to 16).map(i =>
+          (element_at($"embedding", i) > 0).cast("bigint") * (1L << (16 - i)))
+          .reduce(_ + _).as("bucket"))
     bucketed("id_a", "emb_a").join(bucketed("id_b", "emb_b"), Seq("bucket"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b", round(cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
-      .filter($"cos_sim" >= 0.3)
+      .filter($"cos_sim" >= 0.2)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -465,14 +474,15 @@ object LlmOps {
     "x3_cosine_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-        |    CAST(embedding[1] > 0 AS INT) * 8 + CAST(embedding[2] > 0 AS INT) * 4 +
-        |    CAST(embedding[3] > 0 AS INT) * 2 + CAST(embedding[4] > 0 AS INT) AS bucket
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      CAST(embedding[CAST(i AS INT)] > 0 AS BIGINT)
+        |        * (1 << (16 - CAST(i AS INT))))) AS bucket
         |  FROM embeddings)
         |SELECT id_a, id_b, cos_sim FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-        |WHERE cos_sim >= 0.3
+        |WHERE cos_sim >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
     "x4_text_quality" ->
       """SELECT doc_id,

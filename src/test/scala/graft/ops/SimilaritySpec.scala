@@ -99,4 +99,21 @@ class SimilaritySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("x3_cosine_neardup's 16-bit sign bucket keeps the candidate join near-linear") {
+    // the certification twin must not degenerate into a within-bucket
+    // cartesian: on the real corpus the 16-bit bucket keeps occupancy ~1,
+    // so candidate pairs stay below n (a 4-bit bucket yields ~n²/16)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val bucket = (1 to 16).map(i =>
+      (element_at($"embedding", i) > 0).cast("bigint") * (1L << (16 - i)))
+      .reduce(_ + _)
+    val byBucket = emb.select(bucket.as("b")).groupBy($"b").count()
+    val candidates = byBucket
+      .select(sum($"count" * ($"count" - 1) / 2).cast("bigint")).as[Long].head()
+    val maxOccupancy = byBucket.select(max($"count")).as[Long].head()
+    assert(candidates < n, s"candidate pairs $candidates not near-linear in n=$n")
+    assert(maxOccupancy <= 4, s"bucket occupancy $maxOccupancy unexpectedly high")
+  }
 }
