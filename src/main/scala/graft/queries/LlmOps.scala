@@ -118,6 +118,35 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3b'' — the persisted-IVF serving path: write the inverted lists as a
+    * list-partitioned parquet index, then answer the probe batch from
+    * partition-pruned reads of exactly the probed lists — the layout that
+    * matters at 100 TB, where a query batch touches |probed lists| / nLists
+    * of the index bytes instead of the full corpus. Rows-only for the
+    * driver; equality with the in-memory [[x3_ann_ivf]] form and the
+    * partition-pruned scan are spec-asserted in SimilaritySpec. */
+  def x3_ann_ivf_index(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    deleteOnExit(idxDir)
+    val cents = Similarity.writeIvfIndex(emb, dim = 64, nLists = 16, path = idxDir)
+    Similarity.ivfTopKFromIndex(s, emb.filter($"vec_id" < 20), idxDir, cents, k = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Recursively delete a temp dir at JVM exit — exit-time (not eager)
+    * because the returned DataFrame still reads the index files lazily. */
+  private def deleteOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }))
+
   /** X3-SQL — the same exact top-k expressed through the engine's SQL
     * surface: [[graft.GraftExtensions]] registers the native codegen
     * `vector_dot`, and the whole query (including cosine built from three
@@ -369,6 +398,7 @@ object LlmOps {
     "x3_cosine_topk" -> x3_cosine_topk _,
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_ivf" -> x3_ann_ivf _,
+    "x3_ann_ivf_index" -> x3_ann_ivf_index _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
     "x3_sql_topk" -> x3_sql_topk _,
     "x4_text_quality" -> x4_text_quality _,
