@@ -192,8 +192,12 @@ object CdcQueries {
       ("engine", "queries_terminated", listener.queriesTerminated.sum),
       ("engine", "rows_processed", listener.rowsProcessed.sum),
       ("engine", "application_errors", listener.errorCounts.map(_._2).sum),
-      ("engine", "batches_completed_min1",
-        math.min(listener.batchesCompleted.sum, 1L))) // clamp: empty-batch count varies by trigger timing
+      // honest boolean, not a clamped gauge: the raw batch count varies with
+      // trigger timing (empty batches), so the stable cross-run signal is
+      // "did any batch complete"; the real >= count invariant is asserted in
+      // StreamingSpec where the batch schedule is controlled
+      ("engine", "ran_any_batch",
+        math.min(listener.batchesCompleted.sum, 1L)))
     val sinks = PipelineHealth.SinkCounters.snapshot
       .map { case (op, st, n) => (s"sink_$op", st, n) }
     (gauges ++ sinks).toDF("component", "metric", "value")

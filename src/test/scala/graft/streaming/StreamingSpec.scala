@@ -158,6 +158,38 @@ class StreamingSpec extends SparkSpec {
     assert(closed === Set(("a", 2L), ("b", 1L)))
   }
 
+  test("P1' sliding rate: streaming result equals the batch twin window-for-window") {
+    // the true 5m/30s overlapping-window rate (MetricsOps.p1_rate_sliding):
+    // the identical groupBy(window(len, slide)) plan must produce the same
+    // window set incrementally over micro-batches as in one batch pass
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
+    val events = Seq(
+      (t(0), "insert"), (t(15), "insert"), (t(30), "update"),
+      (t(75), "insert"), (t(290), "delete"), (t(310), "update"))
+    def slidingRate(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window($"ts", "5 minutes", "30 seconds"), $"event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"window.start".as("bucket_start"), $"event_type", $"cnt",
+                round($"cnt" / 300.0, 6).as("rate_per_sec"))
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = slidingRate(mem.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("p1_sliding_stream")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(events.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(3): _*)   // split across micro-batches
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("p1_sliding_stream")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = slidingRate(events.toDF("ts", "event_type"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    // every event belongs to exactly windowLen/slide = 10 sliding windows
+    assert(streamed.toSeq.map(_._3).sum === events.size * 10L)
+  }
+
   test("P7 sustained threshold: fires only after the hold-down duration") {
     import Alerts._
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
@@ -199,6 +231,8 @@ class StreamingSpec extends SparkSpec {
     import graft.cdc.CdcApply
     val tmp = java.nio.file.Files.createTempDirectory("graft_mat").toString
     graft.streaming.PipelineHealth.SinkCounters.reset()
+    val health = new PipelineHealth.HealthListener
+    spark.streams.addListener(health)
     val mem = MemoryStream[String]
     val raw = mem.toDF()
       .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
@@ -224,6 +258,15 @@ class StreamingSpec extends SparkSpec {
     val ok = graft.streaming.PipelineHealth.SinkCounters.snapshot
       .collectFirst { case ("materialize", "success", n) => n }
     assert(ok.exists(_ >= 3))
+    // the REAL batch-count invariant (the driver surface only exposes the
+    // boolean ran_any_batch, because empty-batch counts vary with trigger
+    // timing): three addData+processAllAvailable rounds → at least 3
+    // completed batches. Listener bus is async — poll briefly.
+    val deadline = System.currentTimeMillis() + 10000
+    while (health.batchesCompleted.sum < 3 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    spark.streams.removeListener(health)
+    assert(health.batchesCompleted.sum >= 3)
   }
 
   test("M4 error route: poison row is counted and skipped, the sink keeps running") {
