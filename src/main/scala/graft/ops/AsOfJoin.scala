@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Left as-of join: `left` columns plus `asof_<p>` for every right payload
-    * column `p` (null when no prior right row exists). `right` must contain
+    * column `p`. `asof_<p>` is null when no prior right row exists, or when
+    * the latest prior right row's `p` is itself null — the payloads of one
+    * output row always come from the SAME right row. `right` must contain
     * the key columns, `rightTs`, and the payload columns. */
   def asofJoinPrior(left: DataFrame, right: DataFrame, key: Seq[String],
                     leftTs: String, rightTs: String,
@@ -40,13 +42,20 @@ object AsOfJoin {
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all payloads in one projection → a single Window node (chained
-    // withColumn left two same-spec Window passes in the physical plan)
-    val asofCols = payload.map(p =>
-      last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w).as(s"asof_$p"))
+    // ONE carried struct, not a per-column last: with per-column carries a
+    // null payload VALUE in the latest prior right row would fall back to an
+    // OLDER row's value for that column only, stitching the output from
+    // different right rows (and an all-null-payload right row would be
+    // invisible). The struct is non-null whenever the right ROW exists, so
+    // row integrity survives nullable payloads — and it is still a single
+    // Window node.
+    val carried = last(when(col("__side") === 0, struct(payload.map(col): _*)),
+      ignoreNulls = true).over(w).as("__asof")
+    val asofCols = payload.map(p => col(s"__asof.$p").as(s"asof_$p"))
     unioned
-      .select(col("*") +: asofCols: _*)
+      .select(col("*"), carried)
       .filter(col("__side") === 1)
-      .drop((payload ++ Seq("__ts", "__side")): _*)
+      .select(col("*") +: asofCols: _*)
+      .drop((payload ++ Seq("__ts", "__side", "__asof")): _*)
   }
 }

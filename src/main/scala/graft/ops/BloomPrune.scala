@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.BinaryType
 object BloomPrune {
 
   /** `big` filtered to rows whose `bigKey` MIGHT be in `small.smallKey`
-    * (no false negatives — safe as a pre-filter for any equi-join).
+    * (no false negatives). Safe as a pre-filter for INNER and LEFT-SEMI
+    * equi-joins only — the shapes used here: dropping probable-non-matching
+    * big rows from the preserved side of an outer join would remove rows
+    * that must surface with nulls. With an EMPTY small side the aggregate
+    * yields a null filter and `might_contain(null, _)` drops every big row —
+    * again correct for inner/semi (nothing can match), wrong for outer.
     * `might_contain` requires its filter operand to be a CONSTANT, so the
     * filter bytes come to the driver — bounded metadata, ~1.25 bytes per
     * expected item (the same bytes Spark's InjectRuntimeFilter ships via a

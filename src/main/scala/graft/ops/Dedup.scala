@@ -287,7 +287,7 @@ object Dedup {
     * cluster_id = min node id of the component, so the row with
     * `id == cluster_id` is the canonical keeper. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIters: Int = 10): DataFrame = {
+                          idB: String = "id_b", maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint(false)
@@ -309,6 +309,15 @@ object Dedup {
       labels = next
       i += 1
     }
+    // never let unconverged labels ship silently as correct clusters: a
+    // component whose min-label eccentricity exceeds maxIters (e.g. a long
+    // near-dup chain) would otherwise return WRONG cluster_ids on exactly
+    // the inputs where the caller can't tell
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds maxIters; raise maxIters (rounds are " +
+          "O(diameter)) or switch to a large-star/small-star variant")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

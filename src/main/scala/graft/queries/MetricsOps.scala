@@ -382,11 +382,13 @@ object MetricsOps {
         |WHERE NOT EXISTS (SELECT 1 FROM ev e
         |                  WHERE e.event_type = k.event_type AND e.minute = s.minute)
         |GROUP BY k.event_type ORDER BY k.event_type""".stripMargin,
+    // >= at the gap boundary: session_window is half-open [start, start+gap),
+    // so an exactly-gap-later event starts a NEW session (see q27's oracle)
     "p10_sessions" ->
       """WITH brk AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS b
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS b
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |g AS (
         |  SELECT user_id, ts,

@@ -676,11 +676,14 @@ object Relational {
         |FROM events e ASOF LEFT JOIN err
         |  ON e.user_id = err.user_id AND e.ts >= err.ts
         |ORDER BY e.event_id""".stripMargin,
+    // >= at the gap boundary: session_window windows are half-open
+    // [start, start+gap), so an event exactly `gap` after its predecessor
+    // starts a NEW session — the islands predicate must break there too
     "q27_range_join" ->
       """WITH brk AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS b
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS b
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |g AS (
         |  SELECT user_id, ts,

@@ -104,10 +104,13 @@ object CdcPipeline {
                         leftKey: String, rightKey: String,
                         leftTs: String, rightTs: String,
                         lookback: String = "10 minutes"): DataFrame =
+    // columns resolve against their own side: self-correlating one stream
+    // (both sides keyed 'id', timestamped 'timestamp') would otherwise throw
+    // AMBIGUOUS_REFERENCE from the bare col() lookups
     left.join(right,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) > col(leftTs) - expr(s"INTERVAL $lookback") &&
-        col(rightTs) <= col(leftTs))
+      left(leftKey) === right(rightKey) &&
+        right(rightTs) > left(leftTs) - expr(s"INTERVAL $lookback") &&
+        right(rightTs) <= left(leftTs))
 
   /** At-least-once → effectively-once: drop redelivered wire records by
     * their delivery identity (source partition, offset) with

@@ -35,6 +35,26 @@ class AsOfJoinSpec extends SparkSpec {
       "l-d" -> Some(101), "l-e" -> Some(200), "l-f" -> None))
   }
 
+  test("asof: nullable payloads keep row integrity — no stitching across right rows") {
+    // the latest prior right row of key 1 at l@6 is r@5, whose p is NULL and
+    // q=21: asof_p must be null (NOT fall back to r@1's 10) and asof_q=21 —
+    // both payloads from the SAME right row. An all-null-payload right row
+    // (key 2, r@2) must still be visible as the match.
+    val left = Seq((1, ts(6), "l1"), (2, ts(6), "l2")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1, ts(1), Some(10), Some(20)),
+      (1, ts(5), None, Some(21)),
+      (2, ts(2), None, None)
+    ).toDF("k", "rts", "p", "q")
+    val out = AsOfJoin.asofJoinPrior(left, right,
+        key = Seq("k"), leftTs = "ts", rightTs = "rts", payload = Seq("p", "q"))
+      .select($"tag", $"asof_p", $"asof_q")
+      .as[(String, Option[Int], Option[Int])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("l1") === ((None, Some(21))))
+    assert(out("l2") === ((None, None)))
+  }
+
   test("asof: left columns pass through untouched, one output row per left row") {
     val left = Seq((1, ts(4), 7.5), (1, ts(6), 8.5)).toDF("k", "ts", "v")
     val right = Seq((1, ts(5), "x")).toDF("k", "rts", "s")
