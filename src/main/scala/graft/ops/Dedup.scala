@@ -321,6 +321,74 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** X9' — connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): same (id, cluster_id) contract as [[connectedComponents]],
+    * but convergence is O(log n) rounds in the component size instead of
+    * O(diameter) — the variant for path-shaped duplicate graphs (serial
+    * near-copies of near-copies) whose diameter grows with corpus size.
+    *
+    * Each round is two passes over the edge list, each ONE hash-partitioned
+    * window + distinct:
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ u) — grows stars downward without breaking
+    *     connectivity;
+    *   - small-star(u): with edges held at their larger endpoint, u and its
+    *     smaller neighbors all attach to m = min(Γ⁻(u) ∪ u) — the
+    *     path-halving step.
+    * The fixpoint is the star forest rooted at component minima; the
+    * convergence probe is an exact symmetric-difference check, and
+    * exhausting `maxIters` throws rather than shipping unconverged labels.
+    * Hash-min stays the default for dedup-shaped (shallow) graphs — fewer
+    * shuffles per round; this is the escape hatch its doc points at. */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b", maxIters: Int = 50): DataFrame = {
+    // every node mentioned anywhere keeps a row even if its only pair is a
+    // self-loop (parity with the hash-min contract)
+    val allNodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct()
+      .localCheckpoint(false)
+    var edges = pairs
+      .filter(col(idA) =!= col(idB))
+      .select(least(col(idA), col(idB)).as("small"),
+        greatest(col(idA), col(idB)).as("large"))
+      .distinct()
+      .localCheckpoint(false)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      // LARGE-STAR over the symmetric adjacency: one window per node u for
+      // m = min(Γ(u) ∪ u); each edge is emitted by its smaller endpoint's
+      // group (the larger endpoint contributes nothing for it), so
+      // connectivity is preserved without an explicit union of survivors
+      val sym = edges.select(col("small").as("u"), col("large").as("v"))
+        .union(edges.select(col("large").as("u"), col("small").as("v")))
+      val ls = sym
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("small"), col("v").as("large"))
+        .filter(col("small") =!= col("large"))
+        .distinct()
+      // SMALL-STAR with edges held at the larger endpoint: all of u's
+      // (strictly smaller) neighbors and u itself re-attach to the min
+      val ss0 = ls.withColumn("m", min(col("small")).over(Window.partitionBy("large")))
+      val next = ss0.select(col("m").as("small"), col("small").as("large"))
+        .union(ss0.select(col("m").as("small"), col("large")))
+        .filter(col("small") =!= col("large"))
+        .distinct()
+        .localCheckpoint(false)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    allNodes
+      .join(edges.select(col("large").as("id"), col("small").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
+  }
+
   /** X2 exact variant — n-gram Jaccard similarity of shingle sets, computed
     * with an inverted-index join (shingle → doc) instead of all-pairs: the
     * exact verifier behind the MinHash estimate. Keep the candidate set

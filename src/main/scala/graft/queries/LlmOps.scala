@@ -377,6 +377,20 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X9' — same duplicate-cluster resolution through the large-star/
+    * small-star rounds ([[Dedup.connectedComponentsStar]]): identical
+    * clusters as [[x9_dup_clusters]] against the identical reachability
+    * oracle, certifying the O(log n)-round variant end-to-end (its edge
+    * over hash-min — high-diameter chains — is spec-asserted). */
+  def x9_dup_clusters_star(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
+      shingleSize = 3, minJaccard = 0.3)
+    Dedup.connectedComponentsStar(pairs)
+      .select($"id".as("doc_id"), $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
   /** X6 — JSON prop extraction + aggregation over the extracted key. */
   def x6_props_agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -414,6 +428,7 @@ object LlmOps {
     "x4_vocab" -> x4_vocab _,
     "x3_quantize_int8" -> x3_quantize_int8 _,
     "x9_dup_clusters" -> x9_dup_clusters _,
+    "x9_dup_clusters_star" -> x9_dup_clusters_star _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -656,7 +671,12 @@ object LlmOps {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // x2_ngram_jaccard's pair SQL + recursive reachability: a node's
     // cluster_id = min id reachable in the symmetric pair graph
-    "x9_dup_clusters" ->
+    "x9_dup_clusters" -> x9ReachabilityOracle,
+    // identical reachability ground truth for the star-rounds variant
+    "x9_dup_clusters_star" -> x9ReachabilityOracle,
+  )
+
+  private lazy val x9ReachabilityOracle: String =
       """WITH RECURSIVE words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (
@@ -683,6 +703,5 @@ object LlmOps {
         |  UNION
         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
         |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
-        |ORDER BY doc_id""".stripMargin,
-  )
+        |ORDER BY doc_id""".stripMargin
 }

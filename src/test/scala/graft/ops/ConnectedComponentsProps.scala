@@ -39,4 +39,12 @@ object ConnectedComponentsProps extends Properties("ConnectedComponents") {
         .as[(Long, Long)].collect().toMap
       got == unionFind(pairs)
     }
+
+  property("connectedComponentsStar == union-find") =
+    forAll(Gen.listOfN(14, genPair)) { pairs =>
+      import spark.implicits._
+      val got = Dedup.connectedComponentsStar(pairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(pairs)
+    }
 }
