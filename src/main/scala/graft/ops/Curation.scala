@@ -112,6 +112,31 @@ object Curation {
       .agg(countDistinct(col("shingle_h")).as("n_common"))
   }
 
+  /** Uniform basis points in [0, 10000) derived only from the id, via the
+    * md5-portable construction the sketch twins use (first 15 hex chars →
+    * 60-bit integer — exact in int64 on any engine). Deterministic and
+    * engine-reproducible where `rand()` is neither. */
+  def sampleBasisPoints(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("bigint") % 10000L
+
+  /** Stratified sampling at per-stratum rates (data mixing: e.g. keep 50%
+    * of English, 10% of a crawl-heavy source). Rates are basis points per
+    * stratum value; strata not listed fall back to `defaultBp`. Membership
+    * depends only on the id — re-runs, engine changes, and incremental
+    * appends never change a document's fate, and upsampling a stratum later
+    * (raising its bp) strictly GROWS its kept set (nested samples), the
+    * property reservoir/rand sampling cannot give. Stateless narrow filter:
+    * no shuffle, no RNG state, pushes down past joins. */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+                       ratesBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
+    require(ratesBp.values.forall(bp => bp >= 0 && bp <= 10000),
+      "rates are basis points in [0, 10000]")
+    val rate = ratesBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp)) {
+      case (acc, (k, bp)) => when(stratum === k, lit(bp)).otherwise(acc)
+    }
+    df.filter(sampleBasisPoints(id) < rate)
+  }
+
   /** Shard interleaving: deal rows into `nShards` shards in
     * [[permuteHash]]-permuted order, with the position of each row inside
     * its shard. Downstream training readers consume shards independently —

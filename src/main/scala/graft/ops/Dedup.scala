@@ -389,6 +389,25 @@ object Dedup {
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
+  /** X9'' — duplicate-cluster RESOLUTION POLICY: assign every document its
+    * cluster (singletons cluster with themselves) and elect one canonical
+    * keeper per cluster by (`quality` desc, id asc) — the policy step
+    * between clustering and the actual drop. Min-id keeping (the
+    * [[connectedComponents]] convention) throws away the BEST copy whenever
+    * a higher-quality near-dup arrived later; electing by quality keeps it.
+    * Cost: the CC rounds plus ONE left join and ONE window over cluster_id.
+    * Returns `df`'s rows plus (cluster_id, keeper_id, is_kept). */
+  def resolveKeepers(df: DataFrame, pairs: DataFrame, idCol: String,
+                     quality: Column): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(quality.desc, col(idCol).asc)
+    df.join(cc, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("keeper_id", first(col(idCol)).over(w))
+      .withColumn("is_kept", col(idCol) === col("keeper_id"))
+  }
+
   /** X2 exact variant — n-gram Jaccard similarity of shingle sets, computed
     * with an inverted-index join (shingle → doc) instead of all-pairs: the
     * exact verifier behind the MinHash estimate. Keep the candidate set

@@ -95,6 +95,27 @@ object TextOps {
   def fingerprint(text: Column): Column =
     sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
 
+  /** Word-unigram Shannon entropy in bits/word — the cheap perplexity proxy
+    * for quality filtering: low entropy flags repetitive boilerplate,
+    * template spam, and keyword stuffing that length/stopword ratios miss.
+    * Shuffle-free: distinct words and their occurrence counts come from
+    * higher-order array functions in ONE codegen'd projection (O(d·n) per
+    * row over d distinct words), not an explode → groupBy round trip.
+    * Cross-engine determinism: float addition is not associative, so the
+    * distinct words are SORTED before the fold — any oracle summing the
+    * same sorted terms reproduces the sum bit-for-bit; `+ 0.0` normalizes
+    * the single-word `-0.0` case before rounding. */
+  def wordEntropyArr(words: Column): Column = {
+    val n = size(words).cast("double")
+    val terms = transform(array_sort(array_distinct(words)), w => {
+      val p = size(filter(words, x => x === w)).cast("double") / n
+      -p * log2(p)
+    })
+    round(aggregate(terms, lit(0.0), (acc, t) => acc + t) + lit(0.0), 4)
+  }
+
+  def wordEntropy(text: Column): Column = wordEntropyArr(split(text, " "))
+
   /** Rolling polynomial hash over words (base-31 mod 2^61-1 style, via
     * left fold) — an order-sensitive fingerprint, unlike the set-based
     * shingle hashes. */

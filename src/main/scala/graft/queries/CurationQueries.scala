@@ -55,6 +55,18 @@ object CurationQueries {
       .orderBy($"shard", $"pos")
   }
 
+  /** X7f — deterministic stratified sampling: keep 50% of en, 25% of es,
+    * 10% of zh by the md5-portable uniform in basis points — membership
+    * depends only on doc_id, so re-runs and appends never flip a document
+    * and raising a stratum's rate strictly grows its kept set. */
+  def x7_stratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.stratifiedSample(documents(s, dir), $"lang", $"doc_id",
+        Map("en" -> 5000, "es" -> 2500, "zh" -> 1000))
+      .select($"doc_id", $"lang", Curation.sampleBasisPoints($"doc_id").as("u_bp"))
+      .orderBy($"doc_id")
+  }
+
   /** X8 — benchmark decontamination: documents sharing ≥ 1 three-shingle
     * with the held-out eval slice (doc_id % 97 == 0), with the shared
     * distinct-shingle count and an exclusion flag at ≥ 5. The eval side is
@@ -117,10 +129,22 @@ object CurationQueries {
     "x7_interleave" -> x7_interleave _,
     "x8_decontaminate" -> x8_decontaminate _,
     "x7_zorder" -> x7_zorder _,
+    "x7_stratified" -> x7_stratified _,
     "x10_pipeline" -> x10_pipeline _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // md5-portable uniform, mirrored exactly (memory: '0x'||hex → BIGINT)
+    "x7_stratified" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 10000 AS u_bp
+        |  FROM documents)
+        |SELECT doc_id, lang, u_bp FROM u
+        |WHERE u_bp < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+        |                       WHEN 'zh' THEN 1000 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
     "x7_split_assign" ->
       """SELECT doc_id,
         |  ((doc_id * 1000003 + 12345) % 1000000007) % 100 AS bucket,

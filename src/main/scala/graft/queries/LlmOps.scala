@@ -391,6 +391,35 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X4g — word-unigram entropy (perplexity proxy): the quality signal that
+    * catches repetitive boilerplate and keyword stuffing which length and
+    * stopword ratios miss. Shuffle-free codegen'd fold per document
+    * ([[TextOps.wordEntropyArr]]); sorted-term summation keeps the float
+    * fold bit-reproducible against the oracle. */
+  def x4_entropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("words"))
+      .select($"doc_id",
+        size(array_distinct($"words")).as("n_distinct"),
+        TextOps.wordEntropyArr($"words").as("word_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  /** X9'' — keeper election per duplicate cluster: cluster every document
+    * (singletons included) and keep the highest-quality copy (n_chars desc,
+    * doc_id asc tie-break) instead of the min-id convention — the policy a
+    * real dedup pipeline applies before dropping rows. */
+  def x9_keepers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleSize = 3, minJaccard = 0.3)
+    Dedup.resolveKeepers(docs, pairs, "doc_id", $"n_chars")
+      .select($"doc_id", $"cluster_id", $"keeper_id", $"is_kept")
+      .orderBy($"doc_id")
+  }
+
   /** X6 — JSON prop extraction + aggregation over the extracted key. */
   def x6_props_agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -429,6 +458,8 @@ object LlmOps {
     "x3_quantize_int8" -> x3_quantize_int8 _,
     "x9_dup_clusters" -> x9_dup_clusters _,
     "x9_dup_clusters_star" -> x9_dup_clusters_star _,
+    "x4_entropy" -> x4_entropy _,
+    "x9_keepers" -> x9_keepers _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -674,9 +705,37 @@ object LlmOps {
     "x9_dup_clusters" -> x9ReachabilityOracle,
     // identical reachability ground truth for the star-rounds variant
     "x9_dup_clusters_star" -> x9ReachabilityOracle,
+    // terms summed over SORTED distinct words — same fold order as Spark
+    "x4_entropy" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, len(list_distinct(w)) AS n_distinct,
+        |  round(coalesce(list_sum(list_transform(list_sort(list_distinct(w)), d ->
+        |    -(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w))
+        |      * log2(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w)))), 0)
+        |    + 0.0, 4) AS word_entropy
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // same reachability clusters, keeper elected by (n_chars desc, id asc)
+    "x9_keepers" -> (x9Cte +
+      """,
+        |labels AS (SELECT id AS doc_id, min(label) AS cluster_id
+        |           FROM walk GROUP BY id)
+        |SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS is_kept
+        |FROM (
+        |  SELECT d.doc_id,
+        |    coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |    first_value(d.doc_id) OVER (
+        |      PARTITION BY coalesce(l.cluster_id, d.doc_id)
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS keeper_id
+        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin),
   )
 
-  private lazy val x9ReachabilityOracle: String =
+  private lazy val x9ReachabilityOracle: String = x9Cte +
+    """
+      |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+
+  private lazy val x9Cte: String =
       """WITH RECURSIVE words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (
@@ -701,7 +760,5 @@ object LlmOps {
         |walk(id, label) AS (
         |  SELECT id, id FROM nodes
         |  UNION
-        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
-        |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
-        |ORDER BY doc_id""".stripMargin
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)""".stripMargin
 }

@@ -104,4 +104,24 @@ class CurationSpec extends SparkSpec {
     // interleave of max 10-bit values fills 20 bits exactly
     assert(ref(1023L, 1023L, 10) === (1L << 20) - 1)
   }
+
+  test("X7f stratified sample: deterministic, per-stratum rates, nested under upsampling") {
+    val rows = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "es"))
+      .toDF("id", "lang")
+    def sample(enBp: Int, esBp: Int): Set[Long] =
+      Curation.stratifiedSample(rows, $"lang", $"id",
+        Map("en" -> enBp, "es" -> esBp)).select($"id").as[Long].collect().toSet
+    val s1 = sample(5000, 1000)
+    assert(s1 === sample(5000, 1000)) // rerun-stable
+    // rates land near expectation (md5 uniform; 200 ids per stratum)
+    val en = s1.count(_ % 2 == 0); val es = s1.count(_ % 2 == 1)
+    assert(en > 70 && en < 130, s"en kept $en of 200 at 50%")
+    assert(es > 5 && es < 45, s"es kept $es of 200 at 10%")
+    // upsampling a stratum strictly grows its kept set (nested samples)
+    val s2 = sample(8000, 1000)
+    assert(s1.filter(_ % 2 == 0).subsetOf(s2.filter(_ % 2 == 0)))
+    // unlisted strata fall back to defaultBp = 0
+    assert(Curation.stratifiedSample(rows, $"lang", $"id", Map("en" -> 5000))
+      .filter($"lang" === "es").count() === 0)
+  }
 }

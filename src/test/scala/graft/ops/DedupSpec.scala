@@ -83,4 +83,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
     assert(!pairs.exists { case (a, b, _) => a == 5L || b == 5L })
   }
+
+  test("resolveKeepers: quality elects the keeper, singletons keep themselves") {
+    val corpus = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: 2 wins (quality, then min id)
+      (9L, 99L)                        // singleton: own keeper
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.resolveKeepers(corpus, pairs, "doc_id", $"quality")
+      .select($"doc_id", $"cluster_id", $"keeper_id", $"is_kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((1L, 2L, false))) // min-id cluster label, quality keeper
+    assert(out(2L) === ((1L, 2L, true)))
+    assert(out(3L) === ((1L, 2L, false)))
+    assert(out(9L) === ((9L, 9L, true)))
+  }
 }

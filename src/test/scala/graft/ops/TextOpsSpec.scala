@@ -82,4 +82,20 @@ class TextOpsSpec extends SparkSpec {
     assert(scores(3L) > scores(2L))
     scores.values.foreach(s => assert(s > 0))
   }
+
+  test("word entropy: 0 for repetition, log2(n) for all-distinct, +0.0 for one word") {
+    val out = Seq(
+      (1L, "a a a a"),          // zero entropy, boilerplate
+      (2L, "a b c d"),          // uniform over 4 distinct -> exactly 2 bits
+      (3L, "x"),                // single word: -1*log2(1) must be +0.0, not -0.0
+      (4L, "a a b")             // -(2/3)log2(2/3) - (1/3)log2(1/3) ~ 0.9183
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.wordEntropy($"text").as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) === 0.0)
+    assert(out(2L) === 2.0)
+    assert(out(3L) === 0.0 &&
+      java.lang.Double.doubleToLongBits(out(3L)) === 0L) // not -0.0
+    assert(out(4L) === 0.9183)
+  }
 }
