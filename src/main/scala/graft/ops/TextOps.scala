@@ -116,6 +116,48 @@ object TextOps {
 
   def wordEntropy(text: Column): Column = wordEntropyArr(split(text, " "))
 
+  /** ALL n-gram shingles of a word array, duplicates preserved — the
+    * denominator of [[repetitionRatioArr]] ([[Dedup.shingles]] distincts,
+    * which is right for set similarity but hides repetition). */
+  def shinglesAll(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repeated-3-gram ratio (1 − distinct/total shingles): the classic
+    * repetition filter (Gopher/C4-style) — near-1 means looped or template
+    * text. Shuffle-free expression; exact rational arithmetic until the
+    * final rounded division. */
+  def repetitionRatioArr(words: Column, n: Int = 3): Column = {
+    val sh = shinglesAll(words, n)
+    when(size(sh) > 0,
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** Most-frequent-word dominance (max word count / word count): catches
+    * keyword stuffing that n-gram repetition misses when filler varies. */
+  def topWordRatioArr(words: Column): Column = {
+    val counts = transform(array_distinct(words),
+      w => size(filter(words, x => x === w)))
+    round(array_max(counts).cast("double") / size(words), 4)
+  }
+
+  /** Email / phone shapes for [[redactPii]] — deliberately the regex subset
+    * (char classes, counted repeats, \b) that means the same thing in Java
+    * regex and RE2, so an oracle engine reproduces the redaction exactly. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+
+  /** PII redaction with typed placeholders — the safety scrub a training
+    * corpus runs before tokenization. Emails first, so a phone-shaped
+    * fragment inside a redacted address can't double-fire. Narrow codegen'd
+    * projection: at 100 TB this pipelines behind the scan with no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
   /** Rolling polynomial hash over words (base-31 mod 2^61-1 style, via
     * left fold) — an order-sensitive fingerprint, unlike the set-based
     * shingle hashes. */

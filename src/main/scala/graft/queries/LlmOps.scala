@@ -406,6 +406,42 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X4h — repetition quality signals: repeated-3-gram ratio (looped or
+    * template text) and top-word dominance (keyword stuffing) — the
+    * Gopher/C4-style filters that entropy and stopword ratios complement. */
+  def x4_repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("words"))
+      .select($"doc_id",
+        size(TextOps.shinglesAll($"words", 3)).as("n_shingles"),
+        TextOps.repetitionRatioArr($"words").as("rep_ratio"),
+        TextOps.topWordRatioArr($"words").as("top_word_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** X4i — PII redaction certified end-to-end: emails/phones are INJECTED
+    * deterministically from doc_id (the corpus vocabulary contains none),
+    * run through the real [[TextOps.redactPii]] path, and the oracle
+    * reproduces both the redacted text and the per-doc counts with the same
+    * RE2-safe patterns. %2/%3 interleaving exercises the none/one/both
+    * cases. */
+  def x4_pii(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = when($"doc_id" % 2 === 0,
+      concat(lit(" user"), $"doc_id", lit("@mail.example.com"))).otherwise(lit(""))
+    val phone = when($"doc_id" % 3 === 0,
+      concat(lit(" 555-"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+        lit("-4567"))).otherwise(lit(""))
+    documents(s, dir)
+      .select($"doc_id", concat($"text", email, phone).as("pt"))
+      .select($"doc_id",
+        TextOps.redactPii($"pt").as("redacted"),
+        regexp_count($"pt", lit(TextOps.emailRe)).as("n_emails"),
+        regexp_count($"pt", lit(TextOps.phoneRe)).as("n_phones"))
+      .orderBy($"doc_id")
+  }
+
   /** X9'' — keeper election per duplicate cluster: cluster every document
     * (singletons included) and keep the highest-quality copy (n_chars desc,
     * doc_id asc tie-break) instead of the min-id convention — the policy a
@@ -459,6 +495,8 @@ object LlmOps {
     "x9_dup_clusters" -> x9_dup_clusters _,
     "x9_dup_clusters_star" -> x9_dup_clusters_star _,
     "x4_entropy" -> x4_entropy _,
+    "x4_repetition" -> x4_repetition _,
+    "x4_pii" -> x4_pii _,
     "x9_keepers" -> x9_keepers _,
   )
 
@@ -714,6 +752,38 @@ object LlmOps {
         |      * log2(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w)))), 0)
         |    + 0.0, 4) AS word_entropy
         |FROM w ORDER BY doc_id""".stripMargin,
+    "x4_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) >= 3 THEN list_transform(
+        |    generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))
+        |  ELSE [] END AS sh FROM w)
+        |SELECT doc_id, len(sh) AS n_shingles,
+        |  CASE WHEN len(sh) > 0
+        |    THEN round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4)
+        |    ELSE 0.0 END AS rep_ratio,
+        |  round(CAST(list_max(list_transform(list_distinct(w),
+        |      d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w), 4)
+        |    AS top_word_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    // same injected PII, same RE2-safe patterns, global replace
+    "x4_pii" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' user' || doc_id || '@mail.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |        || '-4567' ELSE '' END AS pt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(pt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(pt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pt,
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS INT) AS n_phones
+        |FROM t ORDER BY doc_id""".stripMargin,
     // same reachability clusters, keeper elected by (n_chars desc, id asc)
     "x9_keepers" -> (x9Cte +
       """,

@@ -98,4 +98,33 @@ class TextOpsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(out(3L)) === 0L) // not -0.0
     assert(out(4L) === 0.9183)
   }
+
+  test("repetition ratio: looped text near 1, unique text 0, short text 0") {
+    val out = Seq(
+      (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct -> 4/7
+      (2L, "a b c d e"),         // all distinct -> 0
+      (3L, "a b")                // < 3 words -> no shingles -> 0
+    ).toDF("doc_id", "text")
+      .select($"doc_id",
+        TextOps.repetitionRatioArr(split($"text", " ")).as("r"),
+        TextOps.topWordRatioArr(split($"text", " ")).as("t"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === 0.5714)
+    assert(out(2L)._1 === 0.0)
+    assert(out(3L)._1 === 0.0)
+    assert(out(1L)._2 === 0.3333) // 'a' 3 of 9
+    assert(out(2L)._2 === 0.2)
+  }
+
+  test("redactPii: emails then phones, all occurrences, no false fires") {
+    val out = Seq(
+      "mail a@b.co and c.d+x@e-f.org now",
+      "call 555-123-4567 or 555-1234-4567",
+      "v1.2.3 @handle 12-34 555-12-3456 plain" // shapes that must NOT fire
+    ).toDF("text").select(TextOps.redactPii($"text").as("r"))
+      .as[String].collect()
+    assert(out(0) === "mail <EMAIL> and <EMAIL> now")
+    assert(out(1) === "call <PHONE> or <PHONE>")
+    assert(out(2) === "v1.2.3 @handle 12-34 555-12-3456 plain")
+  }
 }
