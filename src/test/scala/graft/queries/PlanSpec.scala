@@ -75,4 +75,26 @@ class PlanSpec extends SparkSpec {
       CanalJson.events(CanalJson.fixtureRaw(spark)), "status"))
     assert(p.contains("partial_sum"), s"expected map-side combined deltas:\n$p")
   }
+
+  test("x7 stratified sample is a shuffle-free narrow filter") {
+    import org.apache.spark.sql.functions._
+    // un-ordered form (the driver entry's orderBy is presentation only):
+    // the sample itself must pipeline behind the scan with no exchange
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val p = plan(graft.ops.Curation.stratifiedSample(
+      docs, col("lang"), col("doc_id"), Map("en" -> 5000)))
+    assert(!p.contains("Exchange"), s"stratified sample must not shuffle:\n$p")
+  }
+
+  test("x4 entropy/repetition quality signals are shuffle-free projections") {
+    import org.apache.spark.sql.functions._
+    val words = split(col("text"), " ")
+    val p = plan(graft.tables.Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.ops.TextOps.wordEntropyArr(words),
+      graft.ops.TextOps.repetitionRatioArr(words),
+      graft.ops.TextOps.topWordRatioArr(words),
+      graft.ops.TextOps.redactPii(col("text"))))
+    assert(!p.contains("Exchange"), s"quality scoring must not shuffle:\n$p")
+  }
 }
