@@ -15,11 +15,23 @@ import graft.tables.Tables
   * under any scale factor. */
 object CdcQueries {
 
-  /** T1-T5 — parse + flatten + envelope: the per-row event stream. */
+  /** T1-T5 — parse + flatten + envelope: the per-row event stream, pinned
+    * by a golden VALUES oracle. `es_ms` is −1 for the missing-es line (its
+    * envelope timestamp is the PROCESSING-TIME fallback — correct but
+    * wall-clock, so not goldenable; the fixture's real `es` values are all
+    * in the first days of 2024 (≤ 1704067400000), safely under the
+    * 1710000000000 ≈ 2024-03-09 cutoff that any later wall clock exceeds,
+    * and the fallback branch itself is asserted in CanalJsonSpec). A
+    * sentinel rather than NULL: nullable
+    * integer columns change physical representation (int64 ↔ float64)
+    * between compare layers, which a hash compare reads as a mismatch. */
   def cdc_parse_events(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CanalJson.events(CanalJson.fixtureRaw(s))
-      .select($"timestamp", $"database", $"table", $"operation", $"op",
+      .select(
+        when(unix_millis($"timestamp") < 1710000000000L, unix_millis($"timestamp"))
+          .otherwise(-1L).as("es_ms"),
+        $"database", $"table", $"operation", $"op",
         to_json($"data").as("data_json"),
         to_json($"old_data").as("old_data_json"),
         $"sql", $"partition", $"offset")
@@ -44,12 +56,15 @@ object CdcQueries {
   }
 
   /** W1-W6 — CDC apply: materialized latest state per key with delete
-    * tombstones, idempotent under the fixture's duplicate delivery. */
+    * tombstones, idempotent under the fixture's duplicate delivery. Pinned
+    * by a golden VALUES oracle; timestamps are certified separately by the
+    * wire-generated apply queries (`cdc_wire_latest` es_ms), since the
+    * unknown-99 row's envelope time is the processing-time fallback. */
   def cdc_materialize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     CdcApply.materialize(CanalJson.events(CanalJson.fixtureRaw(s)))
       .select($"database", $"table", $"pk", $"op",
-        to_json($"data").as("data_json"), $"timestamp")
+        to_json($"data").as("data_json"))
       .orderBy($"table", $"pk")
   }
 
@@ -210,9 +225,14 @@ object CdcQueries {
   def s6_log_levels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.LogShipping
+    // UNKNOWN rows (malformed lines) carry the processing-time fallback ts —
+    // real behavior, but wall-clock, so the golden oracle sees null there;
+    // the fallback itself is asserted in LogShippingSpec
     LogShipping.parse(LogShipping.fixtureRaw(s))
       .groupBy($"stream", $"level", $"component")
-      .agg(count(lit(1)).as("cnt"), max($"ts").as("last_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        coalesce(max(when($"level" =!= "UNKNOWN", unix_timestamp($"ts"))), lit(-1L))
+          .as("last_ts_s"))
       .orderBy($"stream", $"level", $"component")
   }
 
@@ -445,6 +465,72 @@ object CdcQueries {
         |  ('ddl', CAST(1 AS BIGINT)),
         |  ('parse_error', CAST(1 AS BIGINT))
         |) AS t(reason, cnt) ORDER BY reason""".stripMargin,
+    // golden per-event envelope stream: every parse/flatten/zip/default
+    // decision over the embedded fixture, pinned cell-by-cell
+    "cdc_parse_events" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1704067200000 AS BIGINT), 'testdb', 'products', 'INSERT', 'insert',
+        |   '{"id":"1","name":"Laptop Stand","description":"Adjustable aluminum","price":"150.00","stock":"30"}',
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(0 AS INT), CAST(0 AS BIGINT)),
+        |  (1704067200000, 'testdb', 'products', 'INSERT', 'insert',
+        |   '{"id":"2","name":"USB Hub","description":"7-port","price":"45.50","stock":"50"}',
+        |   NULL, NULL, 0, 0),
+        |  (1704067200000, 'testdb', 'products', 'INSERT', 'insert',
+        |   '{"id":"3","name":"Webcam Cover","description":"Slider","price":"5.99","stock":"8"}',
+        |   NULL, NULL, 0, 0),
+        |  (1704067210000, 'testdb', 'users', 'INSERT', 'insert',
+        |   '{"id":"1","username":"user1","password":"0b14d501a594442a01c6859541bcb3e8164d183d32937b851835442f69d5c94e","email":"user1@example.com"}',
+        |   NULL, NULL, 0, 1),
+        |  (1704067260000, 'testdb', 'products', 'UPDATE', 'update',
+        |   '{"id":"1","name":"Laptop Stand","price":"165.00","stock":"30"}',
+        |   '{"price":"150.00"}', NULL, 0, 2),
+        |  (1704067260000, 'testdb', 'products', 'UPDATE', 'update',
+        |   '{"id":"2","name":"USB Hub","price":"50.05","stock":"50"}',
+        |   '{"price":"45.50"}', NULL, 0, 2),
+        |  (1704067300000, 'testdb', 'orders', 'INSERT', 'insert',
+        |   '{"id":"10","user_id":"1","product_id":"2","quantity":"2","total_price":"91.00","status":"pending"}',
+        |   NULL, NULL, 0, 3),
+        |  (1704067320000, 'testdb', 'orders', 'UPDATE', 'update',
+        |   '{"id":"10","user_id":"1","product_id":"2","quantity":"2","total_price":"91.00","status":"completed"}',
+        |   '{"status":"pending"}', NULL, 0, 4),
+        |  (1704067380000, 'testdb', 'products', 'DELETE', 'delete',
+        |   '{"id":"3","name":"Webcam Cover","price":"5.99","stock":"8"}',
+        |   NULL, NULL, 0, 5),
+        |  (CAST(-1 AS BIGINT), 'testdb', 'unknown', 'INSERT', 'insert',
+        |   '{"id":"99","name":"Mystery","price":"1.00","stock":"1"}',
+        |   NULL, NULL, 0, 8),
+        |  (1704067320000, 'testdb', 'orders', 'UPDATE', 'update',
+        |   '{"id":"10","user_id":"1","product_id":"2","quantity":"2","total_price":"91.00","status":"completed"}',
+        |   '{"status":"pending"}', NULL, 0, 9)
+        |) AS t(es_ms, "database", "table", operation, op, data_json,
+        |       old_data_json, sql, partition, "offset")
+        |ORDER BY "offset", data_json""".stripMargin,
+    // golden materialized state: latest image per surviving key, tombstone
+    // applied, duplicate delivery collapsed
+    "cdc_materialize" ->
+      """SELECT * FROM (VALUES
+        |  ('testdb', 'orders', '10', 'update',
+        |   '{"id":"10","user_id":"1","product_id":"2","quantity":"2","total_price":"91.00","status":"completed"}'),
+        |  ('testdb', 'products', '1', 'update',
+        |   '{"id":"1","name":"Laptop Stand","price":"165.00","stock":"30"}'),
+        |  ('testdb', 'products', '2', 'update',
+        |   '{"id":"2","name":"USB Hub","price":"50.05","stock":"50"}'),
+        |  ('testdb', 'unknown', '99', 'insert',
+        |   '{"id":"99","name":"Mystery","price":"1.00","stock":"1"}'),
+        |  ('testdb', 'users', '1', 'insert',
+        |   '{"id":"1","username":"user1","password":"0b14d501a594442a01c6859541bcb3e8164d183d32937b851835442f69d5c94e","email":"user1@example.com"}')
+        |) AS t("database", "table", pk, op, data_json)
+        |ORDER BY "table", pk""".stripMargin,
+    // golden log-level census over the embedded docker-log fixture
+    "s6_log_levels" ->
+      """SELECT * FROM (VALUES
+        |  ('stderr', 'ERROR', 'elasticsearch', CAST(1 AS BIGINT), CAST(1704067204 AS BIGINT)),
+        |  ('stderr', 'WARN', 'elasticsearch', 1, 1704067203),
+        |  ('stdout', 'DEBUG', 'metrics', 1, 1704067205),
+        |  ('stdout', 'INFO', 'consumer', 3, 1704067202),
+        |  ('unknown', 'UNKNOWN', 'unknown', 1, CAST(-1 AS BIGINT))
+        |) AS t(stream, level, component, cnt, last_ts_s)
+        |ORDER BY stream, level, component""".stripMargin,
     "s6_wire_logs" ->
       """SELECT o_orderkey AS id,
         |  1704067200 + o_orderkey % 86400 AS ts_s,
