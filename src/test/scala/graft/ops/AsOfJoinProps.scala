@@ -16,27 +16,31 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
   private lazy val spark = graft.SparkSpec.session
 
   case class L(k: Int, ts: Long, id: Long)
-  case class R(k: Int, ts: Long, p: Int)
+  case class R(k: Int, ts: Long, p: Option[Int])
 
   private val genLeft: Gen[L] = for {
     k <- Gen.choose(1, 4)
     ts <- Gen.choose(0L, 30L)
   } yield L(k, ts, 0L)
 
+  // ~1/3 null payloads: the latest prior row's null must SURFACE as null,
+  // never fall back to an older row's value (row-integrity contract)
   private val genRight: Gen[R] = for {
     k <- Gen.choose(1, 4)
     ts <- Gen.choose(0L, 30L)
-    p <- Gen.choose(100, 999)
+    p <- Gen.frequency((1, Gen.const(Option.empty[Int])),
+                       (2, Gen.choose(100, 999).map(Option(_))))
   } yield R(k, ts, p)
 
   /** Contract requires right unique per (key, ts): keep the max payload. */
   private def dedupe(rs: Seq[R]): Seq[R] =
-    rs.groupBy(r => (r.k, r.ts)).values.map(_.maxBy(_.p)).toSeq
+    rs.groupBy(r => (r.k, r.ts)).values
+      .map(_.maxBy(_.p.getOrElse(Int.MinValue))).toSeq
 
   private def naive(ls: Seq[L], rs: Seq[R]): Map[Long, Option[Int]] =
     ls.map { l =>
       val prior = rs.filter(r => r.k == l.k && r.ts <= l.ts)
-      l.id -> (if (prior.isEmpty) None else Some(prior.maxBy(_.ts).p))
+      l.id -> (if (prior.isEmpty) None else prior.maxBy(_.ts).p)
     }.toMap
 
   private def viaOperator(ls: Seq[L], rs: Seq[R]): Map[Long, Option[Int]] = {
