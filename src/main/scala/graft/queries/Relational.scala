@@ -484,6 +484,25 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Correlated subqueries through the SQL surface: a correlated scalar
+    * subquery (per-customer order count — Catalyst rewrites it to a left
+    * outer aggregate join) and a correlated EXISTS (rewritten to left-semi).
+    * The analytics idiom users write verbatim; the plan must be joins, not
+    * per-row re-execution. */
+  def q33_subqueries(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("customer_v")
+    orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM orders_v o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer_v c
+      WHERE EXISTS (SELECT 1 FROM orders_v o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 100000)
+      ORDER BY c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -517,6 +536,7 @@ object Relational {
     "q30_range_window" -> q30_range_window _,
     "q31_stats" -> q31_stats _,
     "q32_bloom_semi_join" -> q32_bloom_semi_join _,
+    "q33_subqueries" -> q33_subqueries _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -736,5 +756,14 @@ object Relational {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1%')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q33_subqueries" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -76,6 +76,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"expected map-side combined deltas:\n$p")
   }
 
+  test("q33: correlated subqueries decorrelate to joins, not per-row re-execution") {
+    val p = plan(Relational.q33_subqueries(spark, dir))
+    assert(p.contains("Join"), s"expected subqueries rewritten to joins:\n$p")
+    assert(!p.toLowerCase.contains("scalar-subquery"),
+      s"correlated scalar subquery survived decorrelation:\n$p")
+  }
+
   test("x7 stratified sample is a shuffle-free narrow filter") {
     import org.apache.spark.sql.functions._
     // un-ordered form (the driver entry's orderBy is presentation only):
