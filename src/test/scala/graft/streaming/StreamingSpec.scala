@@ -190,6 +190,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq.map(_._3).sum === events.size * 10L)
   }
 
+  test("stateless curation ops (stratified/redact/entropy) run identically on a stream") {
+    // the scrub/score/sample stages are narrow projections, so the SAME
+    // plan must work on readStream with no watermark or state — batch ≡
+    // stream row-for-row
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Curation, TextOps}
+    val rows = (0L until 50L).map(i => (i, if (i % 2 == 0) "en" else "es",
+      s"doc $i contact user$i@mail.example.com body word$i"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      Curation.stratifiedSample(df, $"lang", $"doc_id",
+          Map("en" -> 6000, "es" -> 3000))
+        .select($"doc_id", TextOps.redactPii($"text").as("clean"),
+          TextOps.wordEntropy($"text").as("h"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = pipeline(mem.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows.take(20): _*); q.processAllAvailable()
+    mem.addData(rows.drop(20): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curation_stream")
+      .as[(Long, String, Double)].collect().toSet
+    val batch = pipeline(rows.toDF("doc_id", "lang", "text"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(_._2.contains("<EMAIL>")))
+  }
+
   test("P7 sustained threshold: fires only after the hold-down duration") {
     import Alerts._
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
