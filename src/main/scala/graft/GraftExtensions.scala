@@ -41,6 +41,46 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_norm"),
       (children: Seq[Expression]) => norm(children(0))))
 
+  /** The text-quality stack for SQL-only users, as Spark 4 SQL-body UDFs
+    * (`CREATE FUNCTION ... RETURN <expr>`). NOT the expression-registry
+    * route the vector functions take: lambda-bearing Column trees
+    * (transform/filter/aggregate) cross the registry bridge unresolved and
+    * fail codegen, while a SQL body goes through the full analyzer. Bodies
+    * mirror the [[graft.ops.TextOps]] combinators term-for-term, so the
+    * SQL and DataFrame surfaces agree value-for-value (asserted in
+    * `x4_sql_quality`'s oracle and VectorExpressionSpec). */
+  val textSqlFunctions: Seq[String] = {
+    val email = graft.ops.TextOps.emailRe.replace("\\", "\\\\")
+    val phone = graft.ops.TextOps.phoneRe.replace("\\", "\\\\")
+    Seq(
+      """CREATE OR REPLACE TEMPORARY FUNCTION word_entropy(t STRING)
+        |RETURNS DOUBLE RETURN
+        |round(aggregate(transform(array_sort(array_distinct(split(t, ' '))), d ->
+        |  -(CAST(size(filter(split(t, ' '), x -> x = d)) AS DOUBLE)
+        |      / size(split(t, ' ')))
+        |    * log2(CAST(size(filter(split(t, ' '), x -> x = d)) AS DOUBLE)
+        |      / size(split(t, ' ')))),
+        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) + 0.0, 4)""".stripMargin,
+      """CREATE OR REPLACE TEMPORARY FUNCTION repetition_ratio(t STRING)
+        |RETURNS DOUBLE RETURN
+        |CASE WHEN size(split(t, ' ')) >= 3 THEN
+        |  round(1.0 - CAST(size(array_distinct(transform(
+        |      sequence(1, size(split(t, ' ')) - 2),
+        |      i -> array_join(slice(split(t, ' '), i, 3), ' ')))) AS DOUBLE)
+        |    / (size(split(t, ' ')) - 2), 4)
+        |ELSE 0.0 END""".stripMargin,
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION redact_pii(t STRING)
+         |RETURNS STRING RETURN
+         |regexp_replace(regexp_replace(t, '$email', '<EMAIL>'),
+         |  '$phone', '<PHONE>')""".stripMargin)
+  }
+
+  /** Register the SQL-body text functions on a live session. */
+  def registerTextSql(spark: SparkSession): Unit = {
+    textSqlFunctions.foreach(spark.sql)
+    ()
+  }
+
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, _, builder) =>

@@ -442,6 +442,22 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X4-SQL — the text-quality stack through the engine's SQL surface:
+    * `word_entropy` / `repetition_ratio` / `redact_pii` as Spark SQL-body
+    * UDFs ([[graft.GraftExtensions.textSqlFunctions]]) whose bodies mirror
+    * the TextOps combinators term-for-term — proving a SQL-only user gets
+    * the full quality stack, value-identical to the DataFrame route. */
+  def x4_sql_quality(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.registerTextSql(s)
+    documents(s, dir).createOrReplaceTempView("documents_sql")
+    s.sql("""
+      SELECT doc_id,
+        word_entropy(text) AS word_entropy,
+        repetition_ratio(text) AS rep_ratio,
+        redact_pii(concat(text, ' user', doc_id, '@mail.example.com')) AS redacted
+      FROM documents_sql ORDER BY doc_id""")
+  }
+
   /** X9'' — keeper election per duplicate cluster: cluster every document
     * (singletons included) and keep the highest-quality copy (n_chars desc,
     * doc_id asc tie-break) instead of the min-id convention — the policy a
@@ -497,6 +513,7 @@ object LlmOps {
     "x4_entropy" -> x4_entropy _,
     "x4_repetition" -> x4_repetition _,
     "x4_pii" -> x4_pii _,
+    "x4_sql_quality" -> x4_sql_quality _,
     "x9_keepers" -> x9_keepers _,
   )
 
@@ -784,6 +801,25 @@ object LlmOps {
         |  CAST(len(regexp_extract_all(pt,
         |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS INT) AS n_phones
         |FROM t ORDER BY doc_id""".stripMargin,
+    // SQL-surface twin: entropy + repetition + email redaction fragments
+    // (the injected string carries no phone shape, so the phone pass is
+    // identity and the oracle mirrors only the email replace)
+    "x4_sql_quality" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  round(coalesce(list_sum(list_transform(list_sort(list_distinct(w)), d ->
+        |    -(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w))
+        |      * log2(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w)))), 0)
+        |    + 0.0, 4) AS word_entropy,
+        |  CASE WHEN len(w) >= 3
+        |    THEN round(1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2), i -> array_to_string(w[i:i+2], ' '))))
+        |      AS DOUBLE) / (len(w) - 2), 4)
+        |    ELSE 0.0 END AS rep_ratio,
+        |  regexp_replace(text || ' user' || doc_id || '@mail.example.com',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |    AS redacted
+        |FROM w ORDER BY doc_id""".stripMargin,
     // same reachability clusters, keeper elected by (n_chars desc, id asc)
     "x9_keepers" -> (x9Cte +
       """,

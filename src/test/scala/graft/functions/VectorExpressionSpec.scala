@@ -51,4 +51,21 @@ class VectorExpressionSpec extends SparkSpec {
     val df = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
     intercept[Exception] { df.select(VF.dot($"a", $"b")).collect() }
   }
+
+  test("SQL-body text UDFs agree with the Column API value-for-value") {
+    graft.GraftExtensions.registerTextSql(spark)
+    val texts = Seq("a a a a", "a b c d", "x",
+      "mail a@b.co or 555-123-4567", "a b c a b c a b c")
+    val df = texts.toDF("t")
+    val viaSql = df.selectExpr("word_entropy(t)", "repetition_ratio(t)",
+        "redact_pii(t)")
+      .as[(Double, Double, String)].collect().toSeq
+    val viaCols = df.select(
+        graft.ops.TextOps.wordEntropy($"t"),
+        graft.ops.TextOps.repetitionRatioArr(split($"t", " ")),
+        graft.ops.TextOps.redactPii($"t"))
+      .as[(Double, Double, String)].collect().toSeq
+    assert(viaSql === viaCols)
+    assert(viaSql(3)._3 === "mail <EMAIL> or <PHONE>")
+  }
 }
