@@ -446,7 +446,11 @@ object LlmOps {
     * `word_entropy` / `repetition_ratio` / `redact_pii` as Spark SQL-body
     * UDFs ([[graft.GraftExtensions.textSqlFunctions]]) whose bodies mirror
     * the TextOps combinators term-for-term — proving a SQL-only user gets
-    * the full quality stack, value-identical to the DataFrame route. */
+    * the full quality stack, value-identical to the DataFrame route.
+    * ~3× the DataFrame route's cost: the inlined body re-evaluates
+    * `split(t, ' ')` at each reference (no CSE across lambda boundaries),
+    * where the Column path binds the words array once — use the DataFrame
+    * entries (`x4_entropy`/`x4_repetition`) as the production shape. */
   def x4_sql_quality(s: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.registerTextSql(s)
     documents(s, dir).createOrReplaceTempView("documents_sql")
