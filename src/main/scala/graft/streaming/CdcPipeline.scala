@@ -141,6 +141,30 @@ object CdcPipeline {
       .partitionBy("table", "event_date")
       .trigger(Trigger.ProcessingTime("5 seconds")) // ES refresh_interval analog
 
+  /** Small-file compaction for a partitioned parquet store — the standing
+    * maintenance job every streaming sink needs: a micro-batch trigger
+    * writes one file per partition PER BATCH, so a (table, day) leaf
+    * accumulates thousands of files and listing/open cost starts to
+    * dominate scans long before data size does. Rewrites the store to
+    * `dest` with `filesPerPartition` files per leaf (deterministic salt
+    * from `saltCol`, so re-runs produce identical layout), preserving the
+    * partition columns and therefore the pruning behavior. One shuffle,
+    * keyed on (partition cols, salt); no driver-side data. Writing to a
+    * fresh dest + atomic swap is the caller's orchestration — in-place
+    * rewrite of a live store is not defined here on purpose. */
+  def compactStore(spark: SparkSession, src: String, dest: String,
+                   partitionCols: Seq[String], saltCol: String,
+                   filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val df = spark.read.parquet(src)
+    val keys = partitionCols.map(col) :+
+      pmod(xxhash64(col(saltCol)), lit(filesPerPartition.toLong))
+    df.repartition(keys: _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(dest)
+  }
+
   /** Materialized-state sink (CDC apply, §2.5): per micro-batch, upsert the
     * latest image per key into a parquet state dir. The apply is idempotent
     * (latest-by-key is deterministic under duplicate delivery).

@@ -367,6 +367,34 @@ class StreamingSpec extends SparkSpec {
     assert(pruned.count() === 6) // 3 seed + 2 update + 1 delete
   }
 
+  test("compactStore: one file per leaf partition, rows and layout preserved") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val ev = CanalJson.events(CanalJson.fixtureRaw(spark))
+      .withColumn("event_date", to_date($"timestamp"))
+      .select($"table", $"event_date", $"op", $"offset", $"pos")
+    // two appends = at least two files per touched leaf (the micro-batch
+    // accumulation pattern a streaming sink produces)
+    ev.write.partitionBy("table", "event_date").mode("append").parquet(s"$tmp/store")
+    ev.withColumn("offset", $"offset" + 100L)
+      .write.partitionBy("table", "event_date").mode("append").parquet(s"$tmp/store")
+    CdcPipeline.compactStore(spark, s"$tmp/store", s"$tmp/compact",
+      Seq("table", "event_date"), saltCol = "offset")
+    val before = spark.read.parquet(s"$tmp/store")
+    val after = spark.read.parquet(s"$tmp/compact")
+    assert(after.count() === before.count())
+    assert(
+      after.groupBy($"table", $"op").count().as[(String, String, Long)].collect().toSet ===
+      before.groupBy($"table", $"op").count().as[(String, String, Long)].collect().toSet)
+    def leafFileCounts(root: String): Seq[Int] =
+      new java.io.File(root).listFiles().filter(_.isDirectory).toSeq.flatMap(
+        _.listFiles().filter(_.isDirectory).toSeq.map(
+          _.listFiles().count(f => f.getName.endsWith(".parquet"))))
+    assert(leafFileCounts(s"$tmp/store").exists(_ >= 2), "fixture must start fragmented")
+    val compacted = leafFileCounts(s"$tmp/compact")
+    assert(compacted.nonEmpty && compacted.forall(_ === 1),
+      s"expected exactly 1 file per leaf, got $compacted")
+  }
+
   test("dead-letter stream: malformed + DDL routed, valid not") {
     val streamed = runStream(CanalJson.fixtureLines.map(_._1), "dead_letter",
       raw => CdcPipeline.deadLetter(raw).groupBy($"reason").count(),
