@@ -55,6 +55,23 @@ object CurationQueries {
       .orderBy($"shard", $"pos")
   }
 
+  /** X7c' — the assembled PACKED-BIN manifest (what a training reader
+    * consumes): per (lang, bin), member count, token fill, and the ordered
+    * member list — certifying the bin assembly end-to-end, not just each
+    * document's bin id. */
+  def x7_binpack_manifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.binPack(documents(s, dir), $"lang", $"doc_id",
+        TextOps.tokenEstimate($"text"), budget = 2048)
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("bin_tokens"),
+        concat_ws(",",
+          transform(sort_array(collect_list($"doc_id")), _.cast("string")))
+          .as("doc_ids"))
+      .orderBy($"lang", $"bin")
+  }
+
   /** X7f — deterministic stratified sampling: keep 50% of en, 25% of es,
     * 10% of zh by the md5-portable uniform in basis points — membership
     * depends only on doc_id, so re-runs and appends never flip a document
@@ -130,6 +147,7 @@ object CurationQueries {
     "x8_decontaminate" -> x8_decontaminate _,
     "x7_zorder" -> x7_zorder _,
     "x7_stratified" -> x7_stratified _,
+    "x7_binpack_manifest" -> x7_binpack_manifest _,
     "x10_pipeline" -> x10_pipeline _,
   )
 
@@ -145,6 +163,23 @@ object CurationQueries {
         |WHERE u_bp < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
         |                       WHEN 'zh' THEN 1000 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+    // bin members re-derived with the same window math; ordered string_agg
+    // mirrors the sorted member list exactly
+    "x7_binpack_manifest" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+        |      / 2048.0) AS BIGINT) AS bin
+        |  FROM tok)
+        |SELECT lang, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM packed GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "x7_split_assign" ->
       """SELECT doc_id,
         |  ((doc_id * 1000003 + 12345) % 1000000007) % 100 AS bucket,
