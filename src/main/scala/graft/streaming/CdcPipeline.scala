@@ -141,6 +141,32 @@ object CdcPipeline {
       .partitionBy("table", "event_date")
       .trigger(Trigger.ProcessingTime("5 seconds")) // ES refresh_interval analog
 
+  /** Event-store retention (the ES index-lifecycle analog): drop leaf
+    * partitions whose `event_date` is strictly before `keepFrom`. Pure
+    * partition-directory surgery over bounded metadata (#tables × #days)
+    * through the Hadoop FileSystem API — no data scan, no rewrite; expired
+    * days disappear the same way partition pruning skips them. Returns the
+    * dropped partition paths for the caller's audit log. */
+  def expireStorePartitions(spark: SparkSession, path: String,
+                            keepFrom: java.time.LocalDate): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    for {
+      tableDir <- fs.listStatus(root).toSeq
+      if tableDir.isDirectory && tableDir.getPath.getName.startsWith("table=")
+      dayDir <- fs.listStatus(tableDir.getPath).toSeq
+      if dayDir.isDirectory && dayDir.getPath.getName.startsWith("event_date=")
+      day = java.time.LocalDate.parse(
+        dayDir.getPath.getName.stripPrefix("event_date="))
+      if day.isBefore(keepFrom)
+    } yield {
+      fs.delete(dayDir.getPath, true)
+      s"${tableDir.getPath.getName}/${dayDir.getPath.getName}"
+    }
+  }
+
   /** Small-file compaction for a partitioned parquet store — the standing
     * maintenance job every streaming sink needs: a micro-batch trigger
     * writes one file per partition PER BATCH, so a (table, day) leaf

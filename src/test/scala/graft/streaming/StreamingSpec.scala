@@ -395,6 +395,30 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly 1 file per leaf, got $compacted")
   }
 
+  test("expireStorePartitions: drops only pre-cutoff days, data scan untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_expire").toString
+    val ev = CanalJson.events(CanalJson.fixtureRaw(spark))
+      .withColumn("event_date", to_date($"timestamp"))
+      .select($"table", $"event_date", $"op", $"offset")
+      // drop the missing-es row: its fallback date is the wall clock, which
+      // would add a nondeterministic partition to the layout under test
+      .filter($"event_date" === "2024-01-01")
+    ev.write.partitionBy("table", "event_date").mode("append").parquet(s"$tmp/store")
+    ev.withColumn("event_date", lit("2024-02-01").cast("date"))
+      .write.partitionBy("table", "event_date").mode("append").parquet(s"$tmp/store")
+    val total = spark.read.parquet(s"$tmp/store").count()
+    val dropped = CdcPipeline.expireStorePartitions(spark, s"$tmp/store",
+      java.time.LocalDate.parse("2024-02-01"))
+    assert(dropped.nonEmpty && dropped.forall(_.endsWith("event_date=2024-01-01")))
+    val rest = spark.read.parquet(s"$tmp/store")
+    assert(rest.count() === total / 2)
+    assert(rest.select($"event_date").distinct().as[java.sql.Date].collect().toSeq
+      === Seq(java.sql.Date.valueOf("2024-02-01")))
+    // idempotent: nothing left to expire
+    assert(CdcPipeline.expireStorePartitions(spark, s"$tmp/store",
+      java.time.LocalDate.parse("2024-02-01")).isEmpty)
+  }
+
   test("dead-letter stream: malformed + DDL routed, valid not") {
     val streamed = runStream(CanalJson.fixtureLines.map(_._1), "dead_letter",
       raw => CdcPipeline.deadLetter(raw).groupBy($"reason").count(),
