@@ -154,6 +154,35 @@ object MetricsOps {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** P11 — the PromQL `*_over_time` family: avg/min/max of the 5-minute
+    * rate over a trailing 1-hour window per label — the smoothing / floor /
+    * peak view dashboards layer over instantaneous rates
+    * (avg_over_time(rate(...)[1h])). Value-based RANGE frame (−55 min
+    * covers the 11 prior buckets + current) so sparse series window by
+    * TIME, not row count. All window arithmetic stays on INTEGER bucket
+    * counts — the windowed sum is associative-exact — with single double
+    * divisions at the end, so the oracle reproduces it bit-for-bit where a
+    * windowed float sum could drift by summation order (DuckDB aggregates
+    * window frames with a segment tree, Spark linearly). */
+  def p11_over_time(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"cnt")
+    val w = Window.partitionBy($"event_type")
+      .orderBy(unix_timestamp($"bucket_start"))
+      .rangeBetween(-3300, 0)
+    buckets.select(
+        $"bucket_start", $"event_type",
+        round($"cnt" / 300.0, 6).as("rate"),
+        round((sum($"cnt").over(w).cast("double") / count($"cnt").over(w))
+          / 300.0, 6).as("avg_1h"),
+        round(min($"cnt").over(w) / 300.0, 6).as("min_1h"),
+        round(max($"cnt").over(w) / 300.0, 6).as("max_1h"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
   /** P3 — ratio of rates: error ratio per 1-hour window
     * (cdc:processing_errors:ratio, recording-rules.yml:16-17). */
   def p3_error_ratio(s: SparkSession, dir: String): DataFrame = {
@@ -275,6 +304,7 @@ object MetricsOps {
     "p8_staleness" -> p8_staleness _,
     "p10_sessions" -> p10_sessions _,
     "p3_error_ratio" -> p3_error_ratio _,
+    "p11_over_time" -> p11_over_time _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
     "p5_filtered_rate" -> p5_filtered_rate _,
@@ -339,6 +369,22 @@ object MetricsOps {
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
         |  count(*) AS cnt, round(count(*) / 300.0, 6) AS rate_per_sec
         |FROM events GROUP BY bucket_start, event_type
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    // integer counts through the window; doubles only at the final division
+    "p11_over_time" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY bucket_start, event_type)
+        |SELECT bucket_start, event_type,
+        |  round(cnt / 300.0, 6) AS rate,
+        |  round((CAST(sum(cnt) OVER w AS DOUBLE) / count(cnt) OVER w) / 300.0, 6)
+        |    AS avg_1h,
+        |  round(min(cnt) OVER w / 300.0, 6) AS min_1h,
+        |  round(max(cnt) OVER w / 300.0, 6) AS max_1h
+        |FROM b
+        |WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+        |             RANGE BETWEEN INTERVAL '55 minutes' PRECEDING AND CURRENT ROW)
         |ORDER BY bucket_start, event_type""".stripMargin,
     "p1_rate_sliding" ->
       """SELECT time_bucket(INTERVAL '30 seconds', ts) - k * INTERVAL '30 seconds' AS bucket_start,
