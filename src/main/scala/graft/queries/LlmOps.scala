@@ -462,6 +462,25 @@ object LlmOps {
       FROM documents_sql ORDER BY doc_id""")
   }
 
+  /** X4j — fuzzy term matching (the ES fuzzy-query analog): corpus
+    * vocabulary terms within Levenshtein distance 2 of each probe term,
+    * with each term's document frequency. Distinct-vocab × probes stays
+    * tiny after the distinct (vocabularies grow ~log of corpus size), so
+    * the probe side broadcasts; edit distance is integer-exact on any
+    * engine. */
+  def x4_fuzzy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = documents(s, dir)
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("term_freq"))
+    val probes = Seq("scan", "hashh", "rowe", "customer").toDF("probe")
+    vocab.join(broadcast(probes),
+        levenshtein($"term", $"probe") <= 2)
+      .select($"probe", $"term", levenshtein($"term", $"probe").as("dist"),
+        $"term_freq")
+      .orderBy($"probe", $"dist", $"term")
+  }
+
   /** X9'' — keeper election per duplicate cluster: cluster every document
     * (singletons included) and keep the highest-quality copy (n_chars desc,
     * doc_id asc tie-break) instead of the min-id convention — the policy a
@@ -518,6 +537,7 @@ object LlmOps {
     "x4_repetition" -> x4_repetition _,
     "x4_pii" -> x4_pii _,
     "x4_sql_quality" -> x4_sql_quality _,
+    "x4_fuzzy" -> x4_fuzzy _,
     "x9_keepers" -> x9_keepers _,
   )
 
@@ -824,6 +844,16 @@ object LlmOps {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
         |    AS redacted
         |FROM w ORDER BY doc_id""".stripMargin,
+    "x4_fuzzy" ->
+      """WITH vocab AS (
+        |  SELECT term, count(*) AS term_freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |probes AS (SELECT unnest(['scan','hashh','rowe','customer']) AS probe)
+        |SELECT probe, term, CAST(levenshtein(term, probe) AS INT) AS dist, term_freq
+        |FROM vocab CROSS JOIN probes
+        |WHERE levenshtein(term, probe) <= 2
+        |ORDER BY probe, dist, term""".stripMargin,
     // same reachability clusters, keeper elected by (n_chars desc, id asc)
     "x9_keepers" -> (x9Cte +
       """,

@@ -503,6 +503,24 @@ object Relational {
       ORDER BY c_custkey""")
   }
 
+  /** Keyset (cursor) pagination — the ES `search_after` analog and the ONLY
+    * pagination that scales: a compound (sort key, unique id) cursor turns
+    * "next page" into an indexable range predicate + top-k, where
+    * OFFSET-based paging re-scans and re-sorts everything it skips. The
+    * predicate reaches the parquet scan (PushedFilters), so deep pages cost
+    * the same as page one. */
+  def q34_keyset_page(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cursor = last row of the previous page: (o_orderdate, o_orderkey)
+    val (curDate, curKey) = ("1996-01-02", 4000L)
+    orders(s, dir)
+      .filter($"o_orderdate" > curDate ||
+        ($"o_orderdate" === curDate && $"o_orderkey" > curKey))
+      .select($"o_orderdate", $"o_orderkey", $"o_orderstatus")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -537,6 +555,7 @@ object Relational {
     "q31_stats" -> q31_stats _,
     "q32_bloom_semi_join" -> q32_bloom_semi_join _,
     "q33_subqueries" -> q33_subqueries _,
+    "q34_keyset_page" -> q34_keyset_page _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -756,6 +775,13 @@ object Relational {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1%')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q34_keyset_page" ->
+      """SELECT o_orderdate, o_orderkey, o_orderstatus
+        |FROM orders
+        |WHERE o_orderdate > DATE '1996-01-02'
+        |   OR (o_orderdate = DATE '1996-01-02' AND o_orderkey > 4000)
+        |ORDER BY o_orderdate, o_orderkey
+        |LIMIT 25""".stripMargin,
     "q33_subqueries" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders o

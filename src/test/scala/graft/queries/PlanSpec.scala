@@ -76,6 +76,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"expected map-side combined deltas:\n$p")
   }
 
+  test("q34: the keyset-pagination cursor predicate reaches the parquet scan") {
+    val p = plan(Relational.q34_keyset_page(spark, dir))
+    // the OR-of-ands cursor must push down — deep pages then cost the same
+    // scan as page one, which is the whole point of keyset over OFFSET
+    assert(p.contains("PushedFilters: [Or("), s"cursor predicate not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k, not global sort:\n$p")
+  }
+
   test("q33: correlated subqueries decorrelate to joins, not per-row re-execution") {
     val p = plan(Relational.q33_subqueries(spark, dir))
     assert(p.contains("Join"), s"expected subqueries rewritten to joins:\n$p")
