@@ -183,6 +183,34 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P12 — PromQL `deriv()`: per-second least-squares slope of the 5-minute
+    * count series over a trailing 1-hour window — the trend detector behind
+    * "is lag growing" alerts. The regression is computed from INTEGER
+    * moments (n, Σx, Σy, Σxy, Σx²) with x rebased to the dataset epoch so
+    * every product stays far inside int64 — associative-exact across
+    * engines — and only the final slope division is floating point. A
+    * built-in `regr_slope` would accumulate in doubles, whose windowed
+    * summation order differs between engines. Frames with a single bucket
+    * have zero x-variance → null slope (PromQL returns nothing there too). */
+  def p12_deriv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type",
+        (unix_timestamp($"window.start") - 1704067200L).as("x"), $"cnt".as("y"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"x").rangeBetween(-3300, 0)
+    val (n, sx, sy) = (count(lit(1)).over(w), sum($"x").over(w), sum($"y").over(w))
+    val (sxy, sxx) = (sum($"x" * $"y").over(w), sum($"x" * $"x").over(w))
+    val denom = n * sxx - sx * sx
+    buckets.select($"bucket_start", $"event_type", $"y".as("cnt"),
+        when(denom =!= 0,
+          round((n * sxy - sx * sy).cast("double") / denom.cast("double"), 8))
+          .as("deriv_per_sec"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
   /** P3 — ratio of rates: error ratio per 1-hour window
     * (cdc:processing_errors:ratio, recording-rules.yml:16-17). */
   def p3_error_ratio(s: SparkSession, dir: String): DataFrame = {
@@ -305,6 +333,7 @@ object MetricsOps {
     "p10_sessions" -> p10_sessions _,
     "p3_error_ratio" -> p3_error_ratio _,
     "p11_over_time" -> p11_over_time _,
+    "p12_deriv" -> p12_deriv _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
     "p5_filtered_rate" -> p5_filtered_rate _,
@@ -369,6 +398,30 @@ object MetricsOps {
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
         |  count(*) AS cnt, round(count(*) / 300.0, 6) AS rate_per_sec
         |FROM events GROUP BY bucket_start, event_type
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    // integer regression moments through the window (DuckDB sums BIGINT into
+    // HUGEINT — still exact); double only at the final slope division
+    "p12_deriv" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY bucket_start, event_type),
+        |m AS (
+        |  SELECT bucket_start, event_type, cnt,
+        |    epoch_ms(bucket_start) // 1000 - 1704067200 AS x,
+        |    CAST(cnt AS BIGINT) AS y
+        |  FROM b)
+        |SELECT bucket_start, event_type, cnt,
+        |  CASE WHEN count(*) OVER w * sum(x*x) OVER w
+        |         - sum(x) OVER w * sum(x) OVER w <> 0
+        |    THEN round(CAST(count(*) OVER w * sum(x*y) OVER w
+        |        - sum(x) OVER w * sum(y) OVER w AS DOUBLE)
+        |      / CAST(count(*) OVER w * sum(x*x) OVER w
+        |        - sum(x) OVER w * sum(x) OVER w AS DOUBLE), 8)
+        |  END AS deriv_per_sec
+        |FROM m
+        |WINDOW w AS (PARTITION BY event_type ORDER BY x
+        |             RANGE BETWEEN 3300 PRECEDING AND CURRENT ROW)
         |ORDER BY bucket_start, event_type""".stripMargin,
     // integer counts through the window; doubles only at the final division
     "p11_over_time" ->
