@@ -211,6 +211,35 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P13 — PromQL `predict_linear(series[1h], 600)`: the least-squares
+    * extrapolation 10 minutes ahead — the capacity alert ("disk full in
+    * N minutes", "lag will breach in 10m") built on the same integer
+    * regression moments as [[p12_deriv]]: prediction = ȳ + slope·(x_now +
+    * horizon − x̄), assembled so every term before the final arithmetic is
+    * an exact integer ratio. */
+  def p13_predict_linear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val horizonS = 600L
+    val buckets = events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type",
+        (unix_timestamp($"window.start") - 1704067200L).as("x"), $"cnt".as("y"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"x").rangeBetween(-3300, 0)
+    val (n, sx, sy) = (count(lit(1)).over(w), sum($"x").over(w), sum($"y").over(w))
+    val (sxy, sxx) = (sum($"x" * $"y").over(w), sum($"x" * $"x").over(w))
+    val denom = (n * sxx - sx * sx).cast("double")
+    val slope = (n * sxy - sx * sy).cast("double") / denom
+    // ȳ + slope·(t − x̄) with t = current bucket + horizon; ȳ, x̄ as exact
+    // integer ratios over the SAME frame
+    val predicted = sy.cast("double") / n.cast("double") +
+      slope * (($"x" + horizonS).cast("double") - sx.cast("double") / n.cast("double"))
+    buckets.select($"bucket_start", $"event_type", $"y".as("cnt"),
+        when((n * sxx - sx * sx) =!= 0, round(predicted, 6)).as("predicted_cnt"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
   /** P3 — ratio of rates: error ratio per 1-hour window
     * (cdc:processing_errors:ratio, recording-rules.yml:16-17). */
   def p3_error_ratio(s: SparkSession, dir: String): DataFrame = {
@@ -334,6 +363,7 @@ object MetricsOps {
     "p3_error_ratio" -> p3_error_ratio _,
     "p11_over_time" -> p11_over_time _,
     "p12_deriv" -> p12_deriv _,
+    "p13_predict_linear" -> p13_predict_linear _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
     "p5_filtered_rate" -> p5_filtered_rate _,
@@ -399,6 +429,33 @@ object MetricsOps {
         |  count(*) AS cnt, round(count(*) / 300.0, 6) AS rate_per_sec
         |FROM events GROUP BY bucket_start, event_type
         |ORDER BY bucket_start, event_type""".stripMargin,
+    // identical double-expression tree as the Spark side: ȳ + slope·(t − x̄)
+    // from exact integer moments, so the float ops associate the same way
+    "p13_predict_linear" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY bucket_start, event_type),
+        |m AS (
+        |  SELECT bucket_start, event_type, cnt,
+        |    epoch_ms(bucket_start) // 1000 - 1704067200 AS x,
+        |    CAST(cnt AS BIGINT) AS y
+        |  FROM b),
+        |s AS (
+        |  SELECT bucket_start, event_type, cnt, x,
+        |    count(*) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+        |               RANGE BETWEEN 3300 PRECEDING AND CURRENT ROW))
+        |SELECT bucket_start, event_type, cnt,
+        |  CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN round(
+        |      CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) +
+        |      (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * (CAST(x + 600 AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |  END AS predicted_cnt
+        |FROM s ORDER BY bucket_start, event_type""".stripMargin,
     // integer regression moments through the window (DuckDB sums BIGINT into
     // HUGEINT — still exact); double only at the final slope division
     "p12_deriv" ->
