@@ -84,6 +84,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => a == 5L || b == 5L })
   }
 
+  test("minhash LSH recall vs exact ground truth on the real corpus") {
+    // the xxhash64 sketch twin is rows-only in the driver gate; its quality
+    // gate lives here: banding (8×2) catches s >= 0.5 pairs with
+    // prob >= 1-(1-s²)^8 ≈ 0.9, and everything is deterministic, so the
+    // measured recall is a fixed number — pin a floor under it
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val truth = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleSize = 3, minJaccard = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.25)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = (truth intersect lsh).size.toDouble / truth.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
   test("resolveKeepers: quality elects the keeper, singletons keep themselves") {
     val corpus = Seq(
       (1L, 10L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: 2 wins (quality, then min id)
