@@ -408,6 +408,35 @@ object Dedup {
       .withColumn("is_kept", col(idCol) === col("keeper_id"))
   }
 
+  /** X1c — cross-document duplicated n-gram fraction (the RefinedWeb /
+    * Gopher "fraction of duplicated n-grams" quality signal): for each
+    * document, the share of its DISTINCT word n-grams that also occur in at
+    * least one OTHER document. High fractions mark boilerplate and templated
+    * text that exact and near-dup DOCUMENT matching both miss — the doc as a
+    * whole is unique, but most of its content is not.
+    *
+    * Scale posture: one inverted-index shuffle on the 8-byte shingle hash
+    * (fixed-width keys, like [[ngramJaccardPairs]]; collisions ~n²/2⁶⁴) with
+    * a map-side-combined doc-frequency aggregate, then one join back and one
+    * per-doc aggregate — no all-pairs structure anywhere, so cost is linear
+    * in total shingle volume. Documents shorter than `n` words have no
+    * n-grams and are absent from the output (mirror the cut in consumers). */
+  def duplicatedNgramFraction(df: DataFrame, textCol: String, idCol: String,
+                              n: Int = 5): DataFrame = {
+    // shingles() is per-doc distinct, so count-per-hash IS the doc frequency
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh_h"))
+      .localCheckpoint(false)
+    val docFreq = sh.groupBy("sh_h").agg(count(lit(1)).as("n_docs"))
+    sh.join(docFreq, Seq("sh_h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("id"), col("n_ngrams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_ngrams"), 4).as("dup_fraction"))
+  }
+
   /** X2 exact variant — n-gram Jaccard similarity of shingle sets, computed
     * with an inverted-index join (shingle → doc) instead of all-pairs: the
     * exact verifier behind the MinHash estimate. Keep the candidate set

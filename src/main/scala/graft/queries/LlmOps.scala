@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
 import graft.ops.{Dedup, Similarity, TextOps}
 
@@ -35,6 +36,18 @@ object LlmOps {
            countDistinct($"text").as("n_distinct"),
            countDistinct(TextOps.fingerprint($"text")).as("n_fingerprints"))
       .orderBy($"lang")
+  }
+
+  /** X1c — duplicated n-gram fraction per document
+    * ([[Dedup.duplicatedNgramFraction]]): the share of each doc's distinct
+    * word 5-grams that also occur in another document — the boilerplate /
+    * template detector document-level dedup misses. Docs shorter than 5
+    * words have no 5-grams and drop out (mirrored in the oracle). */
+  def x1_dup_ngram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.duplicatedNgramFraction(documents(s, dir), "text", "doc_id", n = 5)
+      .select($"id".as("doc_id"), $"n_ngrams", $"n_dup", $"dup_fraction")
+      .orderBy($"doc_id")
   }
 
   /** X2 — exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index
@@ -495,6 +508,37 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X9''' — SEMANTIC dedup end-to-end over the embedding space: the
+    * composition a real curation pipeline runs for meaning-level duplicates
+    * that text hashing can't see. Candidate pairs come from
+    * [[x3_cosine_neardup]]'s 16-bit sign bucket verified by exact cosine
+    * (≥ 0.2), resolved into clusters by [[Dedup.connectedComponents]];
+    * every vector gets its cluster (singletons self-cluster) and the
+    * cluster's size. Each stage is certified separately
+    * ([[x3_cosine_neardup]], [[x9_dup_clusters]]) — this entry certifies
+    * their composition against one reachability oracle. */
+  def x9_semantic_clusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.cosine
+    val emb = embeddings(s, dir)
+    def bucketed(idAs: String, embAs: String) =
+      emb.select($"vec_id".as(idAs), $"embedding".as(embAs),
+        (1 to 16).map(i =>
+          (element_at($"embedding", i) > 0).cast("bigint") * (1L << (16 - i)))
+          .reduce(_ + _).as("bucket"))
+    val pairs = bucketed("id_a", "emb_a").join(bucketed("id_b", "emb_b"), Seq("bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", round(cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
+      .filter($"cos_sim" >= 0.2)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
+    emb.select($"vec_id")
+      .join(cc, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"vec_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"vec_id")
+  }
+
   /** X6 — JSON prop extraction + aggregation over the extracted key. */
   def x6_props_agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -539,6 +583,8 @@ object LlmOps {
     "x4_sql_quality" -> x4_sql_quality _,
     "x4_fuzzy" -> x4_fuzzy _,
     "x9_keepers" -> x9_keepers _,
+    "x1_dup_ngram" -> x1_dup_ngram _,
+    "x9_semantic_clusters" -> x9_semantic_clusters _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -854,6 +900,53 @@ object LlmOps {
         |FROM vocab CROSS JOIN probes
         |WHERE levenshtein(term, probe) <= 2
         |ORDER BY probe, dist, term""".stripMargin,
+    // doc frequency over per-doc DISTINCT 5-gram shingles; docs with
+    // fewer than 5 words have no shingles and drop out on both sides
+    "x1_dup_ngram" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 5 THEN generate_series(1, len(w) - 4) ELSE [] END,
+        |    i -> array_to_string(w[i:i+4], ' '))) AS shingle
+        |  FROM words),
+        |dfreq AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+        |SELECT s.doc_id, count(*) AS n_ngrams,
+        |  CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS dup_fraction
+        |FROM sh s JOIN dfreq d USING (shingle)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // x3_cosine_neardup's pair SQL + recursive reachability over the
+    // embedding graph; singletons cluster with themselves via the left join
+    "x9_semantic_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      CAST(embedding[CAST(i AS INT)] > 0 AS BIGINT)
+        |        * (1 << (16 - CAST(i AS INT))))) AS bucket
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+        |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |  WHERE cos_sim >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |walk(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT g.dst, w.label FROM walk w JOIN edges g ON g.src = w.id),
+        |labels AS (SELECT id AS vec_id, min(label) AS cluster_id FROM walk GROUP BY id),
+        |assigned AS (
+        |  SELECT emb0.vec_id, coalesce(l.cluster_id, emb0.vec_id) AS cluster_id
+        |  FROM embeddings emb0 LEFT JOIN labels l USING (vec_id))
+        |SELECT vec_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM assigned ORDER BY vec_id""".stripMargin,
     // same reachability clusters, keeper elected by (n_chars desc, id asc)
     "x9_keepers" -> (x9Cte +
       """,

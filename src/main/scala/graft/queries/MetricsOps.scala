@@ -240,6 +240,32 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P14 — PromQL `resets()` / `changes()` over the 5-minute count series
+    * per label: how many adjacent-sample DECREASES (a counter reset — the
+    * restart detector) and how many value changes (flapping detector) the
+    * trailing 1-hour window contains. Two windows: a lag() marks each
+    * sample's transition, then an integer sum over the value-based RANGE
+    * frame counts transitions in range — associative-exact on any engine,
+    * so no float drift is possible anywhere in the query. */
+  def p14_resets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type",
+        unix_timestamp($"window.start").as("x"), $"cnt")
+    val lagW = Window.partitionBy($"event_type").orderBy($"x")
+    val rangeW = Window.partitionBy($"event_type").orderBy($"x").rangeBetween(-3300, 0)
+    buckets
+      .withColumn("prev", lag($"cnt", 1).over(lagW))
+      .withColumn("dec", when($"prev".isNotNull && $"cnt" < $"prev", 1L).otherwise(0L))
+      .withColumn("chg", when($"prev".isNotNull && $"cnt" =!= $"prev", 1L).otherwise(0L))
+      .select($"bucket_start", $"event_type", $"cnt",
+        sum($"dec").over(rangeW).as("resets_1h"),
+        sum($"chg").over(rangeW).as("changes_1h"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
   /** P3 — ratio of rates: error ratio per 1-hour window
     * (cdc:processing_errors:ratio, recording-rules.yml:16-17). */
   def p3_error_ratio(s: SparkSession, dir: String): DataFrame = {
@@ -364,6 +390,7 @@ object MetricsOps {
     "p11_over_time" -> p11_over_time _,
     "p12_deriv" -> p12_deriv _,
     "p13_predict_linear" -> p13_predict_linear _,
+    "p14_resets" -> p14_resets _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
     "p5_filtered_rate" -> p5_filtered_rate _,
@@ -477,6 +504,30 @@ object MetricsOps {
         |        - sum(x) OVER w * sum(x) OVER w AS DOUBLE), 8)
         |  END AS deriv_per_sec
         |FROM m
+        |WINDOW w AS (PARTITION BY event_type ORDER BY x
+        |             RANGE BETWEEN 3300 PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    // lag marks transitions, integer sums count them through the range
+    // frame — no floats anywhere
+    "p14_resets" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY bucket_start, event_type),
+        |m AS (
+        |  SELECT bucket_start, event_type, cnt,
+        |    epoch_ms(bucket_start) // 1000 AS x,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY bucket_start) AS prev
+        |  FROM b),
+        |t AS (
+        |  SELECT bucket_start, event_type, cnt, x,
+        |    CASE WHEN prev IS NOT NULL AND cnt < prev THEN 1 ELSE 0 END AS dec,
+        |    CASE WHEN prev IS NOT NULL AND cnt <> prev THEN 1 ELSE 0 END AS chg
+        |  FROM m)
+        |SELECT bucket_start, event_type, cnt,
+        |  CAST(sum(dec) OVER w AS BIGINT) AS resets_1h,
+        |  CAST(sum(chg) OVER w AS BIGINT) AS changes_1h
+        |FROM t
         |WINDOW w AS (PARTITION BY event_type ORDER BY x
         |             RANGE BETWEEN 3300 PRECEDING AND CURRENT ROW)
         |ORDER BY bucket_start, event_type""".stripMargin,

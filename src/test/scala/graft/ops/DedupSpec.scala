@@ -101,6 +101,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("duplicated ngram fraction: exact dups fully duplicated, unique doc at 0") {
+    val out = Dedup.duplicatedNgramFraction(docs, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // docs 1 and 2 are identical: every shingle shared → fraction 1.0
+    assert(out(1L)._3 === 1.0 && out(2L)._3 === 1.0)
+    // doc 5 (10 words → 8 shingles) shares no 3-grams with anything
+    assert(out(5L) === ((8L, 0L, 0.0)))
+    // doc 4 is a 13-word prefix of doc 3's text: all 11 shingles shared
+    assert(out(4L)._3 === 1.0)
+    // n_dup never exceeds n_ngrams, fraction consistent with the counts
+    out.values.foreach { case (n, d, f) =>
+      assert(d <= n)
+      assert(math.abs(f - d.toDouble / n) < 1e-4)
+    }
+  }
+
   test("resolveKeepers: quality elects the keeper, singletons keep themselves") {
     val corpus = Seq(
       (1L, 10L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: 2 wins (quality, then min id)
