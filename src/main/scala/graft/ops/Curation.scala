@@ -137,6 +137,56 @@ object Curation {
     df.filter(sampleBasisPoints(id) < rate)
   }
 
+  /** Exact int64 floor division (`a div b` for non-negative operands):
+    * `(a - a mod b) / b` divides an exact multiple, so the double division
+    * is exact for quotients < 2^53 — a bare `a / b` double division can
+    * round UP across an integer boundary when the remainder is b-1. */
+  private def exactDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("bigint")
+
+  /** Temperature-weighted mixture rates (α = 0.5 upsampling, the
+    * multilingual-training mix): stratum s gets sampling mass
+    * q_s = √n_s / Σ√n, flattening the corpus distribution so low-resource
+    * strata are upweighted relative to their share — the classic
+    * temperature-resampled data mix. `targetBp` is the OVERALL sample size
+    * in basis points of the corpus; each stratum's keep-rate is
+    * min(1, target·N·q_s / n_s), emitted in basis points.
+    *
+    * α is fixed at 0.5 deliberately: IEEE sqrt is correctly rounded on
+    * every engine, so `weight = floor(√n · 1000)` is bit-identical
+    * cross-engine where a pow(n, α) weight could drift in the last ulp.
+    * All arithmetic after the weights is int64 (rounding is the explicit
+    * half-up `(2a+b) div 2b`), making the rates engine-exact; weights and
+    * totals stay far inside int64 for corpora up to ~10^12 rows. */
+  def temperatureRates(df: DataFrame, stratumCol: String, targetBp: Int): DataFrame = {
+    require(targetBp >= 0 && targetBp <= 10000, "targetBp in [0, 10000]")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("weight",
+        floor(sqrt(col("n_total").cast("double")) * 1000.0).cast("bigint"))
+    val tot = counts.agg(sum(col("weight")).as("w_tot"), sum(col("n_total")).as("n_tot"))
+    val numer = lit(targetBp.toLong) * col("n_tot") * col("weight")
+    val denom = col("w_tot") * col("n_total")
+    counts.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_total"), col("weight"),
+        least(lit(10000L),
+          exactDiv(lit(2L) * numer + denom, lit(2L) * denom)).as("rate_bp"))
+  }
+
+  /** Apply [[temperatureRates]]: keep each row iff its id's deterministic
+    * basis points ([[sampleBasisPoints]]) fall under its stratum's rate.
+    * Same nested-sample property as [[stratifiedSample]]: raising
+    * `targetBp` strictly grows the kept set per stratum. The rates frame is
+    * tiny (one row per stratum) and broadcast; the corpus never shuffles. */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+                     targetBp: Int): DataFrame = {
+    val rates = temperatureRates(df, stratumCol, targetBp)
+      .select(col("stratum").as("__stratum"), col("rate_bp").as("__rate_bp"))
+    df.join(broadcast(rates), col(stratumCol) === col("__stratum"))
+      .filter(sampleBasisPoints(col(idCol)) < col("__rate_bp"))
+      .drop("__stratum", "__rate_bp")
+  }
+
   /** Shard interleaving: deal rows into `nShards` shards in
     * [[permuteHash]]-permuted order, with the position of each row inside
     * its shard. Downstream training readers consume shards independently —

@@ -94,20 +94,29 @@ object Similarity {
     * ordered sample, seedless arithmetic, fixed iteration count. */
   def trainIvfCentroids(corpus: DataFrame, dim: Int, nLists: Int,
                         sampleN: Int = 512, iters: Int = 3): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = corpus
-      .orderBy(col("vec_id")).limit(sampleN)
+    val sample = collectSample(corpus, sampleN)
+    require(sample.length >= nLists, s"sample ${sample.length} < nLists $nLists")
+    kmeans(sample, nLists, dim, iters)
+  }
+
+  /** Deterministic driver-side sample: first `sampleN` vectors by id. */
+  private def collectSample(corpus: DataFrame, sampleN: Int): Array[Array[Double]] =
+    corpus.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.length >= nLists, s"sample ${sample.length} < nLists $nLists")
-    // init: spread over the ordered sample (deterministic k-means++ stand-in)
-    var cents = Array.tabulate(nLists)(i => sample((i * sample.length) / nLists).clone())
+
+  /** Fixed-iteration Lloyd's k-means, deterministic (ordered-sample spread
+    * init, seedless arithmetic, fixed iteration count). */
+  private def kmeans(sample: Array[Array[Double]], k: Int, dim: Int,
+                     iters: Int): Array[Array[Double]] = {
+    var cents = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nLists)(new Array[Double](dim))
-      val counts = new Array[Long](nLists)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < nLists) {
+        while (c < k) {
           var d = 0.0; var i = 0
           while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
@@ -117,7 +126,7 @@ object Similarity {
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
-      cents = Array.tabulate(nLists) { c =>
+      cents = Array.tabulate(k) { c =>
         if (counts(c) == 0) cents(c)
         else sums(c).map(_ / counts(c))
       }
@@ -212,5 +221,81 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Train product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search"): `dim` split into `m`
+    * contiguous subspaces of dim/m dimensions, each with its own
+    * `ksub`-centroid k-means codebook fit on the deterministic sample.
+    * Result shape: books(j)(c) = centroid c of subspace j. */
+  def trainPqCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+                       sampleN: Int = 512, iters: Int = 3): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val sample = collectSample(corpus, sampleN)
+    require(sample.length >= ksub, s"sample ${sample.length} < ksub $ksub")
+    Array.tabulate(m)(j =>
+      kmeans(sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)),
+        ksub, dsub, iters))
+  }
+
+  /** PQ codes for an embedding column: per subspace, the argmin-distance
+    * codebook entry — m small integers (ONE BYTE each at ksub ≤ 256) that
+    * replace dim floats. Storage compression for 100 TB vector corpora:
+    * with m=8 over 64 float32 dims, codes are 8 bytes against 256 — a 32×
+    * smaller shuffle/scan footprint. Argmin runs as the same codegen'd
+    * distance expansion as the IVF assignment (per-subspace slices share
+    * via subexpression elimination). */
+  def pqCodes(emb: Column, books: Array[Array[Array[Double]]]): Column =
+    array(books.zipWithIndex.map { case (book, j) =>
+      val dsub = book(0).length
+      array_min(distStructs(slice(emb, j * dsub + 1, dsub), book)).getField("list")
+    }: _*)
+
+  /** Reconstruct the quantized vector from its codes: per subspace, look
+    * the code up in the literal codebook, then concatenate. The decoded
+    * column feeds exact distance expressions — asymmetric distance
+    * computation (exact query vs quantized corpus) without a UDF. */
+  def pqReconstruct(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    flatten(array(books.zipWithIndex.map { case (book, j) =>
+      element_at(array(book.map(c => array(c.map(lit): _*)): _*),
+        codes.getItem(j).cast("int") + 1)
+    }: _*))
+
+  /** PQ approximate top-k with asymmetric distance: corpus vectors are
+    * scored through their RECONSTRUCTED (quantized) form against the exact
+    * query — the serving path where the corpus lives as m-byte codes and
+    * only the final `rerank` candidates touch exact embeddings. Here the
+    * exact vector rides the same row for the re-rank; at scale the re-rank
+    * is a k-sized id join back to the stored exact vectors. `rerank = 0`
+    * ranks purely by ADC score. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 0,
+             roundTo: Int = 3): DataFrame = {
+    val books = trainPqCodebooks(corpus, dim, m, ksub)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        pqCodes(col("embedding"), books).as("codes"))
+      .withColumn("recon", pqReconstruct(col("codes"), books))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"),
+        cosine(col("q_emb"), col("recon")).as("adc_sim"))
+    if (rerank > 0) {
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      scored.withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("q_emb"), col("c_emb")), roundTo).as("sim"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      scored.select(col("query_id"), col("neighbor_id"),
+          round(col("adc_sim"), roundTo).as("sim"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
   }
 }

@@ -84,6 +84,24 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** X7g — temperature-weighted mixture (α = 0.5): per-language sampling
+    * rates ∝ √n rebalance the corpus toward low-resource languages at an
+    * overall 50% target, then the kept census per language — the
+    * multilingual data-mixing recipe. Rates are int64-exact
+    * ([[Curation.temperatureRates]]); membership is the md5-portable
+    * uniform, so the whole mix is engine-reproducible. */
+  def x7_temperature_mix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val keptCounts = Curation.temperatureMix(docs, "lang", "doc_id", targetBp = 5000)
+      .groupBy($"lang".as("stratum")).agg(count(lit(1)).as("n_kept"))
+    Curation.temperatureRates(docs, "lang", targetBp = 5000)
+      .join(keptCounts, Seq("stratum"), "left")
+      .select($"stratum".as("lang"), $"n_total", $"weight", $"rate_bp",
+        coalesce($"n_kept", lit(0L)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
   /** X8 — benchmark decontamination: documents sharing ≥ 1 three-shingle
     * with the held-out eval slice (doc_id % 97 == 0), with the shared
     * distinct-shingle count and an exclusion flag at ≥ 5. The eval side is
@@ -149,9 +167,38 @@ object CurationQueries {
     "x7_stratified" -> x7_stratified _,
     "x7_binpack_manifest" -> x7_binpack_manifest _,
     "x10_pipeline" -> x10_pipeline _,
+    "x7_temperature_mix" -> x7_temperature_mix _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // weights = floor(sqrt(n)*1000) (IEEE sqrt is correctly rounded →
+    // engine-identical), then pure int64 half-up rate arithmetic; sums
+    // cast back from DuckDB's HUGEINT
+    "x7_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n_total,
+        |    CAST(floor(sqrt(CAST(n_total AS DOUBLE)) * 1000.0) AS BIGINT) AS weight
+        |  FROM counts),
+        |tot AS (
+        |  SELECT CAST(sum(weight) AS BIGINT) AS w_tot,
+        |    CAST(sum(n_total) AS BIGINT) AS n_tot FROM w),
+        |rates AS (
+        |  SELECT lang, n_total, weight,
+        |    CAST(least(10000, (2 * 5000 * n_tot * weight + w_tot * n_total)
+        |      // (2 * w_tot * n_total)) AS BIGINT) AS rate_bp
+        |  FROM w CROSS JOIN tot),
+        |kept AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN rates r USING (lang)
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 10000 < r.rate_bp
+        |  GROUP BY d.lang)
+        |SELECT r.lang, r.n_total, r.weight, r.rate_bp,
+        |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM rates r LEFT JOIN kept k USING (lang)
+        |ORDER BY lang""".stripMargin,
     // md5-portable uniform, mirrored exactly (memory: '0x'||hex → BIGINT)
     "x7_stratified" ->
       """WITH u AS (

@@ -149,6 +149,24 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3b''' — product-quantization approximate top-5 with ADC + exact
+    * re-rank (rows-only; recall pinned in ScalaTest against x3's exact
+    * answer). The STORAGE-side ANN path: 16 one-byte codes stand in for 64
+    * floats (16× smaller corpus footprint), candidates rank by asymmetric
+    * distance on the reconstructed vectors, and only the top-25 touch exact
+    * embeddings. m=16 (4-dim subspaces) holds recall ≥ 0.8 even on this
+    * near-random synthetic corpus — PQ's worst case; clustered real
+    * embeddings quantize far better. Complements IVF (routing) and int8
+    * (uniform scalar quantization). */
+  def x3_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    Similarity.pqTopK(emb.filter($"vec_id" < 20), emb, k = 5, dim = 64,
+        m = 16, ksub = 16, rerank = 25)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Recursively delete a temp dir at JVM exit — exit-time (not eager)
     * because the returned DataFrame still reads the index files lazily. */
   private def deleteOnExit(path: String): Unit =
@@ -561,6 +579,7 @@ object LlmOps {
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_ivf" -> x3_ann_ivf _,
     "x3_ann_ivf_index" -> x3_ann_ivf_index _,
+    "x3_ann_pq" -> x3_ann_pq _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
     "x3_sql_topk" -> x3_sql_topk _,
     "x4_text_quality" -> x4_text_quality _,

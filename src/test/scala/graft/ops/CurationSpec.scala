@@ -124,4 +124,33 @@ class CurationSpec extends SparkSpec {
     assert(Curation.stratifiedSample(rows, $"lang", $"id", Map("en" -> 5000))
       .filter($"lang" === "es").count() === 0)
   }
+
+  test("X7g temperature mix: sqrt-weights upweight low-resource strata, rates exact, nested") {
+    // 320 en vs 20 zh: α=0.5 flattens the ratio from 16:1 to 4:1
+    val rows = ((0L until 320L).map(i => (i, "en")) ++ (1000L until 1020L).map(i => (i, "zh")))
+      .toDF("id", "lang")
+    val rates = Curation.temperatureRates(rows, "lang", targetBp = 5000)
+      .select($"stratum", $"n_total", $"weight", $"rate_bp")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // weights = floor(sqrt(n)*1000), independently recomputed
+    assert(rates("en")._3 === math.floor(math.sqrt(320.0) * 1000.0).toLong)
+    assert(rates("zh")._3 === math.floor(math.sqrt(20.0) * 1000.0).toLong)
+    // exact expected bp: round_half_up(10000 * 0.5 * N * w_s / (W * n_s)), capped
+    def expectedBp(w: Long, n: Long): Long = {
+      val (wTot, nTot) = (rates.values.map(_._3).sum, rates.values.map(_._2).sum)
+      val numer = 2L * 5000L * nTot * w + wTot * n
+      math.min(10000L, numer / (2L * wTot * n))
+    }
+    assert(rates("en")._4 === expectedBp(rates("en")._3, 320L))
+    assert(rates("zh")._4 === expectedBp(rates("zh")._3, 20L))
+    // low-resource stratum keeps a strictly higher rate
+    assert(rates("zh")._4 > rates("en")._4)
+    // applying the mix keeps only rows under their stratum's rate, rerun-stable
+    def kept(bp: Int): Set[Long] =
+      Curation.temperatureMix(rows, "lang", "id", bp).select($"id").as[Long].collect().toSet
+    val k1 = kept(5000)
+    assert(k1 === kept(5000))
+    // nested: a larger overall target never drops a previously kept row
+    assert(k1.subsetOf(kept(8000)))
+  }
 }

@@ -100,6 +100,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ codes are bounded, reconstruction is lossy-but-close, recall high with re-rank") {
+    def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 970.0f)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) Array.fill(dim)(1.0f) else Array.fill(dim)(-1.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + noise(i, d) }.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    val books = Similarity.trainPqCodebooks(corpus, dim, m = 8, ksub = 8)
+    // every code addresses a real codebook entry
+    val codes = corpus.select(explode(Similarity.pqCodes($"embedding", books)))
+      .as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 8))
+    // reconstruction keeps the cluster structure: cosine(original, recon) high
+    val minCos = corpus
+      .select(Similarity.pqReconstruct(Similarity.pqCodes($"embedding", books), books)
+        .as("recon"), $"embedding")
+      .select(min(VectorFunctions.cosine($"embedding", $"recon"))).as[Double].head()
+    assert(minCos > 0.9, s"reconstruction cosine $minCos too lossy")
+    // ADC + exact re-rank recovers the exact top-k almost everywhere
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.pqTopK(queries, corpus, k = 5, dim = dim,
+        m = 8, ksub = 8, rerank = 25)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = run()
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall below 0.8")
+    assert(run() === approx, "PQ result must be deterministic across runs")
+  }
+
+  test("PQ recall vs exact ground truth on the real corpus (x3_ann_pq parameters)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(queries, emb, k = 5, dim = 64,
+        m = 16, ksub = 16, rerank = 25)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall over ${exact.size} true pairs")
+  }
+
   test("x3_cosine_neardup's 16-bit sign bucket keeps the candidate join near-linear") {
     // the certification twin must not degenerate into a within-bucket
     // cartesian: on the real corpus the 16-bit bucket keeps occupancy ~1,
