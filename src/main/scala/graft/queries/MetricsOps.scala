@@ -266,6 +266,24 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P15 — PromQL `topk(3, ...)`: the k series with the highest value at
+    * each evaluation timestamp — the "which tables are hottest right now"
+    * dashboard panel. Per hour bucket, the top-3 event types by count with
+    * a deterministic (count desc, label asc) tie-break. One windowed
+    * ranking over the bucketed counts; integers end to end. */
+  def p15_topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"bucket_start")
+      .orderBy($"cnt".desc, $"event_type".asc)
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"cnt")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"bucket_start", $"rank")
+  }
+
   /** P3 — ratio of rates: error ratio per 1-hour window
     * (cdc:processing_errors:ratio, recording-rules.yml:16-17). */
   def p3_error_ratio(s: SparkSession, dir: String): DataFrame = {
@@ -391,6 +409,7 @@ object MetricsOps {
     "p12_deriv" -> p12_deriv _,
     "p13_predict_linear" -> p13_predict_linear _,
     "p14_resets" -> p14_resets _,
+    "p15_topk" -> p15_topk _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
     "p5_filtered_rate" -> p5_filtered_rate _,
@@ -507,6 +526,18 @@ object MetricsOps {
         |WINDOW w AS (PARTITION BY event_type ORDER BY x
         |             RANGE BETWEEN 3300 PRECEDING AND CURRENT ROW)
         |ORDER BY bucket_start, event_type""".stripMargin,
+    "p15_topk" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY bucket_start, event_type)
+        |SELECT bucket_start, event_type, cnt, rank FROM (
+        |  SELECT bucket_start, event_type, cnt,
+        |    CAST(row_number() OVER (PARTITION BY bucket_start
+        |      ORDER BY cnt DESC, event_type ASC) AS INT) AS rank
+        |  FROM b)
+        |WHERE rank <= 3
+        |ORDER BY bucket_start, rank""".stripMargin,
     // lag marks transitions, integer sums count them through the range
     // frame — no floats anywhere
     "p14_resets" ->
