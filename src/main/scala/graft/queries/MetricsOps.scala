@@ -284,6 +284,65 @@ object MetricsOps {
       .orderBy($"bucket_start", $"rank")
   }
 
+  /** P16 — PromQL `quantile_over_time(0.9, series[1h])`: the p90 of the
+    * 5-minute count series over a trailing 1-hour window per label — the
+    * "how bad do the bad minutes get" smoothing view. PromQL interpolates
+    * linearly between the two ranked samples around rank 0.9·(n−1); with
+    * integer samples every interpolated value is a multiple of 1/10, so the
+    * result is emitted as exact integer tenths (`q90_x10`) — the window
+    * sort, the rank split `pos = 9(n−1) = 10·lo + rem`, and the blend
+    * `a[lo]·(10−rem) + a[lo+1]·rem` are all integer arithmetic, so no float
+    * exists anywhere for the engines to disagree on. collect_list over the
+    * value-based RANGE frame keeps sparse series windowed by TIME; frame
+    * sizes are bounded (≤ 12 buckets), so the per-row array is O(window),
+    * not O(series). */
+  def p16_quantile_over_time(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(unix_timestamp($"bucket_start"))
+      .rangeBetween(-3300, 0)
+    events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"cnt")
+      .withColumn("arr", array_sort(collect_list($"cnt").over(w)))
+      .withColumn("n", size($"arr"))
+      .withColumn("pos", ($"n" - 1) * 9)
+      .withColumn("lo", expr("CAST(pos DIV 10 AS INT)"))
+      .withColumn("rem", $"pos" % 10)
+      .select($"bucket_start", $"event_type", $"cnt",
+        $"n".cast("bigint").as("n_samples"),
+        when($"rem" === 0, element_at($"arr", $"lo" + 1) * 10)
+          .otherwise(element_at($"arr", $"lo" + 1) * (lit(10) - $"rem") +
+                     element_at($"arr", $"lo" + 2) * $"rem")
+          .cast("bigint").as("q90_x10"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  /** P17 — PromQL `offset` comparison: each hourly count against the same
+    * series 24 hours earlier (`rate(...[1h]) / rate(...[1h] offset 1d)`) —
+    * the day-over-day seasonality panel behind "is today unusual" alerts.
+    * The ratio is emitted as floor-divided integer parts-per-million so the
+    * division never touches floats. Inner join: hours with no prior-day
+    * bucket produce no row, matching PromQL's empty-offset-vector behavior.
+    * At scale the self-join is co-partitioned on (bucket, label) — one
+    * shuffle each side, no broadcast needed and no skew (keys are time
+    * buckets). */
+  def p17_offset_ratio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"cnt")
+    val prev = hourly.select(
+      ($"bucket_start" + expr("INTERVAL 24 HOURS")).as("bucket_start"),
+      $"event_type", $"cnt".as("prev_cnt"))
+    hourly.join(prev, Seq("bucket_start", "event_type"))
+      .select($"bucket_start", $"event_type", $"cnt", $"prev_cnt",
+        expr("CAST(cnt * 1000000 DIV prev_cnt AS BIGINT)").as("dod_ratio_ppm"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
   /** P3 — ratio of rates: error ratio per 1-hour window
     * (cdc:processing_errors:ratio, recording-rules.yml:16-17). */
   def p3_error_ratio(s: SparkSession, dir: String): DataFrame = {
@@ -410,6 +469,8 @@ object MetricsOps {
     "p13_predict_linear" -> p13_predict_linear _,
     "p14_resets" -> p14_resets _,
     "p15_topk" -> p15_topk _,
+    "p16_quantile_over_time" -> p16_quantile_over_time _,
+    "p17_offset_ratio" -> p17_offset_ratio _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
     "p5_filtered_rate" -> p5_filtered_rate _,
@@ -538,6 +599,41 @@ object MetricsOps {
         |  FROM b)
         |WHERE rank <= 3
         |ORDER BY bucket_start, rank""".stripMargin,
+    // same rank-split integer interpolation as the Spark side: pos =
+    // 9(n-1) = 10·lo + rem, blended in exact tenths — no floats anywhere
+    "p16_quantile_over_time" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY bucket_start, event_type),
+        |s AS (
+        |  SELECT bucket_start, event_type, cnt,
+        |    list_sort(list(cnt) OVER w) AS arr,
+        |    count(*) OVER w AS n
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(bucket_start) // 1000
+        |               RANGE BETWEEN 3300 PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT bucket_start, event_type, cnt, arr, n,
+        |    ((n - 1) * 9) // 10 AS lo, ((n - 1) * 9) % 10 AS rem
+        |  FROM s)
+        |SELECT bucket_start, event_type, cnt,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN rem = 0 THEN arr[lo + 1] * 10
+        |       ELSE arr[lo + 1] * (10 - rem) + arr[lo + 2] * rem END AS BIGINT) AS q90_x10
+        |FROM p ORDER BY bucket_start, event_type""".stripMargin,
+    // floor-divided integer ppm — the only division never touches floats
+    "p17_offset_ratio" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY bucket_start, event_type)
+        |SELECT n.bucket_start, n.event_type, n.cnt, p.cnt AS prev_cnt,
+        |  CAST((n.cnt * 1000000) // p.cnt AS BIGINT) AS dod_ratio_ppm
+        |FROM b n JOIN b p
+        |  ON p.event_type = n.event_type
+        | AND p.bucket_start = n.bucket_start - INTERVAL 24 HOURS
+        |ORDER BY n.bucket_start, n.event_type""".stripMargin,
     // lag marks transitions, integer sums count them through the range
     // frame — no floats anywhere
     "p14_resets" ->
