@@ -437,6 +437,52 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_ngrams"), 4).as("dup_fraction"))
   }
 
+  /** X2e — content-defined chunking (the FastCDC/Rabin family, reference
+    * point: LBFS-style rolling-hash cut points): split each document at
+    * positions where the hash of the local `gramSize`-char window divides
+    * `divisor`, so chunk boundaries follow CONTENT, not offsets — insert one
+    * word and only the chunk containing the edit changes identity, where
+    * fixed-size blocks would shift every subsequent boundary. The primitive
+    * under sub-document dedup stores and incremental transfer.
+    *
+    * A gram starting at 1-based position `i` whose portable 60-bit md5 hash
+    * satisfies `h % divisor == 0` ends its chunk at `i+gramSize-1`; the next
+    * chunk starts at `i+gramSize`. Expected chunk length ≈ `divisor` chars.
+    * Cut detection, boundary assembly, and chunk slicing are one codegen'd
+    * expression tree per document — shuffle-free, embarrassingly parallel,
+    * so the operator scales with scan bandwidth. The md5-derived cut hash is
+    * deliberately the portable twin construction (DuckDB-expressible); swap
+    * xxhash64 for md5 at scale for ~3× cheaper cut detection.
+    *
+    * Output: one row per chunk (`doc_id`, `chunk_idx`, `chunk_start`,
+    * `chunk_len`, `chunk_md5`), bigint offsets, chunks tiling the document
+    * exactly: starts are strictly increasing, lens positive, Σlen = doc len. */
+  def contentDefinedChunks(df: DataFrame, textCol: String, idCol: String,
+                           gramSize: Int = 4, divisor: Int = 61): DataFrame = {
+    val text = col("__text")
+    val len = length(text)
+    // candidate cut positions: every gram start; a cut needs a full next
+    // chunk start inside the doc (i+gramSize <= len) so no empty chunk forms
+    val positions = sequence(lit(1), greatest(len - (gramSize - 1), lit(1)))
+    val cuts = filter(positions, i =>
+      (conv(substring(md5(text.substr(i, lit(gramSize))), 1, 15), 16, 10)
+        .cast("bigint") % divisor === 0) && (i + lit(gramSize) <= len))
+    val starts = concat(array(lit(1)), transform(cuts, i => i + lit(gramSize)))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__starts", starts)
+      .select(col("doc_id"), text,
+        posexplode(transform(col("__starts"), (st, j) =>
+          struct(st.as("chunk_start"),
+            // next start (0-based get -> null past the end) or len+1 closes
+            // the last chunk at the document end
+            (coalesce(get(col("__starts"), j + 1), len + 1) - st).as("chunk_len")))))
+      .select(col("doc_id"),
+        col("pos").cast("bigint").as("chunk_idx"),
+        col("col.chunk_start").cast("bigint").as("chunk_start"),
+        col("col.chunk_len").cast("bigint").as("chunk_len"),
+        md5(text.substr(col("col.chunk_start"), col("col.chunk_len"))).as("chunk_md5"))
+  }
+
   /** X2 exact variant — n-gram Jaccard similarity of shingle sets, computed
     * with an inverted-index join (shingle → doc) instead of all-pairs: the
     * exact verifier behind the MinHash estimate. Keep the candidate set

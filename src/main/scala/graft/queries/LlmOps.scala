@@ -394,6 +394,40 @@ object LlmOps {
       .limit(50)
   }
 
+  /** X2e — content-defined chunking over the corpus
+    * ([[Dedup.contentDefinedChunks]]): per-chunk rows with content hashes —
+    * the substrate for sub-document dedup (dedup ratio = distinct vs total
+    * chunk hashes). Shuffle-free codegen per doc; the oracle rebuilds the
+    * same cut points from the same portable gram hash. */
+  def x2_cdc_chunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.contentDefinedChunks(documents(s, dir), "text", "doc_id")
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** X4j — out-of-vocabulary rate: per-doc fraction of tokens outside the
+    * corpus top-100 vocabulary, in exact integer parts-per-million — the
+    * rare-word / gibberish quality signal that length and stopword ratios
+    * miss (high OOV ⇒ boilerplate IDs, lorem noise, wrong-language text).
+    * The vocabulary is a driver-bounded top-k (count desc, word asc
+    * tie-break) broadcast to the token stream — at 100 TB the token
+    * explode+join stays map-side; only the tiny census aggregate shuffles. */
+  def x4_oov_rate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val vocab = words.groupBy($"w").agg(count(lit(1)).as("occ"))
+      .orderBy($"occ".desc, $"w".asc).limit(100)
+      .select($"w", lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)").as("oov_ppm"))
+      .orderBy($"doc_id")
+  }
+
   /** X9 — duplicate clusters: the exact near-dup pair graph (x2's 0.3
     * Jaccard threshold) resolved into connected components, each doc mapped
     * to its cluster's min-id canonical keeper. The step a real dedup
@@ -604,6 +638,8 @@ object LlmOps {
     "x9_keepers" -> x9_keepers _,
     "x1_dup_ngram" -> x1_dup_ngram _,
     "x9_semantic_clusters" -> x9_semantic_clusters _,
+    "x2_cdc_chunks" -> x2_cdc_chunks _,
+    "x4_oov_rate" -> x4_oov_rate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -980,6 +1016,45 @@ object LlmOps {
         |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS keeper_id
         |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // identical cut rule: portable 60-bit md5 gram hash % 61, cut only when a
+    // full next chunk fits; lead() closes each chunk at the next start
+    "x2_cdc_chunks" -> (
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, greatest(len(text) - 3, 1))) AS i
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, i + 4 AS start FROM pos
+        |  WHERE CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 15)) AS BIGINT) % 61 = 0
+        |    AND i + 4 <= len(text)),
+        |starts AS (
+        |  SELECT doc_id, 1 AS start FROM documents
+        |  UNION ALL SELECT doc_id, start FROM cuts),
+        |numbered AS (
+        |  SELECT doc_id, start,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_idx,
+        |    lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS next_start
+        |  FROM starts)
+        |SELECT n.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS chunk_start,
+        |  CAST(coalesce(next_start, len(d.text) + 1) - start AS BIGINT) AS chunk_len,
+        |  md5(substr(d.text, start, coalesce(next_start, len(d.text) + 1) - start)) AS chunk_md5
+        |FROM numbered n JOIN documents d ON n.doc_id = d.doc_id
+        |ORDER BY n.doc_id, chunk_idx""".stripMargin),
+    "x4_oov_rate" -> (
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS occ FROM toks GROUP BY w
+        |    ORDER BY occ DESC, w ASC LIMIT 100)),
+        |j AS (
+        |  SELECT t.doc_id, t.w, v.w AS vw
+        |  FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST((sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 
   private lazy val x9ReachabilityOracle: String = x9Cte +

@@ -133,4 +133,45 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((1L, 2L, false)))
     assert(out(9L) === ((9L, 9L, true)))
   }
+
+  test("contentDefinedChunks: chunks tile each document exactly") {
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val chunks = Dedup.contentDefinedChunks(corpus, "text", "doc_id").cache()
+    // per doc: Σlen == doc length, first start == 1, starts contiguous
+    val bad = chunks
+      .groupBy($"doc_id")
+      .agg(sum($"chunk_len").as("total"), min($"chunk_start").as("first"),
+        count(lit(1)).as("n"), max($"chunk_start" + $"chunk_len").as("end"))
+      .join(corpus.select($"doc_id", length($"text").cast("long").as("len")), "doc_id")
+      .filter($"total" =!= $"len" || $"first" =!= 1 || $"end" =!= $"len" + 1)
+    assert(bad.count() === 0)
+    assert(chunks.filter($"chunk_len" <= 0).count() === 0)
+    // contiguity: chunk i+1 starts where chunk i ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"chunk_idx")
+    val gaps = chunks
+      .withColumn("prev_end", lag($"chunk_start" + $"chunk_len", 1).over(w))
+      .filter($"prev_end".isNotNull && $"chunk_start" =!= $"prev_end")
+    assert(gaps.count() === 0)
+    chunks.unpersist()
+  }
+
+  test("contentDefinedChunks: an edit only changes local chunk identities") {
+    // boundary stability — the property fixed-size blocks lack: editing one
+    // chunk leaves every other chunk's content hash unchanged
+    val words = (1 to 400).map(i => s"tok${i * 7919 % 4096}")
+    val base = words.mkString(" ")
+    val edited = words.updated(200, "EDITED").updated(201, "RIGHT").mkString(" ")
+    val two = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = Dedup.contentDefinedChunks(two, "text", "doc_id")
+      .select($"doc_id", $"chunk_md5").cache()
+    val a = ch.filter($"doc_id" === 1).select("chunk_md5").as[String].collect().toSet
+    val b = ch.filter($"doc_id" === 2).select("chunk_md5").as[String].collect().toSet
+    // most chunks shared, at least one differs
+    assert((a intersect b).nonEmpty, "no shared chunks — boundaries not content-defined")
+    assert((a diff b).nonEmpty && (b diff a).nonEmpty)
+    assert((a intersect b).size >= a.size - 3,
+      s"edit invalidated ${a.size - (a intersect b).size} of ${a.size} chunks")
+    ch.unpersist()
+  }
 }
