@@ -521,6 +521,31 @@ object Relational {
       .limit(25)
   }
 
+  /** Distribution window functions — ntile / percent_rank / cume_dist, the
+    * remaining window family after ranking (q13) and analytic (q14/q30): the
+    * "which quartile is this order in" and "what fraction of its peers does
+    * it beat" views. ntile depends on physical row order within ties, so its
+    * ordering key (o_totalprice, o_orderkey) is a total order; percent_rank
+    * and cume_dist are tie-aware by construction. Both are emitted as exact
+    * integer parts-per-million — `(rank−1)·10⁶ div (n−1)` and
+    * `peers_cum·10⁶ div n` — so no float exists for the engines to round
+    * differently. One shuffle on the partition key, same cost envelope as
+    * any windowed ranking. */
+  def q35_dist_window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val total = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+    orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .withColumn("quartile", ntile(4).over(total))
+      .withColumn("rk", rank().over(total))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+      .select($"o_orderkey", $"o_orderpriority", $"quartile",
+        expr("(CAST(rk AS BIGINT) - 1) * 1000000 DIV (n - 1)").as("pct_rank_ppm"),
+        expr("CAST(rk AS BIGINT) * 1000000 DIV n").as("cume_dist_ppm"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -556,6 +581,7 @@ object Relational {
     "q32_bloom_semi_join" -> q32_bloom_semi_join _,
     "q33_subqueries" -> q33_subqueries _,
     "q34_keyset_page" -> q34_keyset_page _,
+    "q35_dist_window" -> q35_dist_window _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -791,5 +817,20 @@ object Relational {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
+    // same total order (o_totalprice, o_orderkey) so ntile is deterministic;
+    // ppm values are floor-divided integers — no floats to disagree on
+    "q35_dist_window" ->
+      """SELECT o_orderkey, o_orderpriority, quartile,
+        |  CAST(((rk - 1) * 1000000) // (n - 1) AS BIGINT) AS pct_rank_ppm,
+        |  CAST((rk * 1000000) // n AS BIGINT) AS cume_dist_ppm
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(ntile(4) OVER w AS INT) AS quartile,
+        |    rank() OVER w AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice, o_orderkey))
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
   )
 }
