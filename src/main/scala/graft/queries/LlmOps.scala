@@ -405,6 +405,26 @@ object LlmOps {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** X2f — chunk-identity census over [[x2_cdc_chunks]]: the number the
+    * whole chunking exercise exists to produce — how many bytes a
+    * sub-document chunk store saves (`savings_ppm` = duplicate chunk bytes /
+    * total bytes, floor-divided integer ppm). One aggregation keyed on the
+    * 32-char chunk hash (fixed-width shuffle, never chunk text), then a
+    * single-row fold. */
+  def x2_chunk_stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.contentDefinedChunks(documents(s, dir), "text", "doc_id")
+      .groupBy($"chunk_md5")
+      .agg(count(lit(1)).as("n_copies"), min($"chunk_len").as("chunk_len"))
+      .agg(sum($"n_copies").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum($"n_copies" * $"chunk_len").as("total_bytes"),
+        sum($"chunk_len").as("distinct_bytes"))
+      .select($"n_chunks", $"n_distinct", $"total_bytes", $"distinct_bytes",
+        expr("(total_bytes - distinct_bytes) * 1000000 DIV total_bytes")
+          .as("savings_ppm"))
+  }
+
   /** X4j — out-of-vocabulary rate: per-doc fraction of tokens outside the
     * corpus top-100 vocabulary, in exact integer parts-per-million — the
     * rare-word / gibberish quality signal that length and stopword ratios
@@ -639,6 +659,7 @@ object LlmOps {
     "x1_dup_ngram" -> x1_dup_ngram _,
     "x9_semantic_clusters" -> x9_semantic_clusters _,
     "x2_cdc_chunks" -> x2_cdc_chunks _,
+    "x2_chunk_stats" -> x2_chunk_stats _,
     "x4_oov_rate" -> x4_oov_rate _,
   )
 
@@ -1018,29 +1039,24 @@ object LlmOps {
         |ORDER BY doc_id""".stripMargin),
     // identical cut rule: portable 60-bit md5 gram hash % 61, cut only when a
     // full next chunk fits; lead() closes each chunk at the next start
-    "x2_cdc_chunks" -> (
-      """WITH pos AS (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(1, greatest(len(text) - 3, 1))) AS i
-        |  FROM documents),
-        |cuts AS (
-        |  SELECT doc_id, i + 4 AS start FROM pos
-        |  WHERE CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 15)) AS BIGINT) % 61 = 0
-        |    AND i + 4 <= len(text)),
-        |starts AS (
-        |  SELECT doc_id, 1 AS start FROM documents
-        |  UNION ALL SELECT doc_id, start FROM cuts),
-        |numbered AS (
-        |  SELECT doc_id, start,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_idx,
-        |    lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS next_start
-        |  FROM starts)
-        |SELECT n.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-        |  CAST(start AS BIGINT) AS chunk_start,
-        |  CAST(coalesce(next_start, len(d.text) + 1) - start AS BIGINT) AS chunk_len,
-        |  md5(substr(d.text, start, coalesce(next_start, len(d.text) + 1) - start)) AS chunk_md5
-        |FROM numbered n JOIN documents d ON n.doc_id = d.doc_id
-        |ORDER BY n.doc_id, chunk_idx""".stripMargin),
+    "x2_cdc_chunks" -> (chunksCte +
+      """
+        |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin),
+    // chunk-identity census: HUGEINT sums cast back to BIGINT; the savings
+    // ratio is a floor-divided integer ppm
+    "x2_chunk_stats" -> (chunksCte +
+      """,
+        |per AS (
+        |  SELECT chunk_md5, count(*) AS n_copies, min(chunk_len) AS chunk_len
+        |  FROM chunks GROUP BY chunk_md5)
+        |SELECT CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(n_copies * chunk_len) AS BIGINT) AS total_bytes,
+        |  CAST(sum(chunk_len) AS BIGINT) AS distinct_bytes,
+        |  CAST((sum(n_copies * chunk_len) - sum(chunk_len)) * 1000000
+        |       // sum(n_copies * chunk_len) AS BIGINT) AS savings_ppm
+        |FROM per""".stripMargin),
     "x4_oov_rate" -> (
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -1056,6 +1072,32 @@ object LlmOps {
         |  CAST((sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
+
+  /** Shared CTE rebuilding [[Dedup.contentDefinedChunks]]'s cut points and
+    * chunk slices in DuckDB, ending in a `chunks` relation. */
+  private lazy val chunksCte: String =
+    """WITH pos AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, greatest(len(text) - 3, 1))) AS i
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT doc_id, i + 4 AS start FROM pos
+      |  WHERE CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 15)) AS BIGINT) % 61 = 0
+      |    AND i + 4 <= len(text)),
+      |starts AS (
+      |  SELECT doc_id, 1 AS start FROM documents
+      |  UNION ALL SELECT doc_id, start FROM cuts),
+      |numbered AS (
+      |  SELECT doc_id, start,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_idx,
+      |    lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS next_start
+      |  FROM starts),
+      |chunks AS (
+      |  SELECT n.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |    CAST(start AS BIGINT) AS chunk_start,
+      |    CAST(coalesce(next_start, len(d.text) + 1) - start AS BIGINT) AS chunk_len,
+      |    md5(substr(d.text, start, coalesce(next_start, len(d.text) + 1) - start)) AS chunk_md5
+      |  FROM numbered n JOIN documents d ON n.doc_id = d.doc_id)""".stripMargin
 
   private lazy val x9ReachabilityOracle: String = x9Cte +
     """

@@ -546,6 +546,24 @@ object Relational {
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
+  /** Unpivot (melt) — the inverse of q28's pivot: wide measure columns to
+    * (measure, value) rows, the normalization step feeding generic
+    * metric/plotting layers. Spark's native `unpivot` keeps this a
+    * zero-shuffle generator expansion (each input row fans out to 4 in the
+    * scan projection); values pass through untouched, so there is no
+    * arithmetic for engines to disagree on. */
+  def q36_unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .filter($"l_orderkey" <= 160)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_tax")
+      .unpivot(Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "measure", "val")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -582,6 +600,7 @@ object Relational {
     "q33_subqueries" -> q33_subqueries _,
     "q34_keyset_page" -> q34_keyset_page _,
     "q35_dist_window" -> q35_dist_window _,
+    "q36_unpivot" -> q36_unpivot _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -832,5 +851,20 @@ object Relational {
         |  WINDOW w AS (PARTITION BY o_orderpriority
         |               ORDER BY o_totalprice, o_orderkey))
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    // UNION ALL spells out the same melt; values pass through untouched
+    "q36_unpivot" ->
+      """WITH src AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |    l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey <= 160)
+        |SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
   )
 }
