@@ -101,6 +101,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"stratified sample must not shuffle:\n$p")
   }
 
+  test("x2 content-defined chunking is a shuffle-free generator expansion") {
+    val p = plan(graft.ops.Dedup.contentDefinedChunks(
+      graft.tables.Tables.documents(spark, dir), "text", "doc_id"))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected posexplode generator:\n$p")
+  }
+
+  test("x4 oov rate: the top-k vocabulary broadcasts into the token join") {
+    val p = plan(LlmOps.x4_oov_rate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab lookup must be map-side, not a shuffle join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary cutoff should be a top-k, not a global sort:\n$p")
+  }
+
   test("x4 entropy/repetition quality signals are shuffle-free projections") {
     import org.apache.spark.sql.functions._
     val words = split(col("text"), " ")
