@@ -156,6 +156,19 @@ class DedupSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("contentDefinedChunks: degenerate docs yield exactly one whole-doc chunk") {
+    // shorter than gramSize+1 no cut can fire (a cut needs i+4 <= len with
+    // i >= 1); empty text pins the one zero-length-chunk convention
+    val tiny = Seq((1L, ""), (2L, "ab"), (3L, "abcd"), (4L, "abcde"))
+      .toDF("doc_id", "text")
+    val ch = Dedup.contentDefinedChunks(tiny, "text", "doc_id")
+      .select($"doc_id", $"chunk_idx", $"chunk_start", $"chunk_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(ch.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L), "one chunk per doc")
+    assert(ch.forall { case (_, idx, start, _) => idx == 0L && start == 1L })
+    assert(ch.map(_._4).toSeq === Seq(0L, 2L, 4L, 5L), "chunk spans the whole doc")
+  }
+
   test("contentDefinedChunks: an edit only changes local chunk identities") {
     // boundary stability — the property fixed-size blocks lack: editing one
     // chunk leaves every other chunk's content hash unchanged
