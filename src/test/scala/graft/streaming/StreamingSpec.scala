@@ -219,6 +219,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_._2.contains("<EMAIL>")))
   }
 
+  test("content-defined chunking runs identically on a stream") {
+    // the chunker is a pure projection + generator — no state, no watermark:
+    // the SAME call works on readStream, so sub-document dedup keys can be
+    // derived at ingest time rather than in a later batch pass
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 30L).map(i =>
+      (i, (1 to 120).map(j => s"w${(i * 131 + j * 7919) % 4096}").mkString(" ")))
+    def chunk(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.contentDefinedChunks(df, "text", "doc_id")
+    val mem = MemoryStream[(Long, String)]
+    val q = chunk(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows.take(10): _*); q.processAllAvailable()
+    mem.addData(rows.drop(10): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chunk_stream")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val batch = chunk(rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.exists(_._2 > 0), "fixture should produce multi-chunk docs")
+  }
+
   test("P7 sustained threshold: fires only after the hold-down duration") {
     import Alerts._
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
