@@ -564,6 +564,25 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber", $"measure")
   }
 
+  /** LATERAL correlated subquery — top-N per key in the SQL form users
+    * write ("each customer's 2 most expensive orders"). Catalyst
+    * decorrelates the per-row ORDER BY+LIMIT into `WindowGroupLimit` +
+    * row_number + one join — the rank-limit pushdown that keeps per-key
+    * top-N a partial-then-final group limit instead of a full per-key sort
+    * (plan-asserted in PlanSpec). The de-sugared window form is q13; this
+    * certifies the SQL surface reaches the same plan family. */
+  def q37_lateral_topn(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("customer_v")
+    orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer_v c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_orderkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -601,6 +620,7 @@ object Relational {
     "q34_keyset_page" -> q34_keyset_page _,
     "q35_dist_window" -> q35_dist_window _,
     "q36_unpivot" -> q36_unpivot _,
+    "q37_lateral_topn" -> q37_lateral_topn _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -866,5 +886,13 @@ object Relational {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    // DuckDB evaluates the same correlated LATERAL natively
+    "q37_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
   )
 }

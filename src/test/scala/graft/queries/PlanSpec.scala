@@ -101,6 +101,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"stratified sample must not shuffle:\n$p")
   }
 
+  test("q37: LATERAL top-N decorrelates to a rank group-limit, not per-row re-execution") {
+    val p = plan(Relational.q37_lateral_topn(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the rank-limit pushdown for per-key top-N:\n$p")
+    assert(!p.toLowerCase.contains("lateral-subquery"),
+      s"correlated lateral subquery survived decorrelation:\n$p")
+  }
+
   test("x2 content-defined chunking is a shuffle-free generator expansion") {
     val p = plan(graft.ops.Dedup.contentDefinedChunks(
       graft.tables.Tables.documents(spark, dir), "text", "doc_id"))
