@@ -583,6 +583,26 @@ object Relational {
       ORDER BY c.c_custkey, t.o_orderkey""")
   }
 
+  /** Recursive CTE — hierarchy flattening, the canonical org-chart / BOM
+    * workload (Spark 4's `WITH RECURSIVE`): each customer hangs under parent
+    * `c_custkey DIV 10`, a forest that is acyclic by construction (parent <
+    * child), and the walk labels every node with its root and depth. Each
+    * recursion level is one co-partitioned join of the frontier against the
+    * base relation — O(depth) rounds (= 4 at 15 k keys) exactly like the
+    * hash-min connected-components loop, but expressed in the SQL surface
+    * users bring. Integers end to end. */
+  def q38_recursive_cte(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      WITH RECURSIVE walk(c_custkey, root, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer_v WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, w.root, w.depth + 1
+        FROM customer_v c JOIN walk w ON c.c_custkey DIV 10 = w.c_custkey
+        WHERE c.c_custkey >= 10)
+      SELECT c_custkey, root, depth FROM walk ORDER BY c_custkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -621,6 +641,7 @@ object Relational {
     "q35_dist_window" -> q35_dist_window _,
     "q36_unpivot" -> q36_unpivot _,
     "q37_lateral_topn" -> q37_lateral_topn _,
+    "q38_recursive_cte" -> q38_recursive_cte _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -894,5 +915,14 @@ object Relational {
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
+    // same acyclic forest walk; // is DuckDB's integer floor division
+    "q38_recursive_cte" ->
+      """WITH RECURSIVE walk(c_custkey, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, w.root, w.depth + 1
+        |  FROM customer c JOIN walk w ON c.c_custkey // 10 = w.c_custkey
+        |  WHERE c.c_custkey >= 10)
+        |SELECT c_custkey, root, depth FROM walk ORDER BY c_custkey""".stripMargin,
   )
 }
