@@ -116,6 +116,40 @@ object TextOps {
 
   def wordEntropy(text: Column): Column = wordEntropyArr(split(text, " "))
 
+  /** Unigram-LM cross-entropy in nats/word — the CCNet-style quality filter:
+    * score each document against a REFERENCE unigram model (here the corpus
+    * top-k census) instead of against itself ([[wordEntropyArr]]). High
+    * cross-entropy flags text the reference model finds surprising —
+    * wrong-language documents, gibberish, ID dumps — the signal real
+    * pipelines threshold on (well-known as "perplexity filtering";
+    * perplexity = e^H).
+    *
+    * `model` is a word→count map and `total` the model's token count, both
+    * broadcast as one-row columns — the model is bounded (top-k) no matter
+    * the corpus size, so at 100 TB this stays a shuffle-free map-side fold
+    * per document. Out-of-model words get a 0.5 pseudo-count (Jelinek-style
+    * smoothing; distinguishes them from genuinely-seen-once words).
+    *
+    * Cross-engine determinism: same recipe as [[wordEntropyArr]] — terms over
+    * SORTED distinct words, sequential fold, one rounding at the end; each
+    * term's expression tree (p·ln(total/count)) is mirrored verbatim in the
+    * oracle. */
+  def crossEntropyArr(words: Column, model: Column, total: Column): Column = {
+    val n = size(words).cast("double")
+    val terms = transform(array_sort(array_distinct(words)), w => {
+      val p = size(filter(words, x => x === w)).cast("double") / n
+      val cnt = coalesce(element_at(model, w).cast("double"), lit(0.5))
+      p * log(total.cast("double") / cnt)
+    })
+    round(aggregate(terms, lit(0.0), (acc, t) => acc + t) + lit(0.0), 4)
+  }
+
+  /** Distinct-word hits against the model vocabulary — the coverage gauge
+    * published next to [[crossEntropyArr]] (low hits + high CE = out-of-
+    * domain text rather than merely rare words). */
+  def modelHitsArr(words: Column, model: Column): Column =
+    size(filter(array_distinct(words), w => element_at(model, w).isNotNull))
+
   /** ALL n-gram shingles of a word array, duplicates preserved — the
     * denominator of [[repetitionRatioArr]] ([[Dedup.shingles]] distincts,
     * which is right for set similarity but hides repetition). */

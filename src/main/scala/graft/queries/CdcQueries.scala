@@ -156,6 +156,46 @@ object CdcQueries {
       .orderBy($"id")
   }
 
+  /** T7''/schema evolution (oracle-checked) — upstream DDL adds a column
+    * MID-STREAM and the pipeline must keep consuming both shapes: even keys
+    * emit v1 envelopes (no `category`), odd keys v2 (with it), all in one
+    * stream. The map-typed payload makes this tolerance structural —
+    * `element_at(data, "category")` is simply null for v1 rows — and the
+    * typed view then applies the DDL default (`coalesce`), exactly how a
+    * real CDC consumer survives `ALTER TABLE ... ADD COLUMN`. A parser that
+    * pinned a rigid payload struct, or a default applied before (not after)
+    * the null, hash-mismatches. `schema_ver` observes which shape each row
+    * travelled as. */
+  def cdc_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 4 === 2)
+      .select($"o_orderkey".as("id"))
+      .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
+    val v1 = map(
+      lit("id"), $"id".cast("string"),
+      lit("name"), concat(lit("item-"), $"id"),
+      lit("stock"), ($"id" % 100).cast("string"))
+    val v2 = map_concat(v1, map(
+      lit("category"), concat(lit("cat-"), ($"id" % 5).cast("string"))))
+    val line = to_json(struct(
+      array(when($"id" % 2 === 1, v2).otherwise(v1)).as("data"),
+      lit("INSERT").as("type"), lit("products").as("table"),
+      lit("testdb").as("database"),
+      (lit(1704067200000L) + $"id").as("es"), lit(false).as("isDdl")))
+    val raw = base.select(line.as("value"),
+      lit(0).as("partition"), $"id".cast("bigint").as("offset"))
+    val evolved = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("stock", IntegerType), StructField("category", StringType)))
+    CanalJson.typedView(CanalJson.events(raw), "products", evolved)
+      .select($"id", $"name", $"stock",
+        coalesce($"category", lit("uncategorized")).as("category"),
+        when($"category".isNotNull, 2).otherwise(1).as("schema_ver"),
+        $"op", $"offset")
+      .orderBy($"id")
+  }
+
   /** M4 — message-status counter as the success ∪ error ∪ invalid-reason
     * union (kafka_messages_processed_total{status}, index.js:309-327): every
     * line lands in exactly one status bucket. The poison line materializes
@@ -421,6 +461,7 @@ object CdcQueries {
     "cdc_transitions" -> cdc_transitions _,
     "cdc_typed_products" -> cdc_typed_products _,
     "cdc_typed_orders" -> cdc_typed_orders _,
+    "cdc_schema_evolution" -> cdc_schema_evolution _,
     "cdc_message_status" -> cdc_message_status _,
     "cdc_health_surface" -> cdc_health_surface _,
     "s6_log_levels" -> s6_log_levels _,
@@ -594,6 +635,17 @@ object CdcQueries {
         |    + (o_orderkey % 86400) * INTERVAL 1 SECOND AS created_at,
         |  'insert' AS op, o_orderkey AS "offset"
         |FROM cents ORDER BY id""".stripMargin,
+    // v1 (even keys) has no category → DDL default; v2 (odd) carries it
+    "cdc_schema_evolution" ->
+      """SELECT o_orderkey AS id,
+        |  'item-' || CAST(o_orderkey AS VARCHAR) AS name,
+        |  CAST(o_orderkey % 100 AS INT) AS stock,
+        |  CASE WHEN o_orderkey % 2 = 1
+        |    THEN 'cat-' || CAST(o_orderkey % 5 AS VARCHAR)
+        |    ELSE 'uncategorized' END AS category,
+        |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 2 ELSE 1 END AS INT) AS schema_ver,
+        |  'insert' AS op, o_orderkey AS "offset"
+        |FROM orders WHERE o_orderkey % 4 = 2 ORDER BY id""".stripMargin,
     // integer key arithmetic: UPDATE (+1 ms) and DELETE (+2 ms) are visible
     // at cutoff +15000 exactly for id <= 4999; key 5000 is INSERT-only
     "cdc_wire_asof" ->

@@ -491,6 +491,33 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X4k — unigram-LM cross-entropy ("perplexity filtering", CCNet-style):
+    * every document scored against a reference unigram model — the top-200
+    * census of the ENGLISH slice — so wrong-language and gibberish text
+    * surfaces as high cross-entropy where within-doc entropy ([[x4_entropy]])
+    * cannot see it. The model is two broadcast one-row frames (word→count
+    * map + token total): bounded regardless of corpus size, so scoring is a
+    * shuffle-free map-side fold per document; only the tiny census aggregate
+    * shuffles. */
+  def x4_perplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+      .select($"doc_id", $"lang", split($"text", " ").as("words"))
+    val enTok = docs.filter($"lang" === "en").select(explode($"words").as("w"))
+    val census = enTok.groupBy($"w").agg(count(lit(1)).as("occ"))
+      .orderBy($"occ".desc, $"w".asc).limit(200)
+    val model = census.agg(
+      map_from_entries(collect_list(struct($"w", $"occ"))).as("model"))
+    val tot = enTok.agg(count(lit(1)).as("model_total"))
+    docs.crossJoin(broadcast(model)).crossJoin(broadcast(tot))
+      .select($"doc_id", $"lang",
+        size($"words").as("n_tokens"),
+        TextOps.modelHitsArr($"words", $"model").as("n_model_hits"),
+        TextOps.crossEntropyArr($"words", $"model", $"model_total")
+          .as("cross_entropy"))
+      .orderBy($"doc_id")
+  }
+
   /** X4h — repetition quality signals: repeated-3-gram ratio (looped or
     * template text) and top-word dominance (keyword stuffing) — the
     * Gopher/C4-style filters that entropy and stopword ratios complement. */
@@ -651,6 +678,7 @@ object LlmOps {
     "x9_dup_clusters" -> x9_dup_clusters _,
     "x9_dup_clusters_star" -> x9_dup_clusters_star _,
     "x4_entropy" -> x4_entropy _,
+    "x4_perplexity" -> x4_perplexity _,
     "x4_repetition" -> x4_repetition _,
     "x4_pii" -> x4_pii _,
     "x4_sql_quality" -> x4_sql_quality _,
@@ -915,6 +943,28 @@ object LlmOps {
         |      * log2(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w)))), 0)
         |    + 0.0, 4) AS word_entropy
         |FROM w ORDER BY doc_id""".stripMargin,
+    // same model (top-200 en census + total), same per-term tree
+    // p·ln(total/count), terms listed in sorted-word order and summed
+    // sequentially (list_sum) — the same fold order as Spark's aggregate()
+    "x4_perplexity" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |en AS (SELECT unnest(w) AS tok FROM w WHERE lang = 'en'),
+        |census AS (SELECT tok, count(*) AS occ FROM en
+        |           GROUP BY tok ORDER BY occ DESC, tok ASC LIMIT 200),
+        |tot AS (SELECT count(*) AS model_total FROM en),
+        |dw AS (SELECT doc_id, w, unnest(list_sort(list_distinct(w))) AS d FROM w),
+        |terms AS (SELECT doc_id, d,
+        |    CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w)
+        |      * ln(CAST(model_total AS DOUBLE)
+        |            / coalesce(CAST(occ AS DOUBLE), 0.5)) AS t,
+        |    CASE WHEN occ IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM dw LEFT JOIN census ON dw.d = census.tok CROSS JOIN tot),
+        |agg AS (SELECT doc_id, list_sum(list(t ORDER BY d)) AS ce,
+        |    SUM(hit) AS n_model_hits FROM terms GROUP BY doc_id)
+        |SELECT w.doc_id, w.lang, len(w.w) AS n_tokens,
+        |  CAST(agg.n_model_hits AS BIGINT) AS n_model_hits,
+        |  round(agg.ce + 0.0, 4) AS cross_entropy
+        |FROM w JOIN agg ON w.doc_id = agg.doc_id ORDER BY w.doc_id""".stripMargin,
     "x4_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, w,

@@ -319,6 +319,36 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P18 — PromQL `irate()` / `idelta()`: the instant rate from the LAST TWO
+    * samples of each series — the spiky-counter companion to the averaged
+    * `rate()` ([[p1_rate]]), preferred on fast-moving counters because it
+    * reacts in one scrape interval. Counter-reset handling matches PromQL:
+    * a decrease means the counter restarted, so the delta is the raw new
+    * value. Series heads (no previous sample) produce no row, matching
+    * PromQL's empty vector for single-sample ranges. One lag() window over
+    * the bucketed integer counts; the only float is the final division,
+    * rounded identically in the oracle. */
+  def p18_irate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lagW = Window.partitionBy($"event_type")
+      .orderBy(unix_timestamp($"bucket_start"))
+    events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"cnt")
+      .withColumn("prev_cnt", lag($"cnt", 1).over(lagW))
+      .withColumn("dt_s",
+        unix_timestamp($"bucket_start") - lag(unix_timestamp($"bucket_start"), 1).over(lagW))
+      .filter($"prev_cnt".isNotNull)
+      .select($"bucket_start", $"event_type", $"cnt",
+        when($"cnt" >= $"prev_cnt", $"cnt" - $"prev_cnt").otherwise($"cnt")
+          .as("idelta"),
+        $"dt_s",
+        round(when($"cnt" >= $"prev_cnt", $"cnt" - $"prev_cnt").otherwise($"cnt")
+          .cast("double") / $"dt_s".cast("double"), 6).as("irate_per_sec"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
   /** P17 — PromQL `offset` comparison: each hourly count against the same
     * series 24 hours earlier (`rate(...[1h]) / rate(...[1h] offset 1d)`) —
     * the day-over-day seasonality panel behind "is today unusual" alerts.
@@ -471,6 +501,7 @@ object MetricsOps {
     "p15_topk" -> p15_topk _,
     "p16_quantile_over_time" -> p16_quantile_over_time _,
     "p17_offset_ratio" -> p17_offset_ratio _,
+    "p18_irate" -> p18_irate _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
     "p5_filtered_rate" -> p5_filtered_rate _,
@@ -634,6 +665,28 @@ object MetricsOps {
         |  ON p.event_type = n.event_type
         | AND p.bucket_start = n.bucket_start - INTERVAL 24 HOURS
         |ORDER BY n.bucket_start, n.event_type""".stripMargin,
+    // last-two-samples delta with PromQL counter-reset handling; integer
+    // delta and dt, one rounded division at the end
+    "p18_irate" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY bucket_start, event_type),
+        |m AS (
+        |  SELECT bucket_start, event_type, cnt,
+        |    lag(cnt) OVER w AS prev_cnt,
+        |    epoch_ms(bucket_start) // 1000
+        |      - lag(epoch_ms(bucket_start) // 1000) OVER w AS dt_s
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start))
+        |SELECT bucket_start, event_type, cnt,
+        |  CAST(CASE WHEN cnt >= prev_cnt THEN cnt - prev_cnt ELSE cnt END
+        |       AS BIGINT) AS idelta,
+        |  CAST(dt_s AS BIGINT) AS dt_s,
+        |  round(CAST(CASE WHEN cnt >= prev_cnt THEN cnt - prev_cnt ELSE cnt END
+        |        AS DOUBLE) / CAST(dt_s AS DOUBLE), 6) AS irate_per_sec
+        |FROM m WHERE prev_cnt IS NOT NULL
+        |ORDER BY bucket_start, event_type""".stripMargin,
     // lag marks transitions, integer sums count them through the range
     // frame — no floats anywhere
     "p14_resets" ->

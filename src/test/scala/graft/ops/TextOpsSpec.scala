@@ -99,6 +99,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) === 0.9183)
   }
 
+  test("cross-entropy: model words cheap, OOV expensive, exact tiny case") {
+    val model = typedLit(Map("a" -> 8L, "b" -> 2L))
+    val out = Seq((1L, "a a b"), (2L, "z z"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        TextOps.crossEntropyArr(split($"text", " "), model, lit(10L)).as("ce"),
+        TextOps.modelHitsArr(split($"text", " "), model).as("hits"))
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === 0.6852) // 2/3·ln(10/8) + 1/3·ln(10/2)
+    assert(out(2L)._1 === 2.9957) // ln(10/0.5): the smoothed OOV cost
+    assert(out(3L)._1 === 0.2231) // ln(1.25): all high-frequency words
+    assert(out(1L)._2 === 2 && out(2L)._2 === 0 && out(3L)._2 === 1)
+    assert(out(2L)._1 > out(1L)._1 && out(1L)._1 > out(3L)._1)
+  }
+
   test("repetition ratio: looped text near 1, unique text 0, short text 0") {
     val out = Seq(
       (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct -> 4/7
