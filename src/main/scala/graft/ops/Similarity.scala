@@ -86,6 +86,60 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Quantized candidate search (the int8 serving path): unit-normalize each
+    * vector, quantize to int8 at the FIXED scale 1/127 (|uᵢ| ≤ 1, so codes
+    * are `floor(127·uᵢ + 0.5)` clamped — comparable across vectors, unlike
+    * per-vector scales), rank candidates by the INTEGER dot of the codes
+    * (≈ 127²·cosine), then exact-cosine re-rank of the top `rerank` per
+    * query. The corpus scan ships 1 byte/dim — 4× less than float32 — and
+    * the candidate scores are exact integers: the whole quantize+dot chain
+    * is +,*,/,sqrt (all IEEE-exact, no transcendentals), so codes and scores
+    * are bit-identical on ANY engine and the operator is oracle-checkable
+    * end-to-end, ties and all — unlike LSH/IVF whose bucket boundaries ride
+    * on engine-specific floats.
+    *
+    * The integer dot reuses the codegen [[VectorDotProduct]] on the codes
+    * widened to double: every partial sum is ≤ 64·127² ≪ 2⁵³, so the double
+    * accumulator is exact and the final cast back to long is lossless.
+    *
+    * Choosing `rerank`: the int8 dot carries an absolute cosine error of
+    * roughly 2·√dim·(0.5/127), so candidates whose TRUE similarities differ
+    * by less than that are ordered by quantization noise. `rerank` must
+    * cover the whole near-tie neighborhood around the k-th neighbor — for
+    * corpora with dense clusters of near-identical vectors that means
+    * rerank ≫ k (see the clustered-recall spec); for spread-out corpora
+    * 3·k is plenty. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               rerank: Int = 15, roundTo: Int = 3): DataFrame = {
+    // norm in its own projection so the codegen dot runs once per row, not
+    // once per element inside the transform lambda
+    def withCodes(df: DataFrame, id: String, emb: String, cod: String) =
+      df.select(col("vec_id").as(id), col("embedding").as(emb),
+          sqrt(dot(col("embedding"), col("embedding"))).as("n"))
+        .select(col(id), col(emb),
+          transform(
+            Quantize.int8(
+              transform(graft.functions.VectorFunctions.toDouble(col(emb)),
+                x => x / col("n")),
+              lit(1.0 / 127.0)),
+            x => x.cast("double")).as(cod))
+    val q = broadcast(withCodes(queries, "query_id", "q_emb", "q_codes"))
+    val c = withCodes(corpus, "neighbor_id", "c_emb", "c_codes")
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_dot").desc, col("neighbor_id").asc)
+    val wFin = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"),
+        dot(col("q_codes"), col("c_codes")).cast("bigint").as("q_dot"))
+      .withColumn("cand_rank", row_number().over(wCand))
+      .filter(col("cand_rank") <= rerank)
+      .select(col("query_id"), col("neighbor_id"), col("q_dot"),
+        round(cosine(col("q_emb"), col("c_emb")), roundTo).as("sim"))
+      .withColumn("rank", row_number().over(wFin))
+      .filter(col("rank") <= k)
+  }
+
   /** Train IVF coarse centroids with fixed-iteration Lloyd's k-means on a
     * deterministic sample (first `sampleN` vectors by id). Model-fitting is
     * driver-side on purpose — the sample is tiny and the resulting centroids

@@ -120,6 +120,22 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3e — int8-quantized candidate search with exact re-rank
+    * ([[Similarity.int8TopK]]): the serving path that scans 1 byte/dim.
+    * Unlike the LSH/IVF entries this one is ORACLE-CHECKED end-to-end —
+    * the quantize+integer-dot chain has no transcendentals, so candidate
+    * scores are exact integers DuckDB reproduces bit-for-bit, ties and
+    * all. Query slice 40-59 keeps the three top-k entries on disjoint
+    * query sets. */
+  def x3_ann_int8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    Similarity.int8TopK(emb.filter($"vec_id" >= 40 && $"vec_id" < 60), emb,
+        k = 5, rerank = 15)
+      .select($"query_id", $"rank", $"neighbor_id", $"q_dot", $"sim")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** X3b' — IVF-bucketed approximate top-5 (rows-only; recall measured in
     * ScalaTest against x3's exact answer). Data-adaptive coarse quantizer vs
     * the oblivious hyperplanes of x3_ann_lsh. */
@@ -221,6 +237,30 @@ object LlmOps {
     * [[graft.ops.Dedup.simhashPairs]] for documents,
     * [[graft.ops.Similarity.lshTopK]] for embeddings — whose multi-band
     * OR-construction bounds both candidate volume and missed-pair odds. */
+  /** X8' — SEMANTIC benchmark decontamination: the embedding-space twin of
+    * the shingle-overlap [[CurationQueries.x8_decontaminate]] — catches
+    * paraphrased/translated eval leakage that exact n-gram overlap misses
+    * (the modern complement every frontier data pipeline runs alongside
+    * string decontamination). Eval set = vectors 0-9, broadcast; each
+    * corpus vector reports how many eval vectors sit above the 0.2 cosine
+    * threshold and its worst (max) eval similarity. Corpus side stays
+    * map-side until the per-vector count — no corpus-corpus join, so the
+    * cost is |corpus|·|eval|, linear in the corpus at a fixed eval set. */
+  def x8_decontaminate_semantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.cosine
+    val ev = broadcast(embeddings(s, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("eval_id"), $"embedding".as("e_emb")))
+    embeddings(s, dir).filter($"vec_id" >= 10)
+      .select($"vec_id", $"embedding")
+      .crossJoin(ev)
+      .select($"vec_id", round(cosine($"embedding", $"e_emb"), 4).as("sim"))
+      .groupBy($"vec_id")
+      .agg(sum(when($"sim" >= 0.2, 1L).otherwise(0L)).as("n_eval_hits"),
+        max($"sim").as("max_eval_sim"))
+      .orderBy($"vec_id")
+  }
+
   def x3_cosine_neardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions.cosine
@@ -658,10 +698,12 @@ object LlmOps {
     "x2_simhash_md5" -> x2_simhash_md5 _,
     "x3_cosine_topk" -> x3_cosine_topk _,
     "x3_ann_lsh" -> x3_ann_lsh _,
+    "x3_ann_int8" -> x3_ann_int8 _,
     "x3_ann_ivf" -> x3_ann_ivf _,
     "x3_ann_ivf_index" -> x3_ann_ivf_index _,
     "x3_ann_pq" -> x3_ann_pq _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
+    "x8_decontaminate_semantic" -> x8_decontaminate_semantic _,
     "x3_sql_topk" -> x3_sql_topk _,
     "x4_text_quality" -> x4_text_quality _,
     "x4_langid" -> x4_langid _,
@@ -763,6 +805,56 @@ object LlmOps {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // broadcast eval slice, max over ALL 10 rounded sims (never null),
+    // integer hit counts — order-independent aggregates only
+    "x8_decontaminate_semantic" ->
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s AS (
+        |  SELECT c.vec_id, round(list_cosine_similarity(c.v, ev.v), 4) AS sim
+        |  FROM c CROSS JOIN ev)
+        |SELECT vec_id,
+        |  CAST(coalesce(sum(CASE WHEN sim >= 0.2 THEN 1 ELSE 0 END), 0)
+        |       AS BIGINT) AS n_eval_hits,
+        |  max(sim) AS max_eval_sim
+        |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // codes: floor((x/‖x‖) / (1/127) + 0.5) clamped — the IDENTICAL
+    // division-form arithmetic as Quantize.int8 (x·127 is NOT the same
+    // double); integer dots are exact on both engines, cosine re-rank
+    // matches the certified x3_cosine_topk pattern
+    "x3_ann_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS n FROM e),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x -> CAST(least(greatest(
+        |      floor((x / n) / (1.0 / 127.0) + 0.5), -127.0), 127.0) AS BIGINT))
+        |      AS codes
+        |  FROM u),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.codes) + 1),
+        |      i -> q.codes[i] * c.codes[i])) AS BIGINT) AS q_dot,
+        |    round(list_cosine_similarity(q.v, c.v), 3) AS sim
+        |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id >= 40 AND q.vec_id < 60),
+        |cand AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY q_dot DESC, neighbor_id ASC) AS cand_rank FROM pairs),
+        |fin AS (
+        |  SELECT query_id, neighbor_id, q_dot, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM cand WHERE cand_rank <= 15)
+        |SELECT query_id, rank, neighbor_id, q_dot, sim
+        |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x3_sql_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -70,6 +70,46 @@ class SimilaritySpec extends SparkSpec {
     assert(run() === approx, "IVF result must be deterministic across runs")
   }
 
+  test("int8 top-k: high recall on spread vectors, exact within tie cover") {
+    val dim = 16
+    // spread corpus: deterministic pseudo-random elements in [-1, 1) —
+    // neighbor-similarity gaps far exceed the int8 dot's ~2·√dim·(0.5/127)
+    // error bound, so the integer candidate ranking is nearly exact
+    def rnd(i: Int, d: Int): Float =
+      (((i * 2654435761L + d * 40503L) % 2048L) - 1024L) / 1024.0f
+    val spread = (0 until 200).map { i =>
+      (i.toLong, (0 until dim).map(d => rnd(i, d)))
+    }.toDF("vec_id", "embedding")
+    val sq = spread.filter($"vec_id" < 10)
+    val exactS = Similarity.bruteForceTopK(sq, spread, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val out = Similarity.int8TopK(sq, spread, k = 5, rerank = 20)
+      .select($"query_id", $"neighbor_id", $"q_dot").as[(Long, Long, Long)]
+      .collect()
+    val recallS = (exactS intersect out.map(r => (r._1, r._2)).toSet).size
+      .toDouble / exactS.size
+    assert(recallS >= 0.9, s"int8 recall $recallS below 0.9 on spread corpus")
+    // |q_dot| ≤ dim·127² by construction
+    assert(out.forall(r => math.abs(r._3) <= dim.toLong * 127 * 127))
+
+    // clustered corpus: ~100 in-cluster candidates whose true cosines differ
+    // by LESS than the quantization error — candidate order inside the tie
+    // group is noise, so rerank must cover the whole neighborhood (the
+    // int8TopK doc rule); once it does, recall is exact
+    def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 970.0f)
+    val clustered = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) Array.fill(dim)(1.0f) else Array.fill(dim)(-1.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + noise(i, d) }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cq = clustered.filter($"vec_id" < 10)
+    val exactC = Similarity.bruteForceTopK(cq, clustered, k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approxC = Similarity.int8TopK(cq, clustered, k = 5, rerank = 100)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approxC === exactC,
+      "rerank covering the tie neighborhood must reproduce exact top-k")
+  }
+
   test("persisted IVF index: partition-pruned probe read matches in-memory ivfTopK") {
     def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 970.0f)
     val dim = 16
