@@ -27,6 +27,30 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Incremental exact dedup — the shape production pipelines actually run:
+    * a NEW batch arrives and must be deduplicated against the standing
+    * corpus AND within itself, without rescanning corpus text. Returns one
+    * row per incoming document with its routing decision:
+    * `drop_vs_corpus` (digest already kept), `drop_within_batch` (an
+    * earlier incoming doc — lowest id wins — has the same digest), or
+    * `keep`. At 100 TB the corpus side is a digest-only projection (32
+    * bytes/doc on the shuffle wire, never text), and the corpus→batch
+    * check is a left-semi-shaped broadcast/shuffle join a [[BloomPrune]]
+    * pre-filter can cheapen further. */
+  def exactIncremental(incoming: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val inc = incoming.select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
+    val seen = corpus.select(sha2(col(textCol), 256).as("text_sha"))
+      .distinct().withColumn("in_corpus", lit(1))
+    val w = Window.partitionBy(col("text_sha")).orderBy(col(idCol).asc)
+    inc.join(seen, Seq("text_sha"), "left")
+      .withColumn("batch_rank", row_number().over(w))
+      .select(col(idCol), col("text_sha"),
+        when(col("in_corpus").isNotNull, "drop_vs_corpus")
+          .when(col("batch_rank") > 1, "drop_within_batch")
+          .otherwise("keep").as("action"))
+  }
+
   /** Word-level shingles of size n as a deduplicated array column.
     * Documents shorter than n words yield an empty set (the guard matters:
     * an unguarded `sequence(1, size-n+1)` is descending for short docs and

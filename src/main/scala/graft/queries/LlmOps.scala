@@ -38,6 +38,20 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** X1d — incremental exact dedup ([[Dedup.exactIncremental]]): every 5th
+    * document plays the incoming batch, the rest the standing corpus — the
+    * batch-against-corpus routing decision (drop_vs_corpus /
+    * drop_within_batch / keep) that production ingestion runs instead of
+    * corpus-wide re-dedup. */
+  def x1_dedup_incremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    Dedup.exactIncremental(
+        docs.filter($"doc_id" % 5 === 0), docs.filter($"doc_id" % 5 =!= 0),
+        "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** X1c — duplicated n-gram fraction per document
     * ([[Dedup.duplicatedNgramFraction]]): the share of each doc's distinct
     * word 5-grams that also occur in another document — the boilerplate /
@@ -727,6 +741,7 @@ object LlmOps {
     "x4_fuzzy" -> x4_fuzzy _,
     "x9_keepers" -> x9_keepers _,
     "x1_dup_ngram" -> x1_dup_ngram _,
+    "x1_dedup_incremental" -> x1_dedup_incremental _,
     "x9_semantic_clusters" -> x9_semantic_clusters _,
     "x2_cdc_chunks" -> x2_cdc_chunks _,
     "x2_chunk_stats" -> x2_chunk_stats _,
@@ -741,6 +756,27 @@ object LlmOps {
       """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
         |  count(DISTINCT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_fingerprints
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // corpus membership via EXISTS on the digest; within-batch winner =
+    // lowest id per digest — same precedence order as the Spark routing
+    "x1_dedup_incremental" ->
+      """WITH inc AS (
+        |  SELECT doc_id, sha256(text) AS text_sha FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |corp AS (
+        |  SELECT DISTINCT sha256(text) AS text_sha FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |r AS (
+        |  SELECT i.doc_id, i.text_sha,
+        |    EXISTS (SELECT 1 FROM corp c WHERE c.text_sha = i.text_sha)
+        |      AS in_corpus,
+        |    row_number() OVER (PARTITION BY i.text_sha ORDER BY i.doc_id ASC)
+        |      AS batch_rank
+        |  FROM inc i)
+        |SELECT doc_id, text_sha,
+        |  CASE WHEN in_corpus THEN 'drop_vs_corpus'
+        |       WHEN batch_rank > 1 THEN 'drop_within_batch'
+        |       ELSE 'keep' END AS action
+        |FROM r ORDER BY doc_id""".stripMargin,
     "x2_ngram_jaccard" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

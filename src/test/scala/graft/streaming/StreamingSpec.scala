@@ -219,6 +219,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_._2.contains("<EMAIL>")))
   }
 
+  test("streaming corpus dedup: cross-batch duplicates dropped by digest") {
+    // the streaming form of X1 ingest dedup: dropDuplicates state keyed by
+    // the 32-byte digest (never the text), so a re-crawled document arriving
+    // micro-batches later is dropped exactly as Dedup.exactIncremental
+    // would route it (drop_vs_corpus, first-seen wins)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .withColumn("text_sha", sha2($"text", 256))
+      .dropDuplicates("text_sha")
+      .writeStream.format("memory").queryName("doc_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, "alpha"), (2L, "beta")); q.processAllAvailable()
+    mem.addData((3L, "alpha"), (4L, "gamma")); q.processAllAvailable()
+    mem.addData((5L, "beta"), (6L, "alpha")); q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("doc_dedup_stream")
+      .as[(Long, String, String)].collect().map(_._1).toSet
+    assert(kept === Set(1L, 2L, 4L), "first-seen digest wins across batches")
+  }
+
   test("content-defined chunking runs identically on a stream") {
     // the chunker is a pure projection + generator — no state, no watermark:
     // the SAME call works on readStream, so sub-document dedup keys can be
