@@ -349,6 +349,34 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P19 — PromQL `absent()`: the no-data detector behind "target down" /
+    * "metric stopped reporting" alerts — a rate of zero and a rate of
+    * NOTHING are different incidents, and only a dense evaluation grid can
+    * tell them apart. The (hour × label) grid is derived from the data's own
+    * span (min/max as a broadcast one-row frame, `sequence` + explode ×
+    * distinct labels — bounded: hours × |labels|, never O(events)), left-
+    * joined to the hourly counts; a grid cell with no samples is `absent=1`,
+    * `cnt=0`. Integers end to end. */
+  def p19_absent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val hourly = ev.groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"n")
+    val span = ev.agg(
+      date_trunc("hour", min($"ts")).as("h_min"),
+      date_trunc("hour", max($"ts")).as("h_max"))
+    val grid = span
+      .select(explode(sequence($"h_min", $"h_max", expr("INTERVAL 1 HOUR")))
+        .as("bucket_start"))
+      .crossJoin(ev.select($"event_type").distinct())
+    grid.join(hourly, Seq("bucket_start", "event_type"), "left")
+      .select($"bucket_start", $"event_type",
+        coalesce($"n", lit(0L)).as("cnt"),
+        when($"n".isNull, 1).otherwise(0).as("absent"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
   /** P17 — PromQL `offset` comparison: each hourly count against the same
     * series 24 hours earlier (`rate(...[1h]) / rate(...[1h] offset 1d)`) —
     * the day-over-day seasonality panel behind "is today unusual" alerts.
@@ -502,6 +530,7 @@ object MetricsOps {
     "p16_quantile_over_time" -> p16_quantile_over_time _,
     "p17_offset_ratio" -> p17_offset_ratio _,
     "p18_irate" -> p18_irate _,
+    "p19_absent" -> p19_absent _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
     "p5_filtered_rate" -> p5_filtered_rate _,
@@ -665,6 +694,28 @@ object MetricsOps {
         |  ON p.event_type = n.event_type
         | AND p.bucket_start = n.bucket_start - INTERVAL 24 HOURS
         |ORDER BY n.bucket_start, n.event_type""".stripMargin,
+    // dense (hour × label) grid from the data's own span, left join, flag
+    // empty cells — integers only
+    "p19_absent" ->
+      """WITH span AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h_min,
+        |         date_trunc('hour', max(ts)) AS h_max FROM events),
+        |grid AS (
+        |  SELECT g.bucket_start, t.event_type
+        |  FROM (SELECT unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR))
+        |          AS bucket_start FROM span) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        |hourly AS (
+        |  SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY bucket_start, event_type)
+        |SELECT grid.bucket_start, grid.event_type,
+        |  CAST(coalesce(hourly.n, 0) AS BIGINT) AS cnt,
+        |  CAST(CASE WHEN hourly.n IS NULL THEN 1 ELSE 0 END AS INT) AS absent
+        |FROM grid LEFT JOIN hourly
+        |  ON grid.bucket_start = hourly.bucket_start
+        | AND grid.event_type = hourly.event_type
+        |ORDER BY grid.bucket_start, grid.event_type""".stripMargin,
     // last-two-samples delta with PromQL counter-reset handling; integer
     // delta and dt, one rounded division at the end
     "p18_irate" ->

@@ -39,6 +39,20 @@ class CdcApplySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("out-of-order arrival: materialized state independent of input order") {
+    // a real log consumer sees events in offset order per partition, but a
+    // backfill/repartition can arrive in ANY order — materialize ranks by
+    // (event time, offset), so arrival order must not matter. Scramble the
+    // arrival order (hash sort + repartition) and require identical state.
+    val scrambled = CdcApply.materialize(
+      events.repartition(7).sortWithinPartitions(xxhash64($"offset", $"pos")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"table", $"pk", $"op", to_json($"data").as("d"))
+        .orderBy("table", "pk").as[(String, String, String, String)]
+        .collect().toSeq
+    assert(canon(scrambled) === canon(state))
+  }
+
   test("W4 transitions audit: pending→completed captured with old image") {
     val tr = CdcApply.transitions(events, "status")
       .select($"pk", $"old_status", $"new_status")
