@@ -572,6 +572,33 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X4l — tf-idf keyword extraction: each document's top-3 terms by
+    * tf·ln(N/df) — the classic topical-fingerprint op (tag generation,
+    * cluster labeling, near-dup triage). Corpus stats arrive as a
+    * df-per-word join plus a one-row N broadcast; scores are ROUNDED before
+    * ranking so the (score desc, word asc) order is engine-independent at
+    * ties. At 100 TB: one word-level shuffle for tf, one vocab-sized join
+    * for df — no doc×doc work. */
+  def x4_keywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val tf = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = words.select($"doc_id", $"w").distinct()
+      .groupBy($"w").agg(count(lit(1)).as("df"))
+    val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("w")).crossJoin(broadcast(n))
+      .select($"doc_id", $"w", $"tf", $"df",
+        round($"tf" * log($"n_docs".cast("double") / $"df".cast("double")), 4)
+          .as("score"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"w".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"w".as("word"), $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
   /** X4h — repetition quality signals: repeated-3-gram ratio (looped or
     * template text) and top-word dominance (keyword stuffing) — the
     * Gopher/C4-style filters that entropy and stopword ratios complement. */
@@ -735,6 +762,7 @@ object LlmOps {
     "x9_dup_clusters_star" -> x9_dup_clusters_star _,
     "x4_entropy" -> x4_entropy _,
     "x4_perplexity" -> x4_perplexity _,
+    "x4_keywords" -> x4_keywords _,
     "x4_repetition" -> x4_repetition _,
     "x4_pii" -> x4_pii _,
     "x4_sql_quality" -> x4_sql_quality _,
@@ -1071,6 +1099,24 @@ object LlmOps {
         |      * log2(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w)))), 0)
         |    + 0.0, 4) AS word_entropy
         |FROM w ORDER BY doc_id""".stripMargin,
+    // identical tf·ln(N/df) tree, score ROUNDED before ranking so ties
+    // break on (score desc, word asc) identically in both engines
+    "x4_keywords" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 4)
+        |      AS score
+        |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, w ASC) AS rank FROM scored)
+        |SELECT doc_id, rank, w AS word, tf, df, score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // same model (top-200 en census + total), same per-term tree
     // p·ln(total/count), terms listed in sorted-word order and summed
     // sequentially (list_sum) — the same fold order as Spark's aggregate()
