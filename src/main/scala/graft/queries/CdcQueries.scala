@@ -422,6 +422,29 @@ object CdcQueries {
       .orderBy($"status")
   }
 
+  /** S5' (oracle-checked) — snapshot diff ([[graft.streaming.Snapshot.diff]]):
+    * state at the +15000 ms cutoff vs final state, every key classified
+    * added / changed / unchanged — "what moved between these two restore
+    * points". Exactly one `changed` row exists (key 5000: its INSERT lands
+    * on the cutoff, its UPDATE 1 ms after), keys ≤ 4999 are `unchanged`,
+    * later keys `added`. A `deleted` class is structurally impossible in
+    * this fixture (tombstones trail their inserts by 2 ms, so no cutoff can
+    * separate them) — the class itself is exercised in SnapshotSpec.
+    * `n/a` sentinel instead of NULL for the added rows' before-image. */
+  def cdc_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Snapshot
+    // one wire generation feeds both sides (the s5 localCheckpoint pattern)
+    val evts = wireOrderEvents(s, dir).localCheckpoint()
+    val before = wireState(CdcApply.stateAsOf(evts, 1704067200000L + 15000L))
+    val after = wireState(CdcApply.materialize(evts))
+    Snapshot.diff(before, after, "id", Seq("status", "op"))
+      .select($"id", $"change",
+        coalesce($"before.status", lit("n/a")).as("status_before"),
+        coalesce($"after.status", lit("n/a")).as("status_after"))
+      .orderBy($"id")
+  }
+
   /** S5 — snapshot export/restore (backup.sh/restore.sh analog) as an
     * oracle-checked roundtrip: materialized CDC state → parquet snapshot with
     * manifest → restore (manifest row-count validated). The restored frame
@@ -471,6 +494,7 @@ object CdcQueries {
     "cdc_wire_asof" -> cdc_wire_asof _,
     "cdc_wire_agg_maintain" -> cdc_wire_agg_maintain _,
     "s5_snapshot_roundtrip" -> s5_snapshot_roundtrip _,
+    "cdc_snapshot_diff" -> cdc_snapshot_diff _,
   )
 
   /** The embedded-fixture queries are not DuckDB-expressible (the wire data
@@ -635,6 +659,20 @@ object CdcQueries {
         |    + (o_orderkey % 86400) * INTERVAL 1 SECOND AS created_at,
         |  'insert' AS op, o_orderkey AS "offset"
         |FROM cents ORDER BY id""".stripMargin,
+    // key arithmetic: <=4999 settled before the cutoff, 5000 straddles it
+    // (the one changed row), later keys arrive after; %7 tombstoned keys
+    // are absent from BOTH states
+    "cdc_snapshot_diff" ->
+      """SELECT o_orderkey AS id,
+        |  CASE WHEN o_orderkey <= 4999 THEN 'unchanged'
+        |       WHEN o_orderkey = 5000 THEN 'changed'
+        |       ELSE 'added' END AS change,
+        |  CASE WHEN o_orderkey <= 4999 THEN o_orderstatus
+        |       WHEN o_orderkey = 5000 THEN 'pending'
+        |       ELSE 'n/a' END AS status_before,
+        |  o_orderstatus AS status_after
+        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
+        |ORDER BY id""".stripMargin,
     // v1 (even keys) has no category → DDL default; v2 (odd) carries it
     "cdc_schema_evolution" ->
       """SELECT o_orderkey AS id,

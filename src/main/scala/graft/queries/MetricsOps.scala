@@ -349,6 +349,33 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P20 — multi-window SLO burn rate (the SRE-handbook alert): page only
+    * when BOTH the short window (reacts fast) and the long window (filters
+    * blips) burn error budget faster than allowed. Error ratios per trailing
+    * 5-min and 1-h windows as exact integer ppm (floor division — no floats
+    * anywhere), alert = both above the 1% SLO (10 000 ppm). The long window
+    * is the same value-based RANGE frame as [[p11_over_time]], so sparse
+    * series window by time. */
+  def p20_burn_rate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = events(s, dir)
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("total_5m"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("err_5m"))
+      .select($"window.start".as("bucket_start"), $"total_5m", $"err_5m")
+    val w = Window.orderBy(unix_timestamp($"bucket_start")).rangeBetween(-3300, 0)
+    buckets
+      .withColumn("total_1h", sum($"total_5m").over(w))
+      .withColumn("err_1h", sum($"err_5m").over(w))
+      .select($"bucket_start", $"err_5m", $"total_5m",
+        expr("err_5m * 1000000 DIV total_5m").as("ratio_5m_ppm"),
+        expr("err_1h * 1000000 DIV total_1h").as("ratio_1h_ppm"),
+        when(expr("err_5m * 1000000 DIV total_5m") > 10000 &&
+             expr("err_1h * 1000000 DIV total_1h") > 10000, 1).otherwise(0)
+          .as("page"))
+      .orderBy($"bucket_start")
+  }
+
   /** P19 — PromQL `absent()`: the no-data detector behind "target down" /
     * "metric stopped reporting" alerts — a rate of zero and a rate of
     * NOTHING are different incidents, and only a dense evaluation grid can
@@ -531,6 +558,7 @@ object MetricsOps {
     "p17_offset_ratio" -> p17_offset_ratio _,
     "p18_irate" -> p18_irate _,
     "p19_absent" -> p19_absent _,
+    "p20_burn_rate" -> p20_burn_rate _,
     "p4_quantiles" -> p4_quantiles _,
     "p4_histogram_quantile" -> p4_histogram_quantile _,
     "p5_filtered_rate" -> p5_filtered_rate _,
@@ -694,6 +722,27 @@ object MetricsOps {
         |  ON p.event_type = n.event_type
         | AND p.bucket_start = n.bucket_start - INTERVAL 24 HOURS
         |ORDER BY n.bucket_start, n.event_type""".stripMargin,
+    // integer ppm floor division both windows; page = both breach 1%
+    "p20_burn_rate" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |    count(*) AS total_5m,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err_5m
+        |  FROM events GROUP BY bucket_start),
+        |m AS (
+        |  SELECT bucket_start, err_5m, total_5m,
+        |    sum(total_5m) OVER w AS total_1h, sum(err_5m) OVER w AS err_1h
+        |  FROM b
+        |  WINDOW w AS (ORDER BY epoch_ms(bucket_start) // 1000
+        |               RANGE BETWEEN 3300 PRECEDING AND CURRENT ROW))
+        |SELECT bucket_start,
+        |  CAST(err_5m AS BIGINT) AS err_5m, CAST(total_5m AS BIGINT) AS total_5m,
+        |  CAST((err_5m * 1000000) // total_5m AS BIGINT) AS ratio_5m_ppm,
+        |  CAST((err_1h * 1000000) // total_1h AS BIGINT) AS ratio_1h_ppm,
+        |  CAST(CASE WHEN (err_5m * 1000000) // total_5m > 10000
+        |         AND (err_1h * 1000000) // total_1h > 10000
+        |       THEN 1 ELSE 0 END AS INT) AS page
+        |FROM m ORDER BY bucket_start""".stripMargin,
     // dense (hour × label) grid from the data's own span, left join, flag
     // empty cells — integers only
     "p19_absent" ->

@@ -49,6 +49,28 @@ object Snapshot {
     df
   }
 
+  /** Snapshot diff — "what changed since the backup": full outer join of
+    * two state frames on the key, each surviving key classified as `added`
+    * (only in `b`), `deleted` (only in `a`), `changed` (both, any compared
+    * column differs) or `unchanged`. The ops answer behind incident
+    * review ("which rows moved between these two restore points") and
+    * incremental backup sizing. One co-partitioned shuffle per side on the
+    * key; compared columns travel as a single struct so the equality test
+    * is one codegen'd comparison regardless of arity. */
+  def diff(a: DataFrame, b: DataFrame, key: String,
+           compareCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def pack(df: DataFrame, side: String) =
+      df.select(col(key), struct(compareCols.map(col): _*).as(s"__$side"))
+    pack(a, "a").join(pack(b, "b"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__a").isNull, "added")
+          .when(col("__b").isNull, "deleted")
+          .when(col("__a") =!= col("__b"), "changed")
+          .otherwise("unchanged").as("change"),
+        col("__a").as("before"), col("__b").as("after"))
+  }
+
   /** Read the manifest key-values. */
   def manifest(snapDir: String): Map[String, String] = {
     val props = new Properties()
