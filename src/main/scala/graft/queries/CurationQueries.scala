@@ -55,6 +55,30 @@ object CurationQueries {
       .orderBy($"shard", $"pos")
   }
 
+  /** X7g — curriculum phases: documents ranked cleanest-first by the
+    * composite quality score and cut into 4 equal phases (`ntile`) — the
+    * curriculum-learning schedule (train on clean text first, noisy last).
+    * The order is total ((quality, entropy) desc, doc_id asc), so phase
+    * boundaries are engine-independent; both engines distribute ntile
+    * remainders to the earliest groups per the SQL standard.
+    *
+    * Scale note: an unpartitioned ntile is a single-reducer sort — correct
+    * here (and DuckDB-checkable), but at 100 TB cut phases by APPROXIMATE
+    * quality quantiles (approx_percentile thresholds broadcast as a
+    * literal, then a map-side CASE) — same schedule, no global sort. */
+  def x7_curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"quality".desc, $"entropy".desc, $"doc_id".asc)
+    documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("words"))
+      .select($"doc_id",
+        TextOps.qualityScoreArr($"words").as("quality"),
+        TextOps.wordEntropyArr($"words").as("entropy"))
+      .withColumn("phase", ntile(4).over(w))
+      .select($"doc_id", $"quality", $"entropy", $"phase")
+      .orderBy($"doc_id")
+  }
+
   /** X7c' — the assembled PACKED-BIN manifest (what a training reader
     * consumes): per (lang, bin), member count, token fill, and the ordered
     * member list — certifying the bin assembly end-to-end, not just each
@@ -158,6 +182,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x7_curriculum" -> x7_curriculum _,
     "x7_split_assign" -> x7_split_assign _,
     "x7_quota_cap" -> x7_quota_cap _,
     "x7_binpack" -> x7_binpack _,
@@ -171,6 +196,25 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same quality/entropy trees as the x4 oracles; total order with doc_id
+    // tie-break makes the ntile cut engine-independent
+    "x7_curriculum" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    round((least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) +
+        |           least(round(CAST(len(list_filter(w,
+        |               x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |             / greatest(len(w), 1), 4) * 5.0, 1.0)) / 2.0, 5) AS quality,
+        |    round(coalesce(list_sum(list_transform(list_sort(list_distinct(w)), d ->
+        |      -(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w))
+        |        * log2(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE) / len(w)))), 0)
+        |      + 0.0, 4) AS entropy
+        |  FROM w)
+        |SELECT doc_id, quality, entropy,
+        |  CAST(ntile(4) OVER (ORDER BY quality DESC, entropy DESC, doc_id ASC)
+        |       AS INT) AS phase
+        |FROM m ORDER BY doc_id""".stripMargin,
     // weights = floor(sqrt(n)*1000) (IEEE sqrt is correctly rounded →
     // engine-identical), then pure int64 half-up rate arithmetic; sums
     // cast back from DuckDB's HUGEINT

@@ -219,6 +219,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_._2.contains("<EMAIL>")))
   }
 
+  test("watermark drops late data: a closed window never re-emits") {
+    // append-mode windowed counts with a 10-minute watermark: once the
+    // watermark passes a window's end the window is final — an event
+    // arriving later for it must be silently dropped, not re-opened
+    // (exactly-once emission is what makes the P1/P9 streaming twins safe
+    // to sink without upsert logic)
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("w"), $"event_type", $"cnt")
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(0), "a"), (ts(1), "a")); q.processAllAvailable()
+    // advance the watermark far past the first window, closing it
+    mem.addData((ts(40), "a")); q.processAllAvailable()
+    val closed = spark.table("late_drop")
+      .filter($"w" === ts(0)).as[(Timestamp, String, Long)].collect()
+    assert(closed.map(_._3).toSeq === Seq(2L), "window [0,5) finalized at 2")
+    // late arrival for the closed window: must be dropped
+    mem.addData((ts(2), "a")); q.processAllAvailable()
+    mem.addData((ts(60), "a")); q.processAllAvailable() // flush remaining
+    q.stop()
+    val after = spark.table("late_drop")
+      .filter($"w" === ts(0)).as[(Timestamp, String, Long)].collect()
+    assert(after.map(_._3).toSeq === Seq(2L),
+      "late event neither re-emitted nor re-counted the closed window")
+  }
+
   test("streaming corpus dedup: cross-batch duplicates dropped by digest") {
     // the streaming form of X1 ingest dedup: dropDuplicates state keyed by
     // the 32-byte digest (never the text), so a re-crawled document arriving
