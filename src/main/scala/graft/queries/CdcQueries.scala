@@ -196,6 +196,41 @@ object CdcQueries {
       .orderBy($"id")
   }
 
+  /** W7'/multi-table routing (oracle-checked) — ONE wire stream carrying two
+    * tables' envelopes interleaved (products + orders per key, distinct
+    * offsets), parsed once and routed through two typed views — the
+    * reference consumer's actual shape (one Kafka topic, per-table ES
+    * indices). The certificate: every event lands in exactly its own
+    * table's view with the right payload; a routing leak (wrong-table rows)
+    * or a dropped table both hash-mismatch. Output is the union of both
+    * views in a common (table, id, val) projection. */
+  def cdc_wire_multi_table(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 4 === 3)
+      .select($"o_orderkey".as("id"), $"o_orderstatus".as("st"))
+      .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
+    def line(table: String, data: Column) = to_json(struct(
+      array(data).as("data"),
+      lit("INSERT").as("type"), lit(table).as("table"), lit("testdb").as("database"),
+      (lit(1704067200000L) + $"id").as("es"), lit(false).as("isDdl")))
+    val products = base.select(
+      line("products", map(lit("id"), $"id".cast("string"),
+        lit("name"), concat(lit("item-"), $"id"))).as("value"),
+      lit(0).as("partition"), ($"id" * 2).cast("bigint").as("offset"))
+    val orders = base.select(
+      line("orders", map(lit("id"), $"id".cast("string"),
+        lit("status"), $"st")).as("value"),
+      lit(0).as("partition"), ($"id" * 2 + 1).cast("bigint").as("offset"))
+    val events = CanalJson.events(products.unionByName(orders))
+    def view(table: String, valCol: String) =
+      events.filter($"table" === table)
+        .select($"table", element_at($"data", "id").cast("bigint").as("id"),
+          element_at($"data", valCol).as("val"), $"offset")
+    view("products", "name").unionByName(view("orders", "status"))
+      .orderBy($"table", $"id")
+  }
+
   /** M4 — message-status counter as the success ∪ error ∪ invalid-reason
     * union (kafka_messages_processed_total{status}, index.js:309-327): every
     * line lands in exactly one status bucket. The poison line materializes
@@ -485,6 +520,7 @@ object CdcQueries {
     "cdc_typed_products" -> cdc_typed_products _,
     "cdc_typed_orders" -> cdc_typed_orders _,
     "cdc_schema_evolution" -> cdc_schema_evolution _,
+    "cdc_wire_multi_table" -> cdc_wire_multi_table _,
     "cdc_message_status" -> cdc_message_status _,
     "cdc_health_surface" -> cdc_health_surface _,
     "s6_log_levels" -> s6_log_levels _,
@@ -659,6 +695,17 @@ object CdcQueries {
         |    + (o_orderkey % 86400) * INTERVAL 1 SECOND AS created_at,
         |  'insert' AS op, o_orderkey AS "offset"
         |FROM cents ORDER BY id""".stripMargin,
+    // one row per (key, table): products carry item-<id>, orders the status
+    "cdc_wire_multi_table" ->
+      """SELECT 'products' AS "table", o_orderkey AS id,
+        |  'item-' || CAST(o_orderkey AS VARCHAR) AS val,
+        |  o_orderkey * 2 AS "offset"
+        |FROM orders WHERE o_orderkey % 4 = 3
+        |UNION ALL
+        |SELECT 'orders' AS "table", o_orderkey AS id, o_orderstatus AS val,
+        |  o_orderkey * 2 + 1 AS "offset"
+        |FROM orders WHERE o_orderkey % 4 = 3
+        |ORDER BY "table", id""".stripMargin,
     // key arithmetic: <=4999 settled before the cutoff, 5000 straddles it
     // (the one changed row), later keys arrive after; %7 tombstoned keys
     // are absent from BOTH states
