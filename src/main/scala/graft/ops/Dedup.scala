@@ -534,4 +534,33 @@ object Dedup {
           (col("size_a") + col("size_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** X2d — DIRECTED shingle containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|:
+    * the near-dup signal Jaccard structurally misses when a short document
+    * is embedded inside a much longer one (quotes, boilerplate wrappers,
+    * concatenated shards) — the union term dilutes Jaccard toward 0 while
+    * containment of the short side stays ≈ 1. Same inverted-index join as
+    * [[ngramJaccardPairs]] (fixed-width 8-byte shuffle keys, no all-pairs);
+    * emits BOTH directions of a qualifying pair since C is asymmetric.
+    *
+    * The score is exact integer parts-per-million (`n_common * 1e6 /
+    * set_size` floored) — no doubles anywhere, so the cross-engine oracle
+    * compares bit-exactly with no rounding-tie exposure. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, minPpm: Long = 500000L): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("shingle_h"))
+      .localCheckpoint(false)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val a = sh.select(col("shingle_h"), col("id").as("id_a"))
+    val b = sh.select(col("shingle_h"), col("id").as("id_b"))
+    a.join(b, Seq("shingle_h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .select(col("id_a"), col("id_b"), col("n_common"), col("size_a"),
+        expr("n_common * 1000000 DIV size_a").as("containment_ppm"))
+      .filter(col("containment_ppm") >= minPpm)
+  }
 }

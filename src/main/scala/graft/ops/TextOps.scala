@@ -255,4 +255,63 @@ object TextOps {
       .groupBy("doc_id")
       .agg(round(sum(contrib), 4).as("bm25"))
   }
+
+  /** Exact phrase search (the `match_phrase` full-text query) via a
+    * positional postings list: one narrow pass emits (doc_id, pos, word)
+    * filtered to the phrase's terms BEFORE any shuffle — at 100 TB the
+    * postings that move are only the query terms' occurrences, never the
+    * corpus. Each term's postings are then re-keyed to the position the
+    * phrase would START at (`pos - i` for the i-th phrase word), turning
+    * "consecutive positions" into a plain k-way equi-join on
+    * (doc_id, start) — hash-partitioned fixed-width keys, no inequality
+    * conditions, no window. Returns (doc_id, n_hits) with one count per
+    * matching start offset, so overlapping repeats are counted exactly. */
+  def phraseSearch(docs: DataFrame, textCol: String, idCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    // localCheckpoint: k join sides reuse ONE split+filter pass instead of
+    // re-splitting the corpus per phrase word
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.distinct.map(x => x: Any): _*))
+      .localCheckpoint(false)
+    phrase.zipWithIndex.map { case (term, i) =>
+      postings.filter(col("w") === term)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }.reduce((l, r) => l.join(r, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Significant-terms enrichment (the ES `significant_terms` aggregation):
+    * which terms are over-represented in a foreground document set relative
+    * to the whole corpus — the "what characterizes this slice" question a
+    * curation pipeline asks of a language / domain / quality stratum.
+    *
+    * Document frequencies (not term frequencies) per ES semantics: each doc
+    * counts a term once. One exploded distinct-terms pass feeds ONE
+    * aggregation with map-side partial counts (`fg_count` as a conditional
+    * sum inside the same groupBy — never two scans); the corpus/foreground
+    * totals collapse to a single broadcast row. All scores are exact
+    * integer arithmetic — doc rates floor-divided to ppm and a JLH-shaped
+    * numerator `(fg_ppm - bg_ppm) * fg_ppm` — so the cross-engine oracle
+    * has no float anywhere.
+    *
+    * `isFg` is any boolean column expression over `docs`' columns. */
+  def significantTerms(docs: DataFrame, textCol: String, idCol: String,
+                       isFg: Column, minFgDocs: Long = 3): DataFrame = {
+    val totals = docs.agg(
+      sum(isFg.cast("long")).as("fg_total"), count(lit(1)).as("bg_total"))
+    docs
+      .select(isFg.cast("long").as("is_fg"),
+        explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .groupBy("term")
+      .agg(sum(col("is_fg")).as("fg_count"), count(lit(1)).as("bg_count"))
+      .filter(col("fg_count") >= minFgDocs)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("fg_count"), col("bg_count"),
+        expr("fg_count * 1000000 DIV fg_total").as("fg_ppm"),
+        expr("bg_count * 1000000 DIV bg_total").as("bg_ppm"))
+      .withColumn("jlh_num", (col("fg_ppm") - col("bg_ppm")) * col("fg_ppm"))
+  }
 }

@@ -674,6 +674,42 @@ object LlmOps {
       .orderBy($"probe", $"dist", $"term")
   }
 
+  /** X2f — directed shingle containment ([[Dedup.containmentPairs]]): the
+    * quote / boilerplate-wrapper detector — a short document embedded in a
+    * longer one scores containment ≈ 1 while the union term keeps its
+    * Jaccard below every near-dup threshold. Exact integer ppm: no float
+    * exists anywhere in the operator or the oracle. */
+  def x2_containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairs(documents(s, dir), "text", "doc_id",
+        shingleSize = 3, minPpm = 400000L)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** X4k — exact phrase search ([[TextOps.phraseSearch]], the ES
+    * `match_phrase` analog): positional postings filtered to the phrase
+    * terms before any shuffle, consecutive-position matching as a plain
+    * equi-join on (doc, phrase-start). Counts overlapping occurrences
+    * exactly; the oracle brute-forces the same count from each document's
+    * word array. */
+  def x4_phrase_search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.phraseSearch(documents(s, dir), "text", "doc_id",
+        phrase = Seq("hash", "join"))
+      .orderBy($"doc_id")
+  }
+
+  /** X4l — significant-terms enrichment ([[TextOps.significantTerms]], the
+    * ES `significant_terms` analog): document-frequency rates of each term
+    * in the zh slice vs the whole corpus, JLH-shaped score — all exact
+    * integer ppm arithmetic. */
+  def x4_sig_terms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.significantTerms(documents(s, dir), "text", "doc_id",
+        isFg = $"lang" === "zh", minFgDocs = 3)
+      .orderBy($"term")
+  }
+
   /** X9'' — keeper election per duplicate cluster: cluster every document
     * (singletons included) and keep the highest-quality copy (n_chars desc,
     * doc_id asc tie-break) instead of the min-id convention — the policy a
@@ -774,6 +810,9 @@ object LlmOps {
     "x2_cdc_chunks" -> x2_cdc_chunks _,
     "x2_chunk_stats" -> x2_chunk_stats _,
     "x4_oov_rate" -> x4_oov_rate _,
+    "x2_containment" -> x2_containment _,
+    "x4_phrase_search" -> x4_phrase_search _,
+    "x4_sig_terms" -> x4_sig_terms _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1295,6 +1334,54 @@ object LlmOps {
         |  CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST((sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_ppm
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // directed pairs (a.doc_id <> b.doc_id); ppm floor division mirrors DIV
+    "x2_containment" -> (
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, n_common, sa.set_size AS size_a,
+        |  CAST((n_common * 1000000) // sa.set_size AS BIGINT) AS containment_ppm
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a
+        |WHERE (n_common * 1000000) // sa.set_size >= 400000
+        |ORDER BY id_a, id_b""".stripMargin),
+    // brute-force recount of consecutive-bigram matches per document
+    "x4_phrase_search" -> (
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |hits AS (
+        |  SELECT doc_id, len(list_filter(list_transform(
+        |    CASE WHEN len(w) >= 2 THEN generate_series(1, len(w) - 1) ELSE [] END,
+        |    i -> array_to_string(w[i:i+1], ' ')), s -> s = 'hash join')) AS n
+        |  FROM words)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_hits
+        |FROM hits WHERE n > 0 ORDER BY doc_id""".stripMargin),
+    // document frequencies (term counted once per doc); all integer ppm
+    "x4_sig_terms" -> (
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |tot AS (
+        |  SELECT count(*) FILTER (WHERE lang = 'zh') AS fg_total,
+        |    count(*) AS bg_total FROM documents),
+        |agg AS (
+        |  SELECT term, count(*) FILTER (WHERE lang = 'zh') AS fg_count,
+        |    count(*) AS bg_count FROM d GROUP BY term)
+        |SELECT term, fg_count, bg_count,
+        |  CAST((fg_count * 1000000) // fg_total AS BIGINT) AS fg_ppm,
+        |  CAST((bg_count * 1000000) // bg_total AS BIGINT) AS bg_ppm,
+        |  CAST(((fg_count * 1000000) // fg_total - (bg_count * 1000000) // bg_total)
+        |    * ((fg_count * 1000000) // fg_total) AS BIGINT) AS jlh_num
+        |FROM agg, tot WHERE fg_count >= 3 ORDER BY term""".stripMargin),
   )
 
   /** Shared CTE rebuilding [[Dedup.contentDefinedChunks]]'s cut points and

@@ -142,4 +142,58 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1) === "call <PHONE> or <PHONE>")
     assert(out(2) === "v1.2.3 @handle 12-34 555-12-3456 plain")
   }
+
+  test("phraseSearch: overlapping hits counted, repeated-word phrases, misses dropped") {
+    val docs = Seq(
+      (1L, "x hash join y hash join z"), // 2 separated occurrences
+      (2L, "a a a"),                     // overlapping 'a a' at pos 0 and 1
+      (3L, "hash x join"),               // terms present, never adjacent
+      (4L, "join hash")                  // reversed order must not match
+    ).toDF("doc_id", "text")
+    val hj = TextOps.phraseSearch(docs, "text", "doc_id", Seq("hash", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(hj === Map(1L -> 2L))
+    val aa = TextOps.phraseSearch(docs, "text", "doc_id", Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(aa === Map(2L -> 2L))
+    // 3-word phrase exercises the k-way join shape
+    val three = TextOps.phraseSearch(docs, "text", "doc_id", Seq("y", "hash", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(three === Map(1L -> 1L))
+  }
+
+  test("significantTerms: doc-frequency counts, ppm floors, jlh sign") {
+    val docs = Seq(
+      (1L, "zh", "dup dup common"), // 'dup' counted ONCE for doc 1
+      (2L, "zh", "dup common"),
+      (3L, "zh", "common"),
+      (4L, "en", "common other"),
+      (5L, "en", "common other")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.significantTerms(docs, "text", "doc_id",
+        isFg = $"lang" === "zh", minFgDocs = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // dup: fg 2/3 docs, bg 2/5 docs
+    assert(out("dup")._2 === 2 && out("dup")._3 === 2)
+    assert(out("dup")._4 === 666666L && out("dup")._5 === 400000L)
+    assert(out("dup")._6 === (666666L - 400000L) * 666666L)
+    // common: everywhere -> fg_ppm = bg_ppm = 1e6, jlh 0
+    assert(out("common")._6 === 0L)
+    // other: absent from fg -> filtered by minFgDocs=1
+    assert(!out.contains("other"))
+  }
+
+  test("containmentPairs: directed asymmetry a Jaccard threshold misses") {
+    val short = "q w e r t" // 3 shingles, all inside the long doc
+    val long = "q w e r t a b c d e f g h i j k l m n o p"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "text", "doc_id",
+        shingleSize = 3, minPpm = 0L)
+      .select("id_a", "id_b", "containment_ppm")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) === 1000000L) // short fully contained
+    assert(out((2L, 1L)) === 157894L)  // 3 of 19 shingles -> floor(3e6/19)
+    // while Jaccard of the same pair is 3/19 = 0.158 — under any dedup cut
+  }
 }
