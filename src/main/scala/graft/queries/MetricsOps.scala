@@ -319,6 +319,37 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P20 — exponential smoothing of the 5-minute count series (the PromQL
+    * `holt_winters` family's level term, smoothing factor 1/2): each bucket's
+    * smoothed value weights the k-th most recent sample by 2^-(k+1) — the
+    * denoised trend line dashboards draw under a spiky rate. True EWMA
+    * recursion never forgets, which is both unbounded state in a window
+    * engine AND float-rounding-order exposure; weights below 2^-16 are under
+    * one ppm, so the recursion is truncated at the 16 most recent samples and
+    * becomes EXACT INTEGER arithmetic: fold the reversed frame as
+    * acc·2 + x (newest ends up at weight 2^(n-1)), normalize by 2^n − 1,
+    * floor-divide to ppm. No float exists anywhere; the oracle folds the
+    * identical list. collect_list over a ROWS frame is bounded (≤ 16
+    * values/row); counts up to ~1.4e8/bucket stay inside int64 after the
+    * 2^16 · 10^6 scaling. */
+  def p20_smooth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"bucket_start").rowsBetween(-15, Window.currentRow)
+    events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"cnt")
+      .withColumn("arr", collect_list($"cnt").over(w))
+      .select($"bucket_start", $"event_type", $"cnt",
+        expr("""aggregate(reverse(arr), CAST(0 AS BIGINT),
+                          (acc, x) -> acc * 2 + x)
+                * 1000000
+                DIV (shiftleft(CAST(1 AS BIGINT), size(arr)) - 1)""")
+          .as("smooth_ppm"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
   /** P18 — PromQL `irate()` / `idelta()`: the instant rate from the LAST TWO
     * samples of each series — the spiky-counter companion to the averaged
     * `rate()` ([[p1_rate]]), preferred on fast-moving counters because it
@@ -555,6 +586,7 @@ object MetricsOps {
     "p14_resets" -> p14_resets _,
     "p15_topk" -> p15_topk _,
     "p16_quantile_over_time" -> p16_quantile_over_time _,
+    "p20_smooth" -> p20_smooth _,
     "p17_offset_ratio" -> p17_offset_ratio _,
     "p18_irate" -> p18_irate _,
     "p19_absent" -> p19_absent _,
@@ -827,6 +859,22 @@ object MetricsOps {
         |WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
         |             RANGE BETWEEN INTERVAL '55 minutes' PRECEDING AND CURRENT ROW)
         |ORDER BY bucket_start, event_type""".stripMargin,
+    // identical reversed-list fold; // is DuckDB's floor division (all
+    // operands non-negative, so it matches Spark's DIV truncation)
+    "p20_smooth" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY bucket_start, event_type),
+        |f AS (
+        |  SELECT bucket_start, event_type, cnt,
+        |    list(cnt) OVER (PARTITION BY event_type ORDER BY bucket_start
+        |                    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM b)
+        |SELECT bucket_start, event_type, cnt,
+        |  CAST((list_reduce(list_reverse(arr), (acc, x) -> acc * 2 + x)
+        |        * 1000000) // ((1 << len(arr)) - 1) AS BIGINT) AS smooth_ppm
+        |FROM f ORDER BY bucket_start, event_type""".stripMargin,
     "p1_rate_sliding" ->
       """SELECT time_bucket(INTERVAL '30 seconds', ts) - k * INTERVAL '30 seconds' AS bucket_start,
         |  event_type, count(*) AS cnt, round(count(*) / 300.0, 6) AS rate_per_sec
