@@ -603,6 +603,72 @@ object Relational {
       SELECT c_custkey, root, depth FROM walk ORDER BY c_custkey""")
   }
 
+  /** Ordered funnel analysis — per user, how deep into view → click →
+    * purchase did they get, with each step required to happen strictly
+    * AFTER the previous step's first qualifying event (the product-analytics
+    * "conversion funnel", ES/Mixpanel-style). Expressed as three chained
+    * min-aggregations, each co-partitioned on user_id: step k's candidate
+    * events filter by type BEFORE their shuffle, join the (user, t_{k-1})
+    * frontier, and min-reduce — no per-user event array is ever
+    * materialized, so a power user with 10⁸ events costs the same shuffle
+    * width as anyone else (the collect-a-list-per-user funnel melts at
+    * 100 TB; this one doesn't). Timestamps surface as unix micros with −1
+    * for "never reached" (bigint sentinel, not a nullable column). */
+  def q39_funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
+    val base = ev.select($"user_id").distinct()
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    base.join(v, Seq("user_id"), "left")
+      .join(c.select($"user_id", $"t_click"), Seq("user_id"), "left")
+      .join(p.select($"user_id", $"t_purchase"), Seq("user_id"), "left")
+      .select($"user_id",
+        (when($"t_purchase".isNotNull, 3)
+          .when($"t_click".isNotNull, 2)
+          .when($"t_view".isNotNull, 1).otherwise(0)).cast("bigint")
+          .as("step_reached"),
+        // events.ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+        // cast reads the same wall-clock instant DuckDB's epoch_us sees
+        coalesce(unix_micros($"t_view".cast("timestamp")), lit(-1L)).as("t_view_us"),
+        coalesce(unix_micros($"t_click".cast("timestamp")), lit(-1L)).as("t_click_us"),
+        coalesce(unix_micros($"t_purchase".cast("timestamp")), lit(-1L)).as("t_purchase_us"))
+      .orderBy($"user_id")
+  }
+
+  /** Weekly cohort retention — users grouped by the week of their first
+    * event; for every later week, what fraction of the cohort was active
+    * (the "triangle chart" behind every growth dashboard). Two aggregations
+    * and one co-partitioned join, all keyed on user_id then (cohort, week);
+    * distinct-per-week activity is map-side reduced before the final count.
+    * Retention is floor-divided integer ppm — no float anywhere. Week
+    * boundaries come from date_trunc('week'), identical Monday-start
+    * semantics in both engines, so week_k = days-between DIV 7 is exact. */
+  def q40_retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val cohort = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val active = ev
+      .select($"user_id", date_trunc("week", $"ts").as("active_week"))
+      .distinct()
+    val sizes = cohort.groupBy($"cohort_week").agg(count(lit(1)).as("cohort_size"))
+    cohort.join(active, "user_id")
+      .select($"cohort_week",
+        expr("CAST(datediff(active_week, cohort_week) DIV 7 AS BIGINT)").as("week_k"))
+      .groupBy($"cohort_week", $"week_k").agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select($"cohort_week", $"week_k", $"n_active", $"cohort_size",
+        expr("n_active * 1000000 DIV cohort_size").as("retention_ppm"))
+      .orderBy($"cohort_week", $"week_k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -642,6 +708,8 @@ object Relational {
     "q36_unpivot" -> q36_unpivot _,
     "q37_lateral_topn" -> q37_lateral_topn _,
     "q38_recursive_cte" -> q38_recursive_cte _,
+    "q39_funnel" -> q39_funnel _,
+    "q40_retention" -> q40_retention _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -924,5 +992,55 @@ object Relational {
         |  FROM customer c JOIN walk w ON c.c_custkey // 10 = w.c_custkey
         |  WHERE c.c_custkey >= 10)
         |SELECT c_custkey, root, depth FROM walk ORDER BY c_custkey""".stripMargin,
+    // same chained first-qualifying-step mins; -1 sentinels for never-reached
+    "q39_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |base AS (SELECT DISTINCT user_id FROM events)
+        |SELECT b.user_id,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS step_reached,
+        |  coalesce(epoch_us(v.t_view), -1) AS t_view_us,
+        |  coalesce(epoch_us(c.t_click), -1) AS t_click_us,
+        |  coalesce(epoch_us(p.t_purchase), -1) AS t_purchase_us
+        |FROM base b
+        |LEFT JOIN v ON v.user_id = b.user_id
+        |LEFT JOIN c ON c.user_id = b.user_id
+        |LEFT JOIN p ON p.user_id = b.user_id
+        |ORDER BY b.user_id""".stripMargin,
+    // Monday-start weeks in both engines; ppm floor division mirrors DIV
+    "q40_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        |  FROM events),
+        |sizes AS (
+        |  SELECT cohort_week, count(*) AS cohort_size FROM cohort
+        |  GROUP BY cohort_week),
+        |hits AS (
+        |  SELECT c.cohort_week,
+        |    CAST(datediff('day', c.cohort_week, a.active_week) // 7 AS BIGINT)
+        |      AS week_k,
+        |    count(*) AS n_active
+        |  FROM cohort c JOIN active a ON a.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT h.cohort_week, h.week_k, h.n_active, s.cohort_size,
+        |  CAST((h.n_active * 1000000) // s.cohort_size AS BIGINT)
+        |    AS retention_ppm
+        |FROM hits h JOIN sizes s ON s.cohort_week = h.cohort_week
+        |ORDER BY h.cohort_week, h.week_k""".stripMargin,
   )
 }
