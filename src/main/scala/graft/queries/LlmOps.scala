@@ -699,6 +699,22 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X4k' — the PERSISTED phrase-search serving path: write the positional
+    * postings index partitioned by word-hash bucket, then answer the same
+    * phrase query through a partition-pruned read of only the phrase terms'
+    * buckets ([[TextOps.writePostingsIndex]]/[[TextOps.phraseFromIndex]]) —
+    * the text twin of the IVF stored-index entry. Same oracle as
+    * [[x4_phrase_search]]: the index must change the cost, never the
+    * answer. */
+  def x4_phrase_index(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_postings_idx").toString
+    deleteOnExit(idxDir)
+    TextOps.writePostingsIndex(documents(s, dir), "text", "doc_id", idxDir)
+    TextOps.phraseFromIndex(s, idxDir, phrase = Seq("hash", "join"))
+      .orderBy($"doc_id")
+  }
+
   /** X4l — significant-terms enrichment ([[TextOps.significantTerms]], the
     * ES `significant_terms` analog): document-frequency rates of each term
     * in the zh slice vs the whole corpus, JLH-shaped score — all exact
@@ -812,6 +828,7 @@ object LlmOps {
     "x4_oov_rate" -> x4_oov_rate _,
     "x2_containment" -> x2_containment _,
     "x4_phrase_search" -> x4_phrase_search _,
+    "x4_phrase_index" -> x4_phrase_index _,
     "x4_sig_terms" -> x4_sig_terms _,
   )
 
@@ -1355,6 +1372,18 @@ object LlmOps {
         |ORDER BY id_a, id_b""".stripMargin),
     // brute-force recount of consecutive-bigram matches per document
     "x4_phrase_search" -> (
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |hits AS (
+        |  SELECT doc_id, len(list_filter(list_transform(
+        |    CASE WHEN len(w) >= 2 THEN generate_series(1, len(w) - 1) ELSE [] END,
+        |    i -> array_to_string(w[i:i+1], ' ')), s -> s = 'hash join')) AS n
+        |  FROM words)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_hits
+        |FROM hits WHERE n > 0 ORDER BY doc_id""".stripMargin),
+    // identical to x4_phrase_search BY DESIGN: the persisted index is a
+    // serving layout, never a semantics change
+    "x4_phrase_index" -> (
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |hits AS (

@@ -162,6 +162,30 @@ class TextOpsSpec extends SparkSpec {
     assert(three === Map(1L -> 1L))
   }
 
+  test("postings index: pruned-read phrase query matches inline phraseSearch") {
+    val docs = Seq(
+      (1L, "x hash join y hash join z"),
+      (2L, "hash x join"),
+      (3L, "q w e hash join"),
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("postings_idx").toString
+    try {
+      TextOps.writePostingsIndex(docs, "text", "doc_id", dir, nBuckets = 16)
+      val fromIndex = TextOps.phraseFromIndex(spark, dir,
+        Seq("hash", "join"), nBuckets = 16)
+      val inline = TextOps.phraseSearch(docs, "text", "doc_id", Seq("hash", "join"))
+      assert(fromIndex.as[(Long, Long)].collect().toSet ===
+        inline.as[(Long, Long)].collect().toSet)
+      // the read must prune on the bucket partition column, not scan+filter
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+        s"expected bucket-pruned postings scan, got:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("significantTerms: doc-frequency counts, ppm floors, jlh sign") {
     val docs = Seq(
       (1L, "zh", "dup dup common"), // 'dup' counted ONCE for doc 1
