@@ -669,6 +669,31 @@ object Relational {
       .orderBy($"cohort_week", $"week_k")
   }
 
+  /** Event-path transition matrix — for every consecutive event pair in each
+    * user's timeline, how often does type A lead to type B (the Sankey /
+    * Markov-chain view product analytics draws next to the funnel). One
+    * window pass per user ordered by (ts, event_id) — a TOTAL order, so the
+    * lead() is deterministic even under timestamp ties — then one counting
+    * aggregation; transition shares are floor-divided integer ppm of each
+    * source type's outgoing total. Timeline ends (lead = null) are dropped,
+    * not sentinel-ed: they are not transitions. */
+  def q41_paths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = pairs.groupBy($"from_type")
+      .agg(sum($"n").as("out_total"))
+    pairs.join(outTotals, "from_type")
+      .select($"from_type", $"to_type", $"n",
+        expr("n * 1000000 DIV out_total").as("share_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -710,6 +735,7 @@ object Relational {
     "q38_recursive_cte" -> q38_recursive_cte _,
     "q39_funnel" -> q39_funnel _,
     "q40_retention" -> q40_retention _,
+    "q41_paths" -> q41_paths _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1042,5 +1068,20 @@ object Relational {
         |    AS retention_ppm
         |FROM hits h JOIN sizes s ON s.cohort_week = h.cohort_week
         |ORDER BY h.cohort_week, h.week_k""".stripMargin,
+    // same total (ts, event_id) order under lead(); ppm mirrors DIV
+    "q41_paths" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM pairs
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS out_total FROM m GROUP BY 1)
+        |SELECT m.from_type, m.to_type, m.n,
+        |  CAST((m.n * 1000000) // t.out_total AS BIGINT) AS share_ppm
+        |FROM m JOIN tot t ON t.from_type = m.from_type
+        |ORDER BY m.from_type, m.to_type""".stripMargin,
   )
 }

@@ -135,4 +135,20 @@ class PlanSpec extends SparkSpec {
       graft.ops.TextOps.redactPii(col("text"))))
     assert(!p.contains("Exchange"), s"quality scoring must not shuffle:\n$p")
   }
+
+  test("x4 significant terms: one map-side-combined agg, totals broadcast") {
+    val p = plan(LlmOps.x4_sig_terms(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"term doc-frequencies must map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row totals must broadcast, not shuffle:\n$p")
+  }
+
+  test("q39 funnel: step type filters reach the events scan") {
+    val p = plan(Relational.q39_funnel(spark, dir))
+    assert(p.contains("PushedFilters: [") && p.contains("event_type"),
+      s"step event-type predicates must push into the scan:\n$p")
+    // the per-step frontier joins key on user_id — no per-user event arrays
+    assert(!p.contains("collect_list"), s"funnel must not collect per-user arrays:\n$p")
+  }
 }
