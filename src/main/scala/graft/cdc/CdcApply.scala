@@ -98,6 +98,90 @@ object CdcApply {
       .select(col("g").as(attr), col("cnt"))
   }
 
+  /** Type-2 slowly-changing-dimension history for one tracked attribute:
+    * one row per (key, version) with `[valid_from_ms, valid_to_ms)` validity
+    * — the standard warehouse answer to "what was this row's status at any
+    * point in time", built from the same change log the audit views read.
+    *
+    * Semantics:
+    *   - events first collapse to LOGICAL identity (database, table, op,
+    *     commit ts, pk) — the [[maintainCounts]] rule — so at-least-once
+    *     redelivery (possibly at a new kafka coordinate) cannot mint
+    *     phantom versions;
+    *   - a version OPENS when the tracked value actually changes (first
+    *     image for the key, re-insert after a tombstone, or a new value);
+    *     an UPDATE that does not move the attribute is compressed away;
+    *   - a version CLOSES at the next opening event or at a DELETE;
+    *   - the open (current) version carries `valid_to_ms = -1` and
+    *     `is_current = 1` — a −1 sentinel, not NULL, so the output has no
+    *     nullable int column (cross-engine int64↔float64 drift).
+    *
+    * Scale: one shuffle on (database, table, pk); both window passes (the
+    * change marks and the closing `lead`) share that partitioning, so
+    * Catalyst plans a single exchange. Rows are projected to 7 narrow
+    * columns before the shuffle — the data/old_data maps never move. */
+  def scd2(events: DataFrame, attr: String, pkCol: String = "id"): DataFrame = {
+    val e = events.select(
+        col("database"), col("table"), col("op"), col("offset"),
+        unix_millis(col("timestamp")).as("es_ms"),
+        element_at(col("data"), pkCol).as("pk"),
+        element_at(col("data"), attr).as("__v"))
+      .dropDuplicates(Seq("database", "table", "op", "es_ms", "pk"))
+    val w = Window.partitionBy(col("database"), col("table"), col("pk"))
+      .orderBy(col("es_ms"), col("offset"))
+    // boundary events only: version-opening images + closing tombstones.
+    // lag sees the previous event's value/op, so "opens" is: first event,
+    // first image after a delete, or a genuine value change.
+    val bounds = e
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .withColumn("__pop", lag(col("op"), 1).over(w))
+      .filter(col("op") === "delete" ||
+        col("__pop").isNull || col("__pop") === "delete" ||
+        !(col("__v") <=> col("__pv")))
+    bounds
+      .withColumn("__next_ms", lead(col("es_ms"), 1).over(w))
+      .filter(col("op") =!= "delete")
+      .withColumn("version", row_number().over(w).cast("bigint"))
+      .select(col("database"), col("table"), col("pk"), col("version"),
+        col("__v").as(attr),
+        col("es_ms").as("valid_from_ms"),
+        coalesce(col("__next_ms"), lit(-1L)).as("valid_to_ms"),
+        when(col("__next_ms").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  /** Cutover merge — the snapshot-load-then-catch-up pattern every CDC
+    * deployment runs on day one: an externally restored snapshot (the table
+    * state as of `asOfMs`) merged with a replayed change stream that may
+    * OVERLAP the snapshot (events at or before the cutover are already
+    * reflected in it). The merge must be overlap-idempotent: replaying a
+    * pre-cutover event must not double-apply, and a key tombstoned before
+    * the cutover (absent from the snapshot, but whose INSERT is in the
+    * replay) must NOT be resurrected.
+    *
+    * Mechanism: snapshot rows keep the commit time and offset of the event
+    * that produced them — the snapshot preserves provenance — with the
+    * offset bumped by one, then union with the raw stream and run the same
+    * latest-image-wins [[materialize]]. A snapshot image is by construction
+    * the per-key MAXIMUM (commit time, offset) among the events it
+    * reflects, so every replayed pre-cutover event loses to it (at worst on
+    * the bumped offset), while post-cutover events win on commit time. A
+    * pre-cutover tombstone's key is absent from the snapshot AND loses on
+    * replay to its own DELETE, which [[materialize]] then filters. The
+    * snapshot's `partition` is set to −1 so its delivery coordinates can
+    * never collide with real kafka coordinates in the dedup.
+    *
+    * Scale: the union is shuffle-free; the only exchange is materialize's
+    * hash partition on (database, table, pk) — same cost as applying the
+    * stream alone. `snapshot` must be shaped like [[materialize]] output
+    * (the flattened event schema; its derived `pk` column is recomputed). */
+  def backfillMerge(snapshot: DataFrame, events: DataFrame,
+                    pkCol: String = "id"): DataFrame = {
+    val snap = snapshot.drop("pk")
+      .withColumn("partition", lit(-1))
+      .withColumn("offset", col("offset") + 1)
+    materialize(snap.unionByName(events), pkCol)
+  }
+
   /** Audit view: per-key change history with old→new transition columns for a
     * named attribute (W4 status transitions; W2 price deltas). */
   def transitions(events: DataFrame, attr: String): DataFrame =

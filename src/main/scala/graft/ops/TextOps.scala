@@ -355,4 +355,67 @@ object TextOps {
         expr("bg_count * 1000000 DIV bg_total").as("bg_ppm"))
       .withColumn("jlh_num", (col("fg_ppm") - col("bg_ppm")) * col("fg_ppm"))
   }
+
+  /** Per-partition Misra-Gries candidate pass for [[heavyHitters]]: each
+    * partition streams its documents' tokens through `k` counters and emits
+    * the tokens still held at the end. The classical guarantee: any token
+    * whose count within the partition exceeds n_p / k survives — so with
+    * k > 1/s, every token holding an s-fraction of SOME partition is
+    * emitted, and (by averaging) every global s-fraction token holds an
+    * s-fraction of at least one partition. The emitted set is bounded by
+    * partitions × k rows regardless of vocabulary size. */
+  def heavyHitterCandidates(docs: DataFrame, textCol: String,
+                            k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol).cast("string")).as[String]
+      .mapPartitions { texts =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        texts.foreach { t =>
+          if (t != null) t.split(' ').foreach { w =>
+            if (w.nonEmpty) {
+              if (counters.contains(w) || counters.size < k)
+                counters.update(w, counters.getOrElse(w, 0L) + 1L)
+              else {
+                // decrement-all: O(k) only when a non-tracked token arrives
+                // while all counters are busy
+                val dead = counters.iterator
+                  .filter(_._2 == 1L).map(_._1).toArray
+                counters.mapValuesInPlace((_, c) => c - 1L)
+                dead.foreach(counters.remove)
+              }
+            }
+          }
+        }
+        counters.keysIterator.map(Tuple1(_))
+      }
+      .toDF("token").distinct()
+  }
+
+  /** Distributed heavy hitters with an EXACT answer: all tokens holding at
+    * least `supportBp` basis points (1/10000ths) of the corpus token count,
+    * with exact counts — but WITHOUT ever shuffling the full token stream.
+    * Two passes: (1) per-partition Misra-Gries summaries
+    * ([[heavyHitterCandidates]], k = 10000/supportBp + 1 counters) whose
+    * union provably contains every true heavy hitter; (2) an exact recount
+    * of the token stream restricted to that bounded candidate set (broadcast
+    * semi-join, map-side-combined count), then the integer-exact support
+    * filter `cnt · 10000 ≥ N · supportBp`. False positives from pass 1 are
+    * eliminated by the recount; false negatives cannot exist by the MG
+    * guarantee. At 100 TB this replaces a vocabulary-sized exchange with a
+    * (partitions × k)-row one plus one broadcast. */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   supportBp: Int): DataFrame = {
+    require(supportBp > 0 && supportBp <= 10000, "supportBp in (0, 10000]")
+    val k = 10000 / supportBp + 1
+    val candidates = heavyHitterCandidates(docs, textCol, k)
+    val words = docs.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val total = words.agg(count(lit(1)).as("n"))
+    words.join(broadcast(candidates), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 10000 >= col("n") * supportBp)
+      .select(col("token"), col("cnt"))
+  }
 }

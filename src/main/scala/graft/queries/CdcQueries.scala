@@ -480,6 +480,36 @@ object CdcQueries {
       .orderBy($"id")
   }
 
+  /** W9 — type-2 SCD history ([[graft.cdc.CdcApply.scd2]]) over the wire
+    * stream's `status`: every key opens a 'pending' version at its INSERT,
+    * closed 1 ms later by the UPDATE's version; that second version stays
+    * open (`valid_to_ms = −1`, `is_current = 1`) unless the key is
+    * tombstoned (%7), which closes it at the DELETE's commit time. The
+    * redelivered UPDATE must not mint a third version — logical-identity
+    * dedup and change-compression both kill it. DuckDB derives both
+    * versions of every key straight from the base-table arithmetic. */
+  def cdc_scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcApply.scd2(wireOrderEvents(s, dir), "status")
+      .select($"pk".cast("bigint").as("id"), $"version", $"status",
+        $"valid_from_ms", $"valid_to_ms", $"is_current")
+      .orderBy($"id", $"version")
+  }
+
+  /** W10 — cutover merge ([[graft.cdc.CdcApply.backfillMerge]]): restore the
+    * state as of the +15000 ms cutover as "the snapshot", then merge it with
+    * the FULL overlapping wire stream. The result must equal plain
+    * latest-image materialization of the stream alone — same oracle as
+    * `cdc_wire_latest` — which certifies the merge is overlap-idempotent:
+    * no pre-cutover event double-applies, no pre-cutover tombstone
+    * resurrects, post-cutover events win over snapshot images. */
+  def cdc_backfill_merge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evts = wireOrderEvents(s, dir).localCheckpoint()
+    val cutover = 1704067200000L + 15000L
+    wireState(CdcApply.backfillMerge(CdcApply.stateAsOf(evts, cutover), evts))
+  }
+
   /** S5 — snapshot export/restore (backup.sh/restore.sh analog) as an
     * oracle-checked roundtrip: materialized CDC state → parquet snapshot with
     * manifest → restore (manifest row-count validated). The restored frame
@@ -531,6 +561,8 @@ object CdcQueries {
     "cdc_wire_agg_maintain" -> cdc_wire_agg_maintain _,
     "s5_snapshot_roundtrip" -> s5_snapshot_roundtrip _,
     "cdc_snapshot_diff" -> cdc_snapshot_diff _,
+    "cdc_scd2" -> cdc_scd2 _,
+    "cdc_backfill_merge" -> cdc_backfill_merge _,
   )
 
   /** The embedded-fixture queries are not DuckDB-expressible (the wire data
@@ -654,6 +686,33 @@ object CdcQueries {
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
         |ORDER BY id""".stripMargin,
+    // same truth as cdc_wire_latest: the snapshot+overlapping-replay merge
+    // must land exactly on plain materialization
+    "cdc_backfill_merge" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status, 'update' AS op,
+        |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
+        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
+        |ORDER BY id""".stripMargin,
+    // two versions per key from the key arithmetic: pending [3id, 3id+1),
+    // then the final status — open unless tombstoned (%7, closed at +2)
+    "cdc_scd2" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS fs
+        |  FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT id, CAST(1 AS BIGINT) AS version, 'pending' AS status,
+        |  1704067200000 + id * 3 AS valid_from_ms,
+        |  1704067200000 + id * 3 + 1 AS valid_to_ms,
+        |  CAST(0 AS BIGINT) AS is_current
+        |FROM base
+        |UNION ALL
+        |SELECT id, CAST(2 AS BIGINT), fs,
+        |  1704067200000 + id * 3 + 1,
+        |  CASE WHEN id % 7 = 0 THEN 1704067200000 + id * 3 + 2
+        |       ELSE CAST(-1 AS BIGINT) END,
+        |  CASE WHEN id % 7 = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(1 AS BIGINT) END
+        |FROM base
+        |ORDER BY id, version""".stripMargin,
     // delta maintenance == recompute: the 'pending' group nets to zero
     // (every INSERT's +1 cancelled by its UPDATE's −old), tombstoned keys
     // net to zero everywhere — what survives is the final-status census

@@ -448,6 +448,19 @@ object LlmOps {
       .limit(50)
   }
 
+  /** X4o — exact heavy hitters ([[TextOps.heavyHitters]]): every token
+    * holding ≥ 3.30% (330 basis points) of the corpus token count, found by
+    * per-partition Misra-Gries candidate summaries + an exact recount of the
+    * bounded candidate set — never a vocabulary-wide shuffle. The oracle is
+    * the plain exact census with the same integer support predicate, so the
+    * hash certifies the sketch pass loses no true hitter and the recount
+    * kills every false one. */
+  def x4_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.heavyHitters(documents(s, dir), "text", supportBp = 330)
+      .orderBy($"token")
+  }
+
   /** X2e — content-defined chunking over the corpus
     * ([[Dedup.contentDefinedChunks]]): per-chunk rows with content hashes —
     * the substrate for sub-document dedup (dedup ratio = distinct vs total
@@ -809,6 +822,7 @@ object LlmOps {
     "x4_bm25" -> x4_bm25 _,
     "x4_chunk" -> x4_chunk _,
     "x4_vocab" -> x4_vocab _,
+    "x4_heavy_hitters" -> x4_heavy_hitters _,
     "x3_quantize_int8" -> x3_quantize_int8 _,
     "x9_dup_clusters" -> x9_dup_clusters _,
     "x9_dup_clusters_star" -> x9_dup_clusters_star _,
@@ -1125,6 +1139,17 @@ object LlmOps {
       """SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY occurrences DESC, w ASC LIMIT 50""".stripMargin,
+    // plain exact census with the identical integer support predicate —
+    // certifies the Misra-Gries candidate pass + recount end-to-end
+    "x4_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |  WHERE text IS NOT NULL),
+        |tot AS (SELECT count(*) AS n FROM words WHERE token <> '')
+        |SELECT token, count(*) AS cnt FROM words, tot
+        |WHERE token <> ''
+        |GROUP BY token, n HAVING count(*) * 10000 >= n * 330
+        |ORDER BY token""".stripMargin,
     "x4_chunk" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

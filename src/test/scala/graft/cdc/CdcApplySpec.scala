@@ -66,6 +66,48 @@ class CdcApplySpec extends SparkSpec {
     assert(u.length === 64 && u.matches("[0-9a-f]+"))
   }
 
+  test("W9 scd2: change compression, tombstone close, post-delete re-open") {
+    // minimal flattened-event frame (scd2 touches only these 6 columns):
+    // insert a → no-change update (compressed) → update b → delete →
+    // re-insert b, plus a redelivered copy of the b-update at a new offset
+    val rows = Seq(
+      (1000L, "insert", 10L, "a"),
+      (2000L, "update", 20L, "a"), // same value — must NOT open a version
+      (3000L, "update", 30L, "b"),
+      (3000L, "update", 99L, "b"), // redelivery at a new kafka offset
+      (4000L, "delete", 40L, "b"),
+      (5000L, "insert", 50L, "b")) // same value as before the delete
+    val e = rows.toDF("ms", "op", "offset", "v").select(
+      timestamp_millis($"ms").as("timestamp"), lit("db").as("database"),
+      lit("t").as("table"), $"op", $"offset",
+      map(lit("id"), lit("1"), lit("status"), $"v").as("data"))
+    val out = CdcApply.scd2(e, "status")
+      .select($"version", $"status", $"valid_from_ms", $"valid_to_ms",
+        $"is_current")
+      .orderBy($"version").as[(Long, String, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, "a", 1000L, 3000L, 0L),  // closed by the value change, not the
+                                    // compressed no-change update
+      (2L, "b", 3000L, 4000L, 0L),  // closed by the tombstone
+      (3L, "b", 5000L, -1L, 1L)))   // re-opened after the delete, current
+  }
+
+  test("W10 backfill merge: overlapping replay lands on plain materialize") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"table", $"pk", $"op", to_json($"data").as("d"))
+        .orderBy("table", "pk").as[(String, String, String, String)]
+        .collect().toSeq
+    // cutover mid-fixture: snapshot = state as of T, then merge with the
+    // FULL stream (pre-T events overlap the snapshot)
+    val cutover = events.agg(min(unix_millis($"timestamp"))).as[Long].head() + 1
+    val snap = CdcApply.stateAsOf(events, cutover)
+    val merged = CdcApply.backfillMerge(snap, events)
+    assert(canon(merged) === canon(state))
+    // resurrection check: product 3 is tombstoned — replaying its INSERT
+    // over the snapshot must not bring it back
+    assert(merged.filter($"table" === "products" && $"pk" === "3").count() === 0)
+  }
+
   test("W8 delta maintenance == recompute from materialized state") {
     val orders = events.filter($"table" === "orders")
     val maintained = CdcApply.maintainCounts(orders, "status")

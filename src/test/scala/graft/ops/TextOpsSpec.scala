@@ -220,4 +220,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out((2L, 1L)) === 157894L)  // 3 of 19 shingles -> floor(3e6/19)
     // while Jaccard of the same pair is 3/19 = 0.158 — under any dedup cut
   }
+
+  test("heavyHitters: exact on a skewed corpus, candidates stay bounded") {
+    // 2 true heavy tokens (1/3 of the stream each) + a 97-token uniform
+    // tail, spread over 8 partitions
+    val docs = spark.range(0, 200).select(
+      concat_ws(" ", lit("alpha"), lit("beta"),
+        concat(lit("tail"), $"id" % 97)).as("text"))
+      .repartition(8)
+    val got = TextOps.heavyHitters(docs, "text", supportBp = 2000)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("alpha" -> 200L, "beta" -> 200L))
+    // exact-census cross-check (the oracle the driver runs, in-process)
+    val words = docs.select(explode(split($"text", " ")).as("w"))
+    val n = words.count()
+    val exact = words.groupBy($"w").count()
+      .filter($"count" * 10000 >= n * 2000)
+      .as[(String, Long)].collect().toMap
+    assert(got === exact)
+    // the candidate pass is bounded by partitions × k, not vocabulary size
+    val k = 10000 / 2000 + 1
+    val cand = TextOps.heavyHitterCandidates(docs, "text", k).count()
+    assert(cand <= 8L * k, s"candidate set $cand exceeds partitions×k")
+  }
 }
