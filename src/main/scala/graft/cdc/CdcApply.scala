@@ -120,13 +120,25 @@ object CdcApply {
     * change marks and the closing `lead`) share that partitioning, so
     * Catalyst plans a single exchange. Rows are projected to 7 narrow
     * columns before the shuffle — the data/old_data maps never move. */
-  def scd2(events: DataFrame, attr: String, pkCol: String = "id"): DataFrame = {
-    val e = events.select(
+  def scd2(events: DataFrame, attr: String, pkCol: String = "id"): DataFrame =
+    scd2Timeline(scd2Project(events, attr, pkCol), attr)
+
+  /** Project raw flattened events to the 7 narrow columns the SCD2 timeline
+    * needs and collapse to logical identity — shared by [[scd2]] and
+    * [[scd2Merge]]. */
+  private def scd2Project(events: DataFrame, attr: String,
+                          pkCol: String): DataFrame =
+    events.select(
         col("database"), col("table"), col("op"), col("offset"),
         unix_millis(col("timestamp")).as("es_ms"),
         element_at(col("data"), pkCol).as("pk"),
         element_at(col("data"), attr).as("__v"))
       .dropDuplicates(Seq("database", "table", "op", "es_ms", "pk"))
+
+  /** The SCD2 timeline pass over a projected event frame
+    * (database, table, op, offset, es_ms, pk, __v): boundary detection,
+    * closing lead, version numbering from 1 per key. */
+  private def scd2Timeline(e: DataFrame, attr: String): DataFrame = {
     val w = Window.partitionBy(col("database"), col("table"), col("pk"))
       .orderBy(col("es_ms"), col("offset"))
     // boundary events only: version-opening images + closing tombstones.
@@ -147,6 +159,41 @@ object CdcApply {
         col("es_ms").as("valid_from_ms"),
         coalesce(col("__next_ms"), lit(-1L)).as("valid_to_ms"),
         when(col("__next_ms").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  /** Incremental SCD2 maintenance — apply a batch of NEW change events to an
+    * existing [[scd2]] history WITHOUT rebuilding it. The production shape
+    * at scale: closed versions are immutable and pass through untouched, so
+    * the work is ∝ |delta events| + |live keys|, never ∝ |history|.
+    *
+    * Mechanism: each key's open version is replayed as a seed image at its
+    * own `valid_from_ms` (offset −∞ so any real event at the same instant
+    * outranks it), union'd with the delta, and run through the same
+    * [[scd2Timeline]] — which closes the open version if the delta moves the
+    * value (or tombstones the key), compresses delta events that do NOT
+    * move it, and re-opens after deletes, all by the one shared rule set.
+    * Version numbers continue from the key's closed-version count, so the
+    * merged output is indistinguishable from a full rebuild:
+    * `scd2Merge(scd2(e ≤ T), e > T) == scd2(e)` — which is exactly what the
+    * oracle certifies. */
+  def scd2Merge(history: DataFrame, events: DataFrame, attr: String,
+                pkCol: String = "id"): DataFrame = {
+    val closed = history.filter(col("is_current") === 0)
+    val open = history.filter(col("is_current") === 1)
+    val seed = open.select(
+      col("database"), col("table"), lit("update").as("op"),
+      lit(Long.MinValue).as("offset"), col("valid_from_ms").as("es_ms"),
+      col("pk"), col(attr).as("__v"))
+    val delta = scd2Project(events, attr, pkCol)
+    // version base: closed versions per key are 1..v0; the re-derived rows
+    // continue at v0+1 (the seed, if still open, KEEPS its old number)
+    val base = closed.groupBy(col("database"), col("table"), col("pk"))
+      .agg(max(col("version")).as("__v0"))
+    val rederived = scd2Timeline(seed.unionByName(delta), attr)
+      .join(base, Seq("database", "table", "pk"), "left")
+      .withColumn("version", col("version") + coalesce(col("__v0"), lit(0L)))
+      .drop("__v0")
+    closed.unionByName(rederived)
   }
 
   /** Cutover merge — the snapshot-load-then-catch-up pattern every CDC

@@ -496,6 +496,25 @@ object CdcQueries {
       .orderBy($"id", $"version")
   }
 
+  /** W9' — incremental SCD2 maintenance ([[graft.cdc.CdcApply.scd2Merge]]):
+    * build the history from events up to the +15000 ms cutover, then apply
+    * the rest as a delta batch. The result must be byte-identical to the
+    * full rebuild — same oracle as `cdc_scd2` — certifying closed-version
+    * immutability, cross-batch change compression, version-number
+    * continuation, and tombstone closes, with work ∝ delta, not history. */
+  def cdc_scd2_incremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evts = wireOrderEvents(s, dir).localCheckpoint()
+    val cutover = 1704067200000L + 15000L
+    val history = CdcApply.scd2(
+      evts.filter(unix_millis($"timestamp") <= cutover), "status")
+    CdcApply.scd2Merge(history,
+        evts.filter(unix_millis($"timestamp") > cutover), "status")
+      .select($"pk".cast("bigint").as("id"), $"version", $"status",
+        $"valid_from_ms", $"valid_to_ms", $"is_current")
+      .orderBy($"id", $"version")
+  }
+
   /** W10 — cutover merge ([[graft.cdc.CdcApply.backfillMerge]]): restore the
     * state as of the +15000 ms cutover as "the snapshot", then merge it with
     * the FULL overlapping wire stream. The result must equal plain
@@ -562,6 +581,7 @@ object CdcQueries {
     "s5_snapshot_roundtrip" -> s5_snapshot_roundtrip _,
     "cdc_snapshot_diff" -> cdc_snapshot_diff _,
     "cdc_scd2" -> cdc_scd2 _,
+    "cdc_scd2_incremental" -> cdc_scd2_incremental _,
     "cdc_backfill_merge" -> cdc_backfill_merge _,
   )
 
@@ -696,6 +716,25 @@ object CdcQueries {
     // two versions per key from the key arithmetic: pending [3id, 3id+1),
     // then the final status — open unless tombstoned (%7, closed at +2)
     "cdc_scd2" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS fs
+        |  FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT id, CAST(1 AS BIGINT) AS version, 'pending' AS status,
+        |  1704067200000 + id * 3 AS valid_from_ms,
+        |  1704067200000 + id * 3 + 1 AS valid_to_ms,
+        |  CAST(0 AS BIGINT) AS is_current
+        |FROM base
+        |UNION ALL
+        |SELECT id, CAST(2 AS BIGINT), fs,
+        |  1704067200000 + id * 3 + 1,
+        |  CASE WHEN id % 7 = 0 THEN 1704067200000 + id * 3 + 2
+        |       ELSE CAST(-1 AS BIGINT) END,
+        |  CASE WHEN id % 7 = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(1 AS BIGINT) END
+        |FROM base
+        |ORDER BY id, version""".stripMargin,
+    // incremental maintenance must land byte-identical to the full rebuild
+    "cdc_scd2_incremental" ->
       """WITH base AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS fs
         |  FROM orders WHERE o_orderkey % 4 = 0)

@@ -92,6 +92,33 @@ class CdcApplySpec extends SparkSpec {
       (3L, "b", 5000L, -1L, 1L)))   // re-opened after the delete, current
   }
 
+  test("W9' scd2Merge: incremental == full rebuild at every cutover") {
+    val rows = Seq(
+      (1000L, "insert", 10L, "a"),
+      (2000L, "update", 20L, "a"),
+      (3000L, "update", 30L, "b"),
+      (4000L, "delete", 40L, "b"),
+      (5000L, "insert", 50L, "b"))
+    val e = rows.toDF("ms", "op", "offset", "v").select(
+      timestamp_millis($"ms").as("timestamp"), lit("db").as("database"),
+      lit("t").as("table"), $"op", $"offset",
+      map(lit("id"), lit("1"), lit("status"), $"v").as("data"))
+    val full = CdcApply.scd2(e, "status")
+      .orderBy("pk", "version")
+      .as[(String, String, String, Long, String, Long, Long, Long)]
+      .collect().toSeq
+    // every cutover position: before anything, between each event, after all
+    for (cut <- Seq(500L, 1500L, 2500L, 3500L, 4500L, 5500L)) {
+      val merged = CdcApply.scd2Merge(
+          CdcApply.scd2(e.filter(unix_millis($"timestamp") <= cut), "status"),
+          e.filter(unix_millis($"timestamp") > cut), "status")
+        .orderBy("pk", "version")
+        .as[(String, String, String, Long, String, Long, Long, Long)]
+        .collect().toSeq
+      assert(merged === full, s"cutover at $cut diverged from full rebuild")
+    }
+  }
+
   test("W10 backfill merge: overlapping replay lands on plain materialize") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select($"table", $"pk", $"op", to_json($"data").as("d"))
