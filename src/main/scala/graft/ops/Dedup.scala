@@ -563,4 +563,38 @@ object Dedup {
         expr("n_common * 1000000 DIV size_a").as("containment_ppm"))
       .filter(col("containment_ppm") >= minPpm)
   }
+
+  /** X2e — edit-distance-1 pair join via deletion-neighborhood blocking
+    * (the FastSS / SymSpell construction): two strings are within Levenshtein
+    * distance 1 iff they share a key in {s} ∪ {s minus one character} —
+    * a substitution pair shares the deletion at the differing position, an
+    * insert/delete pair shares the shorter string itself. Candidates come
+    * from an inverted-index self-join on the 8-byte hash of each variant
+    * (L+1 keys per string — linear blow-up, never the all-pairs join), then
+    * exact `levenshtein` confirms; the filter only ever REMOVES candidates,
+    * so recall is exact by the neighborhood property.
+    *
+    * At 100 TB this is the standard fuzzy-key join: the shuffle carries
+    * fixed-width hashes, bucket occupancy is bounded by alphabet × length,
+    * and the verify step is a codegen'd built-in on ~candidate volume, not
+    * corpus². Reference analog: fuzzy key matching in validation tooling. */
+  def editDistance1Pairs(df: DataFrame, strCol: String, idCol: String): DataFrame = {
+    // variants[0] = the string itself; variants[i] = s with char i removed
+    val variants = expr(
+      s"""transform(sequence(0, length($strCol)), i ->
+         |  CASE WHEN i = 0 THEN $strCol
+         |       ELSE concat(substring($strCol, 1, i - 1), substring($strCol, i + 1)) END)
+         |""".stripMargin)
+    val keyed = df
+      .select(col(idCol).as("id"), col(strCol).as("s"),
+        explode(array_distinct(variants)).as("variant"))
+      .select(col("id"), col("s"), xxhash64(col("variant")).as("variant_h"))
+    val a = keyed.select(col("variant_h"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = keyed.select(col("variant_h"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, Seq("variant_h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .filter(levenshtein(col("s_a"), col("s_b")) === 1)
+      .select(col("id_a"), col("id_b"))
+  }
 }

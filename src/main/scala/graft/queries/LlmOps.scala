@@ -74,6 +74,19 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** X2e — edit-distance-1 fuzzy pair join over customer names via
+    * deletion-neighborhood blocking ([[Dedup.editDistance1Pairs]]): exact
+    * Levenshtein-1 pairs WITHOUT the all-pairs join — candidates share a
+    * deleted-character variant key, then the codegen'd `levenshtein`
+    * built-in confirms. The DuckDB oracle runs the quadratic form, so the
+    * blocked plan's exact-recall claim is hash-certified end-to-end. */
+  def x2_editdist1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.editDistance1Pairs(
+        customer(s, dir).select($"c_custkey", $"c_name"), "c_name", "c_custkey")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** X2b — MinHash-LSH near-dup candidates (rows-only: xxhash64-based). */
   def x2_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -798,6 +811,7 @@ object LlmOps {
     "x1_dedup_exact" -> x1_dedup_exact _,
     "x1_dedup_stats" -> x1_dedup_stats _,
     "x2_ngram_jaccard" -> x2_ngram_jaccard _,
+    "x2_editdist1" -> x2_editdist1 _,
     "x2_minhash_lsh" -> x2_minhash_lsh _,
     "x2_minhash_md5" -> x2_minhash_md5 _,
     "x2_simhash" -> x2_simhash _,
@@ -875,6 +889,13 @@ object LlmOps {
         |       WHEN batch_rank > 1 THEN 'drop_within_batch'
         |       ELSE 'keep' END AS action
         |FROM r ORDER BY doc_id""".stripMargin,
+    // the oracle runs the quadratic all-pairs form the blocked plan avoids —
+    // equality certifies the deletion-neighborhood candidates' exact recall
+    "x2_editdist1" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) = 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "x2_ngram_jaccard" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

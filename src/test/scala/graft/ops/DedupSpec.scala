@@ -118,6 +118,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editDistance1Pairs: blocked join equals brute-force levenshtein=1") {
+    // substitution (cat/car), deletion (cat/at), insertion (cat/cart),
+    // distance-2 (cat/dog must NOT pair), exact dup ids (cat/cat dist 0 — out)
+    val words = Seq((1L, "cat"), (2L, "car"), (3L, "at"), (4L, "cart"),
+      (5L, "dog"), (6L, "cat"), (7L, "scat"), (8L, "coat")).toDF("id", "w")
+    val got = Dedup.editDistance1Pairs(words, "w", "id")
+      .orderBy($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    val brute = words.as("a").join(words.as("b"),
+        col("a.id") < col("b.id") &&
+          levenshtein(col("a.w"), col("b.w")) === 1)
+      .select(col("a.id"), col("b.id"))
+      .orderBy(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSeq
+    assert(got === brute)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+      got.contains((1L, 4L)) && got.contains((1L, 7L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L)) // dog pairs with nothing
+    assert(!got.contains((1L, 6L))) // exact dup is distance 0, not 1
+  }
+
   test("resolveKeepers: quality elects the keeper, singletons keep themselves") {
     val corpus = Seq(
       (1L, 10L), (2L, 50L), (3L, 50L), // cluster {1,2,3}: 2 wins (quality, then min id)
