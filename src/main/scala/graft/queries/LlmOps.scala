@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Graph, Similarity, TextOps}
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.7) as named queries
   * over the `documents` / `embeddings` tables: deduplication (exact, MinHash
@@ -556,6 +556,57 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X9'' — PageRank over a key-derived directed graph, in EXACT integer
+    * parts-per-million ([[graft.ops.Graph.pageRank]]): 5 fixed rounds of
+    * one co-partitioned join + map-side-combinable sum each, no float fold
+    * anywhere, so the DuckDB oracle (the same recurrence unrolled as five
+    * chained CTEs) matches bit-for-bit — ties, dangling mass and all.
+    * The graph derives from customer keys with the same modular arithmetic
+    * the wire generator uses (keys are dense 0..N−1 at every SF): node c
+    * emits 1–3 edges c → (7c + 13i + 1) mod N, self-loops dropped — varied
+    * in/out degrees, cycles, and a few dangling nodes. */
+  def x9_pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = customer(s, dir).select($"c_custkey")
+    val nCnt = cust.agg(count(lit(1)).as("n"))
+    val nodes = cust.select($"c_custkey".as("node"))
+    val edges = cust.crossJoin(broadcast(nCnt))
+      .select($"c_custkey".as("src"),
+        explode(expr("sequence(0, c_custkey % 3)")).as("i"), $"n")
+      .select($"src", expr("(src * 7 + i * 13 + 1) % n").as("dst"))
+      .filter($"dst" =!= $"src").distinct()
+    Graph.pageRank(nodes, edges, iters = 5)
+      .orderBy($"node")
+  }
+
+  /** The [[x9_pagerank]] oracle: the identical integer recurrence unrolled
+    * as chained CTEs — DuckDB's `//` and Spark's `DIV` floor-divide the
+    * same non-negative bigints, so 5 rounds reproduce exactly. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""r$t AS (
+         |  SELECT n.node,
+         |    CAST(150000 + (850000 * COALESCE(a.s, 0)) // 1000000 AS BIGINT) AS rank_ppm
+         |  FROM nodes n LEFT JOIN (
+         |    -- SUM(BIGINT) is HUGEINT in DuckDB; pin back to BIGINT
+         |    SELECT e.dst AS node, CAST(SUM(r.rank_ppm // d.outdeg) AS BIGINT) AS s
+         |    FROM r${t - 1} r JOIN edges e ON e.src = r.node
+         |    JOIN deg d ON d.src = r.node
+         |    GROUP BY e.dst) a ON a.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nc AS (SELECT count(*) AS n FROM customer),
+       |g AS (SELECT c_custkey AS src,
+       |        unnest(generate_series(0, c_custkey % 3)) AS i FROM customer),
+       |edges AS (SELECT DISTINCT g.src, (g.src * 7 + g.i * 13 + 1) % nc.n AS dst
+       |          FROM g CROSS JOIN nc
+       |          WHERE (g.src * 7 + g.i * 13 + 1) % nc.n <> g.src),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT c_custkey AS node FROM customer),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes),
+       |$rounds
+       |SELECT node, rank_ppm FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** X4g — word-unigram entropy (perplexity proxy): the quality signal that
     * catches repetitive boilerplate and keyword stuffing which length and
     * stopword ratios miss. Shuffle-free codegen'd fold per document
@@ -840,6 +891,7 @@ object LlmOps {
     "x3_quantize_int8" -> x3_quantize_int8 _,
     "x9_dup_clusters" -> x9_dup_clusters _,
     "x9_dup_clusters_star" -> x9_dup_clusters_star _,
+    "x9_pagerank" -> x9_pagerank _,
     "x4_entropy" -> x4_entropy _,
     "x4_perplexity" -> x4_perplexity _,
     "x4_keywords" -> x4_keywords _,
@@ -1192,6 +1244,8 @@ object LlmOps {
     "x9_dup_clusters" -> x9ReachabilityOracle,
     // identical reachability ground truth for the star-rounds variant
     "x9_dup_clusters_star" -> x9ReachabilityOracle,
+    // the same integer-ppm recurrence unrolled as five chained CTEs
+    "x9_pagerank" -> pagerankOracleSql(5),
     // terms summed over SORTED distinct words — same fold order as Spark
     "x4_entropy" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // small directed graph: a 3-cycle feeding a hub, one dangling node (5),
+  // one source-only node (6)
+  val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L),
+    (3L, 4L), (6L, 4L), (4L, 5L))
+  val nodeSeq = (1L to 6L)
+
+  /** The exact integer recurrence, replayed naively on the driver. */
+  def replay(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val s = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (u, _) => r(u) / outdeg(u) }.sum
+      }
+      r = nodes.map(n => n -> (150000L + 850000L * s.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the naive integer replay exactly") {
+    val got = Graph.pageRank(nodeSeq.toDF("node"), edgeSeq.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === replay(nodeSeq, edgeSeq, 5))
+  }
+
+  test("pageRank: rank follows in-flow; dangling node keeps base-fed rank") {
+    val got = Graph.pageRank(nodeSeq.toDF("node"), edgeSeq.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // the hub (4) outranks the cycle members that each feed it a split vote;
+    // node 5 outranks the hub — it receives the hub's UNsplit out-flow
+    assert(got(4L) > got(1L) && got(5L) > got(4L))
+    assert(got(6L) === 150000L) // nothing points at the pure source
+    // floor division + dangling evaporation only ever lose mass
+    assert(got.values.sum <= nodeSeq.size * 1000000L)
+  }
+
+  test("pageRank is deterministic across runs") {
+    def run() = Graph.pageRank(nodeSeq.toDF("node"), edgeSeq.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(run() === run())
+  }
+}
