@@ -352,4 +352,70 @@ object Similarity {
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98): from
+    * each query's top-`pool` relevance candidates, greedily select `k`
+    * results maximizing λ·rel − (1−λ)·max-sim-to-already-selected — the
+    * standard diversity pass RAG retrieval runs after ANN. λ is fixed at
+    * 0.5, so the argmax is equivalently `rel_m − maxsim_m` in EXACT integer
+    * milli-cosine (double the λ-weighted score): no float compare decides a
+    * pick, ties break on candidate id, and a cross-engine oracle can replay
+    * every selection bit-for-bit.
+    *
+    * Scale shape: stage 1 (candidate top-`pool`) is the brute-force scan —
+    * swap in any ANN path for the same contract; stages 2-3 only touch
+    * |queries| × pool rows (bounded), with the greedy loop as `k` rounds of
+    * join + max-agg + row_number — ALL distributed, nothing collects to the
+    * driver. Per-round state is the selected set: k rows per query. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+                pool: Int = 12): DataFrame = {
+    require(pool >= k, s"pool ($pool) must be >= k ($k)")
+    // integer milli-sim: round(.,3) is the certified cross-engine cosine
+    // contract; the outer round repairs the ×1000 representation error
+    // (0.123 → 122.999…) before the exact-integer cast
+    def simM(a: Column, b: Column): Column =
+      expr_milli(round(cosine(a, b), 3))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_m").desc, col("cand_id").asc)
+    val cand = c.join(q, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("c_emb"),
+        simM(col("q_emb"), col("c_emb")).as("rel_m"))
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= pool)
+      .drop("rn").localCheckpoint(false)
+    // pairwise candidate sims, computed once: |queries| × pool² rows, bounded
+    val a = cand.select(col("query_id"), col("cand_id").as("ca"), col("c_emb").as("ea"))
+    val b = cand.select(col("query_id"), col("cand_id").as("cb"), col("c_emb").as("eb"))
+    val psim = a.join(b, Seq("query_id")).filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"), simM(col("ea"), col("eb")).as("sim_m"))
+      .localCheckpoint(false)
+    val slim = cand.drop("c_emb")
+    var selected = slim.filter(lit(false))
+      .select(col("query_id"), col("cand_id"), lit(0L).as("pick_rank"), lit(0L).as("score_m"))
+    for (t <- 1 to k) {
+      val maxs = psim.join(selected.select(col("query_id"), col("cand_id").as("cb")),
+          Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("ca")).agg(max(col("sim_m")).as("maxsim"))
+        .withColumnRenamed("ca", "cand_id")
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_m").desc, col("cand_id").asc)
+      val pick = slim
+        .join(selected.select(col("query_id"), col("cand_id")), Seq("query_id", "cand_id"),
+          "left_anti")
+        .join(maxs, Seq("query_id", "cand_id"), "left")
+        .select(col("query_id"), col("cand_id"),
+          (col("rel_m") - coalesce(col("maxsim"), lit(0L))).as("score_m"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(t.toLong).as("pick_rank"), col("score_m"))
+      selected = selected.union(pick).localCheckpoint(false)
+    }
+    selected
+  }
+
+  /** `CAST(round(x * 1000) AS BIGINT)` — exact milli-units from an
+    * already-3-decimal-rounded double. */
+  private def expr_milli(x: Column): Column =
+    round(x * 1000).cast("bigint")
 }

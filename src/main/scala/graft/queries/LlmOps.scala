@@ -137,6 +137,65 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3f — MMR diversity re-rank ([[Similarity.mmrRerank]]): greedy maximal
+    * marginal relevance over each query's top-12 relevance candidates,
+    * λ = 0.5 in EXACT integer milli-cosine, ties on candidate id — the
+    * diversity pass RAG retrieval runs after ANN. Every one of the 5 greedy
+    * selections is replayed bit-for-bit by the DuckDB oracle (the recurrence
+    * unrolled as chained CTEs), so the pick ORDER is hash-certified, not
+    * just the final set. */
+  def x3_mmr_rerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    Similarity.mmrRerank(emb.filter($"vec_id" < 5), emb, k = 5, pool = 12)
+      .orderBy($"query_id", $"pick_rank")
+  }
+
+  /** The [[x3_mmr_rerank]] oracle: candidate pool + pairwise milli-sims
+    * once, then each greedy step as (max-sim-to-selected, argmax) chained
+    * CTEs — identical integer compares, identical id tie-breaks. */
+  private def mmrOracleSql(k: Int, pool: Int): String = {
+    val steps = (1 to k).map { t =>
+      s"""s$t AS (
+         |  SELECT query_id, cand_id, CAST($t AS BIGINT) AS pick_rank, score_m FROM (
+         |    SELECT c.query_id, c.cand_id,
+         |      c.rel_m - COALESCE(m.maxsim, 0) AS score_m,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY c.rel_m - COALESCE(m.maxsim, 0) DESC, c.cand_id) AS rn
+         |    FROM cand c
+         |    LEFT JOIN (
+         |      SELECT p.query_id, p.ca, MAX(p.sim_m) AS maxsim
+         |      FROM psim p JOIN sel${t - 1} s ON s.query_id = p.query_id AND s.cand_id = p.cb
+         |      GROUP BY p.query_id, p.ca) m
+         |      ON m.query_id = c.query_id AND m.ca = c.cand_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |                      WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id))
+         |  WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    CAST(round(round(list_cosine_similarity(q.v, c.v), 3) * 1000) AS BIGINT) AS rel_m
+       |  FROM q JOIN e c ON c.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, cand_id, rel_m FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel_m DESC, cand_id) AS rn
+       |  FROM scored) WHERE rn <= $pool),
+       |psim AS (
+       |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+       |    CAST(round(round(list_cosine_similarity(ea.v, eb.v), 3) * 1000) AS BIGINT) AS sim_m
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+       |  JOIN e ea ON ea.vec_id = a.cand_id
+       |  JOIN e eb ON eb.vec_id = b.cand_id),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS cand_id,
+       |                CAST(NULL AS BIGINT) AS pick_rank, CAST(NULL AS BIGINT) AS score_m
+       |         WHERE false),
+       |$steps
+       |SELECT query_id, pick_rank, cand_id, score_m FROM sel$k
+       |ORDER BY query_id, pick_rank""".stripMargin
+  }
+
   /** X3b — LSH-bucketed approximate top-5 (rows-only; recall measured in
     * ScalaTest against x3's exact answer). */
   def x3_ann_lsh(s: SparkSession, dir: String): DataFrame = {
@@ -868,6 +927,7 @@ object LlmOps {
     "x2_simhash" -> x2_simhash _,
     "x2_simhash_md5" -> x2_simhash_md5 _,
     "x3_cosine_topk" -> x3_cosine_topk _,
+    "x3_mmr_rerank" -> x3_mmr_rerank _,
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_int8" -> x3_ann_int8 _,
     "x3_ann_ivf" -> x3_ann_ivf _,
@@ -999,6 +1059,8 @@ object LlmOps {
         |SELECT id_a, id_b, round(n_agree / 16.0, 4) AS est_jaccard
         |FROM agree WHERE n_agree / 16.0 >= 0.25
         |ORDER BY id_a, id_b""".stripMargin,
+    // every greedy MMR pick replayed as a chained-CTE recurrence
+    "x3_mmr_rerank" -> mmrOracleSql(5, 12),
     "x3_cosine_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

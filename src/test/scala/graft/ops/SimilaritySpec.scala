@@ -200,4 +200,62 @@ class SimilaritySpec extends SparkSpec {
     assert(candidates < n, s"candidate pairs $candidates not near-linear in n=$n")
     assert(maxOccupancy <= 4, s"bucket occupancy $maxOccupancy unexpectedly high")
   }
+
+  test("MMR rerank: pick 1 is pure relevance; later picks trade off diversity") {
+    // query at 0° sits BETWEEN a twin pair at −40°/−41° and a lone point at
+    // +40°: pure relevance would take the twins first (1, 2, …); greedy MMR
+    // with signed cosine picks 1, then the ANTI-similar far point 4 (its
+    // negative sim-to-selected is a diversity bonus), then 3 — the second
+    // twin (sim-to-selected ≈ 1) never makes the cut
+    def vec(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = Seq(
+      (0L, vec(0)), (1L, vec(-40)), (2L, vec(-41)), (3L, vec(40)),
+      (4L, vec(80)), (5L, vec(120)), (6L, vec(-120))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(corpus.filter($"vec_id" === 0), corpus, k = 3, pool = 6)
+      .orderBy($"pick_rank")
+      .select($"cand_id", $"pick_rank").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2) === Seq(1L, 2L, 3L))
+    assert(got.map(_._1) === Seq(1L, 4L, 3L))
+    assert(!got.map(_._1).contains(2L)) // the redundant twin is skipped
+  }
+
+  test("MMR rerank equals a naive driver-side greedy replay") {
+    def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 97.0f)
+    val dim = 8
+    val rows = (0 until 40).map(i => (i.toLong, (0 until dim).map(d => noise(i, d))))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(corpus.filter($"vec_id" < 2), corpus, k = 4, pool = 8)
+      .select($"query_id", $"pick_rank", $"cand_id", $"score_m")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    def cosM(a: Seq[Float], b: Seq[Float]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      math.round(BigDecimal(dot / (na * nb)).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1000)
+    }
+    val emb = rows.toMap
+    val expected = (0L until 2L).flatMap { qid =>
+      val pool = rows.map(_._1).filter(_ != qid)
+        .map(c => (c, cosM(emb(qid), emb(c))))
+        .sortBy { case (c, m) => (-m, c) }.take(8)
+      var sel = Vector.empty[(Long, Long, Long, Long)]
+      for (t <- 1 to 4) {
+        val picked = sel.map(_._3).toSet
+        val best = pool.filterNot(p => picked(p._1)).map { case (c, relM) =>
+          val maxsim = if (picked.isEmpty) 0L
+            else picked.map(s => cosM(emb(c), emb(s))).max
+          (c, relM - maxsim)
+        }.minBy { case (c, score) => (-score, c) }
+        sel :+= ((qid, t.toLong, best._1, best._2))
+      }
+      sel
+    }.toSet
+    assert(got === expected)
+  }
 }
