@@ -32,8 +32,13 @@ import scala.jdk.CollectionConverters._
 object Bench {
 
   /** One measurement: cold = first (fork-fresh) run, warm = steady-state
-    * plan cost (min of first and second run; see [[runInline]]). */
-  private final case class Timing(name: String, cold: Double, warm: Double)
+    * plan cost (min of first and second run; see [[runInline]]). A query
+    * that THROWS is carried with `failed = true` — its elapsed time is a
+    * fail-fast artifact, not a measurement, so it is excluded from the
+    * total and surfaced via `n_failed` (round 6 had 37 broken queries
+    * masquerade as 0.1 s "speedups" because failures were swallowed). */
+  private final case class Timing(name: String, cold: Double, warm: Double,
+                                  failed: Boolean = false)
 
   private def runInline(names: Seq[String], sfDir: String, cpus: String): Seq[Timing] = {
     val spark = EngineSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -56,25 +61,37 @@ object Bench {
     // (> warmCutoff) so one slow query can't double the bench wall time —
     // at that magnitude the one-time costs are noise anyway.
     val warmCutoff = sys.env.getOrElse("SPARK_GRAFT_WARM_CUTOFF_S", "90").toDouble
-    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns (elapsed seconds, succeeded). A failure's elapsed time is
+    // fail-fast noise — the caller marks the Timing failed instead of
+    // recording it as a measurement.
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       // Release anything the query pinned (persist/localCheckpoint inside
       // operators like the LSH signature materialization): leaked blocks
       // would GC-thrash (and warm-start) the next run.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t1 = runOnce(name, fn)
-      val sec = if (t1 <= warmCutoff) math.min(t1, runOnce(name, fn)) else t1
-      System.err.println(f"[bench] $name%-24s $sec%9.3f s  (cold ${t1}%.3f s)")
-      Timing(name, t1, sec)
+      val (t1, ok1) = runOnce(name, fn)
+      if (!ok1) Timing(name, t1, t1, failed = true)
+      else {
+        val sec =
+          if (t1 <= warmCutoff) {
+            val (t2, ok2) = runOnce(name, fn)
+            if (ok2) math.min(t1, t2) else t1 // flaky rerun: keep the good run
+          } else t1
+        System.err.println(f"[bench] $name%-24s $sec%9.3f s  (cold ${t1}%.3f s)")
+        Timing(name, t1, sec)
+      }
     }
     spark.stop()
     results
@@ -106,13 +123,17 @@ object Bench {
       def extract(section: String): Option[Double] =
         ("\"" + section + "\":\\{\"" + q + "\":([0-9.]+)").r
           .findFirstMatchIn(out).map(_.group(1).toDouble)
+      // The child excludes a failed query from its "queries" map and sets
+      // n_failed; a missing map (or dead child) is therefore a FAILURE, not
+      // a wall-clock measurement (round 6's silent-swallow lesson).
       val t = extract("queries").filter(_ => rc == 0) match {
         case Some(warm) => Timing(name, extract("cold").getOrElse(warm), warm)
         case None =>
-          System.err.println(s"[bench] $name child rc=$rc, no result — recording wall time")
-          Timing(name, wall, wall)
+          System.err.println(s"[bench] $name FAILED (child rc=$rc, no measurement)")
+          Timing(name, wall, wall, failed = true)
       }
-      System.err.println(f"[bench] $name%-24s ${t.warm}%9.3f s  (wall ${wall}%.1f s)")
+      if (!t.failed)
+        System.err.println(f"[bench] $name%-24s ${t.warm}%9.3f s  (wall ${wall}%.1f s)")
       t
     }
   }
@@ -125,7 +146,10 @@ object Bench {
   private def writeDetail(path: String, results: Seq[Timing],
                           total: Double, sfDir: String): Unit = {
     val rows = results.map(t =>
-      f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f}""")
+      if (t.failed)
+        f"""  "${t.name}": {"failed": true, "elapsed": ${t.warm}%.3f}"""
+      else
+        f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f}""")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
          | "methodology": "per-query forked JVM; warm = min of 2 runs, cold = first run",
@@ -149,8 +173,15 @@ object Bench {
     val isChild = sys.env.get("SPARK_GRAFT_FORKED").contains("1")
     val inline = isChild || sys.env.get("SPARK_GRAFT_NO_FORK").contains("1")
     val results = if (inline) runInline(names, sfDir, cpus) else runForked(names)
-    val total = results.map(_.warm).sum
+    val (failedQ, okQ) = results.partition(_.failed)
+    // Total covers only genuine measurements; failed queries are named on
+    // stderr and counted in the JSON line so a broken query can never again
+    // report as a fast success.
+    val total = okQ.map(_.warm).sum
     val totalStr = f"$total%.3f"
+    if (failedQ.nonEmpty)
+      System.err.println(s"[bench] ${failedQ.size} FAILED queries (excluded " +
+        s"from total): ${failedQ.map(_.name).mkString(",")}")
     if (!isChild) {
       val detail = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
       try writeDetail(detail, results, total, sfDir)
@@ -158,19 +189,21 @@ object Bench {
         System.err.println(s"[bench] detail write failed: ${e.getMessage}")
       }
     }
-    val warm = jsonMap(results.map(t => t.name -> t.warm))
-    val cold = jsonMap(results.map(t => t.name -> t.cold))
-    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$warm,"cold":$cold,"sf":"$sfDir"}"""
+    val warm = jsonMap(okQ.map(t => t.name -> t.warm))
+    val cold = jsonMap(okQ.map(t => t.name -> t.cold))
+    val nFailed = s""","n_failed":${failedQ.size}"""
+    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$warm,"cold":$cold$nFailed,"sf":"$sfDir"}"""
     // The driver parses the line from a bounded ~2 KB output tail; a line
     // that outgrows it gets clipped mid-JSON (round 5 lost the total this
-    // way). Keep the full map only while it fits comfortably; otherwise emit
-    // a compact total-first line with the slowest queries and point at the
-    // detail file for the rest.
+    // way). The driver's parser also requires "queries" as a per-query MAP
+    // (round 6's "slowest" key parsed to null), so the compact fallback
+    // keeps the key name "queries" and truncates it to the slowest entries
+    // that fit; full detail always lands in BENCH_DETAIL.json.
     val line =
       if (full.length <= 1400) full
       else {
-        val slowest = jsonMap(results.sortBy(-_.warm).take(12).map(t => t.name -> t.warm))
-        s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size},"slowest":$slowest,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+        val slowest = jsonMap(okQ.sortBy(-_.warm).take(12).map(t => t.name -> t.warm))
+        s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size}$nFailed,"queries":$slowest,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
       }
     println(line)
     Console.out.flush()

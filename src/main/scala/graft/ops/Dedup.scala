@@ -321,16 +321,22 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // The node's own row carries its previous label through the round's
+      // groupBy (neighbor contributions carry null), so the convergence
+      // probe is ONE scalar aggregate over the checkpointed result — no
+      // join against the previous labels, no second shuffle. Every id in
+      // the union appears in `labels` (it holds all edge endpoints), so
+      // `prev` is never null after the max().
       val next = labels.join(edges, col("id") === col("src"))
-        .select(col("dst").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("prev"))
+        .union(labels.select(col("id"), col("label"), col("label").as("prev")))
+        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
         .localCheckpoint(false)
-      // scalar-only convergence probe: any node whose label still shrank?
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev"))
-        .isEmpty
-      labels = next
+      converged = next
+        .agg(sum(when(col("label") < col("prev"), 1L).otherwise(0L)))
+        .first().getLong(0) == 0L
+      labels = next.select("id", "label")
       i += 1
     }
     // never let unconverged labels ship silently as correct clusters: a
@@ -361,7 +367,9 @@ object Dedup {
     *     smaller neighbors all attach to m = min(Γ⁻(u) ∪ u) — the
     *     path-halving step.
     * The fixpoint is the star forest rooted at component minima; the
-    * convergence probe is an exact symmetric-difference check, and
+    * convergence probe compares an edge-set fingerprint (count + sum of
+    * per-edge 64-bit hash over the distinct edge list) across rounds — one
+    * scalar aggregate per round instead of two exceptAll shuffles — and
     * exhausting `maxIters` throws rather than shipping unconverged labels.
     * Hash-min stays the default for dedup-shaped (shallow) graphs — fewer
     * shuffles per round; this is the escape hatch its doc points at. */
@@ -378,7 +386,22 @@ object Dedup {
         greatest(col(idA), col(idB)).as("large"))
       .distinct()
       .localCheckpoint(false)
-    var converged = edges.isEmpty
+    // Edge-set fingerprint for the convergence probe: the edge list is
+    // DISTINCT, so (count, sum of per-edge hash) identifies the set up to a
+    // 64-bit hash-sum collision — replacing the former 2× exceptAll probe
+    // (two full shuffles per round) with one scalar aggregate per round.
+    // Sums are over pmod(hash, prime) so they cannot overflow ANSI long
+    // arithmetic (values < 2^31, safe past 4 billion edges); two coprime
+    // moduli keep the collision odds negligible.
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val h = xxhash64(col("small"), col("large"))
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(h, lit(2147483629L))), lit(0L)),
+        coalesce(sum(pmod(h, lit(2147483587L))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var prevFp = fingerprint(edges)
+    var converged = prevFp._1 == 0L
     var i = 0
     while (!converged && i < maxIters) {
       // LARGE-STAR over the symmetric adjacency: one window per node u for
@@ -401,7 +424,9 @@ object Dedup {
         .filter(col("small") =!= col("large"))
         .distinct()
         .localCheckpoint(false)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val fp = fingerprint(next)
+      converged = fp == prevFp
+      prevFp = fp
       edges = next
       i += 1
     }

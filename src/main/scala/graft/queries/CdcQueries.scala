@@ -115,8 +115,15 @@ object CdcQueries {
       (lit(1704067200000L) + $"id").as("es"), lit(false).as("isDdl")))
     val raw = base.select(line.as("value"),
       lit(0).as("partition"), $"id".cast("bigint").as("offset"))
+    // The typed view keeps price as DECIMAL(10,2) (asserted in
+    // CanalJsonSpec); the driver-compare projection carries it as exact
+    // integer cents so both engines hash the identical BIGINT — a DECIMAL
+    // reaches the driver's hasher as float64 from DuckDB ('205941.6') but
+    // as its parquet decimal from Spark ('205941.60'), mismatching on any
+    // value whose cents end in 0.
     CanalJson.typedView(CanalJson.events(raw), "products", CanalJson.productsSchema)
-      .select($"id", $"name", $"price", $"stock", $"op", $"offset")
+      .select($"id", $"name", ($"price" * 100).cast("bigint").as("price_cents"),
+        $"stock", $"op", $"offset")
       .orderBy($"id")
   }
 
@@ -150,8 +157,11 @@ object CdcQueries {
       (lit(1704067200000L) + $"id").as("es"), lit(false).as("isDdl")))
     val raw = base.select(line.as("value"),
       lit(0).as("partition"), $"id".cast("bigint").as("offset"))
+    // Same cents-BIGINT carrier rationale as [[cdc_typed_products]]; the
+    // view itself stays DECIMAL(10,2).
     CanalJson.typedView(CanalJson.events(raw), "orders", CanalJson.ordersSchema)
-      .select($"id", $"user_id", $"product_id", $"quantity", $"total_price",
+      .select($"id", $"user_id", $"product_id", $"quantity",
+        ($"total_price" * 100).cast("bigint").as("total_price_cents"),
         $"status", $"created_at", $"op", $"offset")
       .orderBy($"id")
   }
@@ -765,34 +775,27 @@ object CdcQueries {
         |  o_orderstatus AS new_status,
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY id""".stripMargin,
-    // price mirrors priceStr: exact integer cents → 'd.dd' string → DECIMAL
+    // price compared as exact integer cents (BIGINT on both engines) —
+    // the DECIMAL lives in the view; the comparison avoids any float carrier
     "cdc_typed_products" ->
-      """WITH cents AS (
-        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
-        |  FROM orders WHERE o_orderkey % 4 = 0)
-        |SELECT o_orderkey AS id,
+      """SELECT o_orderkey AS id,
         |  'item-' || CAST(o_orderkey AS VARCHAR) AS name,
-        |  CAST(CAST(c // 100 AS VARCHAR) || '.' ||
-        |       lpad(CAST(c % 100 AS VARCHAR), 2, '0') AS DECIMAL(10,2)) AS price,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
         |  CAST(o_orderkey % 100 AS INT) AS stock,
         |  'insert' AS op, o_orderkey AS "offset"
-        |FROM cents ORDER BY id""".stripMargin,
+        |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY id""".stripMargin,
     // full orders DDL type surface; total_price mirrors priceStr, created_at
     // rebuilt from the same seconds arithmetic on a naive timestamp
     "cdc_typed_orders" ->
-      """WITH cents AS (
-        |  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS c
-        |  FROM orders WHERE o_orderkey % 4 = 1)
-        |SELECT o_orderkey AS id, o_custkey AS user_id,
+      """SELECT o_orderkey AS id, o_custkey AS user_id,
         |  o_orderkey % 1000 AS product_id,
         |  CAST(o_orderkey % 10 + 1 AS INT) AS quantity,
-        |  CAST(CAST(c // 100 AS VARCHAR) || '.' ||
-        |       lpad(CAST(c % 100 AS VARCHAR), 2, '0') AS DECIMAL(10,2)) AS total_price,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_price_cents,
         |  o_orderstatus AS status,
         |  TIMESTAMP '2024-01-01 00:00:00'
         |    + (o_orderkey % 86400) * INTERVAL 1 SECOND AS created_at,
         |  'insert' AS op, o_orderkey AS "offset"
-        |FROM cents ORDER BY id""".stripMargin,
+        |FROM orders WHERE o_orderkey % 4 = 1 ORDER BY id""".stripMargin,
     // one row per (key, table): products carry item-<id>, orders the status
     "cdc_wire_multi_table" ->
       """SELECT 'products' AS "table", o_orderkey AS id,

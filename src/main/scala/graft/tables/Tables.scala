@@ -21,15 +21,24 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy flag) and integer-divide down to a
-    * microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies, so
-    * oracle timestamps agree exactly. */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so adapt to the file's
+    * schema instead of assuming one era. Nanos: Spark's vectorized reader
+    * rejects the physical type, so read raw longs (legacy flag) and
+    * integer-divide down to microseconds — the same truncation DuckDB
+    * applies. Micros: pass through. Either way the post-load contract is a
+    * `timestamp_ntz` column named `ts`, which everything downstream builds
+    * on. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val df = table(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
