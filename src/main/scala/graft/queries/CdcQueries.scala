@@ -453,7 +453,10 @@ object CdcQueries {
     * later keys don't exist yet. One cutoff exercises all three visibility
     * classes, and DuckDB derives each from the key arithmetic alone. */
   def cdc_wire_asof(s: SparkSession, dir: String): DataFrame =
-    wireState(CdcApply.stateAsOf(wireOrderEvents(s, dir), 1704067200000L + 15000L))
+    // localCheckpoint: generate+parse the wire fixture once; the ranking
+    // window reads checkpointed blocks (the cdc_scd2_incremental pattern)
+    wireState(CdcApply.stateAsOf(wireOrderEvents(s, dir).localCheckpoint(),
+      1704067200000L + 15000L))
 
   /** W8/incremental view — a grouped count maintained purely from ±1 event
     * deltas (INSERT +new, UPDATE +new/−old, DELETE −current), never
@@ -500,7 +503,8 @@ object CdcQueries {
     * versions of every key straight from the base-table arithmetic. */
   def cdc_scd2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    CdcApply.scd2(wireOrderEvents(s, dir), "status")
+    // localCheckpoint: see cdc_wire_asof
+    CdcApply.scd2(wireOrderEvents(s, dir).localCheckpoint(), "status")
       .select($"pk".cast("bigint").as("id"), $"version", $"status",
         $"valid_from_ms", $"valid_to_ms", $"is_current")
       .orderBy($"id", $"version")
