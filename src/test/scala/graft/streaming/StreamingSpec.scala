@@ -531,6 +531,65 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("a", "00:12", "00:05")))
   }
 
+  test("q39' funnel: streaming state op equals the batch chained-min funnel") {
+    // same fixture through FunnelStream (mapGroupsWithState, Update mode,
+    // split across micro-batches WITH out-of-order delivery) and through the
+    // q39-shaped batch plan — final per-user rows must be identical. User 1
+    // is the out-of-order certificate: batch 2 delivers an EARLIER view and
+    // click, which must re-open eligibility and pull every chained min down,
+    // exactly as a batch recompute would.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEvent
+    val base = 1704067200000000L
+    def e(u: Long, t: String, us: Long) = FunnelEvent(u, t, base + us)
+    val batch1 = Seq(
+      e(1, "view", 100), e(1, "click", 150), e(1, "purchase", 200),
+      e(2, "click", 10),                       // click with no view: step 0
+      e(3, "view", 100), e(3, "click", 50),    // click BEFORE view: step 1
+      e(4, "view", 0))
+    val batch2 = Seq(
+      e(1, "view", 10), e(1, "click", 40), e(1, "purchase", 45), // late, earlier
+      e(4, "purchase", 10))                    // purchase without click: step 1
+    val mem = MemoryStream[FunnelEvent]
+    val q = FunnelStream.funnelUpdates(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest Update-mode row per user = the one with the max update_seq
+    val streamed = spark.table("funnel_stream")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values.map(_.maxBy(_._6)).map(r => (r._1, r._2, r._3, r._4, r._5))
+      .toSet
+    // batch twin: the q39 chained-min plan over the full fixture
+    val ev = (batch1 ++ batch2).toDS().toDF("user_id", "event_type", "ts_us")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts_us" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts_us").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts_us" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts_us").as("t_purchase"))
+    val expected = ev.select($"user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c.select($"user_id", $"t_click"), Seq("user_id"), "left")
+      .join(p.select($"user_id", $"t_purchase"), Seq("user_id"), "left")
+      .select($"user_id",
+        (when($"t_purchase".isNotNull, 3).when($"t_click".isNotNull, 2)
+          .when($"t_view".isNotNull, 1).otherwise(0)).cast("bigint"),
+        coalesce($"t_view", lit(-1L)), coalesce($"t_click", lit(-1L)),
+        coalesce($"t_purchase", lit(-1L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === expected)
+    // and the hand oracle for the out-of-order user: everything pulled down
+    assert(streamed.contains((1L, 3L, base + 10, base + 40, base + 45)))
+  }
+
   test("S1 Kafka source contract: options mirror the reference consumer config") {
     // No broker (or connector jar) in the sandbox, so the assertable surface
     // is the options map the reader is built from (index.js:26-33 +
