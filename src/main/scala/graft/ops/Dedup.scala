@@ -486,6 +486,57 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_ngrams"), 4).as("dup_fraction"))
   }
 
+  /** X1d — maximal duplicated SPANS (the substring-level dedup primitive
+    * behind "remove any substring duplicated across the corpus" training-
+    * data hygiene, reference point: Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): for each document, the maximal
+    * word-position ranges in which EVERY length-`n` word gram also occurs
+    * in at least one OTHER document. [[duplicatedNgramFraction]] scores how
+    * much of a doc is duplicated; this returns WHERE — the `[start, end)`
+    * ranges a pipeline would actually cut or down-weight.
+    *
+    * Definition: gram position `p` (0-based word index) is duplicated when
+    * the gram `words[p..p+n)` appears in ≥ 2 distinct documents; maximal
+    * runs of CONSECUTIVE duplicated positions `p, p+1, …, q` become one span
+    * `[p, q + n)` — so every reported span is wholly covered by duplicated
+    * grams and cannot be extended by one word in either direction.
+    *
+    * Scale posture: one inverted-index shuffle keyed on the gram (the
+    * portable exact twin; swap the key for `xxhash64(gram)` at 100 TB for
+    * fixed 8-byte shuffle width, the [[duplicatedNgramFraction]] trade), a
+    * map-side-combined distinct-doc count, one co-partitioned join back,
+    * then a per-document window for the islands pass — no all-pairs
+    * structure; cost is linear in total gram volume. Docs shorter than `n`
+    * words have no grams and no spans.
+    *
+    * Output: (`id`, `span_start`, `span_end`, `span_words`) with 0-based
+    * word offsets, `span_end` exclusive. */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 5): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n) // sequence(0, neg) would count DOWN
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+      .toDF("id", "pos", "gram")
+      .localCheckpoint(false)
+    // distinct-doc frequency per gram; intra-doc repeats alone don't qualify
+    val dup = grams.select(col("gram"), col("id")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val w = Window.partitionBy("id").orderBy("pos")
+    grams.join(dup, Seq("gram"))
+      .select(col("id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) === 1, 0L).otherwise(1L))
+      .withColumn("island", sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min("pos").as("span_start"), (max("pos") + n).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_words"))
+  }
+
   /** X2e — content-defined chunking (the FastCDC/Rabin family, reference
     * point: LBFS-style rolling-hash cut points): split each document at
     * positions where the hash of the local `gramSize`-char window divides

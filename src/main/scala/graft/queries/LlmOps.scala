@@ -64,6 +64,21 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X1d — maximal duplicated spans ([[Dedup.duplicatedSpans]]): the word
+    * ranges a substring-level dedup pass would cut, each wholly covered by
+    * 5-grams that occur in at least one other document. The oracle rebuilds
+    * the same islands with gaps-and-islands SQL over the identical gram
+    * definition — positions, maximality, and span arithmetic are all
+    * hash-certified. */
+  def x1_dup_spans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.duplicatedSpans(documents(s, dir), "text", "doc_id", n = 5)
+      .select($"id".as("doc_id"), $"span_start".cast("bigint").as("span_start"),
+        $"span_end".cast("bigint").as("span_end"),
+        $"span_words".cast("bigint").as("span_words"))
+      .orderBy($"doc_id", $"span_start")
+  }
+
   /** X2 — exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index
     * join. The oracle-checkable ground truth for MinHash. */
   def x2_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
@@ -961,6 +976,7 @@ object LlmOps {
     "x4_fuzzy" -> x4_fuzzy _,
     "x9_keepers" -> x9_keepers _,
     "x1_dup_ngram" -> x1_dup_ngram _,
+    "x1_dup_spans" -> x1_dup_spans _,
     "x1_dedup_incremental" -> x1_dedup_incremental _,
     "x9_semantic_clusters" -> x9_semantic_clusters _,
     "x2_cdc_chunks" -> x2_cdc_chunks _,
@@ -1435,6 +1451,32 @@ object LlmOps {
         |    / count(*), 4) AS dup_fraction
         |FROM sh s JOIN dfreq d USING (shingle)
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // same gram definition as the Spark op (0-based positions), duplicated
+    // = present in >= 2 distinct docs, islands = maximal consecutive runs
+    "x1_dup_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, r AS pos, array_to_string(w[r+1:r+5], ' ') AS gram
+        |  FROM words, unnest(CASE WHEN len(w) >= 5
+        |    THEN generate_series(0, len(w) - 5) ELSE [] END) AS t(r)),
+        |dup AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS n_docs
+        |    FROM grams GROUP BY gram) WHERE n_docs >= 2),
+        |dp AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER w = 1 THEN 0 ELSE 1 END AS b
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM brk)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+        |  max(pos) + 5 - min(pos) AS span_words
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     // x3_cosine_neardup's pair SQL + recursive reachability over the
     // embedding graph; singletons cluster with themselves via the left join
     "x9_semantic_clusters" ->

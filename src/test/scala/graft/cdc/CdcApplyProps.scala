@@ -107,6 +107,59 @@ object CdcApplyProps extends Properties("CdcApply") {
       "data", "old_data", "sql", "partition", "offset", "pos")
   }
 
+  private def scd2Rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, String, Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    CdcApply.scd2(df, "price")
+      .select(col("table"), col("pk"), col("version"), col("price"),
+        col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+  }
+
+  property("W9' scd2Merge(history <= T, delta > T) == full rebuild, any stream & cutover") =
+    forAll(Gen.listOfN(25, genEv), Gen.choose(0L, 26L)) { (evs0, cutIdx) =>
+      import org.apache.spark.sql.functions._
+      // unique es per event (genEv can collide on (pk, op, es), which the
+      // logical-identity dedup would resolve arbitrarily on each side)
+      val evs = evs0.zipWithIndex.map { case (e, i) =>
+        e.copy(es = e.es * 100 + i, offset = i.toLong)
+      }
+      val df = toEvents(evs)
+      val cutMs = cutIdx * 150 * 1000 // sweeps below, through, and past the stream
+      val merged = {
+        val history = CdcApply.scd2(
+          df.filter(unix_millis(col("timestamp")) <= cutMs), "price")
+        CdcApply.scd2Merge(history,
+            df.filter(unix_millis(col("timestamp")) > cutMs), "price")
+          .select(col("table"), col("pk"), col("version"), col("price"),
+            col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3),
+            r.getLong(4), r.getLong(5), r.getLong(6)))
+          .toSet
+      }
+      merged == scd2Rows(df)
+    }
+
+  property("W10 backfillMerge(stateAsOf(T), overlapping full stream) == materialize") =
+    forAll(Gen.listOfN(25, genEv), Gen.choose(0L, 26L)) { (evs0, cutIdx) =>
+      import org.apache.spark.sql.functions._
+      val evs = evs0.zipWithIndex.map { case (e, i) =>
+        e.copy(es = e.es * 100 + i, offset = i.toLong)
+      }
+      val df = toEvents(evs)
+      val cutMs = cutIdx * 150 * 1000
+      def rows(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("table"), col("pk"),
+          element_at(col("data"), "price").as("price"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+      val snapshot = CdcApply.stateAsOf(df, cutMs)
+      rows(CdcApply.backfillMerge(snapshot, df)) == rows(CdcApply.materialize(df))
+    }
+
   property("W8 maintainCounts == recompute for any well-formed chain") =
     forAll(Gen.listOfN(25, genEv)) { intents =>
       val chain = wellFormed(intents)

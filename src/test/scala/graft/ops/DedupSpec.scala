@@ -118,6 +118,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpans: maximal consecutive dup-gram runs with exact offsets") {
+    // doc 10 and 11 share an 8-word block at different offsets; doc 10 also
+    // shares its last 5 words with doc 12; doc 13 shares nothing
+    val corpus = Seq(
+      (10L, "aa bb cc dd ee ff gg hh xx yy pp qq rr ss tt"),
+      (11L, "zz ww aa bb cc dd ee ff gg hh uu vv"),
+      (12L, "mm nn pp qq rr ss tt"),
+      (13L, "k1 k2 k3 k4 k5 k6 k7 k8 k9")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "text", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(spans === Set(
+      // doc 10: grams 0..3 duplicated (aa..hh block, 8 words = 4 runs of 5)
+      (10L, 0, 8, 8),
+      // doc 10: gram at pos 10 (pp qq rr ss tt) shared with doc 12
+      (10L, 10, 15, 5),
+      // doc 11: same 8-word block starting at word 2
+      (11L, 2, 10, 8),
+      // doc 12: its last 5 words, pos 2
+      (12L, 2, 7, 5)))
+    // doc 13 must be absent: no gram occurs elsewhere
+    assert(!spans.exists(_._1 == 13L))
+  }
+
+  test("duplicatedSpans: non-adjacent dup grams stay separate spans; short docs absent") {
+    val corpus = Seq(
+      // two shared 5-grams separated by a unique middle word at pos 5
+      (20L, "s1 s2 s3 s4 s5 u1 t1 t2 t3 t4 t5"),
+      (21L, "s1 s2 s3 s4 s5 u2 t1 t2 t3 t4 t5"),
+      (22L, "tiny doc here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "text", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // positions 0 and 6 are duplicated, position 1..5 are not (u1/u2 differ)
+    // → two separate spans per doc, never one merged [0, 11)
+    assert(spans === Set((20L, 0, 5), (20L, 6, 11), (21L, 0, 5), (21L, 6, 11)))
+  }
+
   test("editDistance1Pairs: blocked join equals brute-force levenshtein=1") {
     // substitution (cat/car), deletion (cat/at), insertion (cat/cart),
     // distance-2 (cat/dog must NOT pair), exact dup ids (cat/cat dist 0 — out)
