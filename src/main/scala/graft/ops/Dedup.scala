@@ -537,6 +537,52 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_words"))
   }
 
+  /** X1e — span REMOVAL: each document with every corpus-duplicated
+    * substring cut out — the pass that actually applies
+    * [[duplicatedSpans]]. A word is removed when ANY duplicated `n`-gram
+    * covers it (the union of covered ranges, so overlapping near-miss spans
+    * separated by a sub-`n` gap cut correctly); survivors keep their
+    * original relative order.
+    *
+    * Same inverted-index + islands cost profile as [[duplicatedSpans]] plus
+    * one per-document rebuild aggregate: `collect_list(struct(wi, word))`
+    * is bounded by single-document length (the natural per-row unit — this
+    * is a map-side rebuild, not a global collect). Documents with nothing
+    * duplicated pass through verbatim; fully-duplicated documents survive
+    * with empty `kept_text` (count them, don't lose them).
+    *
+    * Output: (`id`, `kept_text`, `n_words`, `n_removed`). */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 5): DataFrame = {
+    val words = df.select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+      .localCheckpoint(false)
+    val grams = words
+      .filter(size(col("w")) >= n)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+      .toDF("id", "pos", "gram")
+      .localCheckpoint(false)
+    val dup = grams.select(col("gram"), col("id")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val covered = grams.join(dup, Seq("gram"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wi"))
+      .distinct()
+    val kept = words
+      .select(col("id"), posexplode(col("w")).as(Seq("wi", "word")))
+      .join(covered, Seq("id", "wi"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("wi"), col("word")))),
+        s => s.getField("word")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    words.select(col("id"), size(col("w")).cast("bigint").as("n_words"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("kept_text"), lit("")).as("kept_text"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** X2e — content-defined chunking (the FastCDC/Rabin family, reference
     * point: LBFS-style rolling-hash cut points): split each document at
     * positions where the hash of the local `gramSize`-char window divides

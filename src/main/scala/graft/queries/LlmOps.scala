@@ -79,6 +79,18 @@ object LlmOps {
       .orderBy($"doc_id", $"span_start")
   }
 
+  /** X1e — span removal applied ([[Dedup.removeDuplicatedSpans]]): every
+    * document rebuilt with its corpus-duplicated 5-gram-covered words cut.
+    * The oracle re-derives the covered-word union and rebuilds the kept
+    * text with ordered string_agg — text, counts, and pass-through docs all
+    * hash-certified. */
+  def x1_span_removal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.removeDuplicatedSpans(documents(s, dir), "text", "doc_id", n = 5)
+      .select($"id".as("doc_id"), $"kept_text", $"n_words", $"n_removed")
+      .orderBy($"doc_id")
+  }
+
   /** X2 — exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index
     * join. The oracle-checkable ground truth for MinHash. */
   def x2_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
@@ -977,6 +989,7 @@ object LlmOps {
     "x9_keepers" -> x9_keepers _,
     "x1_dup_ngram" -> x1_dup_ngram _,
     "x1_dup_spans" -> x1_dup_spans _,
+    "x1_span_removal" -> x1_span_removal _,
     "x1_dedup_incremental" -> x1_dedup_incremental _,
     "x9_semantic_clusters" -> x9_semantic_clusters _,
     "x2_cdc_chunks" -> x2_cdc_chunks _,
@@ -1477,6 +1490,38 @@ object LlmOps {
         |  max(pos) + 5 - min(pos) AS span_words
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    // covered-word union of all duplicated grams, kept text rebuilt in
+    // original word order; pass-through and fully-cut docs both present
+    "x1_span_removal" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, r AS pos, array_to_string(w[r+1:r+5], ' ') AS gram
+        |  FROM words, unnest(CASE WHEN len(w) >= 5
+        |    THEN generate_series(0, len(w) - 5) ELSE [] END) AS t(r)),
+        |dup AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS n_docs
+        |    FROM grams GROUP BY gram) WHERE n_docs >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + o.o AS wi
+        |  FROM grams g JOIN dup USING (gram),
+        |    unnest(generate_series(0, 4)) AS o(o)),
+        |exploded AS (
+        |  SELECT doc_id, t.r AS wi, w[t.r + 1] AS word
+        |  FROM words, unnest(CASE WHEN len(w) >= 1
+        |    THEN generate_series(0, len(w) - 1) ELSE [] END) AS t(r)),
+        |kept AS (
+        |  SELECT e.doc_id, string_agg(e.word, ' ' ORDER BY e.wi) AS kept_text,
+        |    count(*) AS n_kept
+        |  FROM exploded e LEFT JOIN cov c
+        |    ON e.doc_id = c.doc_id AND e.wi = c.wi
+        |  WHERE c.wi IS NULL GROUP BY e.doc_id)
+        |SELECT ws.doc_id, coalesce(k.kept_text, '') AS kept_text,
+        |  CAST(len(ws.w) AS BIGINT) AS n_words,
+        |  CAST(len(ws.w) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM words ws LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // x3_cosine_neardup's pair SQL + recursive reachability over the
     // embedding graph; singletons cluster with themselves via the left join
     "x9_semantic_clusters" ->

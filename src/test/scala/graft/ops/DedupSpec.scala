@@ -157,6 +157,37 @@ class DedupSpec extends SparkSpec {
     assert(spans === Set((20L, 0, 5), (20L, 6, 11), (21L, 0, 5), (21L, 6, 11)))
   }
 
+  test("removeDuplicatedSpans: covered words cut, survivors in order, pass-through intact") {
+    val corpus = Seq(
+      (10L, "aa bb cc dd ee ff gg hh xx yy pp qq rr ss tt"),
+      (11L, "zz ww aa bb cc dd ee ff gg hh uu vv"),
+      (12L, "mm nn pp qq rr ss tt"),
+      (13L, "k1 k2 k3 k4 k5 k6 k7 k8 k9"),
+      (14L, "so short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(10L) === (("xx yy", 15L, 13L)))
+    assert(out(11L) === (("zz ww uu vv", 12L, 8L)))
+    assert(out(12L) === (("mm nn", 7L, 5L)))
+    // nothing duplicated → verbatim pass-through
+    assert(out(13L) === (("k1 k2 k3 k4 k5 k6 k7 k8 k9", 9L, 0L)))
+    // shorter than n → no grams → verbatim
+    assert(out(14L) === (("so short", 2L, 0L)))
+  }
+
+  test("removeDuplicatedSpans: identical docs are fully cut but still present") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, "text", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set((1L, "", 6L, 6L), (2L, "", 6L, 6L)))
+  }
+
   test("editDistance1Pairs: blocked join equals brute-force levenshtein=1") {
     // substitution (cat/car), deletion (cat/at), insertion (cat/cart),
     // distance-2 (cat/dog must NOT pair), exact dup ids (cat/cat dist 0 — out)
