@@ -694,6 +694,51 @@ object Relational {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** Windowed funnel (the ClickHouse `windowFunnel` / product-analytics
+    * "conversion within N minutes" analytic): deepest view→click→purchase
+    * chain per user where every step lands within 30 minutes of the chain's
+    * FIRST step, steps strictly ordered in time.
+    *
+    * Greedy-earliest is exact here: for a fixed chain start t0, taking the
+    * EARLIEST qualifying click maximizes the window remaining for the
+    * purchase, so per-(user, t0) greedy chain depth is the optimum, and the
+    * per-user max over chain starts is the windowFunnel answer.
+    *
+    * Scale: both step hops are bucketized [[graft.ops.RangeJoin]]s keyed on
+    * (user_id, time-bucket) — the naive `ON user AND ts BETWEEN` plan
+    * degrades to rows × intervals per hot user; the bucketized join bounds
+    * fan-out at window/bucket (= 7 buckets here) per chain start. Aggregates
+    * are map-side combined mins; no per-user arrays, no driver loops. */
+  def q42_window_funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = expr("INTERVAL 30 MINUTES")
+    val ev = events(s, dir)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("t0"))
+      // [t0, t0+30m] as a half-open [t0, t0+30m+1us) for the range join
+      .withColumn("w_end", $"t0" + win + expr("INTERVAL 1 MICROSECOND"))
+    val clicks = ev.filter($"event_type" === "click").select($"user_id", $"ts")
+    val chains2 = graft.ops.RangeJoin.intervalJoin(
+        clicks, views, Seq("user_id"), "ts", "t0", "w_end")
+      .filter($"ts" > $"t0") // strictly after the chain start
+      .groupBy($"user_id", $"t0", $"w_end").agg(min($"ts").as("t1"))
+    val purchases = ev.filter($"event_type" === "purchase").select($"user_id", $"ts")
+    val chains3 = graft.ops.RangeJoin.intervalJoin(
+        purchases, chains2, Seq("user_id"), "ts", "t0", "w_end")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(count(lit(1)).as("__p"))
+    ev.select($"user_id").distinct()
+      .join(views.groupBy($"user_id").agg(count(lit(1)).as("__v")),
+        Seq("user_id"), "left")
+      .join(chains2.groupBy($"user_id").agg(count(lit(1)).as("__c")),
+        Seq("user_id"), "left")
+      .join(chains3, Seq("user_id"), "left")
+      .select($"user_id",
+        when($"__p".isNotNull, 3L).when($"__c".isNotNull, 2L)
+          .when($"__v".isNotNull, 1L).otherwise(0L).as("steps"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -736,6 +781,7 @@ object Relational {
     "q39_funnel" -> q39_funnel _,
     "q40_retention" -> q40_retention _,
     "q41_paths" -> q41_paths _,
+    "q42_window_funnel" -> q42_window_funnel _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1083,5 +1129,32 @@ object Relational {
         |  CAST((m.n * 1000000) // t.out_total AS BIGINT) AS share_ppm
         |FROM m JOIN tot t ON t.from_type = m.from_type
         |ORDER BY m.from_type, m.to_type""".stripMargin,
+    // greedy-earliest chain per (user, view): earliest qualifying click,
+    // then any purchase after it inside the same 30-minute window
+    "q42_window_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT v.user_id, v.t0, min(e.ts) AS t1
+        |  FROM v JOIN events e ON e.user_id = v.user_id
+        |    AND e.event_type = 'click' AND e.ts > v.t0
+        |    AND e.ts <= v.t0 + INTERVAL 30 MINUTE
+        |  GROUP BY v.user_id, v.t0),
+        |p AS (
+        |  SELECT DISTINCT c.user_id
+        |  FROM c JOIN events e ON e.user_id = c.user_id
+        |    AND e.event_type = 'purchase' AND e.ts > c.t1
+        |    AND e.ts <= c.t0 + INTERVAL 30 MINUTE),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c2.user_id IS NOT NULL THEN 2
+        |            WHEN v2.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS steps
+        |FROM u
+        |LEFT JOIN (SELECT DISTINCT user_id FROM v) v2 USING (user_id)
+        |LEFT JOIN (SELECT DISTINCT user_id FROM c) c2 USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
   )
 }
