@@ -151,4 +151,26 @@ class PlanSpec extends SparkSpec {
     // the per-step frontier joins key on user_id — no per-user event arrays
     assert(!p.contains("collect_list"), s"funnel must not collect per-user arrays:\n$p")
   }
+
+  test("q42 windowed funnel: both hops are bucketized equi-joins, never nested-loop") {
+    val p = plan(Relational.q42_window_funnel(spark, dir))
+    // the naive `user AND ts BETWEEN` plan degrades to a nested-loop /
+    // pure-equality-with-range-residual per hot user; the bucketized join
+    // must keep every hop an equi-join on (user_id, bucket)
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range hops must stay bucketized equi-joins:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("event_type"),
+      s"step type predicates must push into the scan:\n$p")
+  }
+
+  test("x1 duplicated spans/removal: inverted-index shuffle, no all-pairs join") {
+    val ps = plan(LlmOps.x1_dup_spans(spark, dir))
+    assert(!ps.contains("NestedLoopJoin") && !ps.contains("CartesianProduct"),
+      s"span detection must stay an inverted-index equi-join:\n$ps")
+    assert(ps.contains("partial_count"),
+      s"gram doc-frequency must map-side combine:\n$ps")
+    val pr = plan(LlmOps.x1_span_removal(spark, dir))
+    assert(!pr.contains("NestedLoopJoin") && !pr.contains("CartesianProduct"),
+      s"span removal must stay an inverted-index equi-join:\n$pr")
+  }
 }
