@@ -333,8 +333,10 @@ object Dedup {
         .union(labels.select(col("id"), col("label"), col("label").as("prev")))
         .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
         .localCheckpoint(false)
+      // coalesce: sum over an EMPTY label frame (no edges) is null
       converged = next
-        .agg(sum(when(col("label") < col("prev"), 1L).otherwise(0L)))
+        .agg(coalesce(sum(when(col("label") < col("prev"), 1L).otherwise(0L)),
+          lit(0L)))
         .first().getLong(0) == 0L
       labels = next.select("id", "label")
       i += 1
