@@ -53,4 +53,60 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle count + local clustering coefficient per node over an
+    * undirected pair graph — the density signal that separates a tight
+    * duplicate clique (every pair near-dup, cc→1) from a star-shaped
+    * template family (one hub matching many spokes that don't match each
+    * other, cc→0), which connected components alone cannot see.
+    *
+    * Algorithm: degree orientation (Schank–Wagner / Suri–Vassilvitskii).
+    * Each edge is oriented from its lower-(degree, id) endpoint to the
+    * higher; every triangle then has exactly one apex with two out-edges,
+    * so wedges built from out-edge pairs joined back against the oriented
+    * edge set count each triangle exactly once. The wedge fan-out per node
+    * is bounded by its OUT-degree, which degree orientation caps at
+    * O(√m) on any graph (arboricity bound) — the reason this survives
+    * power-law skew at 100 TB where a naive undirected wedge join on a hub
+    * node explodes quadratically. Three co-partitioned hash joins total;
+    * the coefficient is exact integer ppm (`2·10⁶·t div d(d−1)`), so the
+    * cross-engine oracle matches bit-for-bit.
+    *
+    * @param pairs two-column frame (`id_a`, `id_b`), one row per undirected
+    *              edge with `id_a < id_b` (the [[Dedup.ngramJaccardPairs]]
+    *              contract); duplicates are dropped defensively
+    * @return (node, degree, triangles, cc_ppm), one row per node with ≥ 1 edge
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a").as("a"), col("id_b").as("b")).distinct()
+      .localCheckpoint(false) // 3 consumers (degree + wedge sides) share one materialization
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val oriented = e
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint(false)
+    // wedges carry both (v,w) orders; the oriented v–w edge exists in
+    // exactly one of them, so the join matches each triangle once
+    val wedges = oriented.select(col("src"), col("dst").as("v"))
+      .join(oriented.select(col("src"), col("dst").as("w")), "src")
+      .filter(col("v") =!= col("w"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val perNode = tri
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          expr("(2000000 * coalesce(triangles, 0L)) DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_ppm"))
+  }
 }

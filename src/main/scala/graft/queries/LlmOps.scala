@@ -642,6 +642,21 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X9''' — triangle count + clustering coefficient per document over the
+    * same near-dup pair graph ([[graft.ops.Graph.triangleCounts]], degree
+    * orientation): distinguishes tight duplicate cliques (cc_ppm → 10⁶)
+    * from star-shaped template families (hub cc_ppm → 0) that connected
+    * components merge indistinguishably. Integer-ppm coefficient, so the
+    * DuckDB three-way-join oracle matches exactly. */
+  def x9_triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
+      shingleSize = 3, minJaccard = 0.3)
+    Graph.triangleCounts(pairs)
+      .select($"node".as("doc_id"), $"degree", $"triangles", $"cc_ppm")
+      .orderBy($"doc_id")
+  }
+
   /** X9'' — PageRank over a key-derived directed graph, in EXACT integer
     * parts-per-million ([[graft.ops.Graph.pageRank]]): 5 fixed rounds of
     * one co-partitioned join + map-side-combinable sum each, no float fold
@@ -979,6 +994,7 @@ object LlmOps {
     "x9_dup_clusters" -> x9_dup_clusters _,
     "x9_dup_clusters_star" -> x9_dup_clusters_star _,
     "x9_pagerank" -> x9_pagerank _,
+    "x9_triangles" -> x9_triangles _,
     "x4_entropy" -> x4_entropy _,
     "x4_perplexity" -> x4_perplexity _,
     "x4_keywords" -> x4_keywords _,
@@ -1335,6 +1351,33 @@ object LlmOps {
     "x9_dup_clusters" -> x9ReachabilityOracle,
     // identical reachability ground truth for the star-rounds variant
     "x9_dup_clusters_star" -> x9ReachabilityOracle,
+    // triangles enumerated once each via the a<b<c three-way join over the
+    // same pair graph; coefficient in the same integer-ppm floor division
+    "x9_triangles" -> (x9Cte +
+      """,
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+        |deg AS (
+        |  SELECT node, count(*) AS degree
+        |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pern AS (
+        |  SELECT node, count(*) AS triangles
+        |  FROM (SELECT x AS node FROM tri
+        |        UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node AS doc_id, d.degree,
+        |  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN d.degree >= 2
+        |    THEN (2000000 * coalesce(p.triangles, 0)) // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_ppm
+        |FROM deg d LEFT JOIN pern p ON p.node = d.node
+        |ORDER BY doc_id""".stripMargin),
     // the same integer-ppm recurrence unrolled as five chained CTEs
     "x9_pagerank" -> pagerankOracleSql(5),
     // terms summed over SORTED distinct words — same fold order as Spark

@@ -46,4 +46,39 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(run() === run())
   }
+
+  test("triangleCounts: K4 clique + pendant — counts and exact ppm coefficients") {
+    // K4 on 1-4 (every node in 3 triangles, cc = 1), node 5 pendant off 4
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(pairs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 3L, 1000000L)))
+    assert(got(2L) === ((3L, 3L, 1000000L)))
+    assert(got(3L) === ((3L, 3L, 1000000L)))
+    // 4 gains the pendant edge: d=4, still 3 triangles, 2e6·3 div 12 = 500000
+    assert(got(4L) === ((4L, 3L, 500000L)))
+    assert(got(5L) === ((1L, 0L, 0L)))
+  }
+
+  test("triangleCounts: star hub has zero triangles; duplicate edges collapse") {
+    val pairs = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(pairs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) === ((3L, 0L, 0L)))
+    assert(got(11L) === ((1L, 0L, 0L)))
+    assert(got.size === 4)
+  }
+
+  test("triangleCounts: two triangles sharing an edge") {
+    // 1-2-3 and 2-3-4: edge 2-3 shared; 2 and 3 sit in both triangles
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(pairs)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._2 === 1L && got(4L)._2 === 1L)
+    assert(got(2L) === ((3L, 2L, 666666L))) // 2e6·2 div 6
+    assert(got(3L) === ((3L, 2L, 666666L)))
+  }
 }
