@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -96,6 +96,111 @@ object CdcApply {
       .groupBy(col("g")).agg(sum(col("delta")).as("cnt"))
       .filter(col("cnt") =!= 0)
       .select(col("g").as(attr), col("cnt"))
+  }
+
+  /** Incremental JOIN-view maintenance (W8', the two-table step up from
+    * [[maintainCounts]]): keep
+    * `V(attr) = (SUM(measure), COUNT(*)) over fact ⋈_{fact.fk = dim.pk} dim GROUP BY dim.attr`
+    * correct under a batch of change events on BOTH tables, without
+    * rescanning either table — the higher-order delta rule every IVM engine
+    * (DBToaster lineage) runs on. A fact delta needs the dim side's current
+    * attribute; a dim delta moves its key's ENTIRE standing measure between
+    * groups. Both lookups come from maintained auxiliary views, so the work
+    * per batch is ∝ |delta keys|, never ∝ |tables|:
+    *
+    *   - `factSnap` (fk, measure per fact pk) answers "what did this fact
+    *     row contribute before the batch";
+    *   - `measureByFk` (per-fk SUM + COUNT over facts, dangling fks
+    *     included) answers "how much mass moves when this dim key changes";
+    *   - `dimSnap` (attr per dim pk) answers "which group was that mass in".
+    *
+    * Delta rule per batch (events first collapse to logical identity, then
+    * to the latest image per pk — the batch's net effect):
+    *   fact pk touched:  −(old measure) @ old fk, +(new measure) @ new fk
+    *                     (handles measure change, fk move, delete, insert);
+    *   affected fk:      view −= (old SUM, old COUNT) @ old attr,
+    *                     view += (final SUM, final COUNT) @ final attr,
+    *                     where final SUM/COUNT fold the fact deltas in and
+    *                     final attr reflects the batch's dim image (a dim
+    *                     DELETE maps its mass to no group — inner-join
+    *                     semantics, same as recompute).
+    * Groups whose maintained COUNT reaches 0 vanish, matching recompute
+    * exactly (a live group genuinely summing to 0 survives — COUNT, not
+    * SUM, decides existence).
+    *
+    * Scale: every join is keyed on the batch's delta pks/fks against a
+    * keyed auxiliary table — at 100 TB that is a partition-pruned point
+    * lookup per delta key (broadcast the delta side), plus one narrow
+    * shuffle per grouped delta. Certified equal to full recompute in
+    * CdcApplySpec (fk moves, dim deletes, re-inserts, redelivery) and
+    * against the DuckDB recompute oracle (`cdc_join_maintain`).
+    *
+    * @param view        maintained view: (attrCol, sum_measure, n_facts)
+    * @param measureByFk auxiliary: (fk, sum_measure, n_facts) over ALL facts
+    * @param factSnap    auxiliary: (pk, fk, measure) latest fact images
+    * @param dimSnap     auxiliary: (pk, attrCol) latest dim images
+    * @param factEvents  flattened change events for the fact table
+    * @param dimEvents   flattened change events for the dim table
+    */
+  def maintainJoinAgg(view: DataFrame, measureByFk: DataFrame,
+                      factSnap: DataFrame, dimSnap: DataFrame,
+                      factEvents: DataFrame, dimEvents: DataFrame,
+                      fkCol: String, measureCol: String, attrCol: String,
+                      pkCol: String = "id"): DataFrame = {
+    // net effect of the batch per fact pk: logical-identity dedup (the
+    // maintainCounts redelivery rule), then latest image per pk
+    def batchLatest(events: DataFrame, valCols: Map[String, Column]): DataFrame = {
+      val projected = events.select(
+        Seq(col("op"), col("offset"), unix_millis(col("timestamp")).as("es_ms"),
+          element_at(col("data"), pkCol).cast("bigint").as("pk")) ++
+          valCols.map { case (n, c) => c.as(n) }: _*)
+        .dropDuplicates(Seq("op", "es_ms", "pk"))
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(col("es_ms").desc, col("offset").desc)
+      projected.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "offset", "es_ms")
+    }
+    val fTouch = batchLatest(factEvents, Map(
+        "fk_new" -> element_at(col("data"), fkCol).cast("bigint"),
+        "m_new" -> element_at(col("data"), measureCol).cast("bigint")))
+      .join(factSnap.select(col("pk"), col("fk").as("fk_old"), col("m").as("m_old")),
+        Seq("pk"), "left")
+      .localCheckpoint(false) // two delta branches read one materialization
+    val dMeas = fTouch.filter(col("fk_old").isNotNull)
+      .select(col("fk_old").as("fk"), (-col("m_old")).as("dm"), lit(-1L).as("dn"))
+      .unionByName(fTouch.filter(col("op") =!= "delete")
+        .select(col("fk_new").as("fk"), col("m_new").as("dm"), lit(1L).as("dn")))
+      .groupBy("fk").agg(sum("dm").as("dm"), sum("dn").as("dn"))
+    val dTouch = batchLatest(dimEvents, Map(
+      "attr_new" -> element_at(col("data"), attrCol)))
+    // every fk whose mass or group could move
+    val aff = dMeas.select(col("fk"))
+      .unionByName(dTouch.select(col("pk").as("fk"))).distinct()
+      .join(measureByFk.select(col("fk"), col("sum_m").as("q_old"), col("n").as("n_old")),
+        Seq("fk"), "left")
+      .join(dMeas, Seq("fk"), "left")
+      .join(dimSnap.select(col("pk").as("fk"), col("attr").as("attr_old")),
+        Seq("fk"), "left")
+      .join(dTouch.select(col("pk").as("fk"), col("attr_new"),
+        col("op").as("dim_op")), Seq("fk"), "left")
+      .select(col("fk"),
+        coalesce(col("q_old"), lit(0L)).as("q_old"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        (coalesce(col("q_old"), lit(0L)) + coalesce(col("dm"), lit(0L))).as("q_fin"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_fin"),
+        col("attr_old"),
+        when(col("dim_op").isNotNull,
+          when(col("dim_op") === "delete", lit(null)).otherwise(col("attr_new")))
+          .otherwise(col("attr_old")).as("attr_fin"))
+    val viewDelta = aff.filter(col("attr_old").isNotNull)
+      .select(col("attr_old").as(attrCol), (-col("q_old")).as("dm"), (-col("n_old")).as("dn"))
+      .unionByName(aff.filter(col("attr_fin").isNotNull)
+        .select(col("attr_fin").as(attrCol), col("q_fin").as("dm"), col("n_fin").as("dn")))
+    view.select(col(attrCol), col("sum_measure").as("dm"), col("n_facts").as("dn"))
+      .unionByName(viewDelta)
+      .groupBy(attrCol)
+      .agg(sum("dm").as("sum_measure"), sum("dn").as("n_facts"))
+      .filter(col("n_facts") > 0)
   }
 
   /** Type-2 slowly-changing-dimension history for one tracked attribute:

@@ -562,6 +562,87 @@ object CdcQueries {
     Snapshot.restore(s, snapDir).orderBy($"id")
   }
 
+  /** W8'/incremental JOIN view ([[graft.cdc.CdcApply.maintainJoinAgg]]) —
+    * `(SUM(quantity), COUNT(*)) per category` over orders ⋈ products,
+    * maintained across a batch boundary purely from deltas + the auxiliary
+    * views, never rescanning either table. Batch 1 (≤ cutover) builds the
+    * auxiliaries; batch 2 throws every hard case at the delta rule:
+    * quantity changes (id%3), fk moves (id%15 → the order re-points to the
+    * NEXT product), order tombstones (id%11), product re-categorization
+    * (pid%4), product deletes (pid%13==5 — their orders must drop out,
+    * inner-join semantics), and a redelivered UPDATE (logical-identity
+    * dedup load-bearing). DuckDB recomputes the final join from the key
+    * arithmetic alone — any double-applied delta, missed group move, or
+    * resurrected row hash-mismatches. */
+  def cdc_join_maintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 4 === 1)
+      .select($"o_orderkey".as("id"))
+      .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
+    val E = 1704067200000L
+    val C = E + 10000000L // batch1 es = E+1000+id·3 stays < C for id < 3.3M
+    def line(table: String, op: String, data: Column, es: Column) =
+      to_json(struct(array(data).as("data"), lit(op).as("type"),
+        lit(table).as("table"), lit("testdb").as("database"),
+        es.as("es"), lit(false).as("isDdl")))
+    def raw(df: DataFrame, v: Column, off: Column) = df.select(
+      v.as("value"), lit(0).as("partition"), off.cast("bigint").as("offset"))
+    val pids = base.select(($"id" % 97).as("pid")).distinct()
+    val p1 = raw(pids, line("products", "INSERT",
+      map(lit("id"), $"pid".cast("string"),
+        lit("category"), concat(lit("c"), $"pid" % 7)), lit(E) + $"pid"), $"pid")
+    val o1 = raw(base, line("orders", "INSERT",
+      map(lit("id"), $"id".cast("string"),
+        lit("product_id"), ($"id" % 97).cast("string"),
+        lit("quantity"), ($"id" % 10 + 1).cast("string")),
+      lit(E + 1000L) + $"id" * 3), $"id" * 3)
+    val updBase = base.filter($"id" % 3 === 0).select($"id",
+      when($"id" % 5 === 0, ($"id" + 1) % 97).otherwise($"id" % 97).as("pid2"),
+      ($"id" % 10 + 6).as("qty2"))
+    def o2upd(offBase: Long) = raw(updBase, line("orders", "UPDATE",
+      map(lit("id"), $"id".cast("string"),
+        lit("product_id"), $"pid2".cast("string"),
+        lit("quantity"), $"qty2".cast("string")),
+      lit(C) + $"id" * 3), lit(offBase) + $"id" * 3)
+    val o2del = raw(base.filter($"id" % 11 === 0), line("orders", "DELETE",
+      map(lit("id"), $"id".cast("string")), lit(C + 1L) + $"id" * 3),
+      lit(2000000000L) + $"id" * 3)
+    val p2upd = raw(pids.filter($"pid" % 4 === 0), line("products", "UPDATE",
+      map(lit("id"), $"pid".cast("string"),
+        lit("category"), concat(lit("c"), ($"pid" + 1) % 7)), lit(C) + $"pid"),
+      lit(3000000000L) + $"pid")
+    val p2del = raw(pids.filter($"pid" % 13 === 5), line("products", "DELETE",
+      map(lit("id"), $"pid".cast("string")), lit(C + 200L) + $"pid"),
+      lit(3100000000L) + $"pid")
+    val events = CanalJson.events(
+      p1.unionByName(o1).unionByName(o2upd(1000000000L))
+        .unionByName(o2upd(1500000000L)) // redelivery, new kafka coordinate
+        .unionByName(o2del).unionByName(p2upd).unionByName(p2del))
+      .localCheckpoint() // generate+parse once; both batches read blocks
+    val es = unix_millis($"timestamp")
+    def batch1(table: String) = events.filter(es < C && $"table" === table)
+    def batch2(table: String) = events.filter(es >= C && $"table" === table)
+    val factSnap = CdcApply.materialize(batch1("orders"))
+      .select($"pk".cast("bigint").as("pk"),
+        element_at($"data", "product_id").cast("bigint").as("fk"),
+        element_at($"data", "quantity").cast("bigint").as("m"))
+      .localCheckpoint(false) // feeds measureByFk AND the view build
+    val dimSnap = CdcApply.materialize(batch1("products"))
+      .select($"pk".cast("bigint").as("pk"),
+        element_at($"data", "category").as("attr"))
+      .localCheckpoint(false)
+    val measureByFk = factSnap.groupBy($"fk")
+      .agg(sum($"m").as("sum_m"), count(lit(1)).as("n"))
+    val view = factSnap.join(dimSnap.select($"pk".as("fk"), $"attr"), Seq("fk"))
+      .groupBy($"attr".as("category"))
+      .agg(sum($"m").as("sum_measure"), count(lit(1)).as("n_facts"))
+    CdcApply.maintainJoinAgg(view, measureByFk, factSnap, dimSnap,
+        batch2("orders"), batch2("products"),
+        "product_id", "quantity", "category")
+      .orderBy($"category")
+  }
+
   /** Recursively delete a temp dir at JVM exit — repeated bench/verify runs
     * must not accumulate snapshot copies under /tmp. Exit-time (not eager):
     * the returned DataFrame still reads the snapshot files lazily. */
@@ -597,6 +678,7 @@ object CdcQueries {
     "cdc_scd2" -> cdc_scd2 _,
     "cdc_scd2_incremental" -> cdc_scd2_incremental _,
     "cdc_backfill_merge" -> cdc_backfill_merge _,
+    "cdc_join_maintain" -> cdc_join_maintain _,
   )
 
   /** The embedded-fixture queries are not DuckDB-expressible (the wire data
@@ -766,6 +848,30 @@ object CdcQueries {
         |       ELSE CAST(1 AS BIGINT) END
         |FROM base
         |ORDER BY id, version""".stripMargin,
+    // join-view maintenance == recompute of the FINAL orders ⋈ products
+    // state from the key arithmetic: surviving orders (id%11≠0) carry their
+    // batch-2 quantity/fk if updated (id%3), surviving products (pid%13≠5)
+    // their batch-2 category if re-labeled (pid%4); inner join drops orders
+    // whose product was deleted
+    "cdc_join_maintain" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 4 = 1),
+        |ord AS (
+        |  SELECT id,
+        |    CASE WHEN id % 3 = 0 AND id % 5 = 0 THEN (id + 1) % 97
+        |         ELSE id % 97 END AS pid,
+        |    CASE WHEN id % 3 = 0 THEN id % 10 + 6
+        |         ELSE id % 10 + 1 END AS qty
+        |  FROM base WHERE id % 11 <> 0),
+        |pcat AS (
+        |  SELECT pid, 'c' || CAST(CASE WHEN pid % 4 = 0 THEN (pid + 1) % 7
+        |                              ELSE pid % 7 END AS VARCHAR) AS category
+        |  FROM (SELECT DISTINCT id % 97 AS pid FROM base)
+        |  WHERE pid % 13 <> 5)
+        |SELECT category, CAST(sum(qty) AS BIGINT) AS sum_measure,
+        |  count(*) AS n_facts
+        |FROM ord JOIN pcat USING (pid)
+        |GROUP BY category ORDER BY category""".stripMargin,
     // delta maintenance == recompute: the 'pending' group nets to zero
     // (every INSERT's +1 cancelled by its UPDATE's −old), tombstoned keys
     // net to zero everywhere — what survives is the final-status census

@@ -145,4 +145,65 @@ class CdcApplySpec extends SparkSpec {
     assert(maintained === recomputed) // pending nets to 0; completed survives
     assert(maintained === Map("completed" -> 1L))
   }
+
+  test("W8' maintainJoinAgg: incremental == recompute at every cutover") {
+    import org.apache.spark.sql.DataFrame
+    // facts: measure change, fk move, delete, dangling-fk insert, redelivery
+    val factRows = Seq(
+      (1000L, "insert", 10L, 1L, 1L, 5L),
+      (1100L, "insert", 11L, 2L, 1L, 3L),
+      (1200L, "insert", 12L, 3L, 2L, 7L),
+      (2000L, "update", 20L, 1L, 1L, 10L), // qty change
+      (2100L, "update", 21L, 2L, 2L, 3L),  // fk move 1→2
+      (2100L, "update", 91L, 2L, 2L, 3L),  // redelivery, new offset
+      (2200L, "delete", 22L, 3L, 2L, 7L),
+      (2300L, "insert", 23L, 4L, 3L, 4L))  // dangling fk (dim 3 comes later)
+    // dims: attr change, delete, late insert for the dangling fk, re-insert
+    val dimRows = Seq(
+      (900L, "insert", 50L, 1L, "a"),
+      (950L, "insert", 51L, 2L, "b"),
+      (2500L, "update", 52L, 1L, "b"),
+      (2600L, "delete", 53L, 2L, "b"),
+      (2700L, "insert", 54L, 3L, "a"),
+      (2800L, "insert", 55L, 2L, "c")) // resurrects dim 2 in a new group
+    val fe = factRows.toDF("ms", "op", "offset", "id", "pid", "qty").select(
+      timestamp_millis($"ms").as("timestamp"), lit("db").as("database"),
+      lit("orders").as("table"), $"op", $"offset",
+      map(lit("id"), $"id".cast("string"), lit("product_id"), $"pid".cast("string"),
+        lit("quantity"), $"qty".cast("string")).as("data"),
+      lit(0).as("partition"), lit(0).as("pos"))
+    val de = dimRows.toDF("ms", "op", "offset", "id", "cat").select(
+      timestamp_millis($"ms").as("timestamp"), lit("db").as("database"),
+      lit("products").as("table"), $"op", $"offset",
+      map(lit("id"), $"id".cast("string"), lit("category"), $"cat").as("data"),
+      lit(0).as("partition"), lit(0).as("pos"))
+
+    def factSnap(e: DataFrame) = CdcApply.materialize(e)
+      .select($"pk".cast("bigint").as("pk"),
+        element_at($"data", "product_id").cast("bigint").as("fk"),
+        element_at($"data", "quantity").cast("bigint").as("m"))
+    def dimSnap(e: DataFrame) = CdcApply.materialize(e)
+      .select($"pk".cast("bigint").as("pk"),
+        element_at($"data", "category").as("attr"))
+    def recompute(f: DataFrame, d: DataFrame) =
+      f.join(d.select($"pk".as("fk"), $"attr"), Seq("fk"))
+        .groupBy($"attr".as("category"))
+        .agg(sum($"m").as("sum_measure"), count(lit(1)).as("n_facts"))
+    def canon(df: DataFrame) = df.orderBy("category")
+      .as[(String, Long, Long)].collect().toSeq
+
+    val expected = canon(recompute(factSnap(fe), dimSnap(de)))
+    for (cut <- Seq(800L, 1500L, 2050L, 2250L, 2550L, 2650L, 2750L, 3000L)) {
+      def pre(e: DataFrame) = e.filter(unix_millis($"timestamp") <= cut)
+      def post(e: DataFrame) = e.filter(unix_millis($"timestamp") > cut)
+      val f0 = factSnap(pre(fe))
+      val d0 = dimSnap(pre(de))
+      val measureByFk = f0.groupBy($"fk")
+        .agg(sum($"m").as("sum_m"), count(lit(1)).as("n"))
+      val got = CdcApply.maintainJoinAgg(
+        recompute(f0, d0), measureByFk, f0, d0, post(fe), post(de),
+        "product_id", "quantity", "category")
+      assert(canon(got) === expected, s"cutover $cut")
+    }
+  }
 }
