@@ -488,6 +488,33 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_ngrams"), 4).as("dup_fraction"))
   }
 
+  /** X1e — corpus NOVELTY score per document: the fraction (exact integer
+    * ppm) of a doc's distinct n-gram shingles that no EARLIER document
+    * (lower id = earlier ingest) already contains. The streaming-curation
+    * signal [[duplicatedNgramFraction]]'s symmetric doc-frequency cannot
+    * give: a boilerplate page arriving late scores near 0 (nothing new),
+    * while the FIRST copy keeps its full score — so an ingest-ordered
+    * pipeline can keep originals and down-weight arrivals, order-stably.
+    *
+    * One inverted-index shuffle on 8-byte shingle hashes (min-id per
+    * shingle is map-side combinable), one join back, one per-doc agg — the
+    * duplicatedNgramFraction cost envelope exactly. Docs with fewer than
+    * `n` words have no shingles and no row. */
+  def noveltyScores(df: DataFrame, textCol: String, idCol: String,
+                    n: Int = 5): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh_h"))
+      .localCheckpoint(false)
+    val firstSeen = sh.groupBy("sh_h").agg(min(col("id")).as("first_id"))
+    sh.join(firstSeen, Seq("sh_h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("id"), col("n_shingles"), col("n_seen"),
+        expr("(1000000 * (n_shingles - n_seen)) DIV n_shingles").as("novelty_ppm"))
+  }
+
   /** X1d — maximal duplicated SPANS (the substring-level dedup primitive
     * behind "remove any substring duplicated across the corpus" training-
     * data hygiene, reference point: Lee et al., "Deduplicating Training

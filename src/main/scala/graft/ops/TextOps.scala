@@ -356,6 +356,41 @@ object TextOps {
       .withColumn("jlh_num", (col("fg_ppm") - col("bg_ppm")) * col("fg_ppm"))
   }
 
+  /** X4 — collocation mining: adjacent word bigrams ranked by association
+    * lift `P(ab) / (P(a)·P(b))` — the monotone core of PMI (PMI = ln of
+    * lift; with corpus totals fixed, ranking by lift IS ranking by PMI, and
+    * skipping the log keeps the score transcendental-free). Scored as the
+    * exact integer `c_ab·10¹⁰ div (c_a·c_b)` so the cross-engine oracle
+    * matches bit-for-bit, ties included (c_ab ≤ 10⁷ keeps the product
+    * < 2⁶³). `minCount` suppresses the classic PMI pathology — a pair seen
+    * twice in one document outranking every real collocation.
+    *
+    * Scale: two word-level shuffles (unigram + bigram counts, both
+    * map-side combined) and one join of bigrams against the unigram counts
+    * on each side — vocabulary-sized frames, never corpus-sized. */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5): DataFrame = {
+    val words = docs.select(split(col(textCol), " ").as("w"))
+      .localCheckpoint(false) // unigram + bigram passes share one split
+    val uni = words.select(explode(col("w")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val bi = words
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi.join(uni.select(col("word").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(c_ab * 10000000000) DIV (c_a * c_b)").as("lift_e10"))
+  }
+
   /** Per-partition Misra-Gries candidate pass for [[heavyHitters]]: each
     * partition streams its documents' tokens through `k` counters and emits
     * the tokens still held at the end. The classical guarantee: any token

@@ -64,6 +64,30 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X4 — top-50 collocations ([[TextOps.collocations]]): adjacent bigrams
+    * ranked by exact integer lift (the monotone core of PMI), min count 5.
+    * Bigram identity breaks lift ties, so the global top-50 is a total
+    * order both engines agree on. */
+  def x4_collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.collocations(documents(s, dir), "text", minCount = 5)
+      .orderBy(desc("lift_e10"), $"w1", $"w2")
+      .limit(50)
+  }
+
+  /** X1e — ingest-ordered corpus novelty ([[Dedup.noveltyScores]]): ppm of
+    * each doc's distinct 5-gram shingles not present in any lower-id doc.
+    * Asymmetric by construction — the first copy of duplicated boilerplate
+    * keeps its score, later copies lose theirs — which is the keep-the-
+    * original curation policy [[x1_dup_ngram]]'s symmetric doc-frequency
+    * can't express. Integer-ppm floor division, so oracle-exact. */
+  def x1_novelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.noveltyScores(documents(s, dir), "text", "doc_id", n = 5)
+      .select($"id".as("doc_id"), $"n_shingles", $"n_seen", $"novelty_ppm")
+      .orderBy($"doc_id")
+  }
+
   /** X1d — maximal duplicated spans ([[Dedup.duplicatedSpans]]): the word
     * ranges a substring-level dedup pass would cut, each wholly covered by
     * 5-grams that occur in at least one other document. The oracle rebuilds
@@ -1005,6 +1029,8 @@ object LlmOps {
     "x9_keepers" -> x9_keepers _,
     "x1_dup_ngram" -> x1_dup_ngram _,
     "x1_dup_spans" -> x1_dup_spans _,
+    "x1_novelty" -> x1_novelty _,
+    "x4_collocations" -> x4_collocations _,
     "x1_span_removal" -> x1_span_removal _,
     "x1_dedup_incremental" -> x1_dedup_incremental _,
     "x9_semantic_clusters" -> x9_semantic_clusters _,
@@ -1506,6 +1532,42 @@ object LlmOps {
         |  round(CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 4) AS dup_fraction
         |FROM sh s JOIN dfreq d USING (shingle)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // same bigram/unigram censuses and the same integer lift; bigram
+    // identity is the tie-break so LIMIT 50 is engine-stable
+    "x4_collocations" ->
+      """WITH words AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |ucnt AS (
+        |  SELECT word, count(*) AS c
+        |  FROM (SELECT unnest(w) AS word FROM words)
+        |  WHERE word <> '' GROUP BY word),
+        |bcnt AS (
+        |  SELECT w1, w2, count(*) AS c_ab FROM (
+        |    SELECT w[i] AS w1, w[i + 1] AS w2 FROM words,
+        |      unnest(CASE WHEN len(w) >= 2 THEN generate_series(1, len(w) - 1)
+        |             ELSE [] END) AS t(i))
+        |  WHERE w1 <> '' AND w2 <> ''
+        |  GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+        |  CAST((c_ab * 10000000000) // (a.c * b.c) AS BIGINT) AS lift_e10
+        |FROM bcnt JOIN ucnt a ON a.word = w1 JOIN ucnt b ON b.word = w2
+        |ORDER BY lift_e10 DESC, w1, w2 LIMIT 50""".stripMargin,
+    // first-seen = min doc_id per shingle; novelty in the same floor-div ppm
+    "x1_novelty" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 5 THEN generate_series(1, len(w) - 4) ELSE [] END,
+        |    i -> array_to_string(w[i:i+4], ' '))) AS shingle
+        |  FROM words),
+        |fs AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |  CAST((1000000 * (count(*) -
+        |    CAST(sum(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END) AS BIGINT)))
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM sh s JOIN fs f USING (shingle)
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
     // same gram definition as the Spark op (0-based positions), duplicated
     // = present in >= 2 distinct docs, islands = maximal consecutive runs

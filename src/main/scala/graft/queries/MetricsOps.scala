@@ -350,6 +350,35 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P21 — 3σ traffic-anomaly detection per series, INTEGER-EXACT: flag
+    * every minute whose event count sits more than three standard
+    * deviations above its series' mean over the observed window. The usual
+    * z-score is float (mean, σ are rationals); multiplying the inequality
+    * out clears every denominator —
+    *   (c − S/N) > 3·σ  ⇔  N·c > S ∧ (N·c − S)² > 9·(N·Q − S²)
+    * with S = Σc, Q = Σc², N = observed minutes — so both engines evaluate
+    * pure int64 arithmetic (largest term N·Q ≲ 10¹⁴ at sf0.1) and the
+    * boundary case is exact, not a rounding coin-flip. Upper tail only
+    * (alerting semantics); minutes with no events are not part of the
+    * population (absence is [[p19_absent]]'s job). One narrow bucketing
+    * shuffle + one broadcast of per-series scalars. */
+  def p21_anomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perMin = events(s, dir)
+      .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // stats pass + flag pass share one bucketing
+    val stats = perMin.groupBy($"event_type").agg(
+      count(lit(1)).as("n_minutes"), sum($"cnt").as("s"),
+      sum($"cnt" * $"cnt").as("q"))
+    perMin.join(broadcast(stats), Seq("event_type"))
+      .filter($"n_minutes" * $"cnt" > $"s" &&
+        ($"n_minutes" * $"cnt" - $"s") * ($"n_minutes" * $"cnt" - $"s") >
+          lit(9L) * ($"n_minutes" * $"q" - $"s" * $"s"))
+      .select($"event_type", $"minute", $"cnt", $"n_minutes", $"s".as("sum_cnt"))
+      .orderBy($"event_type", $"minute")
+  }
+
   /** P18 — PromQL `irate()` / `idelta()`: the instant rate from the LAST TWO
     * samples of each series — the spiky-counter companion to the averaged
     * `rate()` ([[p1_rate]]), preferred on fast-moving counters because it
@@ -589,6 +618,7 @@ object MetricsOps {
     "p20_smooth" -> p20_smooth _,
     "p17_offset_ratio" -> p17_offset_ratio _,
     "p18_irate" -> p18_irate _,
+    "p21_anomaly" -> p21_anomaly _,
     "p19_absent" -> p19_absent _,
     "p20_burn_rate" -> p20_burn_rate _,
     "p4_quantiles" -> p4_quantiles _,
@@ -754,6 +784,23 @@ object MetricsOps {
         |  ON p.event_type = n.event_type
         | AND p.bucket_start = n.bucket_start - INTERVAL 24 HOURS
         |ORDER BY n.bucket_start, n.event_type""".stripMargin,
+    // the multiplied-out 3-sigma inequality in pure int64 on both engines
+    "p21_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY event_type, minute),
+        |st AS (
+        |  SELECT event_type, count(*) AS n_minutes,
+        |    CAST(sum(cnt) AS BIGINT) AS s,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS q
+        |  FROM b GROUP BY event_type)
+        |SELECT b.event_type, b.minute, b.cnt, st.n_minutes, st.s AS sum_cnt
+        |FROM b JOIN st USING (event_type)
+        |WHERE st.n_minutes * b.cnt > st.s
+        |  AND (st.n_minutes * b.cnt - st.s) * (st.n_minutes * b.cnt - st.s)
+        |      > 9 * (st.n_minutes * q - st.s * st.s)
+        |ORDER BY b.event_type, b.minute""".stripMargin,
     // integer ppm floor division both windows; page = both breach 1%
     "p20_burn_rate" ->
       """WITH b AS (

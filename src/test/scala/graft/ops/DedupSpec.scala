@@ -276,4 +276,20 @@ class DedupSpec extends SparkSpec {
       s"edit invalidated ${a.size - (a intersect b).size} of ${a.size} chunks")
     ch.unpersist()
   }
+
+  test("noveltyScores: first copy keeps full score, later copies lose theirs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // 2 shingles, both first-seen here
+      (2L, "a b c d e f"),       // identical — everything already seen
+      (3L, "a b c d e f g h i"), // 5 shingles: 2 seen (from doc 1), 3 new
+      (4L, "x y"))               // < 5 words — no shingles, no row
+      .toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs, "text", "doc_id", n = 5)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 0L, 1000000L)))
+    assert(got(2L) === ((2L, 2L, 0L)))
+    assert(got(3L) === ((5L, 2L, 600000L))) // 3 of 5 novel
+    assert(!got.contains(4L))
+  }
 }

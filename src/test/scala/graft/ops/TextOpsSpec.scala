@@ -243,4 +243,26 @@ class TextOpsSpec extends SparkSpec {
     val cand = TextOps.heavyHitterCandidates(docs, "text", k).count()
     assert(cand <= 8L * k, s"candidate set $cand exceeds partitions×k")
   }
+
+  test("collocations: exact counts and lift; minCount gates rare pairs") {
+    import spark.implicits._
+    // "new york" appears 3×; "the the" 3× but from a high-frequency word;
+    // "rare pair" once (below minCount)
+    val docs = Seq(
+      "new york is big the the the end",
+      "i love new york and the the sea",
+      "new york wins rare pair the the today").toDF("text")
+    val got = TextOps.collocations(docs, "text", minCount = 3)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val ny = got(("new", "york"))
+    assert(ny._1 === 3L && ny._2 === 3L && ny._3 === 3L)
+    assert(ny._4 === 10000000000L / 3L) // 3·10¹⁰ div (3·3)
+    // "the the": 4 adjacent pairs, but 'the' appears 7× overall
+    val tt = got(("the", "the"))
+    assert(tt._1 === 4L && tt._2 === 7L && tt._3 === 7L)
+    assert(tt._4 === 4L * 10000000000L / 49L)
+    assert(ny._4 > tt._4) // genuine collocation outranks frequent-word noise
+    assert(!got.contains(("rare", "pair"))) // below minCount
+  }
 }
