@@ -739,6 +739,63 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** q43 — RFM customer segmentation: the classic marketing-analytics
+    * operator (recency / frequency / monetary quartiles) over `orders`.
+    * Each metric is quartiled with `ntile(4)` over a TOTAL order (metric,
+    * then custkey as tie-break) so bucket assignment is engine-exact even
+    * on heavily tied frequencies; monetary is exact integer cents
+    * (`round(price·100)` — the money discipline, never raw double sums).
+    * One shuffle on custkey for the per-customer rollup; the three ntile
+    * windows share one global sort each — at scale these become range
+    * partitions (Spark's window exchange), no driver involvement. */
+  def q43_rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round($"o_totalprice" * 100).cast("bigint")).as("monetary_cents"))
+    val rq = Window.orderBy($"last_order", $"o_custkey")
+    val fq = Window.orderBy($"frequency", $"o_custkey")
+    val mq = Window.orderBy($"monetary_cents", $"o_custkey")
+    per.select($"o_custkey".as("custkey"), $"last_order", $"frequency",
+        $"monetary_cents",
+        ntile(4).over(rq).cast("bigint").as("r_q"),
+        ntile(4).over(fq).cast("bigint").as("f_q"),
+        ntile(4).over(mq).cast("bigint").as("m_q"))
+      .withColumn("rfm_code", $"r_q" * 100 + $"f_q" * 10 + $"m_q")
+      .orderBy($"custkey")
+  }
+
+  /** q44 — EXACT distributed group median without collecting values: the
+    * two-pass rank trick (row_number + per-group count over one shared
+    * partitioning, keep the middle rank(s), sum). Reported as `median2x` —
+    * the sum of the two middle values (the single middle counted twice for
+    * odd groups) — which keeps the statistic in exact integer space
+    * instead of introducing a cross-engine `.5` interpolation float.
+    * Contrast with percentile_approx: this is exact at any scale for the
+    * cost of one extra window pass over the same shuffle. */
+  def q44_median(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"qty", $"l_orderkey", $"l_linenumber")
+    val cw = Window.partitionBy($"l_returnflag")
+    val ranked = lineitem(s, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast("bigint").as("qty"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+    ranked
+      .filter($"rn" === expr("(n + 1) DIV 2") || $"rn" === expr("n DIV 2 + 1"))
+      .groupBy($"l_returnflag")
+      .agg(max($"n").as("n_rows"),
+        sum(when(($"n" % 2 === 1) && ($"rn" === expr("(n + 1) DIV 2")),
+          $"qty" * 2).otherwise($"qty")).as("median2x"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -782,6 +839,8 @@ object Relational {
     "q40_retention" -> q40_retention _,
     "q41_paths" -> q41_paths _,
     "q42_window_funnel" -> q42_window_funnel _,
+    "q43_rfm" -> q43_rfm _,
+    "q44_median" -> q44_median _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1156,5 +1215,38 @@ object Relational {
         |LEFT JOIN (SELECT DISTINCT user_id FROM c) c2 USING (user_id)
         |LEFT JOIN p USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+    // same total-order ntile windows (metric, custkey tie-break); cents
+    // derived identically on both engines
+    "q43_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY o_custkey),
+        |q AS (
+        |  SELECT custkey, last_order, frequency, monetary_cents,
+        |    CAST(ntile(4) OVER (ORDER BY last_order, custkey) AS BIGINT) AS r_q,
+        |    CAST(ntile(4) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f_q,
+        |    CAST(ntile(4) OVER (ORDER BY monetary_cents, custkey) AS BIGINT) AS m_q
+        |  FROM per)
+        |SELECT custkey, last_order, frequency, monetary_cents, r_q, f_q, m_q,
+        |  r_q * 100 + f_q * 10 + m_q AS rfm_code
+        |FROM q ORDER BY custkey""".stripMargin,
+    // identical rank construction; the single middle row of odd groups is
+    // doubled so median2x stays pure integer
+    "q44_median" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_quantity AS BIGINT), l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(n) AS n_rows,
+        |  CAST(sum(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2
+        |       THEN qty * 2 ELSE qty END) AS BIGINT) AS median2x
+        |FROM ranked
+        |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
