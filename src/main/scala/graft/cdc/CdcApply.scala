@@ -334,6 +334,54 @@ object CdcApply {
     materialize(snap.unionByName(events), pkCol)
   }
 
+  /** Log compaction (the Kafka-compaction / changefeed-"squash" operator):
+    * collapse a bounded event-log window to its NET effect — at most ONE
+    * event per (database, table, pk) — such that replaying the compacted
+    * log produces byte-identical materialized state to replaying the full
+    * log. The standard changefeed economics: a key updated 1 000× ships
+    * once downstream; an insert-then-tombstone key ships nothing.
+    *
+    * Net-op rule per key (events ordered by commit ts, then offset):
+    *   first=insert, last=delete  → NOTHING (never visible outside window)
+    *   first=insert, last≠delete  → INSERT carrying the last image
+    *   first≠insert, last=delete  → DELETE
+    *   otherwise                  → UPDATE carrying the last image, with
+    *     the FIRST event's old image as `old_data` (the pre-window state
+    *     as far as the window can know it; a leading DELETE has no old
+    *     image, so a delete→re-insert key compacts to an UPDATE with null
+    *     old — documented, the window genuinely cannot do better).
+    *
+    * Scale: one shuffle on (database, table, pk); both window passes (the
+    * running first-op and the closing rank) share that partitioning —
+    * exactly the [[materialize]] cost, but run once per compaction window
+    * to make every DOWNSTREAM replay |keys|-sized instead of |events|-
+    * sized. Replay equivalence `materialize(compactLog(e)) == materialize(e)`
+    * is property-certified in CdcApplySpec and oracle-certified by
+    * `cdc_log_compaction` (same DuckDB oracle as `cdc_wire_latest`). */
+  def compactLog(events: DataFrame, pkCol: String = "id"): DataFrame = {
+    val keyed = dedupDelivery(events)
+      .withColumn("pk", element_at(col("data"), pkCol))
+    val w = Window.partitionBy(col("database"), col("table"), col("pk"))
+      .orderBy(col("timestamp"), col("offset"))
+    val wAll = Window.partitionBy(col("database"), col("table"), col("pk"))
+    val marked = keyed
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__first_op", first(col("op")).over(w))
+      .withColumn("__first_old", first(col("old_data")).over(w))
+    marked.filter(col("__rn") === col("__n"))
+      .filter(!(col("__first_op") === "insert" && col("op") === "delete"))
+      .withColumn("op",
+        when(col("__first_op") === "insert", lit("insert"))
+          .when(col("op") === "delete", lit("delete"))
+          .otherwise(lit("update")))
+      .withColumn("operation", upper(col("op")))
+      .withColumn("old_data",
+        when(col("op") === "update", col("__first_old"))
+          .otherwise(lit(null).cast(keyed.schema("old_data").dataType)))
+      .drop("__rn", "__n", "__first_op", "__first_old")
+  }
+
   /** Audit view: per-key change history with old→new transition columns for a
     * named attribute (W4 status transitions; W2 price deltas). */
   def transitions(events: DataFrame, attr: String): DataFrame =

@@ -562,6 +562,20 @@ object CdcQueries {
     Snapshot.restore(s, snapDir).orderBy($"id")
   }
 
+  /** Log compaction ([[graft.cdc.CdcApply.compactLog]]) certified by
+    * replay: materialize the COMPACTED wire stream (≤ 1 event per key) and
+    * require exactly the state plain materialization produces. Every wire
+    * key's history opens with its INSERT, so surviving keys compact to a
+    * net INSERT carrying the final image at the last event's commit time —
+    * the tombstoned %7 keys ship nothing at all. A compaction that picked
+    * the wrong image, wrong net op, or leaked a tombstone hash-mismatches. */
+  def cdc_log_compaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // localCheckpoint: generate+parse the fixture once (cdc_wire_asof rule)
+    wireState(CdcApply.materialize(CdcApply.compactLog(
+      wireOrderEvents(s, dir).localCheckpoint())))
+  }
+
   /** W8'/incremental JOIN view ([[graft.cdc.CdcApply.maintainJoinAgg]]) —
     * `(SUM(quantity), COUNT(*)) per category` over orders ⋈ products,
     * maintained across a batch boundary purely from deltas + the auxiliary
@@ -679,6 +693,7 @@ object CdcQueries {
     "cdc_scd2_incremental" -> cdc_scd2_incremental _,
     "cdc_backfill_merge" -> cdc_backfill_merge _,
     "cdc_join_maintain" -> cdc_join_maintain _,
+    "cdc_log_compaction" -> cdc_log_compaction _,
   )
 
   /** The embedded-fixture queries are not DuckDB-expressible (the wire data
@@ -799,6 +814,14 @@ object CdcQueries {
         |FROM orders WHERE o_orderkey % 4 = 0 ORDER BY id""".stripMargin,
     "cdc_wire_latest" ->
       """SELECT o_orderkey AS id, o_orderstatus AS status, 'update' AS op,
+        |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
+        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
+        |ORDER BY id""".stripMargin,
+    // replaying the compacted log lands on cdc_wire_latest's state, but the
+    // net op is INSERT (every key's window opens with its insert) at the
+    // last event's commit time
+    "cdc_log_compaction" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status, 'insert' AS op,
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
         |ORDER BY id""".stripMargin,

@@ -146,6 +146,51 @@ class CdcApplySpec extends SparkSpec {
     assert(maintained === Map("completed" -> 1L))
   }
 
+  test("log compaction: net op per key; replay-equivalent to the full log") {
+    // k1 ins→upd→upd ⇒ INSERT(final) · k2 ins→del ⇒ nothing ·
+    // k3 upd→upd ⇒ UPDATE(final, first old) · k4 del→ins ⇒ UPDATE(null old) ·
+    // k5 del ⇒ DELETE · k6 ins (+redelivered coordinate) ⇒ INSERT
+    val rows = Seq(
+      (1000L, "insert", 10L, "1", "a", None),
+      (2000L, "update", 20L, "1", "b", Some("a")),
+      (3000L, "update", 30L, "1", "c", Some("b")),
+      (1000L, "insert", 11L, "2", "x", None),
+      (2000L, "delete", 21L, "2", "x", None),
+      (1000L, "update", 12L, "3", "m", Some("l")),
+      (2000L, "update", 22L, "3", "n", Some("m")),
+      (1000L, "delete", 13L, "4", "d", None),
+      (2000L, "insert", 23L, "4", "e", None),
+      (1000L, "delete", 14L, "5", "z", None),
+      (1000L, "insert", 15L, "6", "q", None))
+    val e = rows.toDF("ms", "op", "offset", "id", "v", "old").select(
+      timestamp_millis($"ms").as("timestamp"), lit("db").as("database"),
+      lit("t").as("table"), $"op", $"offset",
+      map(lit("id"), $"id", lit("val"), $"v").as("data"),
+      when($"old".isNotNull, map(lit("val"), $"old"))
+        .otherwise(lit(null).cast("map<string,string>")).as("old_data"),
+      lit(0).as("partition"), lit(0).as("pos"))
+    val dup = e.filter($"offset" === 15L).withColumn("offset", lit(95L))
+    val c = CdcApply.compactLog(e.unionByName(dup))
+      .select($"pk", $"op", element_at($"data", "val").as("v"),
+        element_at($"old_data", "val").as("old"))
+      .orderBy($"pk").as[(String, String, String, Option[String])].collect()
+    assert(c.toSeq === Seq(
+      ("1", "insert", "c", None),
+      ("3", "update", "n", Some("l")),
+      ("4", "update", "e", None),
+      ("5", "delete", "z", None),
+      ("6", "insert", "q", None)))
+    // replay equivalence on the embedded canal-json fixture
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"table", $"pk", to_json($"data").as("d"))
+        .orderBy("table", "pk").as[(String, String, String)].collect().toSeq
+    assert(canon(CdcApply.materialize(CdcApply.compactLog(events))) ===
+      canon(state))
+    // compaction is idempotent: compacting the compacted log is a no-op
+    val once = CdcApply.compactLog(events)
+    assert(canon(CdcApply.materialize(CdcApply.compactLog(once))) === canon(state))
+  }
+
   test("W8' maintainJoinAgg: incremental == recompute at every cutover") {
     import org.apache.spark.sql.DataFrame
     // facts: measure change, fk move, delete, dangling-fk insert, redelivery
