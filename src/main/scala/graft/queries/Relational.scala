@@ -796,6 +796,41 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q45 — declarative data-quality audit ([[graft.ops.DataQuality]]):
+    * eleven constraints over four tables evaluated as one conditional-agg
+    * scan per table (NOT one query per rule — the difference between 4
+    * scans and 11 at 100 TB), plus key-projection-only anti-joins for the
+    * two referential checks and a distinct-count for PK uniqueness.
+    * Uniform (check_name, n_checked, violations) report; the oracle
+    * recomputes every constraint independently, so a rule evaluated
+    * against the wrong rows, a miscounted scan, or an orphan leak all
+    * hash-mismatch. */
+  def q45_dq_audit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.DataQuality._
+    val li = lineitem(s, dir)
+    val od = orders(s, dir)
+    report(
+      auditTable(li, Seq(
+        Rule("lineitem_qty_range", $"l_quantity" < 1 || $"l_quantity" > 50),
+        Rule("lineitem_price_nonneg", $"l_extendedprice" < 0),
+        Rule("lineitem_discount_range", $"l_discount" < 0 || $"l_discount" > 0.1))),
+      auditTable(od, Seq(
+        Rule("orders_status_domain", !$"o_orderstatus".isin("O", "F", "P")),
+        Rule("orders_totalprice_pos", $"o_totalprice" <= 0))),
+      auditTable(documents(s, dir), Seq(
+        Rule("documents_short_text", $"n_chars" < 50),
+        Rule("documents_lang_missing", $"lang".isNull || $"lang" === ""))),
+      auditTable(events(s, dir), Seq(
+        Rule("events_props_null", $"props".isNull),
+        Rule("events_value_negative", $"value" < 0))),
+      pkUnique("orders_pk_unique", od, "o_orderkey"),
+      fkOrphans("lineitem_orderkey_fk", li, "l_orderkey", od, "o_orderkey"),
+      fkOrphans("orders_custkey_fk", od, "o_custkey",
+        customer(s, dir), "c_custkey"))
+      .orderBy($"check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -841,6 +876,7 @@ object Relational {
     "q42_window_funnel" -> q42_window_funnel _,
     "q43_rfm" -> q43_rfm _,
     "q44_median" -> q44_median _,
+    "q45_dq_audit" -> q45_dq_audit _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1248,5 +1284,63 @@ object Relational {
         |FROM ranked
         |WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // each constraint recomputed independently; counts all BIGINT
+    "q45_dq_audit" ->
+      """SELECT 'lineitem_qty_range' AS check_name,
+        |  count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_price_nonneg', count(*),
+        |  CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_range', count(*),
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+        |    AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_status_domain', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+        |    AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_totalprice_pos', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'documents_short_text', count(*),
+        |  CAST(sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'documents_lang_missing', count(*),
+        |  CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'events_props_null', count(*),
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'events_value_negative', count(*),
+        |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'orders_pk_unique', count(*),
+        |  count(*) - count(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'orders_custkey_fk',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY check_name""".stripMargin,
   )
 }
