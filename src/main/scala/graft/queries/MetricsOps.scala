@@ -379,6 +379,50 @@ object MetricsOps {
       .orderBy($"event_type", $"minute")
   }
 
+  /** P22 — time-series GAP FILL (the TimescaleDB `time_bucket_gapfill` /
+    * InfluxDB `fill()` operator PromQL leaves to the TSDB): materialize the
+    * dense per-minute spine for each series' first 24 h and fill missing
+    * minutes by linear interpolation between the surrounding observed
+    * points, falling back to last-observation-carried-forward when no later
+    * observation exists inside the window. The interpolation is written as
+    *   (c_prev·(t_next−t) + c_next·(t−t_prev)) div (t_next−t_prev)
+    * — a NON-NEGATIVE numerator, deliberately: Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, and the two only agree on
+    * non-negative operands, so the algebraic form IS the cross-engine
+    * contract. Spine generation is `sequence()` per series (bounded,
+    * 1 440 rows each); both fill passes ride one (series, minute) sort. */
+  def p22_gapfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perMin = events(s, dir)
+      .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // bounds pass + join side share one bucketing
+    val bounds = perMin.groupBy($"event_type").agg(
+      min($"minute").as("mn"), max($"minute").as("mx"))
+    val spine = bounds.select($"event_type",
+      explode(sequence($"mn",
+        least($"mx", $"mn" + expr("INTERVAL 1439 MINUTES")),
+        expr("INTERVAL 1 MINUTE"))).as("minute"))
+    val w = Window.partitionBy($"event_type").orderBy($"minute")
+    val prevW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextW = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when($"cnt".isNotNull,
+      struct(unix_timestamp($"minute").as("t"), $"cnt".as("c")))
+    spine.join(perMin, Seq("event_type", "minute"), "left")
+      .withColumn("prev", last(obs, ignoreNulls = true).over(prevW))
+      .withColumn("next", first(obs, ignoreNulls = true).over(nextW))
+      .select($"event_type", $"minute",
+        when($"cnt".isNotNull, $"cnt")
+          .when($"next".isNull, $"prev.c") // tail of the window: carry forward
+          .otherwise(expr(
+            """(prev.c * (next.t DIV 60 - unix_timestamp(minute) DIV 60)
+              | + next.c * (unix_timestamp(minute) DIV 60 - prev.t DIV 60))
+              |DIV (next.t DIV 60 - prev.t DIV 60)""".stripMargin))
+          .as("cnt"),
+        when($"cnt".isNotNull, 0L).otherwise(1L).as("is_filled"))
+      .orderBy($"event_type", $"minute")
+  }
+
   /** P18 — PromQL `irate()` / `idelta()`: the instant rate from the LAST TWO
     * samples of each series — the spiky-counter companion to the averaged
     * `rate()` ([[p1_rate]]), preferred on fast-moving counters because it
@@ -619,6 +663,7 @@ object MetricsOps {
     "p17_offset_ratio" -> p17_offset_ratio _,
     "p18_irate" -> p18_irate _,
     "p21_anomaly" -> p21_anomaly _,
+    "p22_gapfill" -> p22_gapfill _,
     "p19_absent" -> p19_absent _,
     "p20_burn_rate" -> p20_burn_rate _,
     "p4_quantiles" -> p4_quantiles _,
@@ -784,6 +829,46 @@ object MetricsOps {
         |  ON p.event_type = n.event_type
         | AND p.bucket_start = n.bucket_start - INTERVAL 24 HOURS
         |ORDER BY n.bucket_start, n.event_type""".stripMargin,
+    // dense spine per series (first 24h), interpolation with the identical
+    // non-negative-numerator integer form, locf at the window tail
+    "p22_gapfill" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS cnt
+        |  FROM events GROUP BY event_type, minute),
+        |bounds AS (
+        |  SELECT event_type, min(minute) AS mn,
+        |    least(max(minute), min(minute) + INTERVAL '1439' MINUTE) AS mx
+        |  FROM b GROUP BY event_type),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL '1' MINUTE))
+        |    AS minute
+        |  FROM bounds),
+        |j AS (
+        |  SELECT s.event_type, s.minute, b.cnt
+        |  FROM spine s LEFT JOIN b USING (event_type, minute)),
+        |f AS (
+        |  SELECT event_type, minute, cnt,
+        |    last_value(CASE WHEN cnt IS NOT NULL THEN cnt END IGNORE NULLS)
+        |      OVER pw AS pc,
+        |    last_value(CASE WHEN cnt IS NOT NULL THEN CAST(epoch(minute) AS BIGINT) // 60 END
+        |      IGNORE NULLS) OVER pw AS pt,
+        |    first_value(CASE WHEN cnt IS NOT NULL THEN cnt END IGNORE NULLS)
+        |      OVER nw AS nc,
+        |    first_value(CASE WHEN cnt IS NOT NULL THEN CAST(epoch(minute) AS BIGINT) // 60 END
+        |      IGNORE NULLS) OVER nw AS nt
+        |  FROM j
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  nw AS (PARTITION BY event_type ORDER BY minute
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, minute,
+        |  CAST(CASE WHEN cnt IS NOT NULL THEN cnt
+        |    WHEN nc IS NULL THEN pc
+        |    ELSE (pc * (nt - CAST(epoch(minute) AS BIGINT) // 60)
+        |          + nc * (CAST(epoch(minute) AS BIGINT) // 60 - pt)) // (nt - pt)
+        |  END AS BIGINT) AS cnt,
+        |  CAST(CASE WHEN cnt IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS is_filled
+        |FROM f ORDER BY event_type, minute""".stripMargin,
     // the multiplied-out 3-sigma inequality in pure int64 on both engines
     "p21_anomaly" ->
       """WITH b AS (
