@@ -173,4 +173,38 @@ class PlanSpec extends SparkSpec {
     assert(!pr.contains("NestedLoopJoin") && !pr.contains("CartesianProduct"),
       s"span removal must stay an inverted-index equi-join:\n$pr")
   }
+
+  test("x9 triangles: degree-oriented wedge joins stay equi-joins") {
+    val p = plan(LlmOps.x9_triangles(spark, dir))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle counting must never fall to nested-loop:\n$p")
+  }
+
+  test("p21 anomaly: per-series stats broadcast into the flag pass") {
+    val p = plan(MetricsOps.p21_anomaly(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny per-series stats side must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"minute bucketing must map-side combine:\n$p")
+  }
+
+  test("q45 dq audit: rule packs fold into aggregates, fk checks into key-only joins") {
+    val p = plan(Relational.q45_dq_audit(spark, dir))
+    // one conditional-sum aggregate per table pack — no per-rule re-scan
+    // blowup: 4 rule packs + 1 pk check + 2 fk checks × (anti join +
+    // n_checked count + parent keys) = 11 scans for 12 rules; the naive
+    // per-rule layout would need 12+ full scans of the four tables
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 11, s"rule packs must not re-scan per rule ($scans scans):\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"fk checks must stay key-projection joins:\n$p")
+  }
+
+  test("cdc join maintenance: every delta join is a hash join on keys") {
+    val p = plan(CdcQueries.cdc_join_maintain(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"delta maintenance must join on keys only:\n$p")
+    assert(p.contains("partial_sum"),
+      s"grouped deltas must map-side combine:\n$p")
+  }
 }
