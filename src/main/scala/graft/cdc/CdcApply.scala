@@ -334,6 +334,60 @@ object CdcApply {
     materialize(snap.unionByName(events), pkCol)
   }
 
+  /** Incremental maintenance for a NON-invertible aggregate (W8'', the
+    * hard case [[maintainCounts]] dodges): `MAX(measure) per group` cannot
+    * be maintained from ±deltas — a DELETE of the current maximum gives no
+    * way to know the runner-up without state. The textbook production
+    * answer implemented here: DIRTY-GROUP recompute. The batch's net
+    * effect marks which groups it touches (old and new group of every
+    * touched key); only those groups re-aggregate, reading the maintained
+    * base-table snapshot restricted to dirty groups (a broadcast semi-join
+    * — at 100 TB a partition-pruned scan of the group-keyed table);
+    * untouched groups pass through from the standing view unread. Work is
+    * ∝ |rows of dirty groups|, not |table| — the right trade when deletes
+    * exist and groups are bounded (the top-k-auxiliary alternative only
+    * wins when single groups are huge AND deletes are rare).
+    *
+    * @param view    maintained view: (groupCol, max_measure)
+    * @param preSnap auxiliary: (pk, g, m) latest PRE-batch base images —
+    *                the same rolled-forward snapshot every IVM deployment
+    *                keeps (see [[maintainJoinAgg]])
+    * @param events  flattened change events for the batch
+    */
+  def maintainMax(view: DataFrame, preSnap: DataFrame, events: DataFrame,
+                  groupCol: String, measureCol: String,
+                  pkCol: String = "id"): DataFrame = {
+    // net effect per touched pk: logical-identity dedup, then latest image
+    val w = Window.partitionBy(col("pk"))
+      .orderBy(col("es_ms").desc, col("offset").desc)
+    val net = events.select(
+        col("op"), col("offset"), unix_millis(col("timestamp")).as("es_ms"),
+        element_at(col("data"), pkCol).cast("bigint").as("pk"),
+        element_at(col("data"), groupCol).as("g_new"),
+        element_at(col("data"), measureCol).cast("bigint").as("m_new"))
+      .dropDuplicates(Seq("op", "es_ms", "pk"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .localCheckpoint(false) // touched-set, post-snapshot, dirty all read it
+    val touched = net.select(col("pk"))
+    // post-batch snapshot: untouched keys pass through, touched keys take
+    // their net image (tombstoned keys vanish)
+    val postSnap = preSnap.join(touched, Seq("pk"), "left_anti")
+      .unionByName(net.filter(col("op") =!= "delete")
+        .select(col("pk"), col("g_new").as("g"), col("m_new").as("m")))
+      .localCheckpoint(false)
+    // dirty groups: every group a touched key sat in before OR sits in now
+    val dirty = preSnap.join(touched, Seq("pk"), "left_semi").select(col("g"))
+      .unionByName(net.filter(col("op") =!= "delete").select(col("g_new").as("g")))
+      .distinct()
+      .localCheckpoint(false) // read by the recompute AND the view anti-join
+    val recomputed = postSnap.join(broadcast(dirty), Seq("g"), "left_semi")
+      .groupBy(col("g")).agg(max(col("m")).as("max_measure"))
+      .select(col("g").as(groupCol), col("max_measure"))
+    view.join(broadcast(dirty.select(col("g").as(groupCol))),
+        Seq(groupCol), "left_anti")
+      .unionByName(recomputed)
+  }
+
   /** Log compaction (the Kafka-compaction / changefeed-"squash" operator):
     * collapse a bounded event-log window to its NET effect — at most ONE
     * event per (database, table, pk) — such that replaying the compacted

@@ -576,26 +576,22 @@ object CdcQueries {
       wireOrderEvents(s, dir).localCheckpoint())))
   }
 
-  /** W8'/incremental JOIN view ([[graft.cdc.CdcApply.maintainJoinAgg]]) —
-    * `(SUM(quantity), COUNT(*)) per category` over orders ⋈ products,
-    * maintained across a batch boundary purely from deltas + the auxiliary
-    * views, never rescanning either table. Batch 1 (≤ cutover) builds the
-    * auxiliaries; batch 2 throws every hard case at the delta rule:
-    * quantity changes (id%3), fk moves (id%15 → the order re-points to the
-    * NEXT product), order tombstones (id%11), product re-categorization
-    * (pid%4), product deletes (pid%13==5 — their orders must drop out,
-    * inner-join semantics), and a redelivered UPDATE (logical-identity
-    * dedup load-bearing). DuckDB recomputes the final join from the key
-    * arithmetic alone — any double-applied delta, missed group move, or
-    * resurrected row hash-mismatches. */
-  def cdc_join_maintain(s: SparkSession, dir: String): DataFrame = {
+  /** Cutover epoch for the two-table join fixture (shared by
+    * `cdc_join_maintain` and `cdc_max_maintain`). */
+  private val joinFixtureCutover = 1704067200000L + 10000000L
+
+  /** The two-table (orders ⋈ products) wire fixture: batch 1 (< cutover)
+    * seeds both tables, batch 2 (≥ cutover) throws quantity changes, fk
+    * moves, order tombstones, product re-labels, product deletes, and a
+    * redelivered UPDATE at the apply layer. Parsed once, localCheckpointed. */
+  private def joinFixtureEvents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Tables.orders(s, dir)
       .filter($"o_orderkey" % 4 === 1)
       .select($"o_orderkey".as("id"))
       .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
     val E = 1704067200000L
-    val C = E + 10000000L // batch1 es = E+1000+id·3 stays < C for id < 3.3M
+    val C = joinFixtureCutover // batch1 es = E+1000+id·3 stays < C for id < 3.3M
     def line(table: String, op: String, data: Column, es: Column) =
       to_json(struct(array(data).as("data"), lit(op).as("type"),
         lit(table).as("table"), lit("testdb").as("database"),
@@ -629,11 +625,29 @@ object CdcQueries {
     val p2del = raw(pids.filter($"pid" % 13 === 5), line("products", "DELETE",
       map(lit("id"), $"pid".cast("string")), lit(C + 200L) + $"pid"),
       lit(3100000000L) + $"pid")
-    val events = CanalJson.events(
+    CanalJson.events(
       p1.unionByName(o1).unionByName(o2upd(1000000000L))
         .unionByName(o2upd(1500000000L)) // redelivery, new kafka coordinate
         .unionByName(o2del).unionByName(p2upd).unionByName(p2del))
       .localCheckpoint() // generate+parse once; both batches read blocks
+  }
+
+  /** W8'/incremental JOIN view ([[graft.cdc.CdcApply.maintainJoinAgg]]) —
+    * `(SUM(quantity), COUNT(*)) per category` over orders ⋈ products,
+    * maintained across a batch boundary purely from deltas + the auxiliary
+    * views, never rescanning either table. Batch 1 (≤ cutover) builds the
+    * auxiliaries; batch 2 throws every hard case at the delta rule:
+    * quantity changes (id%3), fk moves (id%15 → the order re-points to the
+    * NEXT product), order tombstones (id%11), product re-categorization
+    * (pid%4), product deletes (pid%13==5 — their orders must drop out,
+    * inner-join semantics), and a redelivered UPDATE (logical-identity
+    * dedup load-bearing). DuckDB recomputes the final join from the key
+    * arithmetic alone — any double-applied delta, missed group move, or
+    * resurrected row hash-mismatches. */
+  def cdc_join_maintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = joinFixtureEvents(s, dir)
+    val C = joinFixtureCutover
     val es = unix_millis($"timestamp")
     def batch1(table: String) = events.filter(es < C && $"table" === table)
     def batch2(table: String) = events.filter(es >= C && $"table" === table)
@@ -655,6 +669,33 @@ object CdcQueries {
         batch2("orders"), batch2("products"),
         "product_id", "quantity", "category")
       .orderBy($"category")
+  }
+
+  /** W8''/non-invertible aggregate ([[graft.cdc.CdcApply.maintainMax]]) —
+    * `MAX(quantity) per product_id` maintained across the same batch-2
+    * workload via DIRTY-GROUP recompute: deletes of group maxima (id%11
+    * tombstones), group moves (fk moves id%15), and measure changes (id%3)
+    * all force re-aggregation of exactly the touched groups against the
+    * rolled-forward snapshot, while untouched groups pass through unread.
+    * DuckDB recomputes every group max from the key arithmetic — a stale
+    * max surviving a delete, or an unmoved group max after an fk move,
+    * hash-mismatches. */
+  def cdc_max_maintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = joinFixtureEvents(s, dir)
+    val C = joinFixtureCutover
+    val es = unix_millis($"timestamp")
+    val preSnap = CdcApply.materialize(events.filter(es < C && $"table" === "orders"))
+      .select($"pk".cast("bigint").as("pk"),
+        element_at($"data", "product_id").as("g"),
+        element_at($"data", "quantity").cast("bigint").as("m"))
+      .localCheckpoint(false) // feeds the view build AND the maintenance pass
+    val view = preSnap.groupBy($"g".as("product_id"))
+      .agg(max($"m").as("max_measure"))
+    CdcApply.maintainMax(view, preSnap,
+        events.filter(es >= C && $"table" === "orders"),
+        "product_id", "quantity")
+      .orderBy($"product_id")
   }
 
   /** Recursively delete a temp dir at JVM exit — repeated bench/verify runs
@@ -694,6 +735,7 @@ object CdcQueries {
     "cdc_backfill_merge" -> cdc_backfill_merge _,
     "cdc_join_maintain" -> cdc_join_maintain _,
     "cdc_log_compaction" -> cdc_log_compaction _,
+    "cdc_max_maintain" -> cdc_max_maintain _,
   )
 
   /** The embedded-fixture queries are not DuckDB-expressible (the wire data
@@ -871,6 +913,20 @@ object CdcQueries {
         |       ELSE CAST(1 AS BIGINT) END
         |FROM base
         |ORDER BY id, version""".stripMargin,
+    // max-per-group over the surviving final orders from the key arithmetic
+    "cdc_max_maintain" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 4 = 1),
+        |ord AS (
+        |  SELECT id,
+        |    CASE WHEN id % 3 = 0 AND id % 5 = 0 THEN (id + 1) % 97
+        |         ELSE id % 97 END AS pid,
+        |    CASE WHEN id % 3 = 0 THEN id % 10 + 6
+        |         ELSE id % 10 + 1 END AS qty
+        |  FROM base WHERE id % 11 <> 0)
+        |SELECT CAST(pid AS VARCHAR) AS product_id,
+        |  CAST(max(qty) AS BIGINT) AS max_measure
+        |FROM ord GROUP BY pid ORDER BY product_id""".stripMargin,
     // join-view maintenance == recompute of the FINAL orders ⋈ products
     // state from the key arithmetic: surviving orders (id%11≠0) carry their
     // batch-2 quantity/fk if updated (id%3), surviving products (pid%13≠5)

@@ -146,6 +146,44 @@ class CdcApplySpec extends SparkSpec {
     assert(maintained === Map("completed" -> 1L))
   }
 
+  test("W8'' maintainMax: dirty-group recompute == full recompute at every cutover") {
+    import org.apache.spark.sql.DataFrame
+    // the non-invertible horror cases: delete of a group's max (k1), group
+    // move of a max (k2), max decrease in place (k3), group emptied (all of
+    // g=a leaves), late insert into a fresh group, redelivery
+    val rows = Seq(
+      (1000L, "insert", 10L, 1L, "a", 10L),
+      (1100L, "insert", 11L, 2L, "a", 7L),
+      (1200L, "insert", 12L, 3L, "b", 5L),
+      (2000L, "delete", 20L, 1L, "a", 10L),  // a's max dies → runner-up 7
+      (2100L, "update", 21L, 2L, "b", 9L),   // a's last row moves to b
+      (2100L, "update", 91L, 2L, "b", 9L),   // redelivery, new offset
+      (2200L, "insert", 22L, 4L, "c", 3L),
+      (2500L, "update", 23L, 3L, "b", 1L),   // in-place decrease
+      (2600L, "delete", 24L, 2L, "b", 9L))   // b's max dies → left with 1
+    val e = rows.toDF("ms", "op", "offset", "id", "g", "m").select(
+      timestamp_millis($"ms").as("timestamp"), lit("db").as("database"),
+      lit("t").as("table"), $"op", $"offset",
+      map(lit("id"), $"id".cast("string"), lit("g"), $"g",
+        lit("m"), $"m".cast("string")).as("data"),
+      lit(0).as("partition"), lit(0).as("pos"))
+    def snap(ev: DataFrame) = CdcApply.materialize(ev)
+      .select($"pk".cast("bigint").as("pk"),
+        element_at($"data", "g").as("g"),
+        element_at($"data", "m").cast("bigint").as("m"))
+    def viewOf(s0: DataFrame) = s0.groupBy($"g").agg(max($"m").as("max_measure"))
+    def canon(df: DataFrame) = df.orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    val expected = canon(viewOf(snap(e)))
+    assert(expected === Seq(("b", 1L), ("c", 3L))) // a emptied entirely
+    for (cut <- Seq(500L, 1500L, 2050L, 2150L, 2250L, 2550L, 3000L)) {
+      val pre = snap(e.filter(unix_millis($"timestamp") <= cut))
+      val got = CdcApply.maintainMax(viewOf(pre), pre,
+        e.filter(unix_millis($"timestamp") > cut), "g", "m")
+      assert(canon(got) === expected, s"cutover $cut")
+    }
+  }
+
   test("log compaction: net op per key; replay-equivalent to the full log") {
     // k1 ins→upd→upd ⇒ INSERT(final) · k2 ins→del ⇒ nothing ·
     // k3 upd→upd ⇒ UPDATE(final, first old) · k4 del→ins ⇒ UPDATE(null old) ·
