@@ -386,6 +386,26 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Forward as-of join ([[graft.ops.AsOfJoin.asofJoinNext]]): every event
+    * enriched with the NEXT error of the same user — the "what happened
+    * after" direction (time-to-failure, next-deploy attribution) the
+    * backward join (q26) cannot answer. Same single-shuffle union-window
+    * plan, descending sort; DuckDB's ASOF with `<=` is the native oracle. */
+  def q46_asof_next(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val errors = ev.filter($"event_type" === "error")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("err_id"))
+      .withColumn("err_ts", $"ts")
+    graft.ops.AsOfJoin.asofJoinNext(
+        ev.select($"event_id", $"user_id", $"ts"), errors,
+        key = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("err_id", "err_ts"))
+      .select($"event_id", $"user_id", $"asof_err_id", $"asof_err_ts")
+      .orderBy($"event_id")
+  }
+
   /** Range (interval-containment) join: every event matched to the gap-based
     * session that contains it — sessions from `session_window` (identical
     * construction to p10), containment via the bucketized
@@ -877,6 +897,7 @@ object Relational {
     "q43_rfm" -> q43_rfm _,
     "q44_median" -> q44_median _,
     "q45_dq_audit" -> q45_dq_audit _,
+    "q46_asof_next" -> q46_asof_next _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1035,6 +1056,15 @@ object Relational {
         |SELECT e.event_id, e.user_id, err.err_id AS asof_err_id, err.ts AS asof_err_ts
         |FROM events e ASOF LEFT JOIN err
         |  ON e.user_id = err.user_id AND e.ts >= err.ts
+        |ORDER BY e.event_id""".stripMargin,
+    // DuckDB ASOF accepts <= for the forward direction natively
+    "q46_asof_next" ->
+      """WITH err AS (
+        |  SELECT user_id, ts, max(event_id) AS err_id
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, err.err_id AS asof_err_id, err.ts AS asof_err_ts
+        |FROM events e ASOF LEFT JOIN err
+        |  ON e.user_id = err.user_id AND e.ts <= err.ts
         |ORDER BY e.event_id""".stripMargin,
     // >= at the gap boundary: session_window windows are half-open
     // [start, start+gap), so an event exactly `gap` after its predecessor

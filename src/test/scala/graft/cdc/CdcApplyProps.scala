@@ -174,4 +174,128 @@ object CdcApplyProps extends Properties("CdcApply") {
         .view.mapValues(_.size.toLong).toMap
       maintained == recomputed
     }
+
+  property("compactLog: replaying the compacted log == replaying the full log") =
+    forAll(Gen.listOfN(25, genEv)) { evs0 =>
+      val evs = evs0.zipWithIndex.map { case (e, i) =>
+        e.copy(es = e.es * 100 + i, offset = i.toLong)
+      }
+      val df = toEvents(evs)
+      val compacted = CdcApply.compactLog(df)
+      // net effect preserved AND at most one event per surviving key.
+      // Equivalence is on (key -> image): the materialized `op` column is
+      // provenance, and compaction legitimately renames it (a delete
+      // followed by a re-insert inside one window compacts to an UPDATE —
+      // the window cannot know whether the key predates it).
+      stateOf(compacted) == stateOf(df) &&
+        compacted.groupBy("database", "table", "pk").count()
+          .filter(org.apache.spark.sql.functions.col("count") > 1).isEmpty
+    }
+
+  private def stateOf(events: org.apache.spark.sql.DataFrame): Map[(String, String), String] = {
+    import org.apache.spark.sql.functions._
+    CdcApply.materialize(events)
+      .select(col("table"), col("pk"),
+        element_at(col("data"), "price").as("price"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+      .toMap
+  }
+
+  // ---- two-table join-view / max-view maintenance over random streams ----
+
+  case class FactEv(pk: Long, op: String, fk: Long, qty: Long)
+  case class DimEv(pk: Long, op: String, cat: String)
+
+  private val genFact: Gen[FactEv] = for {
+    pk <- Gen.choose(1L, 6L)
+    op <- Gen.frequency(5 -> "insert", 3 -> "update", 2 -> "delete")
+    fk <- Gen.choose(1L, 4L) // fk 4 dangles until/unless a dim insert lands
+    qty <- Gen.choose(1L, 9L)
+  } yield FactEv(pk, op, fk, qty)
+
+  private val genDim: Gen[DimEv] = for {
+    pk <- Gen.choose(1L, 4L)
+    op <- Gen.frequency(5 -> "insert", 3 -> "update", 2 -> "delete")
+    cat <- Gen.oneOf("a", "b", "c")
+  } yield DimEv(pk, op, cat)
+
+  /** Interleave fact and dim intents on one strictly-increasing es axis. */
+  private def twoTableFrames(facts: Seq[FactEv], dims: Seq[DimEv]): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val fe = facts.zipWithIndex.map { case (f, i) =>
+      (new Timestamp((2 * i) * 1000L), "db", "orders", f.op, 2L * i,
+        Map("id" -> f.pk.toString, "product_id" -> f.fk.toString,
+          "quantity" -> f.qty.toString), 0, 0)
+    }.toDF("timestamp", "database", "table", "op", "offset", "data",
+      "partition", "pos")
+    val de = dims.zipWithIndex.map { case (d, i) =>
+      (new Timestamp((2 * i + 1) * 1000L), "db", "products", d.op, 2L * i + 1,
+        Map("id" -> d.pk.toString, "category" -> d.cat), 0, 0)
+    }.toDF("timestamp", "database", "table", "op", "offset", "data",
+      "partition", "pos")
+    (fe, de)
+  }
+
+  private def factSnapOf(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    CdcApply.materialize(ev)
+      .select(col("pk").cast("bigint").as("pk"),
+        element_at(col("data"), "product_id").cast("bigint").as("fk"),
+        element_at(col("data"), "quantity").cast("bigint").as("m"))
+  }
+
+  private def dimSnapOf(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    CdcApply.materialize(ev)
+      .select(col("pk").cast("bigint").as("pk"),
+        element_at(col("data"), "category").as("attr"))
+  }
+
+  property("W8' maintainJoinAgg == recompute, any two-table stream & cutover") =
+    forAll(Gen.listOfN(14, genFact), Gen.listOfN(10, genDim),
+      Gen.choose(0L, 30L)) { (facts, dims, cutS) =>
+      import org.apache.spark.sql.functions._
+      val (fe, de) = twoTableFrames(facts, dims)
+      val cutMs = cutS * 1000
+      def pre(ev: org.apache.spark.sql.DataFrame) =
+        ev.filter(unix_millis(col("timestamp")) <= cutMs)
+      def post(ev: org.apache.spark.sql.DataFrame) =
+        ev.filter(unix_millis(col("timestamp")) > cutMs)
+      def recompute(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+        f.join(d.select(col("pk").as("fk"), col("attr")), Seq("fk"))
+          .groupBy(col("attr").as("category"))
+          .agg(sum(col("m")).as("sum_measure"), count(lit(1)).as("n_facts"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val f0 = factSnapOf(pre(fe))
+      val d0 = dimSnapOf(pre(de))
+      val measureByFk = f0.groupBy(col("fk"))
+        .agg(sum(col("m")).as("sum_m"), count(lit(1)).as("n"))
+      val got = CdcApply.maintainJoinAgg(recompute(f0, d0), measureByFk,
+        f0, d0, post(fe), post(de), "product_id", "quantity", "category")
+      rows(got) == rows(recompute(factSnapOf(fe), dimSnapOf(de)))
+    }
+
+  property("W8'' maintainMax == recompute, any fact stream & cutover") =
+    forAll(Gen.listOfN(16, genFact), Gen.choose(0L, 34L)) { (facts, cutS) =>
+      import org.apache.spark.sql.functions._
+      val (fe, _) = twoTableFrames(facts, Seq.empty)
+      val cutMs = cutS * 1000
+      def snap(ev: org.apache.spark.sql.DataFrame) = {
+        import org.apache.spark.sql.functions.{col, element_at}
+        CdcApply.materialize(ev)
+          .select(col("pk").cast("bigint").as("pk"),
+            element_at(col("data"), "product_id").as("g"),
+            element_at(col("data"), "quantity").cast("bigint").as("m"))
+      }
+      def viewOf(s0: org.apache.spark.sql.DataFrame) =
+        s0.groupBy(col("g").as("product_id")).agg(max(col("m")).as("max_measure"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val pre = snap(fe.filter(unix_millis(col("timestamp")) <= cutMs))
+      val got = CdcApply.maintainMax(viewOf(pre), pre,
+        fe.filter(unix_millis(col("timestamp")) > cutMs), "product_id", "quantity")
+      rows(got) == rows(viewOf(snap(fe)))
+    }
 }

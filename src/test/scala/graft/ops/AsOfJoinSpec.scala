@@ -63,4 +63,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSet === Set("k", "ts", "v", "asof_s"))
     assert(out.filter($"v" === 7.5).select($"asof_s").first().isNullAt(0))
   }
+
+  test("asof forward: earliest following right row, inclusive ties, null after last") {
+    val left = Seq(
+      (1, ts(0), "l-a"),  // next right is r@1 → 100
+      (1, ts(1), "l-b"),  // tie with r@1 → inclusive → 100
+      (1, ts(2), "l-c"),  // next is r@5 → 101
+      (1, ts(9), "l-d"),  // nothing follows → null
+      (3, ts(3), "l-e")   // keyless → null
+    ).toDF("k", "ts", "tag")
+    val right = Seq((1, ts(1), 100), (1, ts(5), 101)).toDF("k", "rts", "p")
+    val out = AsOfJoin.asofJoinNext(left, right,
+        Seq("k"), "ts", "rts", Seq("p"))
+      .select($"tag", $"asof_p").as[(String, Option[Int])].collect().toMap
+    assert(out === Map("l-a" -> Some(100), "l-b" -> Some(100),
+      "l-c" -> Some(101), "l-d" -> None, "l-e" -> None))
+  }
+
+  test("asof tolerance: stale matches null out, fresh ones survive, both directions") {
+    import org.apache.spark.sql.functions.expr
+    val left = Seq((1, ts(10), "near"), (1, ts(30), "far")).toDF("k", "ts", "tag")
+    val right = Seq((1, ts(8), 7)).toDF("k", "rts", "p")
+    val prior = AsOfJoin.asofJoinPrior(left, right, Seq("k"), "ts", "rts",
+        Seq("p"), tolerance = Some(expr("INTERVAL 5 MINUTES")))
+      .select($"tag", $"asof_p").as[(String, Option[Int])].collect().toMap
+    assert(prior === Map("near" -> Some(7), "far" -> None)) // 22 min stale
+    val leftF = Seq((1, ts(5), "near"), (1, ts(1), "far")).toDF("k", "ts", "tag")
+    val next = AsOfJoin.asofJoinNext(leftF, right, Seq("k"), "ts", "rts",
+        Seq("p"), tolerance = Some(expr("INTERVAL 5 MINUTES")))
+      .select($"tag", $"asof_p").as[(String, Option[Int])].collect().toMap
+    assert(next === Map("near" -> Some(7), "far" -> None)) // 7 min ahead
+  }
 }
