@@ -586,8 +586,11 @@ object CdcQueries {
     * redelivered UPDATE at the apply layer. Parsed once, localCheckpointed. */
   private def joinFixtureEvents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // 1-in-8 key subsample (the wireOrderEvents rationale, halved again):
+    // the delta-rule semantics are volume-independent and the fixture's
+    // json parse dominated the two maintenance queries' bench cost
     val base = Tables.orders(s, dir)
-      .filter($"o_orderkey" % 4 === 1)
+      .filter($"o_orderkey" % 8 === 1)
       .select($"o_orderkey".as("id"))
       .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
     val E = 1704067200000L
@@ -916,7 +919,7 @@ object CdcQueries {
     // max-per-group over the surviving final orders from the key arithmetic
     "cdc_max_maintain" ->
       """WITH base AS (
-        |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 4 = 1),
+        |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 8 = 1),
         |ord AS (
         |  SELECT id,
         |    CASE WHEN id % 3 = 0 AND id % 5 = 0 THEN (id + 1) % 97
@@ -934,7 +937,7 @@ object CdcQueries {
     // whose product was deleted
     "cdc_join_maintain" ->
       """WITH base AS (
-        |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 4 = 1),
+        |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 8 = 1),
         |ord AS (
         |  SELECT id,
         |    CASE WHEN id % 3 = 0 AND id % 5 = 0 THEN (id + 1) % 97
