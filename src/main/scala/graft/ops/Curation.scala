@@ -119,6 +119,20 @@ object Curation {
   def sampleBasisPoints(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("bigint") % 10000L
 
+  /** Sequential Poisson sampling priority (Ohlsson 1998): `u / w` with `u`
+    * the id's 60-bit md5-uniform and `w` the row's weight — keeping the k
+    * SMALLEST priorities is a weighted sample without replacement whose
+    * inclusion probabilities are asymptotically proportional to weight
+    * (πps), the survey-sampling standard (Sweden's official-statistics
+    * estimator) and the classic fixed-size weighted-sampling trick.
+    * Engine-exact: u and w are integers and the single division is IEEE
+    * correctly-rounded — no pow/log (the exponential-race A-ES formulation
+    * needs `u^(1/w)`, which is libm-dependent), so the ranking reproduces
+    * bit-identically on any engine. */
+  def samplePriority(id: Column, weight: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("bigint")
+      .cast("double") / greatest(weight, lit(1L)).cast("double")
+
   /** Stratified sampling at per-stratum rates (data mixing: e.g. keep 50%
     * of English, 10% of a crawl-heavy source). Rates are basis points per
     * stratum value; strata not listed fall back to `defaultBp`. Membership

@@ -715,6 +715,59 @@ object Dedup {
       .filter(col("containment_ppm") >= minPpm)
   }
 
+  /** X2f — tf-WEIGHTED shingle cosine pairs: bag-of-shingles cosine
+    * similarity via the same inverted-index join family, for the near-dup
+    * band where set-based Jaccard under-scores documents that repeat their
+    * shared content (boilerplate stuttering, templated spam). The vector is
+    * the shingle multiset with term-frequency weights; similarity is
+    * reported as cos² in exact integer parts-per-million —
+    * `dot² · 10⁶ div (‖a‖²·‖b‖²)` — because cos² is a monotone proxy for
+    * cos on non-negative vectors and needs NO sqrt, keeping the whole chain
+    * transcendental-free and bit-exact cross-engine (threshold 250 000 ppm
+    * = cosine ≥ 0.5).
+    *
+    * Document-frequency discipline: shingles in more than `dfCap` documents
+    * are cut from the VECTOR SPACE entirely (both dot and norms) — their
+    * idf is ~0 and each contributes df² rows to the index join, the classic
+    * frequent-term quadratic pathology; singleton shingles (df = 1) stay in
+    * the norms (they measure how much of a document is unique) but are
+    * skipped on the join side, where they cannot produce a pair anyway.
+    * Scale: fixed-width 8-byte shuffle keys, fan-out bounded by dfCap², no
+    * all-pairs join. Int64 headroom: dot ≤ ‖a‖·‖b‖ (Cauchy-Schwarz), so
+    * dot²·10⁶ stays exact while per-doc Σc² < ~3·10⁶ — re-scale the ppm
+    * factor before pointing this at multi-megabyte documents. */
+  def tfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+                    shingleSize: Int = 3, dfCap: Long = 100L,
+                    minCos2Ppm: Long = 250000L): DataFrame = {
+    val words = split(col(textCol), " ")
+    // shingles WITH multiplicity — the tf weight is the point, so no
+    // array_distinct (contrast [[shingles]])
+    val allSh = when(size(words) >= shingleSize,
+      transform(sequence(lit(1), size(words) - (shingleSize - 1)),
+        i => array_join(slice(words, i, lit(shingleSize)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val tf = df
+      .select(col(idCol).as("id"), explode(allSh).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+      .groupBy("id", "sh").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // df census + norms + index join share one pass
+    val dfs = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+    val t = tf.join(dfs, Seq("sh")).filter(col("df") <= dfCap)
+    val norms = t.groupBy("id").agg(sum(col("c") * col("c")).as("n2"))
+    val joinable = t.filter(col("df") >= 2)
+    val a = joinable.select(col("sh"), col("id").as("id_a"), col("c").as("ca"))
+    val b = joinable.select(col("sh"), col("id").as("id_b"), col("c").as("cb"))
+    a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("dot"),
+        expr("dot * dot * 1000000 DIV (n2_a * n2_b)").as("cos2_ppm"))
+      .filter(col("cos2_ppm") >= minCos2Ppm)
+  }
+
   /** X2e — edit-distance-1 pair join via deletion-neighborhood blocking
     * (the FastSS / SymSpell construction): two strings are within Levenshtein
     * distance 1 iff they share a key in {s} ∪ {s minus one character} —

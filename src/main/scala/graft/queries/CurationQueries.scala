@@ -126,6 +126,23 @@ object CurationQueries {
       .orderBy($"lang")
   }
 
+  /** X7h — weighted sampling without replacement (sequential Poisson,
+    * [[Curation.samplePriority]]): the 100 documents with the smallest
+    * `u/weight` priority, weight = n_chars — longer documents
+    * proportionally more likely, sample size exactly fixed, membership a
+    * pure function of doc_id (re-runs and appends never reshuffle the
+    * chosen set, unlike `rand()`-based sampling). Scale: the global top-k
+    * is a per-partition top-k + driver merge (TakeOrdered), never a full
+    * sort shuffle. */
+  def x7_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        Curation.samplePriority($"doc_id", $"n_chars").as("pri"))
+      .orderBy($"pri".asc, $"doc_id".asc)
+      .limit(100)
+  }
+
   /** X8 — benchmark decontamination: documents sharing ≥ 1 three-shingle
     * with the held-out eval slice (doc_id % 97 == 0), with the shared
     * distinct-shingle count and an exclusion flag at ≥ 5. The eval side is
@@ -193,6 +210,7 @@ object CurationQueries {
     "x7_binpack_manifest" -> x7_binpack_manifest _,
     "x10_pipeline" -> x10_pipeline _,
     "x7_temperature_mix" -> x7_temperature_mix _,
+    "x7_weighted_sample" -> x7_weighted_sample _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -243,6 +261,15 @@ object CurationQueries {
         |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
         |FROM rates r LEFT JOIN kept k USING (lang)
         |ORDER BY lang""".stripMargin,
+    // same 60-bit md5 uniform; u/w is one IEEE-exact division, so the
+    // priority order (and the LIMIT boundary) is engine-identical
+    "x7_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS pri
+        |FROM documents
+        |ORDER BY pri ASC, doc_id ASC
+        |LIMIT 100""".stripMargin,
     // md5-portable uniform, mirrored exactly (memory: '0x'||hex → BIGINT)
     "x7_stratified" ->
       """WITH u AS (

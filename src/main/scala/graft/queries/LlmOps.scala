@@ -888,6 +888,19 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** X2f — tf-weighted shingle cosine pairs ([[Dedup.tfCosinePairs]]):
+    * bag-of-shingles cosine with term-frequency weights, reported as cos²
+    * in exact integer ppm (sqrt-free, bit-exact cross-engine) — the
+    * near-dup band where repeated shared content should count more than
+    * set-based Jaccard gives it. Frequent shingles (df > 100) are cut from
+    * the vector space; singletons stay in the norms but skip the join. */
+  def x2_tf_cosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.tfCosinePairs(documents(s, dir), "text", "doc_id",
+        shingleSize = 3, dfCap = 100L, minCos2Ppm = 250000L)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** X4k — exact phrase search ([[TextOps.phraseSearch]], the ES
     * `match_phrase` analog): positional postings filtered to the phrase
     * terms before any shuffle, consecutive-position matching as a plain
@@ -1038,6 +1051,7 @@ object LlmOps {
     "x2_chunk_stats" -> x2_chunk_stats _,
     "x4_oov_rate" -> x4_oov_rate _,
     "x2_containment" -> x2_containment _,
+    "x2_tf_cosine" -> x2_tf_cosine _,
     "x4_phrase_search" -> x4_phrase_search _,
     "x4_phrase_index" -> x4_phrase_index _,
     "x4_sig_terms" -> x4_sig_terms _,
@@ -1723,6 +1737,36 @@ object LlmOps {
         |  CAST((n_common * 1000000) // sa.set_size AS BIGINT) AS containment_ppm
         |FROM common JOIN sizes sa ON sa.doc_id = id_a
         |WHERE (n_common * 1000000) // sa.set_size >= 400000
+        |ORDER BY id_a, id_b""".stripMargin),
+    // same tf vectors over 3-shingles, df-capped identically; cos² as pure
+    // int64 floor-division, so no float ever enters the comparison
+    "x2_tf_cosine" -> (
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
+        |tf AS (SELECT doc_id, shingle, count(*) AS c FROM sh
+        |       GROUP BY doc_id, shingle),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM tf GROUP BY shingle),
+        |t AS (SELECT tf.doc_id, tf.shingle, tf.c, d.df
+        |      FROM tf JOIN dfreq d USING (shingle) WHERE d.df <= 100),
+        |norms AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
+        |          FROM t GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM t a JOIN t b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  WHERE a.df >= 2
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d.id_a, d.id_b, d.dot,
+        |  (d.dot * d.dot * 1000000) // (na.n2 * nb.n2) AS cos2_ppm
+        |FROM dots d
+        |JOIN norms na ON na.doc_id = d.id_a
+        |JOIN norms nb ON nb.doc_id = d.id_b
+        |WHERE (d.dot * d.dot * 1000000) // (na.n2 * nb.n2) >= 250000
         |ORDER BY id_a, id_b""".stripMargin),
     // brute-force recount of consecutive-bigram matches per document
     "x4_phrase_search" -> (

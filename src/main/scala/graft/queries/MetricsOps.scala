@@ -423,6 +423,63 @@ object MetricsOps {
       .orderBy($"event_type", $"minute")
   }
 
+  /** P23 — dashboard downsampling (LTTB family): each per-minute series
+    * reduced to ≤ 48 visually-representative points — what Grafana/TSDB
+    * render layers run before plotting a long range, keeping the peaks a
+    * plain bucket-average would flatten. Variant: average-anchor LTTB —
+    * every point's triangle area is computed against its NEIGHBOR BUCKETS'
+    * average points (the classic algorithm anchors on the previously
+    * SELECTED point, a sequential dependency that cannot parallelize; the
+    * average-anchor form is the standard distributed relaxation and is what
+    * the original paper uses for its "LTTB" bucket precomputation), series
+    * endpoints always kept. Engine-exactness: t/cnt are integers, bucket
+    * averages are one exact-integer-sum divide, and the area formula uses
+    * only IEEE +,-,* on doubles — every operation correctly rounded, so the
+    * argmax (area desc, t asc) ranks identically in DuckDB; no epsilon
+    * anywhere. Scale: one bucketed aggregation + a broadcast of
+    * |series|×48 anchor rows + one per-bucket window — never a global sort,
+    * and the output is bounded at 48·|series| rows regardless of range. */
+  def p23_lttb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nB = 48
+    val perMin = events(s, dir)
+      .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"event_type", expr("unix_timestamp(minute) DIV 60").as("t"), $"cnt")
+      .localCheckpoint(false) // bounds pass + candidate pass share the bucketing
+    val bounds = perMin.groupBy($"event_type")
+      .agg(min($"t").as("tmn"), max($"t").as("tmx"))
+    val pts = perMin.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bucket", expr(s"(t - tmn) * $nB DIV (tmx - tmn + 1)"))
+      .withColumn("maxb", expr(s"(tmx - tmn) * $nB DIV (tmx - tmn + 1)"))
+    val bavg = pts.groupBy($"event_type", $"bucket")
+      .agg((sum($"t").cast("double") / count(lit(1))).as("bx"),
+        (sum($"cnt").cast("double") / count(lit(1))).as("bv"))
+    val prev = bavg.select($"event_type", ($"bucket" + 1).as("bucket"),
+      $"bx".as("pbx"), $"bv".as("pbv"))
+    val nxt = bavg.select($"event_type", ($"bucket" - 1).as("bucket"),
+      $"bx".as("nbx"), $"bv".as("nbv"))
+    val px = coalesce($"pbx", $"t".cast("double"))
+    val pv = coalesce($"pbv", $"cnt".cast("double"))
+    val nx = coalesce($"nbx", $"t".cast("double"))
+    val nv = coalesce($"nbv", $"cnt".cast("double"))
+    val area2 = abs((px - nx) * ($"cnt".cast("double") - pv) -
+      (px - $"t".cast("double")) * (nv - pv))
+    val w = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"area2".desc, $"t".asc)
+    val interior = pts
+      .filter($"bucket" =!= 0 && $"bucket" =!= $"maxb")
+      .join(broadcast(prev), Seq("event_type", "bucket"), "left")
+      .join(broadcast(nxt), Seq("event_type", "bucket"), "left")
+      .withColumn("area2", area2)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+    val endpoints = pts.filter($"t" === $"tmn" || $"t" === $"tmx")
+    interior.select($"event_type", $"t", $"cnt", $"bucket")
+      .unionByName(endpoints.select($"event_type", $"t", $"cnt", $"bucket"))
+      .orderBy($"event_type", $"t")
+  }
+
   /** P18 — PromQL `irate()` / `idelta()`: the instant rate from the LAST TWO
     * samples of each series — the spiky-counter companion to the averaged
     * `rate()` ([[p1_rate]]), preferred on fast-moving counters because it
@@ -664,6 +721,7 @@ object MetricsOps {
     "p18_irate" -> p18_irate _,
     "p21_anomaly" -> p21_anomaly _,
     "p22_gapfill" -> p22_gapfill _,
+    "p23_lttb" -> p23_lttb _,
     "p19_absent" -> p19_absent _,
     "p20_burn_rate" -> p20_burn_rate _,
     "p4_quantiles" -> p4_quantiles _,
@@ -869,6 +927,46 @@ object MetricsOps {
         |  END AS BIGINT) AS cnt,
         |  CAST(CASE WHEN cnt IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS is_filled
         |FROM f ORDER BY event_type, minute""".stripMargin,
+    // same integer bucketing; anchor averages are one exact-integer-sum
+    // divide and the triangle area only uses IEEE +,-,* — rank-identical
+    "p23_lttb" ->
+      """WITH pm AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60 AS t,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY event_type, t),
+        |b AS (SELECT event_type, min(t) AS tmn, max(t) AS tmx
+        |      FROM pm GROUP BY event_type),
+        |pts AS (
+        |  SELECT p.event_type, p.t, p.cnt,
+        |    (p.t - b.tmn) * 48 // (b.tmx - b.tmn + 1) AS bucket,
+        |    (b.tmx - b.tmn) * 48 // (b.tmx - b.tmn + 1) AS maxb,
+        |    b.tmn, b.tmx
+        |  FROM pm p JOIN b USING (event_type)),
+        |ba AS (
+        |  SELECT event_type, bucket,
+        |    CAST(sum(t) AS DOUBLE) / count(*) AS bx,
+        |    CAST(sum(cnt) AS DOUBLE) / count(*) AS bv
+        |  FROM pts GROUP BY event_type, bucket),
+        |interior AS (
+        |  SELECT p.event_type, p.t, p.cnt, p.bucket,
+        |    abs((coalesce(pa.bx, CAST(p.t AS DOUBLE)) - coalesce(na.bx, CAST(p.t AS DOUBLE)))
+        |        * (CAST(p.cnt AS DOUBLE) - coalesce(pa.bv, CAST(p.cnt AS DOUBLE)))
+        |      - (coalesce(pa.bx, CAST(p.t AS DOUBLE)) - CAST(p.t AS DOUBLE))
+        |        * (coalesce(na.bv, CAST(p.cnt AS DOUBLE)) - coalesce(pa.bv, CAST(p.cnt AS DOUBLE))))
+        |      AS area2
+        |  FROM pts p
+        |  LEFT JOIN ba pa ON pa.event_type = p.event_type AND pa.bucket = p.bucket - 1
+        |  LEFT JOIN ba na ON na.event_type = p.event_type AND na.bucket = p.bucket + 1
+        |  WHERE p.bucket <> 0 AND p.bucket <> p.maxb)
+        |SELECT event_type, t, cnt, bucket FROM (
+        |  SELECT event_type, t, cnt, bucket,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY area2 DESC, t ASC) AS rn
+        |  FROM interior) WHERE rn = 1
+        |UNION ALL
+        |SELECT event_type, t, cnt, bucket FROM pts WHERE t = tmn OR t = tmx
+        |ORDER BY event_type, t""".stripMargin,
     // the multiplied-out 3-sigma inequality in pure int64 on both engines
     "p21_anomaly" ->
       """WITH b AS (

@@ -406,6 +406,37 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Exact, RE-AGGREGATABLE distinct counting via Spark's bitmap aggregate
+    * family — the cube/materialized-view answer to COUNT(DISTINCT). A plain
+    * distinct count cannot be rolled up (per-group distincts don't sum,
+    * which is why warehouses persist HLL sketches); `bitmap_construct_agg`
+    * buys the same mergeability EXACTLY: fixed 4 KB bitmaps per
+    * (group, 32k-id bucket), map-side combinable, OR-merged to any coarser
+    * grouping without re-touching base data. The (returnflag, linestatus)
+    * leaf level is computed once and checkpointed (the persisted cube), and
+    * the per-returnflag level is derived purely by `bitmap_or_agg` over
+    * those leaves; the oracle certifies BOTH levels against DuckDB's native
+    * COUNT(DISTINCT). At 100 TB the rollup reads |groups|×|buckets| bitmap
+    * rows instead of the fact table — the re-aggregation HLL gives
+    * approximately, made exact. */
+  def q47_bitmap_distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val leaf = lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus",
+        expr("bitmap_bucket_number(l_orderkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))").as("bm"))
+      .localCheckpoint() // both levels read the leaf cube, not lineitem
+    val fine = leaf.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_orders"))
+    val coarse = leaf.groupBy($"l_returnflag", $"bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy($"l_returnflag")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_orders"))
+      .withColumn("l_linestatus", lit("ALL"))
+    fine.unionByName(coarse.select($"l_returnflag", $"l_linestatus", $"n_orders"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   /** Range (interval-containment) join: every event matched to the gap-based
     * session that contains it — sessions from `session_window` (identical
     * construction to p10), containment via the bucketized
@@ -898,6 +929,7 @@ object Relational {
     "q44_median" -> q44_median _,
     "q45_dq_audit" -> q45_dq_audit _,
     "q46_asof_next" -> q46_asof_next _,
+    "q47_bitmap_distinct" -> q47_bitmap_distinct _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1066,6 +1098,17 @@ object Relational {
         |FROM events e ASOF LEFT JOIN err
         |  ON e.user_id = err.user_id AND e.ts <= err.ts
         |ORDER BY e.event_id""".stripMargin,
+    // both rollup levels from native COUNT(DISTINCT) — the engine derives
+    // the coarse level from OR-merged leaf bitmaps, never re-reading lineitem
+    "q47_bitmap_distinct" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |UNION ALL
+        |SELECT l_returnflag, 'ALL' AS l_linestatus,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // >= at the gap boundary: session_window windows are half-open
     // [start, start+gap), so an event exactly `gap` after its predecessor
     // starts a NEW session — the islands predicate must break there too

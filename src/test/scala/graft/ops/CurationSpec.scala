@@ -153,4 +153,28 @@ class CurationSpec extends SparkSpec {
     // nested: a larger overall target never drops a previously kept row
     assert(k1.subsetOf(kept(8000)))
   }
+
+  test("X7h weighted sample: priority is deterministic, weight-monotone, " +
+    "and the heavy stratum dominates the top-k") {
+    val rows = (0L until 400L)
+      .map(i => (i, if (i < 200) 100L else 1L))
+      .toDF("id", "w")
+    def topK(k: Int) = rows
+      .select($"id", Curation.samplePriority($"id", $"w").as("pri"))
+      .orderBy($"pri".asc, $"id".asc).limit(k)
+      .select($"id").as[Long].collect().toSeq
+    // rerun-stable: same ids in the same order
+    val t1 = topK(50)
+    assert(t1 === topK(50))
+    // inclusion-probability skew: the 100×-weighted half should take nearly
+    // every one of the 50 slots (expected miss count ≈ 50/101)
+    assert(t1.count(_ < 200L) >= 45, s"heavy stratum underrepresented: $t1")
+    // strict weight monotonicity for a fixed id: doubling the weight
+    // strictly lowers the priority (u > 0 for every md5)
+    val pris = rows.limit(20)
+      .select(Curation.samplePriority($"id", $"w").as("p1"),
+        Curation.samplePriority($"id", $"w" * 2).as("p2"))
+      .as[(Double, Double)].collect()
+    assert(pris.forall { case (p1, p2) => p2 < p1 })
+  }
 }

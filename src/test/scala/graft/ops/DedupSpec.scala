@@ -277,6 +277,33 @@ class DedupSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("tfCosinePairs: identical docs hit 1e6; tf and singleton norms count") {
+    val d = Seq(
+      (1L, "a b c a b c a b c a b c"), // "a b c"×4, "b c a"×3, "c a b"×3
+      (2L, "a b c a b c a b c a b c"), // identical to 1
+      (3L, "a b c x y z w q r"))       // shares "a b c" once; 6 unique trigrams
+      .toDF("doc_id", "text")
+    val got = Dedup.tfCosinePairs(d, "text", "doc_id", minCos2Ppm = 0L)
+      .select($"id_a", $"id_b", $"dot", $"cos2_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // identical multiset vectors: cos² exactly 1e6
+    assert(got((1L, 2L)) === ((34L, 1000000L))) // dot = 16+9+9
+    // tf weighting: the ×4 repeat drives dot to 4, and doc 3's six
+    // SINGLETON trigrams stay in its norm (n2 = 7) — cos² = 16e6/(34·7)
+    assert(got((1L, 3L)) === ((4L, 16000000L / (34L * 7L))))
+    // default threshold keeps only the identical pair
+    val thresholded = Dedup.tfCosinePairs(d, "text", "doc_id")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(thresholded === Set((1L, 2L)))
+    // df cap removes over-shared shingles from the vector space entirely:
+    // "a b c" (df=3) cut at cap 2 → pair (1,3) loses its only common term
+    val capped = Dedup.tfCosinePairs(d, "text", "doc_id", dfCap = 2L, minCos2Ppm = 0L)
+      .select($"id_a", $"id_b", $"cos2_ppm").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped === Map((1L, 2L) -> 1000000L))
+  }
+
   test("noveltyScores: first copy keeps full score, later copies lose theirs") {
     import spark.implicits._
     val docs = Seq(

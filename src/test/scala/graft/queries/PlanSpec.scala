@@ -207,4 +207,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"grouped deltas must map-side combine:\n$p")
   }
+
+  test("q47: the coarse distinct level from OR-merged bitmaps equals a " +
+    "direct COUNT(DISTINCT); anchor joins stay off the fact table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Relational.q47_bitmap_distinct(spark, dir)
+    val coarse = out.filter($"l_linestatus" === "ALL")
+      .select($"l_returnflag", $"n_orders")
+      .as[(String, Long)].collect().toMap
+    val direct = graft.tables.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(coarse === direct)
+  }
+
+  test("p23: LTTB output is bounded per series, keeps endpoints, and " +
+    "broadcasts the anchor averages") {
+    import spark.implicits._
+    val out = MetricsOps.p23_lttb(spark, dir).cache()
+    val ev = graft.tables.Tables.events(spark, dir)
+    val spans = ev.groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.expr("min(unix_timestamp(date_trunc('minute', ts)) DIV 60)").as("tmn"),
+        org.apache.spark.sql.functions.expr("max(unix_timestamp(date_trunc('minute', ts)) DIV 60)").as("tmx"))
+      .as[(String, Long, Long)].collect()
+    val perSeries = out.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val byType = out.select($"event_type", $"t").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    spans.foreach { case (et, tmn, tmx) =>
+      // ≤ 48 interior buckets − 2 edge buckets + 2 endpoints
+      assert(perSeries(et) <= 48L, s"$et kept ${perSeries(et)} > 48 points")
+      assert(byType(et).contains(tmn) && byType(et).contains(tmx),
+        s"$et endpoints not preserved")
+    }
+    // the |series|×48 anchor table must broadcast, not shuffle the points
+    val p = plan(MetricsOps.p23_lttb(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"anchor join should broadcast:\n$p")
+    out.unpersist()
+    ()
+  }
 }
