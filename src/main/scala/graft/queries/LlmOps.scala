@@ -901,6 +901,53 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** X3g — HYBRID retrieval with reciprocal-rank fusion (RRF), the
+    * standard two-arm serving shape (Elasticsearch/Vespa "hybrid search"):
+    * a lexical arm (BM25 against fixed query terms, [[TextOps.bm25]]) and a
+    * semantic arm (milli-cosine against a query vector — the certified
+    * integer-cosine contract [[Similarity.mmrRerank]] uses) each produce a
+    * top-30 ranking, fused by the rank-only RRF score Σ 1/(60+rank).
+    * Fusion is carried as exact integers — `10⁹ div (60+rank)` per arm —
+    * so the fused ordering (and the LIMIT boundary) is engine-identical;
+    * docs missing from an arm take a -1 rank sentinel (never nullable
+    * ints) and contribute 0, per the RRF union-of-lists definition. The
+    * production shape partitions every window by query_id (bounded
+    * per-query candidate sets); one query here = one bounded partition. */
+  def x3_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topN = 30
+    // TakeOrdered discipline: `orderBy.limit(topN)` is a per-partition
+    // top-N + bounded merge (never a global sort shuffle); the row_number
+    // window then runs over topN rows only. Same total order + id
+    // tie-break on both steps keeps the cut and the ranks identical.
+    val wLex = Window.orderBy($"bm25".desc, $"doc_id".asc)
+    val lex = TextOps.bm25(documents(s, dir), "text", "doc_id",
+        terms = Seq("vector", "join", "stream"))
+      .orderBy($"bm25".desc, $"doc_id".asc).limit(topN)
+      .withColumn("rank_lex", row_number().over(wLex).cast("bigint"))
+      .select($"doc_id", $"rank_lex")
+    val emb = embeddings(s, dir)
+    val q = broadcast(emb.filter($"vec_id" === 0).select($"embedding".as("q_emb")))
+    val wSem = Window.orderBy($"sim_m".desc, $"doc_id".asc)
+    val sem = emb.filter($"vec_id" =!= 0)
+      .crossJoin(q)
+      .select($"vec_id".as("doc_id"),
+        round(round(graft.functions.VectorFunctions.cosine($"embedding", $"q_emb"), 3)
+          * 1000).cast("bigint").as("sim_m"))
+      .orderBy($"sim_m".desc, $"doc_id".asc).limit(topN)
+      .withColumn("rank_vec", row_number().over(wSem).cast("bigint"))
+      .select($"doc_id", $"rank_vec")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"rank_lex", lit(-1L)).as("rank_lex"),
+        coalesce($"rank_vec", lit(-1L)).as("rank_vec"))
+      .withColumn("rrf",
+        expr("CASE WHEN rank_lex > 0 THEN 1000000000 DIV (60 + rank_lex) ELSE 0 END" +
+          " + CASE WHEN rank_vec > 0 THEN 1000000000 DIV (60 + rank_vec) ELSE 0 END"))
+      .orderBy($"rrf".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
   /** X4k — exact phrase search ([[TextOps.phraseSearch]], the ES
     * `match_phrase` analog): positional postings filtered to the phrase
     * terms before any shuffle, consecutive-position matching as a plain
@@ -1052,6 +1099,7 @@ object LlmOps {
     "x4_oov_rate" -> x4_oov_rate _,
     "x2_containment" -> x2_containment _,
     "x2_tf_cosine" -> x2_tf_cosine _,
+    "x3_hybrid_rrf" -> x3_hybrid_rrf _,
     "x4_phrase_search" -> x4_phrase_search _,
     "x4_phrase_index" -> x4_phrase_index _,
     "x4_sig_terms" -> x4_sig_terms _,
@@ -1355,6 +1403,51 @@ object LlmOps {
         |JOIN dfreq USING (w)
         |CROSS JOIN stats
         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    // both arms re-derived (bm25 CTEs as in x4_bm25; milli-cosine as the
+    // MMR contract); RRF is pure int64 floor-division so the fused order
+    // and LIMIT boundary cannot drift
+    "x3_hybrid_rrf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM words
+        |  WHERE w IN ('vector', 'join', 'stream') GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+        |lexscore AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) /
+        |      (tf + (0.25 + CAST(dl AS DOUBLE) / avgdl * 0.75) * 1.2)), 4) AS bm25
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |lex AS (SELECT doc_id, CAST(rn AS BIGINT) AS rank_lex FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+        |  FROM lexscore) WHERE rn <= 30),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sem0 AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    CAST(round(round(list_cosine_similarity(c.v, q.v), 3) * 1000) AS BIGINT)
+        |      AS sim_m
+        |  FROM e c, (SELECT v FROM e WHERE vec_id = 0) q
+        |  WHERE c.vec_id <> 0),
+        |sem AS (SELECT doc_id, CAST(rn AS BIGINT) AS rank_vec FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sim_m DESC, doc_id ASC) AS rn
+        |  FROM sem0) WHERE rn <= 30),
+        |fused AS (
+        |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |    coalesce(l.rank_lex, CAST(-1 AS BIGINT)) AS rank_lex,
+        |    coalesce(s.rank_vec, CAST(-1 AS BIGINT)) AS rank_vec
+        |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+        |SELECT doc_id, rank_lex, rank_vec,
+        |  (CASE WHEN rank_lex > 0 THEN 1000000000 // (60 + rank_lex) ELSE CAST(0 AS BIGINT) END
+        |   + CASE WHEN rank_vec > 0 THEN 1000000000 // (60 + rank_vec) ELSE CAST(0 AS BIGINT) END)
+        |    AS rrf
+        |FROM fused
+        |ORDER BY rrf DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
     "x4_vocab" ->
       """SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)

@@ -258,4 +258,24 @@ class SimilaritySpec extends SparkSpec {
     }.toSet
     assert(got === expected)
   }
+
+  test("hybrid RRF: fused score recomputes from the arm ranks, sentinels " +
+    "never co-occur, ordering is (rrf desc, id)") {
+    val out = graft.queries.LlmOps.x3_hybrid_rrf(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"rank_lex", $"rank_vec", $"rrf")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 20)
+    def contrib(r: Long): Long = if (r > 0) 1000000000L / (60L + r) else 0L
+    out.foreach { case (id, rl, rv, rrf) =>
+      assert(rrf === contrib(rl) + contrib(rv), s"doc $id rrf mismatch")
+      assert(rl >= -1 && rl <= 30 && rl != 0, s"doc $id rank_lex $rl")
+      assert(rv >= -1 && rv <= 30 && rv != 0, s"doc $id rank_vec $rv")
+      assert(rl > 0 || rv > 0, s"doc $id in neither arm")
+    }
+    // output honors the fused total order with the id tie-break
+    val key = out.map { case (id, _, _, rrf) => (-rrf, id) }
+    assert(key.toSeq === key.sortBy(identity).toSeq)
+    // a doc present in BOTH arms outranks the same ranks split across docs
+    assert(out.map(_._4).max === out.head._4)
+  }
 }
