@@ -480,6 +480,28 @@ object MetricsOps {
       .orderBy($"event_type", $"t")
   }
 
+  /** P24 — PromQL many-to-one vector matching (`on(label) group_left`):
+    * each (event_type, hour) sample divided by its series' whole-range
+    * total — "share of the series' traffic in this hour". The high-side
+    * vector (hourly) matches the low-side (per-type totals) many-to-one on
+    * the shared label, PromQL's `hourly / on(event_type) group_left
+    * sum(...)`; the one-to-one matching family is [[p3_error_ratio]]. The
+    * share is exact integer ppm (floor division), so no float enters the
+    * compare. Scale: the low side is |labels| rows — broadcast; the high
+    * side never re-shuffles after its own aggregation. */
+  def p24_group_left(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = events(s, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("series_total"))
+    hourly.join(broadcast(totals), Seq("event_type"))
+      .select($"event_type", $"hour", $"cnt", $"series_total",
+        expr("cnt * 1000000 DIV series_total").as("share_ppm"))
+      .orderBy($"event_type", $"hour")
+  }
+
   /** P18 — PromQL `irate()` / `idelta()`: the instant rate from the LAST TWO
     * samples of each series — the spiky-counter companion to the averaged
     * `rate()` ([[p1_rate]]), preferred on fast-moving counters because it
@@ -722,6 +744,7 @@ object MetricsOps {
     "p21_anomaly" -> p21_anomaly _,
     "p22_gapfill" -> p22_gapfill _,
     "p23_lttb" -> p23_lttb _,
+    "p24_group_left" -> p24_group_left _,
     "p19_absent" -> p19_absent _,
     "p20_burn_rate" -> p20_burn_rate _,
     "p4_quantiles" -> p4_quantiles _,
@@ -967,6 +990,18 @@ object MetricsOps {
         |UNION ALL
         |SELECT event_type, t, cnt, bucket FROM pts WHERE t = tmn OR t = tmx
         |ORDER BY event_type, t""".stripMargin,
+    // many-to-one matching re-derived; the share is int64 floor division
+    "p24_group_left" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |  FROM events GROUP BY event_type, hour),
+        |tot AS (
+        |  SELECT event_type, count(*) AS series_total
+        |  FROM events GROUP BY event_type)
+        |SELECT h.event_type, h.hour, h.cnt, t.series_total,
+        |  h.cnt * 1000000 // t.series_total AS share_ppm
+        |FROM hourly h JOIN tot t USING (event_type)
+        |ORDER BY event_type, hour""".stripMargin,
     // the multiplied-out 3-sigma inequality in pure int64 on both engines
     "p21_anomaly" ->
       """WITH b AS (

@@ -437,6 +437,34 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** ANALYZE-style optimizer statistics: the equi-depth histogram every
+    * cost-based optimizer keeps per column (`ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS`), computed exactly — 8 depth buckets over
+    * l_extendedprice with per-bucket upper boundary, row count, and exact
+    * NDV. Money is carried as exact integer cents (`round(x*100)`, the
+    * repo-wide price discipline) and the `ntile` runs over a TOTAL order
+    * (cents, orderkey, linenumber), so bucket membership under tied prices
+    * is engine-deterministic; both engines distribute ntile remainders to
+    * the earliest buckets per the SQL standard.
+    *
+    * Scale note: an unpartitioned ntile is a single-reducer sort — correct
+    * here (and DuckDB-checkable); at 100 TB cut depth boundaries with
+    * `approx_percentile` and count into the resulting ranges map-side, the
+    * same trade [[CurationQueries.x7_curriculum]] documents. */
+  def q48_analyze_stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = round($"l_extendedprice" * 100).cast("bigint")
+    val w = Window.orderBy($"cents".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+    lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", cents.as("cents"))
+      .withColumn("bucket", ntile(8).over(w).cast("bigint"))
+      .groupBy($"bucket")
+      .agg(max($"cents").as("hi_cents"),
+        count(lit(1)).as("n_rows"),
+        countDistinct($"cents").as("ndv"))
+      .orderBy($"bucket")
+  }
+
   /** Range (interval-containment) join: every event matched to the gap-based
     * session that contains it — sessions from `session_window` (identical
     * construction to p10), containment via the bucketized
@@ -930,6 +958,7 @@ object Relational {
     "q45_dq_audit" -> q45_dq_audit _,
     "q46_asof_next" -> q46_asof_next _,
     "q47_bitmap_distinct" -> q47_bitmap_distinct _,
+    "q48_analyze_stats" -> q48_analyze_stats _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1109,6 +1138,21 @@ object Relational {
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // same cents discipline + total order; both engines give ntile
+    // remainders to the earliest buckets (SQL standard)
+    "q48_analyze_stats" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT cents,
+        |    CAST(ntile(8) OVER (ORDER BY cents, l_orderkey, l_linenumber)
+        |         AS BIGINT) AS bucket
+        |  FROM c)
+        |SELECT bucket, max(cents) AS hi_cents, count(*) AS n_rows,
+        |  count(DISTINCT cents) AS ndv
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // >= at the gap boundary: session_window windows are half-open
     // [start, start+gap), so an event exactly `gap` after its predecessor
     // starts a NEW session — the islands predicate must break there too

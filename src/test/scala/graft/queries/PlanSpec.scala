@@ -223,6 +223,38 @@ class PlanSpec extends SparkSpec {
     assert(coarse === direct)
   }
 
+  test("q48: equi-depth buckets are balanced, boundaries monotone, depths " +
+    "cover the table") {
+    import spark.implicits._
+    val out = Relational.q48_analyze_stats(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq === (1L to 8L))
+    val hi = out.map(_._2)
+    assert(hi.toSeq === hi.sorted.toSeq, "boundaries must be non-decreasing")
+    val depths = out.map(_._3)
+    assert(depths.max - depths.min <= 1, s"equi-depth violated: ${depths.toSeq}")
+    val n = graft.tables.Tables.lineitem(spark, dir).count()
+    assert(depths.sum === n)
+    out.foreach { case (b, _, rows, ndv) =>
+      assert(ndv >= 1 && ndv <= rows, s"bucket $b ndv out of range") }
+  }
+
+  test("p24: group_left shares recompose the series total; the one-row-per-" +
+    "label side broadcasts") {
+    import spark.implicits._
+    val out = MetricsOps.p24_group_left(spark, dir)
+    val sums = out.groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.sum($"cnt").as("s"),
+        org.apache.spark.sql.functions.max($"series_total").as("t"),
+        org.apache.spark.sql.functions.min($"series_total").as("t2"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(sums.nonEmpty)
+    sums.foreach { case (et, s, t, t2) =>
+      assert(s === t && t === t2, s"$et hourly counts don't recompose total") }
+    val p = plan(MetricsOps.p24_group_left(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"totals side should broadcast:\n$p")
+  }
+
   test("p23: LTTB output is bounded per series, keeps endpoints, and " +
     "broadcasts the anchor averages") {
     import spark.implicits._
