@@ -502,6 +502,61 @@ object MetricsOps {
       .orderBy($"event_type", $"hour")
   }
 
+  /** P25 — EXACT sliding-window distinct count (trailing-hour active users
+    * per 5-minute evaluation point) via interval stabbing — the sliding
+    * cardinality dashboards usually approximate with HLL, exact and LINEAR
+    * instead of recounting each window. A user's event at minute bucket b
+    * makes them "active" for evaluation points t ∈ [b, b+59]; per (series,
+    * user) those coverage intervals are merged into islands (gaps > 60
+    * break; one lag + running-sum window), each island becomes a +1 at its
+    * start and a −1 one past its end, and ONE cumulative sum over the
+    * union of delta points and grid points reads the distinct count at
+    * every evaluation point. Work is O(events + grid), never
+    * O(windows × events); all integers. The same construction answers any
+    * trailing window by changing W. Spine capped at 1440 minutes
+    * (the [[p22_gapfill]] bound), mirrored in the oracle, which recounts
+    * every window brute-force with COUNT(DISTINCT). */
+  def p25_sliding_distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 60L
+    val ub = events(s, dir)
+      .select($"event_type", $"user_id",
+        expr("unix_timestamp(date_trunc('minute', ts)) DIV 60").as("b"))
+      .distinct()
+      .localCheckpoint(false) // islands pass + bounds pass share the dedup
+    val lagW = Window.partitionBy($"event_type", $"user_id").orderBy($"b".asc)
+    val runW = lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = ub
+      .withColumn("brk",
+        when(lag($"b", 1).over(lagW).isNull ||
+          $"b" - lag($"b", 1).over(lagW) > W, 1L).otherwise(0L))
+      .withColumn("isl", sum($"brk").over(runW))
+      .groupBy($"event_type", $"user_id", $"isl")
+      .agg(min($"b").as("mn_b"), max($"b").as("mx_b"))
+    val deltas = islands
+      .select($"event_type", $"mn_b".as("pos"), lit(1L).as("d"))
+      .unionByName(islands.select($"event_type", ($"mx_b" + W).as("pos"),
+        lit(-1L).as("d")))
+      .groupBy($"event_type", $"pos").agg(sum($"d").as("d"))
+      .withColumn("is_grid", lit(0L))
+    val bounds = ub.groupBy($"event_type").agg(min($"b").as("tmn"),
+      least(max($"b"), min($"b") + 1439L).as("tmx"))
+    val grid = bounds.select($"event_type",
+        explode(sequence($"tmn", $"tmx", lit(5L))).as("pos"))
+      .withColumn("d", lit(0L)).withColumn("is_grid", lit(1L))
+    // deltas sort before grid points at equal minute: a +1 at b counts AT
+    // t = b (window is (t-60, t], inclusive right edge), a −1 at mx+60
+    // expires AT t = mx+60
+    val cumW = Window.partitionBy($"event_type")
+      .orderBy($"pos".asc, $"is_grid".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.unionByName(grid.select($"event_type", $"pos", $"d", $"is_grid"))
+      .withColumn("dv", sum($"d").over(cumW))
+      .filter($"is_grid" === 1L)
+      .select($"event_type", $"pos".as("t"), $"dv")
+      .orderBy($"event_type", $"t")
+  }
+
   /** P18 — PromQL `irate()` / `idelta()`: the instant rate from the LAST TWO
     * samples of each series — the spiky-counter companion to the averaged
     * `rate()` ([[p1_rate]]), preferred on fast-moving counters because it
@@ -745,6 +800,7 @@ object MetricsOps {
     "p22_gapfill" -> p22_gapfill _,
     "p23_lttb" -> p23_lttb _,
     "p24_group_left" -> p24_group_left _,
+    "p25_sliding_distinct" -> p25_sliding_distinct _,
     "p19_absent" -> p19_absent _,
     "p20_burn_rate" -> p20_burn_rate _,
     "p4_quantiles" -> p4_quantiles _,
@@ -990,6 +1046,25 @@ object MetricsOps {
         |UNION ALL
         |SELECT event_type, t, cnt, bucket FROM pts WHERE t = tmn OR t = tmx
         |ORDER BY event_type, t""".stripMargin,
+    // brute-force recount of every trailing window with COUNT(DISTINCT) —
+    // certifying the interval-stabbing construction end-to-end
+    "p25_sliding_distinct" ->
+      """WITH pm AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60 AS b
+        |  FROM events),
+        |bounds AS (
+        |  SELECT event_type, min(b) AS tmn,
+        |    least(max(b), min(b) + 1439) AS tmx
+        |  FROM pm GROUP BY event_type),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(tmn, tmx, 5)) AS t
+        |  FROM bounds)
+        |SELECT g.event_type, g.t, count(DISTINCT p.user_id) AS dv
+        |FROM grid g LEFT JOIN pm p
+        |  ON p.event_type = g.event_type AND p.b > g.t - 60 AND p.b <= g.t
+        |GROUP BY g.event_type, g.t
+        |ORDER BY g.event_type, g.t""".stripMargin,
     // many-to-one matching re-derived; the share is int64 floor division
     "p24_group_left" ->
       """WITH hourly AS (

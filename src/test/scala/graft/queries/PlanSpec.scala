@@ -255,6 +255,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"totals side should broadcast:\n$p")
   }
 
+  test("p25: interval stabbing equals a brute-force window-by-window " +
+    "distinct recount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = MetricsOps.p25_sliding_distinct(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val pm = graft.tables.Tables.events(spark, dir)
+      .select($"event_type", $"user_id",
+        expr("unix_timestamp(date_trunc('minute', ts)) DIV 60").as("b"))
+      .distinct().cache()
+    val grid = pm.groupBy($"event_type")
+      .agg(min($"b").as("tmn"), least(max($"b"), min($"b") + 1439L).as("tmx"))
+      .select($"event_type", explode(sequence($"tmn", $"tmx", lit(5L))).as("t"))
+    val brute = grid.as("g")
+      .join(pm.as("p"), col("p.event_type") === col("g.event_type") &&
+        col("p.b") > col("g.t") - 60 && col("p.b") <= col("g.t"), "left")
+      .groupBy(col("g.event_type"), col("g.t"))
+      .agg(countDistinct(col("p.user_id")).as("dv"))
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pm.unpersist()
+    assert(got === brute)
+    assert(got.nonEmpty && got.values.exists(_ > 0))
+  }
+
   test("p23: LTTB output is bounded per series, keeps endpoints, and " +
     "broadcasts the anchor averages") {
     import spark.implicits._
