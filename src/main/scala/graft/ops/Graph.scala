@@ -109,4 +109,57 @@ object Graph {
           expr("(2000000 * coalesce(triangles, 0L)) DIV (degree * (degree - 1))"))
           .otherwise(lit(0L)).as("cc_ppm"))
   }
+
+  /** k-core decomposition (fixed k): the maximal subgraph in which every
+    * node keeps degree ≥ k, found by iterative peeling — drop every node
+    * whose degree within the surviving set is < k, recompute, repeat to
+    * fixpoint. On a duplicate-pair graph the 2-core separates genuinely
+    * interlinked duplicate families from chains and stars that components
+    * merge indistinguishably (a star hub survives, its degree-1 spokes
+    * peel away); the standard cohesion primitive next to
+    * [[triangleCounts]].
+    *
+    * Each round is one co-partitioned edge⋈nodes join + a map-side-combined
+    * degree count — never an adjacency collect. Peeling is monotone (the
+    * node set only shrinks), so convergence is certified by comparing two
+    * COUNTS of already-checkpointed frames (the cheap probe the CC family
+    * settled on after round 6's exceptAll regression); if the set still
+    * shrinks after `maxRounds`, THROWS rather than returning a
+    * not-yet-core set. Peel depth is data-dependent but tiny on dup graphs
+    * (a path of length L needs L/2 rounds — the spec pins that
+    * pathology).
+    *
+    * @param pairs undirected edges (`id_a`, `id_b`), `id_a < id_b`
+    * @return (id, deg) — the k-core members with their in-core degree
+    */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(false) // loop-invariant: every round re-joins it
+    var cur = sym.select(col("src").as("id"), lit(0L).as("deg")).distinct()
+      .localCheckpoint(false)
+    var nCur = cur.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = sym
+        .join(cur.select(col("id").as("src")), Seq("src"))
+        .join(cur.select(col("id").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("id"), col("deg"))
+        .localCheckpoint(false)
+      val nNext = next.count()
+      converged = nNext == nCur // monotone shrink: equal count = fixpoint
+      cur = next
+      nCur = nNext
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge within $maxRounds peel rounds")
+    cur
+  }
 }

@@ -948,6 +948,22 @@ object LlmOps {
       .limit(20)
   }
 
+  /** X9''' — 2-core of the duplicate-pair graph ([[Graph.kCore]]):
+    * iterative peeling keeps only documents with ≥ 2 surviving near-dup
+    * neighbors — the cohesion cut that separates interlinked duplicate
+    * families from chains/star spokes, which components merge and even
+    * triangle counts only score locally. Converges in a handful of
+    * monotone peel rounds (throws otherwise); the oracle replays the
+    * identical peeling as 8 unrolled rounds. */
+  def x9_kcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
+      shingleSize = 3, minJaccard = 0.3)
+    Graph.kCore(pairs, k = 2)
+      .select($"id".as("doc_id"), $"deg")
+      .orderBy($"doc_id")
+  }
+
   /** X4k — exact phrase search ([[TextOps.phraseSearch]], the ES
     * `match_phrase` analog): positional postings filtered to the phrase
     * terms before any shuffle, consecutive-position matching as a plain
@@ -1100,6 +1116,7 @@ object LlmOps {
     "x2_containment" -> x2_containment _,
     "x2_tf_cosine" -> x2_tf_cosine _,
     "x3_hybrid_rrf" -> x3_hybrid_rrf _,
+    "x9_kcore" -> x9_kcore _,
     "x4_phrase_search" -> x4_phrase_search _,
     "x4_phrase_index" -> x4_phrase_index _,
     "x4_sig_terms" -> x4_sig_terms _,
@@ -1482,6 +1499,7 @@ object LlmOps {
     // x2_ngram_jaccard's pair SQL + recursive reachability: a node's
     // cluster_id = min id reachable in the symmetric pair graph
     "x9_dup_clusters" -> x9ReachabilityOracle,
+    "x9_kcore" -> x9KcoreOracle,
     // identical reachability ground truth for the star-rounds variant
     "x9_dup_clusters_star" -> x9ReachabilityOracle,
     // triangles enumerated once each via the a<b<c three-way join over the
@@ -1929,6 +1947,26 @@ object LlmOps {
       |    CAST(coalesce(next_start, len(d.text) + 1) - start AS BIGINT) AS chunk_len,
       |    md5(substr(d.text, start, coalesce(next_start, len(d.text) + 1) - start)) AS chunk_md5
       |  FROM numbered n JOIN documents d ON n.doc_id = d.doc_id)""".stripMargin
+
+  /** The [[x9_kcore]] oracle: the same edge construction, then 8 unrolled
+    * peel rounds (HAVING count(*) >= 2 within the surviving set) — enough
+    * for any graph the Spark side converges on (it throws past 8). Each
+    * round is AS MATERIALIZED: r(N−1) is referenced twice per round, and
+    * an inlined CTE chain would re-expand the shingle self-join 2⁸ times. */
+  private lazy val x9KcoreOracle: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""r$r AS MATERIALIZED (
+         |  SELECT e.src AS id, count(*) AS deg FROM edges e
+         |  JOIN r${r - 1} a ON a.id = e.src
+         |  JOIN r${r - 1} b ON b.id = e.dst
+         |  GROUP BY e.src HAVING count(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    x9Cte +
+      s""",
+         |r0 AS MATERIALIZED (SELECT id FROM nodes),
+         |$rounds
+         |SELECT id AS doc_id, deg FROM r8 ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val x9ReachabilityOracle: String = x9Cte +
     """

@@ -81,4 +81,27 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) === ((3L, 2L, 666666L))) // 2e6·2 div 6
     assert(got(3L) === ((3L, 2L, 666666L)))
   }
+
+  test("kCore: cycle survives, star and chain peel away, path needs L/2 rounds") {
+    // 4-cycle (1-2-3-4), star hub 10 with spokes 11-13, chain 20-21-22-23
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val core = Graph.kCore(pairs, k = 2)
+      .as[(Long, Long)].collect().toMap
+    // only the cycle is 2-core, every member at degree exactly 2
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // k=1 keeps everything with an edge, with raw degrees
+    val one = Graph.kCore(pairs, k = 1).as[(Long, Long)].collect().toMap
+    assert(one.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L, 21L, 22L, 23L))
+    assert(one(10L) === 3L && one(21L) === 2L && one(23L) === 1L)
+    // pathological path: peeling eats one node per end per round, so a
+    // 12-node path needs 6 rounds — maxRounds=3 must THROW, 8 must not
+    val path = (20L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] { Graph.kCore(path, k = 2, maxRounds = 3) }
+    assert(Graph.kCore(path, k = 2, maxRounds = 8).count() === 0L)
+    // empty edges: empty core, no throw
+    assert(Graph.kCore(pairs.limit(0), k = 2).count() === 0L)
+  }
 }
