@@ -964,6 +964,30 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X5e — WebDataset-style SHARD MANIFEST for the multimodal corpus: each
+    * (text, embedding) sample is sized by its serialized payload
+    * (UTF-8 text bytes + 4 bytes/float + a 64-byte header), laid end-to-end
+    * per language in doc_id order, and cut into ~64 KB shards by offset
+    * bin-packing ([[graft.ops.Curation.binPack]] on bytes instead of
+    * tokens). The manifest — per-shard member count, byte fill, id range —
+    * is what a training reader consumes to fetch shards without listing
+    * objects. One window per language, exact integer byte arithmetic. */
+  def x5_shard_manifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val samples = documents(s, dir)
+      .join(embeddings(s, dir), $"doc_id" === $"vec_id")
+      .select($"doc_id", $"lang",
+        (octet_length($"text") + size($"embedding") * 4L + 64L).as("bytes"))
+    graft.ops.Curation.binPack(samples, $"lang", $"doc_id", $"bytes",
+        budget = 65536)
+      .groupBy($"lang", $"bin".as("shard"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum($"n_tok").as("shard_bytes"),
+        min($"doc_id").as("first_id"),
+        max($"doc_id").as("last_id"))
+      .orderBy($"lang", $"shard")
+  }
+
   /** X4k — exact phrase search ([[TextOps.phraseSearch]], the ES
     * `match_phrase` analog): positional postings filtered to the phrase
     * terms before any shuffle, consecutive-position matching as a plain
@@ -1117,6 +1141,7 @@ object LlmOps {
     "x2_tf_cosine" -> x2_tf_cosine _,
     "x3_hybrid_rrf" -> x3_hybrid_rrf _,
     "x9_kcore" -> x9_kcore _,
+    "x5_shard_manifest" -> x5_shard_manifest _,
     "x4_phrase_search" -> x4_phrase_search _,
     "x4_phrase_index" -> x4_phrase_index _,
     "x4_sig_terms" -> x4_sig_terms _,
@@ -1465,6 +1490,23 @@ object LlmOps {
         |FROM fused
         |ORDER BY rrf DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
+    // same byte sizing + the binpack window math on bytes
+    "x5_shard_manifest" ->
+      """WITH samp AS (
+        |  SELECT d.doc_id, d.lang,
+        |    octet_length(encode(d.text)) + len(e.embedding) * 4 + 64 AS bytes
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |packed AS (
+        |  SELECT doc_id, lang, bytes,
+        |    sum(bytes) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
+        |      AS start_offset
+        |  FROM samp)
+        |SELECT lang, CAST(start_offset // 65536 AS BIGINT) AS shard,
+        |  count(*) AS n_samples,
+        |  CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM packed GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     "x4_vocab" ->
       """SELECT w, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)

@@ -465,6 +465,38 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** Distribution-drift monitor (the data-quality "population stability"
+    * check, run between any two slices — here the time halves of the event
+    * stream): per event_type, its share of each half and the share shift,
+    * all in exact integer ppm. PSI/KL need logarithms; the per-class
+    * total-variation term `|a·B − b·A| · 10⁶ div (A·B)` is the
+    * transcendental-free drift score with the same ordering, so the
+    * comparison is engine-exact end to end. The half boundary is the
+    * integer midpoint minute, derived from one broadcast min/max row.
+    * Scale: one conditional-aggregation scan + a 1-row broadcast — the
+    * [[graft.ops.DataQuality]] one-scan discipline. Int64 headroom:
+    * `a·B·10⁶` caps at ~10⁶ rows per slice; for planet-scale counts shift
+    * both halves' counts right by a common 2^s first (drift is
+    * scale-invariant up to the floor). */
+  def q49_dist_drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+      .select($"event_type", expr("unix_timestamp(ts) DIV 60").as("m"))
+    val mid = ev.agg(expr("(min(m) + max(m)) DIV 2").as("mid"))
+    val counts = ev.crossJoin(broadcast(mid))
+      .groupBy($"event_type")
+      .agg(sum(when($"m" <= $"mid", 1L).otherwise(0L)).as("a"),
+        sum(when($"m" > $"mid", 1L).otherwise(0L)).as("b"))
+      .localCheckpoint(false) // totals pass + drift pass share one scan
+    val tot = counts.agg(sum($"a").as("ta"), sum($"b").as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .select($"event_type", $"a", $"b",
+        expr("a * 1000000 DIV ta").as("share_first_ppm"),
+        expr("b * 1000000 DIV tb").as("share_second_ppm"),
+        expr("abs(a * tb - b * ta) * 1000000 DIV (ta * tb)").as("drift_ppm"))
+      .orderBy($"event_type")
+  }
+
   /** Range (interval-containment) join: every event matched to the gap-based
     * session that contains it — sessions from `session_window` (identical
     * construction to p10), containment via the bucketized
@@ -959,6 +991,7 @@ object Relational {
     "q46_asof_next" -> q46_asof_next _,
     "q47_bitmap_distinct" -> q47_bitmap_distinct _,
     "q48_analyze_stats" -> q48_analyze_stats _,
+    "q49_dist_drift" -> q49_dist_drift _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1153,6 +1186,24 @@ object Relational {
         |SELECT bucket, max(cents) AS hi_cents, count(*) AS n_rows,
         |  count(DISTINCT cents) AS ndv
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // same integer-minute midpoint and the TV-term ppm floor divisions
+    "q49_dist_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(epoch(ts) AS BIGINT) // 60 AS m FROM events),
+        |mid AS (SELECT (min(m) + max(m)) // 2 AS mid FROM ev),
+        |counts AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN m <= mid THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN m > mid THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM ev CROSS JOIN mid GROUP BY event_type),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+        |               CAST(sum(b) AS BIGINT) AS tb FROM counts)
+        |SELECT event_type, a, b,
+        |  a * 1000000 // ta AS share_first_ppm,
+        |  b * 1000000 // tb AS share_second_ppm,
+        |  abs(a * tb - b * ta) * 1000000 // (ta * tb) AS drift_ppm
+        |FROM counts CROSS JOIN tot
+        |ORDER BY event_type""".stripMargin,
     // >= at the gap boundary: session_window windows are half-open
     // [start, start+gap), so an event exactly `gap` after its predecessor
     // starts a NEW session — the islands predicate must break there too

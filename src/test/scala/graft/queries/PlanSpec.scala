@@ -255,6 +255,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"totals side should broadcast:\n$p")
   }
 
+  test("q49: drift shares recompose each half and the TV term is bounded") {
+    import spark.implicits._
+    val out = Relational.q49_dist_drift(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val (ta, tb) = (out.map(_._2).sum, out.map(_._3).sum)
+    assert(ta > 0 && tb > 0)
+    out.foreach { case (et, a, b, s1, s2, d) =>
+      assert(s1 === a * 1000000L / ta && s2 === b * 1000000L / tb, et)
+      assert(d === math.abs(a * tb - b * ta) * 1000000L / (ta * tb), et)
+      assert(d <= 1000000L, et)
+    }
+    // floor-divided shares sum to within |types| ppm of 1e6
+    assert(math.abs(out.map(_._4).sum - 1000000L) <= out.length)
+    assert(math.abs(out.map(_._5).sum - 1000000L) <= out.length)
+  }
+
   test("p25: interval stabbing equals a brute-force window-by-window " +
     "distinct recount") {
     import spark.implicits._
