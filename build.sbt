@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's final stdout JSON line out of a bounded
+// output tail; sbt's default LoggedOutput decorates every forked-run line
+// with an "[info] "/"[error] " prefix and appends a "[success] Total time"
+// banner AFTER it — which kept BENCH_r{5,6,7}.json at "parsed": null.
+// Pass forked output through verbatim and drop the success banner so the
+// bench's JSON line is the last, undecorated line on stdout.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -195,8 +195,11 @@ object Bench {
     val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$warm,"cold":$cold$nFailed,"sf":"$sfDir"}"""
     // The driver parses the line from a bounded ~2 KB output tail; a line
     // that outgrows it gets clipped mid-JSON (round 5 lost the total this
-    // way). The driver's parser also requires "queries" as a per-query MAP
-    // (round 6's "slowest" key parsed to null), so the compact fallback
+    // way). Rounds 5-7 ALSO failed because sbt's forked-run logger
+    // decorated the line with an "[info] " prefix and appended a
+    // "[success]" banner after it — fixed in build.sbt (outputStrategy :=
+    // StdoutOutput, showSuccess := false) so this println reaches the
+    // driver verbatim as the last stdout line. The compact fallback
     // keeps the key name "queries" and truncates it to the slowest entries
     // that fit; full detail always lands in BENCH_DETAIL.json.
     val line =

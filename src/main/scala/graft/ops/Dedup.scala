@@ -734,8 +734,17 @@ object Dedup {
     * skipped on the join side, where they cannot produce a pair anyway.
     * Scale: fixed-width 8-byte shuffle keys, fan-out bounded by dfCap², no
     * all-pairs join. Int64 headroom: dot ≤ ‖a‖·‖b‖ (Cauchy-Schwarz), so
-    * dot²·10⁶ stays exact while per-doc Σc² < ~3·10⁶ — re-scale the ppm
-    * factor before pointing this at multi-megabyte documents. */
+    * dot²·10⁶ stays exact while per-doc Σc² ≤ 3·10⁶ — and that bound is
+    * now ENFORCED in-plan: the ppm expression raise_errors on any pair
+    * whose ‖v‖² exceeds the headroom instead of silently wrapping (Spark's
+    * non-ANSI int64 overflow is silent where DuckDB's errors, so a wrapped
+    * cos2_ppm would diverge invisibly in production). Re-scale the ppm
+    * factor, or chunk documents, before pointing this at multi-megabyte
+    * inputs. Collision caveat (same tradeoff as [[decontaminate]]): tf is
+    * keyed by xxhash64(shingle), so a 64-bit collision would merge two
+    * distinct shingles' counts into dot and norms with probability
+    * ~n²/2⁶⁴ — join on the shingle string instead if exactness against a
+    * string-keyed oracle must be unconditional. */
   def tfCosinePairs(df: DataFrame, textCol: String, idCol: String,
                     shingleSize: Int = 3, dfCap: Long = 100L,
                     minCos2Ppm: Long = 250000L): DataFrame = {
@@ -764,7 +773,14 @@ object Dedup {
       .join(norms.select(col("id").as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
       .join(norms.select(col("id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("dot"),
-        expr("dot * dot * 1000000 DIV (n2_a * n2_b)").as("cos2_ppm"))
+        // 3e6 per side ⇒ dot²·10⁶ ≤ 9e18 < Long.MaxValue (Cauchy-Schwarz);
+        // beyond it the multiply would wrap silently (non-ANSI), so fail loud
+        expr("""CASE WHEN n2_a > 3000000 OR n2_b > 3000000
+               |  THEN raise_error(concat('tfCosinePairs: ||v||^2 = (', n2_a,
+               |    ', ', n2_b, ') exceeds the int64 ppm headroom (3e6); ',
+               |    're-scale the ppm factor or chunk the documents'))
+               |  ELSE dot * dot * 1000000 DIV (n2_a * n2_b) END"""
+          .stripMargin).as("cos2_ppm"))
       .filter(col("cos2_ppm") >= minCos2Ppm)
   }
 

@@ -119,15 +119,21 @@ object Graph {
     * peel away); the standard cohesion primitive next to
     * [[triangleCounts]].
     *
-    * Each round is one co-partitioned edge⋈nodes join + a map-side-combined
-    * degree count — never an adjacency collect. Peeling is monotone (the
-    * node set only shrinks), so convergence is certified by comparing two
-    * COUNTS of already-checkpointed frames (the cheap probe the CC family
-    * settled on after round 6's exceptAll regression); if the set still
-    * shrinks after `maxRounds`, THROWS rather than returning a
-    * not-yet-core set. Peel depth is data-dependent but tiny on dup graphs
-    * (a path of length L needs L/2 rounds — the spec pins that
-    * pathology).
+    * Each peel is one co-partitioned edge⋈nodes join + a map-side-combined
+    * degree count — never an adjacency collect. The loop runs TWO peels per
+    * checkpoint+count probe: the checkpoint and the count action were the
+    * round-serial cost (the peels themselves pipeline lazily through
+    * Catalyst), so pairing them halves the action overhead at identical
+    * semantics — monotone shrink means "count unchanged across a double
+    * peel" still certifies the fixpoint, and the last probe's recomputed
+    * degree IS the in-core degree (the confirming probe removes nothing).
+    * `maxRounds` bounds the number of SHRINKING peels only; the confirming
+    * probe is free, so a graph whose peel fixpoint lands exactly on round
+    * `maxRounds` converges instead of throwing (the round-7 ADVICE
+    * off-by-one). If the set still shrinks beyond `maxRounds` effective
+    * peels, THROWS rather than returning a not-yet-core set. Peel depth is
+    * data-dependent but tiny on dup graphs (a path of length L needs L/2
+    * rounds — the spec pins that pathology).
     *
     * @param pairs undirected edges (`id_a`, `id_b`), `id_a < id_b`
     * @return (id, deg) — the k-core members with their in-core degree
@@ -137,29 +143,31 @@ object Graph {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint(false) // loop-invariant: every round re-joins it
+      .localCheckpoint(false) // loop-invariant: every peel re-joins it
+    def peel(nodes: DataFrame): DataFrame = sym
+      .join(nodes.select(col("id").as("src")), Seq("src"))
+      .join(nodes.select(col("id").as("dst")), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("src").as("id"), col("deg"))
     var cur = sym.select(col("src").as("id"), lit(0L).as("deg")).distinct()
       .localCheckpoint(false)
     var nCur = cur.count()
     var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val next = sym
-        .join(cur.select(col("id").as("src")), Seq("src"))
-        .join(cur.select(col("id").as("dst")), Seq("dst"))
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src").as("id"), col("deg"))
-        .localCheckpoint(false)
+    var shrinkPeels = 0
+    while (!converged) {
+      val next = peel(peel(cur)).localCheckpoint(false)
       val nNext = next.count()
       converged = nNext == nCur // monotone shrink: equal count = fixpoint
+      if (!converged) {
+        shrinkPeels += 2 // a non-converged probe spent at most 2 shrinking peels
+        if (shrinkPeels > maxRounds)
+          throw new IllegalStateException(
+            s"kCore(k=$k) did not converge within $maxRounds peel rounds")
+      }
       cur = next
       nCur = nNext
-      round += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"kCore(k=$k) did not converge within $maxRounds peel rounds")
     cur
   }
 }

