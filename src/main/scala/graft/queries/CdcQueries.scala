@@ -606,6 +606,36 @@ object CdcQueries {
     Snapshot.restore(s, snapDir).orderBy($"id")
   }
 
+  /** §1.4 event-store PARTITION DISCIPLINE — the materialized CDC state
+    * written as a (table, ingest-day)-partitioned parquet store and read
+    * back ONE day, the layout a 100 TB event store lives or dies by:
+    * per-(table, day) directories mean a daily consumer reads O(one day),
+    * never O(total history). The store content is [[cdc_wire_latest]]'s
+    * certified state; `day` is the synthetic ingest-day pk % 10 over a
+    * fixed epoch (the fixture's real es values span minutes, not days — a
+    * production sink would use `to_date(timestamp)`). The read filters
+    * (tbl, day) BEFORE any projection and PlanSpec asserts they land as
+    * PartitionFilters on the scan (directory pruning, zero row-level
+    * work); the oracle re-derives the day-5 slice from the orders key
+    * arithmetic alone. */
+  def cdc_store_pruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = CdcApply.materialize(wireOrderEvents(s, dir))
+      .select(lit("orders").as("tbl"),
+        date_add(lit("2024-01-01").cast("date"),
+          pmod($"pk".cast("bigint"), lit(10)).cast("int")).as("day"),
+        $"pk".cast("bigint").as("id"),
+        element_at($"data", "status").as("status"),
+        unix_millis($"timestamp").as("es_ms"))
+    val path = java.nio.file.Files.createTempDirectory("graft-store-").toString
+    deleteOnExit(path)
+    store.write.mode("overwrite").partitionBy("tbl", "day").parquet(path)
+    s.read.parquet(path)
+      .filter($"tbl" === "orders" && $"day" === lit("2024-01-05").cast("date"))
+      .select($"id", $"status", $"es_ms")
+      .orderBy($"id")
+  }
+
   /** Log compaction ([[graft.cdc.CdcApply.compactLog]]) certified by
     * replay: materialize the COMPACTED wire stream (≤ 1 event per key) and
     * require exactly the state plain materialization produces. Every wire
@@ -775,6 +805,7 @@ object CdcQueries {
     "s6_wire_logs" -> s6_wire_logs _,
     "cdc_wire_parse" -> cdc_wire_parse _,
     "cdc_wire_latest" -> cdc_wire_latest _,
+    "cdc_store_pruned" -> cdc_store_pruned _,
     "cdc_wire_asof" -> cdc_wire_asof _,
     "cdc_wire_agg_maintain" -> cdc_wire_agg_maintain _,
     "s5_snapshot_roundtrip" -> s5_snapshot_roundtrip _,
@@ -907,6 +938,14 @@ object CdcQueries {
       """SELECT o_orderkey AS id, o_orderstatus AS status, 'update' AS op,
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
+        |ORDER BY id""".stripMargin,
+    // the day-5 partition = surviving keys with pk % 10 = 4 (day index is
+    // pk % 10 over the 2024-01-01 epoch); state values as cdc_wire_latest
+    "cdc_store_pruned" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
+        |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
+        |  AND o_orderkey % 10 = 4
         |ORDER BY id""".stripMargin,
     // replaying the compacted log lands on cdc_wire_latest's state, but the
     // net op is INSERT (every key's window opens with its insert) at the

@@ -320,6 +320,38 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3b'''' — CERTIFIED-INTEGER IVF ([[Similarity.ivfTopKIntCertified]]):
+    * the inverted-file mechanics (coarse assignment → nProbe routing →
+    * in-list scoring) hash-checked end-to-end against DuckDB, the gate the
+    * float-centroid path (x3_ann_ivf, recall-bounded) structurally cannot
+    * have. Centroids are the first 8 corpus vectors (seed selection, no
+    * Lloyd refinement), all distances exact int64 milli-L2². */
+  def x3_ann_ivf_int(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    Similarity.ivfTopKIntCertified(
+        emb.filter($"vec_id" >= 60 && $"vec_id" < 80), emb,
+        k = 5, nLists = 8, nProbe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** X3b''''' — CERTIFIED-INTEGER PQ ([[Similarity.pqTopKIntCertified]]):
+    * per-subspace encode → codebook reconstruction → additive ADC, every
+    * step exact int64 and hash-checked against DuckDB (the trained-float
+    * path x3_ann_pq stays recall-bounded). Codebook = subspace slices of
+    * the first 8 corpus vectors; 8 subspaces × 8 dims over the 64-dim
+    * corpus. */
+  def x3_ann_pq_int(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    Similarity.pqTopKIntCertified(
+        emb.filter($"vec_id" >= 80 && $"vec_id" < 100), emb,
+        k = 5, dim = 64, m = 8, ksub = 8)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_d2m")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Recursively delete a temp dir at JVM exit — exit-time (not eager)
     * because the returned DataFrame still reads the index files lazily. */
   private def deleteOnExit(path: String): Unit =
@@ -385,16 +417,13 @@ object LlmOps {
     * cost is |corpus|·|eval|, linear in the corpus at a fixed eval set. */
   def x8_decontaminate_semantic(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.VectorFunctions.cosine
-    val ev = broadcast(embeddings(s, dir).filter($"vec_id" < 10)
-      .select($"vec_id".as("eval_id"), $"embedding".as("e_emb")))
-    embeddings(s, dir).filter($"vec_id" >= 10)
-      .select($"vec_id", $"embedding")
-      .crossJoin(ev)
-      .select($"vec_id", round(cosine($"embedding", $"e_emb"), 4).as("sim"))
-      .groupBy($"vec_id")
-      .agg(sum(when($"sim" >= 0.2, 1L).otherwise(0L)).as("n_eval_hits"),
-        max($"sim").as("max_eval_sim"))
+    // |eval| = 10 routes to the exact broadcast scan (the oracle-checked
+    // path); a real eval suite would exceed bruteForceEvalMax and take the
+    // sign-bucket candidate path — same call, spec-pinned at |eval| = 500
+    Similarity.semanticDecontaminate(
+        embeddings(s, dir).filter($"vec_id" >= 10),
+        embeddings(s, dir).filter($"vec_id" < 10),
+        dim = 64, simThreshold = 0.2)
       .orderBy($"vec_id")
   }
 
@@ -1099,6 +1128,8 @@ object LlmOps {
     "x3_ann_ivf" -> x3_ann_ivf _,
     "x3_ann_ivf_index" -> x3_ann_ivf_index _,
     "x3_ann_pq" -> x3_ann_pq _,
+    "x3_ann_ivf_int" -> x3_ann_ivf_int _,
+    "x3_ann_pq_int" -> x3_ann_pq_int _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
     "x8_decontaminate_semantic" -> x8_decontaminate_semantic _,
     "x3_sql_topk" -> x3_sql_topk _,
@@ -1298,6 +1329,68 @@ object LlmOps {
         |      ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM cand WHERE cand_rank <= 15)
         |SELECT query_id, rank, neighbor_id, q_dot, sim
+        |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "x3_ann_ivf_int" ->
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS mv
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 8),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2c ASC, cid ASC) AS r
+        |  FROM (SELECT m.vec_id, m.mv, cent.cid,
+        |          list_sum(list_transform(range(1, 65),
+        |            i -> (m.mv[i] - cent.cv[i]) * (m.mv[i] - cent.cv[i]))) AS d2c
+        |        FROM m CROSS JOIN cent)),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, mv AS c_mv, cid AS list_id
+        |  FROM ranked WHERE r = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, mv AS q_mv, cid AS list_id
+        |  FROM ranked WHERE r <= 2 AND vec_id >= 60 AND vec_id < 80),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id, a.list_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (p.q_mv[i] - a.c_mv[i]) * (p.q_mv[i] - a.c_mv[i]))) AS BIGINT) AS d2m
+        |  FROM probes p JOIN assigned a USING (list_id)
+        |  WHERE p.query_id <> a.neighbor_id),
+        |fin AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2m ASC, neighbor_id ASC) AS rank FROM cand)
+        |SELECT query_id, rank, neighbor_id, list_id, d2m
+        |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "x3_ann_pq_int" ->
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS mv
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 8),
+        |codes AS (
+        |  SELECT vec_id, j, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+        |      ORDER BY d2 ASC, cid ASC) AS r
+        |    FROM (SELECT m.vec_id, s.j, cb.cid,
+        |            list_sum(list_transform(range(1, 9),
+        |              i -> (m.mv[s.j * 8 + i] - cb.cv[s.j * 8 + i])
+        |                 * (m.mv[s.j * 8 + i] - cb.cv[s.j * 8 + i]))) AS d2
+        |          FROM m CROSS JOIN range(0, 8) s(j) CROSS JOIN cb))
+        |  WHERE r = 1),
+        |pieces AS (
+        |  SELECT c.vec_id AS neighbor_id, c.j, cb.cv
+        |  FROM codes c JOIN cb ON cb.cid = c.cid),
+        |adc AS (
+        |  SELECT q.vec_id AS query_id, p.neighbor_id,
+        |    CAST(SUM(list_sum(list_transform(range(1, 9),
+        |      i -> (q.mv[p.j * 8 + i] - p.cv[p.j * 8 + i])
+        |         * (q.mv[p.j * 8 + i] - p.cv[p.j * 8 + i])))) AS BIGINT) AS adc_d2m
+        |  FROM m q CROSS JOIN pieces p
+        |  WHERE q.vec_id >= 80 AND q.vec_id < 100 AND q.vec_id <> p.neighbor_id
+        |  GROUP BY q.vec_id, p.neighbor_id),
+        |fin AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_d2m ASC, neighbor_id ASC) AS rank FROM adc)
+        |SELECT query_id, rank, neighbor_id, adc_d2m
         |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x3_sql_topk" ->
       """WITH scored AS (

@@ -465,6 +465,34 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** [[q48_analyze_stats]]'s 100 TB SCALE PATH, as code instead of a prose
+    * note: bucket boundaries come from `approx_percentile` (a mergeable
+    * rank sketch — one map-side-combined pass, NO total-order ntile, so no
+    * single-reducer sort), and a second shuffle-free pass counts each row
+    * into its fixed range via the broadcast cut array; NDV drops to the
+    * HLL `approx_count_distinct` for the same reason. Rows-only for the
+    * driver (sketch cut points are engine-specific by construction); the
+    * spec bounds the depth skew against the exact twin — both entries stay,
+    * exact for DuckDB-certified semantics, approx for the plan you would
+    * actually run on a 1000-executor cluster. */
+  def q48_analyze_stats_approx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = round($"l_extendedprice" * 100).cast("bigint")
+    val li = lineitem(s, dir).select(cents.as("cents"))
+    val cuts = li.agg(expr(
+      "approx_percentile(cents, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875), 10000)")
+      .as("cuts"))
+    li.crossJoin(broadcast(cuts)) // 1-row boundary broadcast
+      .select($"cents",
+        (lit(1L) + aggregate($"cuts", lit(0L),
+          (acc, c) => acc + when($"cents" > c, 1L).otherwise(0L))).as("bucket"))
+      .groupBy($"bucket")
+      .agg(max($"cents").as("hi_cents"),
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct($"cents").as("ndv_approx"))
+      .orderBy($"bucket")
+  }
+
   /** Distribution-drift monitor (the data-quality "population stability"
     * check, run between any two slices — here the time halves of the event
     * stream): per event_type, its share of each half and the share shift,
@@ -990,6 +1018,7 @@ object Relational {
     "q45_dq_audit" -> q45_dq_audit _,
     "q46_asof_next" -> q46_asof_next _,
     "q47_bitmap_distinct" -> q47_bitmap_distinct _,
+    "q48_analyze_stats_approx" -> q48_analyze_stats_approx _,
     "q48_analyze_stats" -> q48_analyze_stats _,
     "q49_dist_drift" -> q49_dist_drift _,
   )

@@ -201,6 +201,37 @@ class SimilaritySpec extends SparkSpec {
     assert(maxOccupancy <= 4, s"bucket occupancy $maxOccupancy unexpectedly high")
   }
 
+  test("semantic decontamination: a 500-item eval set routes through sign " +
+    "buckets with bounded candidates and high recall on high-sim pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // eval = a re-keyed copy of the corpus: every corpus vector has an
+    // IDENTICAL twin in eval, whose signatures collide in every band — so
+    // catching all 500 self-contaminations is guaranteed, not probabilistic
+    val eval = emb.select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val cand = Similarity.signBucketCandidates(emb, eval, dim = 64)
+      .localCheckpoint(false)
+    val nCand = cand.count()
+    assert(nCand < 500L * 500L / 2,
+      s"candidate pairs $nCand not meaningfully below the 250k cross product")
+    // recall over truly-contaminated pairs (cosine >= 0.9): deterministic
+    // (seeded planes, fixed corpus), spec contract recall >= 0.8
+    val exact = emb.select($"vec_id", $"embedding".as("a"))
+      .crossJoin(eval.select($"vec_id".as("eval_id"), $"embedding".as("b")))
+      .filter(VectorFunctions.cosine($"a", $"b") >= 0.9)
+      .select($"vec_id", $"eval_id").as[(Long, Long)].collect().toSet
+    val got = cand.select($"vec_id", $"eval_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sign-bucket recall $recall over ${exact.size} pairs")
+    // the routed operator takes the bucketed path (eval > bruteForceEvalMax)
+    // and still reports every corpus vector, identical twins at sim 1.0
+    val out = Similarity.semanticDecontaminate(emb, eval, dim = 64,
+        simThreshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 500)
+    assert(out.forall { case (_, hits, maxSim) => hits >= 1L && maxSim === 1.0 },
+      "every corpus vector's identical eval twin must be flagged")
+  }
+
   test("MMR rerank: pick 1 is pure relevance; later picks trade off diversity") {
     // query at 0° sits BETWEEN a twin pair at −40°/−41° and a lone point at
     // +40°: pure relevance would take the twins first (1, 2, …); greedy MMR

@@ -200,6 +200,19 @@ class PlanSpec extends SparkSpec {
       s"fk checks must stay key-projection joins:\n$p")
   }
 
+  test("cdc_store_pruned: the (table, day) predicates prune store " +
+    "partitions at the scan") {
+    val p = plan(CdcQueries.cdc_store_pruned(spark, dir))
+    // both predicates must land as directory-level PartitionFilters (the
+    // whole point of the (tbl, day) layout); neither may survive as a
+    // row-level PushedFilter over data columns
+    assert(p.contains("PartitionFilters: [") && p.contains("day"),
+      s"expected a day-pruned store scan, got:\n$p")
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("tbl") && pf.contains("day"),
+      s"tbl+day must prune at directory level, got: $pf\n$p")
+  }
+
   test("cdc join maintenance: every delta join is a hash join on keys") {
     val p = plan(CdcQueries.cdc_join_maintain(spark, dir))
     assert(!p.contains("CartesianProduct"),
@@ -227,6 +240,28 @@ class PlanSpec extends SparkSpec {
       .agg(countDistinct($"l_orderkey").as("n"))
       .as[(String, Long)].collect().toMap
     assert(coarse === direct)
+  }
+
+  test("q48 approx twin: sketch-cut buckets approximate equi-depth with " +
+    "no total-order window") {
+    import spark.implicits._
+    val out = Relational.q48_analyze_stats_approx(spark, dir)
+    // the whole point of the twin: boundaries from a mergeable sketch, so
+    // the plan must contain NO window (the exact twin's single-reducer
+    // ntile) — the only sort left is the final 8-row orderBy
+    val p = plan(out)
+    assert(!p.contains("Window"),
+      s"approx stats must not total-order the table:\n$p")
+    val rows = out.as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === (1L to 8L))
+    val hi = rows.map(_._2)
+    assert(hi.toSeq === hi.sorted.toSeq, "boundaries must be non-decreasing")
+    val n = graft.tables.Tables.lineitem(spark, dir).count()
+    assert(rows.map(_._3).sum === n, "every row lands in exactly one bucket")
+    val target = n.toDouble / 8
+    rows.foreach { case (b, _, depth, _) =>
+      assert(math.abs(depth - target) <= target * 0.25,
+        s"bucket $b depth $depth strays >25% from equi-depth target $target") }
   }
 
   test("q48: equi-depth buckets are balanced, boundaries monotone, depths " +
