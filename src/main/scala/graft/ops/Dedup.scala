@@ -131,23 +131,18 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
-  /** MinHash-LSH with an md5-derived hash family and string band keys —
-    * the PORTABLE twin of [[minhashLshPairs]]: every step (min over
-    * `int(md5(seed|shingle)[0:15 hex])`, band-key equality, positionwise
-    * agreement) is exactly reproducible in ANSI-ish SQL, so the whole sketch
-    * pipeline is oracle-checkable, not just its exact-Jaccard target.
-    * Trade-offs vs the fast twin: md5 costs more than xxhash64 and string
-    * band keys shuffle wider than 8-byte hashes — use the xxhash64 form at
-    * scale, this form to certify the algorithm. */
-  def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
-                              shingleSize: Int = 3, bands: Int = 8,
-                              rowsPerBand: Int = 2, minJaccard: Double = 0.25): DataFrame = {
+  /** (id, sig, band, band_key) rows of the portable md5 MinHash family —
+    * the signature pipeline shared by [[minhashLshPairsPortable]] and
+    * [[lshIncrementalPortable]]. Hash family: one md5 per SEED PAIR, split
+    * into two 60-bit positive hashes (hex chars 1-15 and 16-30) — halves
+    * the md5 work — and the shingle set is exploded so the mins run as one
+    * codegen'd partial aggregation (md5 shared across the pair by
+    * subexpression elimination) instead of numHashes interpreted
+    * array_min(transform(...)) lambdas. */
+  private def portableBandRows(df: DataFrame, textCol: String, idCol: String,
+                               shingleSize: Int, bands: Int,
+                               rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Hash family: one md5 per SEED PAIR, split into two 60-bit positive
-    // hashes (hex chars 1-15 and 16-30) — halves the md5 work, and the
-    // shingle set is exploded so the mins run as one codegen'd partial
-    // aggregation (md5 shared across the pair by subexpression elimination)
-    // instead of numHashes interpreted array_min(transform(...)) lambdas.
     val shRows = df
       .select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleSize)).as("s"))
@@ -166,9 +161,26 @@ object Dedup {
       .localCheckpoint(false)
     def bandKey(sig: Column, b: Int): Column =
       concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))
-    val banded = sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b => bandKey(col("sig"), b)): _*))
         .as(Seq("band", "band_key")))
+  }
+
+  /** MinHash-LSH with an md5-derived hash family and string band keys —
+    * the PORTABLE twin of [[minhashLshPairs]]: every step (min over
+    * `int(md5(seed|shingle)[0:15 hex])`, band-key equality, positionwise
+    * agreement) is exactly reproducible in ANSI-ish SQL, so the whole sketch
+    * pipeline is oracle-checkable, not just its exact-Jaccard target.
+    * Trade-offs vs the fast twin: md5 costs more than xxhash64 and string
+    * band keys shuffle wider than 8-byte hashes — use the xxhash64 form at
+    * scale, this form to certify the algorithm. */
+  def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                              shingleSize: Int = 3, bands: Int = 8,
+                              rowsPerBand: Int = 2, minJaccard: Double = 0.25): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def bandKey(sig: Column, b: Int): Column =
+      concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))
+    val banded = portableBandRows(df, textCol, idCol, shingleSize, bands, rowsPerBand)
     val a = banded.select(col("band"), col("band_key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"),
@@ -184,6 +196,61 @@ object Dedup {
       .filter(firstMatchingBand)
       .select(col("id_a"), col("id_b"), estJaccard.as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** INCREMENTAL near-dup ingest — X2's analog of [[exactIncremental]]:
+    * classify each NEW document against the STANDING corpus's persisted
+    * LSH band index and against earlier documents of its own batch,
+    * re-hashing only the batch. The corpus index (the [[portableBandRows]]
+    * signature+band rows) is written to `indexDir` once and read back — in
+    * a real pipeline that parquet is maintained across ingests (append new
+    * keepers after each batch), so per-ingest cost is O(batch), never
+    * O(corpus): the property that keeps continuous near-dedup viable at
+    * 100 TB, exactly as [[exactIncremental]] establishes for digests.
+    *
+    * Classification is first-copy-wins, corpus first: any ≥`minAgree`
+    * signature agreement (integer positions-of-16, no float Jaccard)
+    * against the corpus ⇒ `near_dup_of_corpus`; else against a LOWER-id
+    * batch doc ⇒ `near_dup_within_batch`; else `keep`. The md5-portable
+    * family makes every step — signatures, band collision, agreement
+    * count, classification — oracle-replayable in SQL. Candidates come
+    * only from band collisions (the LSH contract): a sub-threshold pair
+    * that never collides is invisible by design on BOTH engines. */
+  def lshIncrementalPortable(corpus: DataFrame, batch: DataFrame,
+                             textCol: String, idCol: String, indexDir: String,
+                             shingleSize: Int = 3, bands: Int = 8,
+                             rowsPerBand: Int = 2, minAgree: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val spark = corpus.sparkSession
+    portableBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(indexDir)
+    val corpusBands = spark.read.parquet(indexDir)
+    val batchBands = portableBandRows(batch, textCol, idCol, shingleSize,
+      bands, rowsPerBand).localCheckpoint(false) // feeds both match passes
+    val agree = (0 until numHashes).map(i =>
+      when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1).otherwise(0))
+      .reduce(_ + _)
+    def matchCounts(other: DataFrame, cond: Column) = batchBands
+      .select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(other.select(col("band"), col("band_key"),
+        col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "band_key"))
+      .filter(cond)
+      .dropDuplicates("id_a", "id_b") // multi-band collisions count once
+      .filter(agree >= minAgree)
+      .groupBy(col("id_a")).agg(count(lit(1)).as("n"))
+    val vsCorpus = matchCounts(corpusBands, lit(true))
+    val withinBatch = matchCounts(batchBands, col("id_b") < col("id_a"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(vsCorpus.select(col("id_a").as("doc_id"), col("n").as("nc")),
+        Seq("doc_id"), "left")
+      .join(withinBatch.select(col("id_a").as("doc_id"), col("n").as("nb")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("nc"), lit(0L)) > 0, "near_dup_of_corpus")
+          .when(coalesce(col("nb"), lit(0L)) > 0, "near_dup_within_batch")
+          .otherwise("keep").as("status"),
+        coalesce(col("nc"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("nb"), lit(0L)).as("n_batch_matches"))
   }
 
   /** 64 sign-of-vote bits from a materialized word-hash array column.

@@ -930,6 +930,24 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** X2g — INCREMENTAL near-dup ingest ([[Dedup.lshIncrementalPortable]]):
+    * the arriving batch (doc_id % 5 = 0) is classified against the
+    * standing corpus's persisted LSH band index and against earlier docs
+    * of its own batch — only the batch is hashed, per-ingest cost O(batch)
+    * not O(corpus). First-copy-wins, corpus priority; ≥4-of-16 integer
+    * signature agreement as the near-dup cut; md5-portable family so the
+    * oracle replays signatures → band collisions → agreement →
+    * classification end-to-end. */
+  def x2_lsh_incremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-lsh-idx-").toString
+    deleteOnExit(idxDir)
+    Dedup.lshIncrementalPortable(docs.filter($"doc_id" % 5 =!= 0),
+        docs.filter($"doc_id" % 5 === 0), "text", "doc_id", idxDir)
+      .orderBy($"doc_id")
+  }
+
   /** X3g — HYBRID retrieval with reciprocal-rank fusion (RRF), the
     * standard two-arm serving shape (Elasticsearch/Vespa "hybrid search"):
     * a lexical arm (BM25 against fixed query terms, [[TextOps.bm25]]) and a
@@ -1170,6 +1188,7 @@ object LlmOps {
     "x4_oov_rate" -> x4_oov_rate _,
     "x2_containment" -> x2_containment _,
     "x2_tf_cosine" -> x2_tf_cosine _,
+    "x2_lsh_incremental" -> x2_lsh_incremental _,
     "x3_hybrid_rrf" -> x3_hybrid_rrf _,
     "x9_kcore" -> x9_kcore _,
     "x5_shard_manifest" -> x5_shard_manifest _,
@@ -1234,6 +1253,61 @@ object LlmOps {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // the full md5 signature pipeline of x2_minhash_md5, then the split
+    // batch-vs-corpus / batch-vs-earlier-batch candidate joins, integer
+    // 4-of-16 agreement, and first-copy-wins classification
+    "x2_lsh_incremental" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |sig AS (
+        |  SELECT doc_id, seed,
+        |    min(CAST(('0x' || substr(md5((seed // 2) || '|' || shingle),
+        |                             1 + 15 * (seed % 2), 15)) AS BIGINT)) AS h
+        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bandrows AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY doc_id, seed // 2),
+        |cand_c AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |cand_b AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 AND b.doc_id < a.doc_id),
+        |agree_c AS (
+        |  SELECT c.id_a FROM cand_c c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |agree_b AS (
+        |  SELECT c.id_a FROM cand_b c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |nc AS (SELECT id_a, count(*) AS n FROM agree_c GROUP BY id_a),
+        |nb AS (SELECT id_a, count(*) AS n FROM agree_b GROUP BY id_a)
+        |SELECT d.doc_id,
+        |  CASE WHEN coalesce(nc.n, 0) > 0 THEN 'near_dup_of_corpus'
+        |       WHEN coalesce(nb.n, 0) > 0 THEN 'near_dup_within_batch'
+        |       ELSE 'keep' END AS status,
+        |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_corpus_matches,
+        |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_batch_matches
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN nc ON nc.id_a = d.doc_id
+        |LEFT JOIN nb ON nb.id_a = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "x2_minhash_md5" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -506,6 +506,73 @@ object Relational {
     * `a·B·10⁶` caps at ~10⁶ rows per slice; for planet-scale counts shift
     * both halves' counts right by a common 2^s first (drift is
     * scale-invariant up to the floor). */
+  /** Multi-touch LAST-TOUCH conversion attribution — the marketing-
+    * analytics workhorse over the event stream: every purchase is credited
+    * to the user's most recent PRIOR touch (view/click/signup) within a
+    * 7-day lookback, else 'direct'. One co-partitioned user window over
+    * the total (ts, event_id) order with a strictly-prior ROWS frame; the
+    * touch rides as ONE struct (the as-of discipline — timestamp and
+    * channel can never stitch across rows), the lookback compares exact
+    * epoch micros, and channel shares are floor-divided integer ppm.
+    * Scale: the window shuffles once on user_id (bounded per-user state),
+    * the share join is a 1-row broadcast total — no self-join of events
+    * against events, which is how naive attribution SQL dies at 100 TB.
+    * Reference analog: the funnel/journey family over the indexed event
+    * store (tidb-cdc-dashboard.json event panels). */
+  def q50_attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"event_id", $"event_type",
+      unix_micros($"ts".cast("timestamp")).as("ts_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastTouch = last(
+      when($"event_type".isin("view", "click", "signup"),
+        struct($"ts_us".as("t_us"), $"event_type".as("ch"))),
+      ignoreNulls = true).over(w)
+    val attributed = ev
+      .withColumn("lt", lastTouch)
+      .filter($"event_type" === "purchase")
+      .select(
+        when($"lt".isNull || $"ts_us" - $"lt.t_us" > 7L * 86400000000L, "direct")
+          .otherwise($"lt.ch").as("channel"))
+    val counts = attributed.groupBy($"channel")
+      .agg(count(lit(1)).as("n_conversions"))
+      .localCheckpoint(false) // share pass re-reads counts, not the window
+    val tot = counts.agg(sum($"n_conversions").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select($"channel", $"n_conversions",
+        expr("n_conversions * 1000000 DIV t").as("share_ppm"))
+      .orderBy($"channel")
+  }
+
+  /** Mergeable-SKETCH distinct store — [[q47_bitmap_distinct]]'s
+    * approximate 100 TB sibling, using the Datasketches HLL aggregate
+    * family Spark ships natively: per-(returnflag, linestatus) sketches
+    * form the persisted leaf cube (checkpointed), and the per-returnflag
+    * level derives purely by `hll_union_agg` over those leaves — fixed
+    * ~KB state per group, map-side combinable, NEVER re-reading the fact
+    * table (plan-asserted, the q47 rule). Rows-only for the driver (the
+    * sketch binary and its estimate are engine-specific by construction);
+    * the spec bounds both levels against exact COUNT(DISTINCT) at the
+    * configured lgK=14 precision (±2σ ≈ 1.6%). The pairing is the
+    * production answer at both scales: bitmap for exact small-cardinality
+    * groups, HLL union for billion-key rollups. */
+  def q51_hll_store(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val leaf = lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))
+      .localCheckpoint() // both levels read the leaf sketches, not lineitem
+    val fine = leaf.select($"l_returnflag", $"l_linestatus",
+      expr("hll_sketch_estimate(sk)").cast("bigint").as("n_orders_est"))
+    val coarse = leaf.groupBy($"l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+        .cast("bigint").as("n_orders_est"))
+      .withColumn("l_linestatus", lit("ALL"))
+    fine.unionByName(coarse.select($"l_returnflag", $"l_linestatus", $"n_orders_est"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   def q49_dist_drift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = events(s, dir)
@@ -1021,6 +1088,8 @@ object Relational {
     "q48_analyze_stats_approx" -> q48_analyze_stats_approx _,
     "q48_analyze_stats" -> q48_analyze_stats _,
     "q49_dist_drift" -> q49_dist_drift _,
+    "q50_attribution" -> q50_attribution _,
+    "q51_hll_store" -> q51_hll_store _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1216,6 +1285,30 @@ object Relational {
         |  count(DISTINCT cents) AS ndv
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // same integer-minute midpoint and the TV-term ppm floor divisions
+    // last-touch replayed per purchase as a LATERAL top-1 over the same
+    // strictly-prior (ts, event_id) total order + the same 7-day micros cut
+    "q50_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |att AS (
+        |  SELECT CASE WHEN lt.ch IS NULL
+        |                 OR p.ts_us - lt.t_us > 604800000000 THEN 'direct'
+        |              ELSE lt.ch END AS channel
+        |  FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  LEFT JOIN LATERAL (
+        |    SELECT t.event_type AS ch, t.ts_us AS t_us FROM ev t
+        |    WHERE t.user_id = p.user_id
+        |      AND t.event_type IN ('view', 'click', 'signup')
+        |      AND (t.ts_us < p.ts_us
+        |           OR (t.ts_us = p.ts_us AND t.event_id < p.event_id))
+        |    ORDER BY t.ts_us DESC, t.event_id DESC LIMIT 1) lt ON TRUE),
+        |counts AS (
+        |  SELECT channel, count(*) AS n_conversions FROM att GROUP BY channel),
+        |tot AS (SELECT sum(n_conversions) AS t FROM counts)
+        |SELECT channel, n_conversions,
+        |  CAST((n_conversions * 1000000) // t AS BIGINT) AS share_ppm
+        |FROM counts, tot ORDER BY channel""".stripMargin,
     "q49_dist_drift" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(epoch(ts) AS BIGINT) // 60 AS m FROM events),

@@ -242,6 +242,30 @@ class PlanSpec extends SparkSpec {
     assert(coarse === direct)
   }
 
+  test("q51 hll store: union-merged sketch estimates stay within HLL error " +
+    "of exact distinct and the rollup reads only the leaf sketches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Relational.q51_hll_store(spark, dir)
+    // the q47 rule for the approximate sibling: after the leaf checkpoint
+    // the two-level plan must not touch parquet at all
+    val p = plan(out)
+    assert(!p.contains("FileScan"),
+      s"hll rollup re-scans the fact table instead of the leaf sketches:\n$p")
+    val est = out.filter($"l_linestatus" === "ALL")
+      .select($"l_returnflag", $"n_orders_est").as[(String, Long)].collect().toMap
+    val exact = graft.tables.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n")).as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    // lgK=14 ⇒ relative standard error ~0.81%; 4σ bound with a floor for
+    // tiny groups (deterministic: fixed data, fixed sketch seed)
+    exact.foreach { case (k, n) =>
+      val tol = math.max(4, (n * 0.033).toLong)
+      assert(math.abs(est(k) - n) <= tol,
+        s"group $k estimate ${est(k)} strays from exact $n by > $tol") }
+  }
+
   test("q48 approx twin: sketch-cut buckets approximate equi-depth with " +
     "no total-order window") {
     import spark.implicits._

@@ -658,6 +658,99 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((1L, 3L, base + 10, base + 40, base + 45)))
   }
 
+  test("q40' retention: streaming state op equals the batch cohort plan, " +
+    "late earlier event shifts the cohort week") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.JourneyStream
+    import graft.streaming.JourneyStream.JourneyEvent
+    val monday = 1704067200000000L // 2024-01-01, a Monday
+    val day = 86400000000L
+    def e(u: Long, id: Long, us: Long) = JourneyEvent(u, id, us, "view")
+    val batch1 = Seq(
+      e(1, 1, monday + 2 * day),       // week 0 (Wed)
+      e(1, 2, monday + 15 * day),      // week 2
+      e(2, 3, monday + 8 * day))       // user 2: cohort = week 1
+    val batch2 = Seq(
+      e(1, 4, monday - 3 * day))       // LATE, week -1: shifts user 1's cohort
+    val mem = MemoryStream[JourneyEvent]
+    val q = JourneyStream.retentionUpdates(mem.toDS())
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("retention_stream")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    val streamed = byUser.values.flatMap { rows =>
+      val latest = rows.map(_._4).max
+      rows.filter(_._4 == latest).map(r => (r._1, r._2, r._3))
+    }.toSet
+    // batch twin: the q40-shaped cohort plan over the full fixture
+    val ev = (batch1 ++ batch2).toDS()
+      .withColumn("ts", timestamp_micros($"ts_us"))
+    val cohort = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val active = ev
+      .select($"user_id", date_trunc("week", $"ts").as("active_week")).distinct()
+    val expected = cohort.join(active, "user_id")
+      .select($"user_id",
+        datediff($"cohort_week", lit("1970-01-01").cast("date")).cast("bigint"),
+        expr("CAST(datediff(active_week, cohort_week) DIV 7 AS BIGINT)"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === expected)
+    // the late-event certificate: user 1's cohort moved to week -1, so the
+    // original weeks re-indexed to k = 1 and k = 3 and week -1 became k = 0
+    val u1 = streamed.filter(_._1 == 1L).map(r => (r._2, r._3))
+    val cohortDay = JourneyStream.weekStartDay(monday - 3 * day)
+    assert(u1 === Set((cohortDay, 0L), (cohortDay, 1L), (cohortDay, 3L)))
+  }
+
+  test("q41' transitions: streaming state op equals the batch lead-window " +
+    "pairs, late event rewires both adjacent transitions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.JourneyStream
+    import graft.streaming.JourneyStream.JourneyEvent
+    val base = 1704067200000000L
+    def e(u: Long, id: Long, us: Long, t: String) = JourneyEvent(u, id, base + us, t)
+    val batch1 = Seq(
+      e(1, 1, 10, "view"), e(1, 2, 30, "purchase"), // view→purchase, for now
+      e(2, 4, 10, "view"), e(2, 5, 10, "click"))    // ts tie: order by event_id
+    val batch2 = Seq(
+      e(1, 3, 20, "click"))  // lands BETWEEN: view→click, click→purchase
+    val mem = MemoryStream[JourneyEvent]
+    val q = JourneyStream.transitionUpdates(mem.toDS())
+      .writeStream.format("memory").queryName("transition_stream")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val byUser = spark.table("transition_stream")
+      .as[(Long, String, String, Long, Long)].collect().groupBy(_._1)
+    val streamed = byUser.values.flatMap { rows =>
+      val latest = rows.map(_._5).max
+      rows.filter(_._5 == latest).map(r => (r._1, r._2, r._3, r._4))
+    }.toSet
+    // batch twin: the q41-shaped lead window over the full fixture
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val expected = (batch1 ++ batch2).toDS()
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"user_id", $"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed === expected)
+    // the rewiring certificate: view→purchase is GONE after the late click
+    assert(!streamed.exists(r => r._1 == 1L && r._2 == "view" && r._3 == "purchase"))
+    assert(streamed.contains((1L, "view", "click", 1L)))
+    assert(streamed.contains((1L, "click", "purchase", 1L)))
+    assert(streamed.contains((2L, "view", "click", 1L))) // id tie-break order
+  }
+
   test("S1 Kafka source contract: options mirror the reference consumer config") {
     // No broker (or connector jar) in the sandbox, so the assertable surface
     // is the options map the reader is built from (index.js:26-33 +
