@@ -362,6 +362,36 @@ object MetricsOps {
     * (alerting semantics); minutes with no events are not part of the
     * population (absence is [[p19_absent]]'s job). One narrow bucketing
     * shuffle + one broadcast of per-series scalars. */
+  /** P26 — CUSUM drift / change-point detector over per-minute counts: the
+    * classic sequential test S_t = max(0, S_{t−1} + (x_t − k)) that flags
+    * SUSTAINED upward drift a single-point 3σ test (p21) cannot see. The
+    * reset recurrence looks iterative but is exactly the closed form
+    * S_t = P_t − min(P_0..P_t) over the prefix sums P of (x − k) with
+    * P_0 = 0 — so it runs as ONE window pass (prefix sum + running min on
+    * the same partitioning/order: one shuffle, one sort), in exact int64,
+    * and the oracle replays it bit-for-bit. Reference allowance
+    * k = floor(mean)+1 per series (a count must run persistently above
+    * its mean to accumulate); alarm at the conventional h = 5k. Operates
+    * on observed minutes; at 100 TB compose with the p22 gap-fill spine
+    * first when silent minutes must count as zeros. */
+  def p26_cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perMin = events(s, dir)
+      .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // stats pass + cusum pass share one bucketing
+    val stats = perMin.groupBy($"event_type")
+      .agg(expr("sum(cnt) DIV count(1) + 1").as("k"))
+    val w = Window.partitionBy($"event_type").orderBy($"minute")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMin.join(broadcast(stats), Seq("event_type"))
+      .withColumn("pfx", sum($"cnt" - $"k").over(w))
+      .withColumn("cusum", $"pfx" - least(min($"pfx").over(w), lit(0L)))
+      .select($"event_type", $"minute", $"cnt", $"cusum",
+        when($"cusum" > lit(5L) * $"k", 1L).otherwise(0L).as("alarm"))
+      .orderBy($"event_type", $"minute")
+  }
+
   def p21_anomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perMin = events(s, dir)
@@ -797,6 +827,7 @@ object MetricsOps {
     "p17_offset_ratio" -> p17_offset_ratio _,
     "p18_irate" -> p18_irate _,
     "p21_anomaly" -> p21_anomaly _,
+    "p26_cusum" -> p26_cusum _,
     "p22_gapfill" -> p22_gapfill _,
     "p23_lttb" -> p23_lttb _,
     "p24_group_left" -> p24_group_left _,
@@ -1078,6 +1109,28 @@ object MetricsOps {
         |FROM hourly h JOIN tot t USING (event_type)
         |ORDER BY event_type, hour""".stripMargin,
     // the multiplied-out 3-sigma inequality in pure int64 on both engines
+    // the reset recurrence replayed via the same closed form: prefix sums
+    // of (cnt - k) minus their running min (clamped to <= 0), exact int64
+    "p26_cusum" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY event_type, minute),
+        |st AS (
+        |  SELECT event_type, CAST(sum(cnt) // count(*) + 1 AS BIGINT) AS k
+        |  FROM b GROUP BY event_type),
+        |pre AS (
+        |  SELECT b.event_type, b.minute, b.cnt, st.k,
+        |    sum(b.cnt - st.k) OVER (PARTITION BY b.event_type
+        |      ORDER BY b.minute ROWS UNBOUNDED PRECEDING) AS pfx
+        |  FROM b JOIN st USING (event_type))
+        |SELECT event_type, minute, cnt,
+        |  CAST(pfx - least(min(pfx) OVER (PARTITION BY event_type
+        |    ORDER BY minute ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cusum,
+        |  CAST(CASE WHEN pfx - least(min(pfx) OVER (PARTITION BY event_type
+        |    ORDER BY minute ROWS UNBOUNDED PRECEDING), 0) > 5 * k
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM pre ORDER BY event_type, minute""".stripMargin,
     "p21_anomaly" ->
       """WITH b AS (
         |  SELECT event_type, date_trunc('minute', ts) AS minute,

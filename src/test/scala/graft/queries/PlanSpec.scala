@@ -180,6 +180,32 @@ class PlanSpec extends SparkSpec {
       s"triangle counting must never fall to nested-loop:\n$p")
   }
 
+  test("p26 cusum: the closed-form window pass equals the reset recurrence " +
+    "replayed row by row, and both windows share one sort") {
+    import spark.implicits._
+    val out = MetricsOps.p26_cusum(spark, dir)
+      .as[(String, java.sql.Timestamp, Long, Long, Long)].collect()
+    // driver-side replay of S_t = max(0, S_{t-1} + (cnt - k)) per series,
+    // k re-derived from the same observed minutes
+    out.groupBy(_._1).foreach { case (et, rows) =>
+      val ordered = rows.sortBy(_._2.getTime)
+      val k = ordered.map(_._3).sum / ordered.length + 1
+      var s = 0L
+      ordered.foreach { case (_, _, cnt, cusum, alarm) =>
+        s = math.max(0L, s + (cnt - k))
+        assert(cusum === s, s"$et cusum drifts from the recurrence")
+        assert(alarm === (if (s > 5 * k) 1L else 0L))
+      }
+    }
+    // prefix sum and running min ride the same (partition, order): exactly
+    // ONE window-local sort (partial, `false`) feeds both Window nodes —
+    // the only other Sort is the global output orderBy (`true`)
+    val p = plan(MetricsOps.p26_cusum(spark, dir))
+    val windowSorts =
+      "Sort \\[event_type[^\\]]*minute[^\\]]*\\], false".r.findAllIn(p).size
+    assert(windowSorts == 1, s"cusum windows must share one sort:\n$p")
+  }
+
   test("p21 anomaly: per-series stats broadcast into the flag pass") {
     val p = plan(MetricsOps.p21_anomaly(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
