@@ -453,4 +453,83 @@ object TextOps {
       .filter(col("cnt") * 10000 >= col("n") * supportBp)
       .select(col("token"), col("cnt"))
   }
+
+  /** Greedy left-to-right merge of every non-overlapping (a, b) adjacency
+    * in a token array — the BPE apply step — as ONE codegen'd `aggregate`
+    * fold (index walk with a skip flag), no UDF. */
+  private def applyMerge(toks: Column, a: String, b: String): Column = {
+    val zero = struct(array().cast("array<string>").as("out"),
+      lit(false).as("skip"))
+    aggregate(sequence(lit(1), size(toks)), zero,
+      (acc, i) => {
+        val emitted = acc.getField("out")
+        val isPair = i < size(toks) &&
+          element_at(toks, i) === lit(a) && element_at(toks, i + 1) === lit(b)
+        when(acc.getField("skip"),
+            struct(emitted.as("out"), lit(false).as("skip")))
+          .when(isPair,
+            struct(array_append(emitted, lit(a + b)).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(array_append(emitted, element_at(toks, i)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** BYTE-PAIR-ENCODING merge training (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units") — tokenizer vocabulary
+    * induction, the step every LLM data pipeline runs before token
+    * counting means anything. Standard word-level BPE: start from the
+    * per-WORD character sequences weighted by word frequency, repeatedly
+    * (1) count adjacent symbol pairs, (2) pick the most frequent
+    * (ties: count desc, then left/right lexicographic — deterministic),
+    * (3) merge every non-overlapping occurrence left-to-right.
+    *
+    * Scale shape — why this survives 100 TB: training operates on the
+    * DISTINCT-WORD frequency table (vocabulary-sized, orders below the
+    * corpus — the one groupBy over the raw corpus happens once), each
+    * round is one map-side-combined pair count, and the only driver
+    * traffic is the ONE winning merge rule per round (bounded metadata —
+    * exactly what real BPE trainers ship between workers). The apply step
+    * is a codegen'd fold over bounded word-length arrays. Per-round
+    * localCheckpoint keeps the iterated plan O(1) deep ([[graft.ops.Dedup]]
+    * loop rule). Rows-only for the driver (the loop has no SQL replay);
+    * the spec replays the whole training greedily on the driver and
+    * matches every rule. */
+  def bpeMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      // char-split, empty fragments dropped (split("") edge behavior)
+      .select(filter(split(col("w"), ""), t => t =!= lit("")).as("toks"),
+        col("freq"))
+      .localCheckpoint(false)
+    val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to numMerges) {
+      val pairs = words
+        .select(col("freq"), col("toks"),
+          posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+            .as(Seq("i", "a")))
+        .select(col("freq"), col("a"),
+          element_at(col("toks"), col("i") + 2).as("b"))
+      val top = pairs.groupBy(col("a"), col("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val row = top.head
+        val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+        rules += ((r.toLong, a, b, cnt))
+        words = words
+          .select(applyMerge(col("toks"), a, b).as("toks"), col("freq"))
+          .localCheckpoint(false)
+      }
+    }
+    rules.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select("merge_rank", "left", "right", "merged", "pair_count")
+  }
 }

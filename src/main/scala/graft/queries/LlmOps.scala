@@ -930,6 +930,19 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** X4t — BPE tokenizer-vocabulary induction ([[TextOps.bpeMerges]]): the
+    * first 8 byte-pair merges trained on the corpus's distinct-word
+    * frequency table — pair counts distributed and map-side combined, ONE
+    * winning rule collected per round (bounded metadata, the real
+    * trainer's shape). Rows-only for the driver (the training loop has no
+    * SQL replay); TextOpsSpec replays the greedy algorithm on the driver
+    * and matches every rule and count. */
+  def x4_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.bpeMerges(documents(s, dir), "text", numMerges = 8)
+      .orderBy($"merge_rank")
+  }
+
   /** X2g — INCREMENTAL near-dup ingest ([[Dedup.lshIncrementalPortable]]):
     * the arriving batch (doc_id % 5 = 0) is classified against the
     * standing corpus's persisted LSH band index and against earlier docs
@@ -1189,6 +1202,7 @@ object LlmOps {
     "x2_containment" -> x2_containment _,
     "x2_tf_cosine" -> x2_tf_cosine _,
     "x2_lsh_incremental" -> x2_lsh_incremental _,
+    "x4_bpe_train" -> x4_bpe_train _,
     "x3_hybrid_rrf" -> x3_hybrid_rrf _,
     "x9_kcore" -> x9_kcore _,
     "x5_shard_manifest" -> x5_shard_manifest _,

@@ -265,4 +265,48 @@ class TextOpsSpec extends SparkSpec {
     assert(ny._4 > tt._4) // genuine collocation outranks frequent-word noise
     assert(!got.contains(("rare", "pair"))) // below minCount
   }
+
+  test("BPE merge training equals a driver-side greedy replay on the real " +
+    "corpus, with deterministic tie-breaks") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = 6
+    val got = TextOps.bpeMerges(docs, "text", n)
+      .orderBy($"merge_rank")
+      .as[(Long, String, String, String, Long)].collect()
+    // plain-Scala replay of the identical algorithm over the same
+    // word-frequency table: count pairs, pick (count desc, a asc, b asc),
+    // merge left-to-right non-overlapping, repeat
+    var words: Map[Vector[String], Long] = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+      .map { case (w, f) =>
+        (w.split("").filter(_.nonEmpty).toVector, f) }.toMap
+    val expected = (1 to n).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (toks, f) =>
+        toks.zip(toks.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), cnt) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, x, y) }
+      def mergeWord(toks: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.result()
+      }
+      words = words.groupBy { case (toks, _) => mergeWord(toks) }
+        .map { case (t, m) => (t, m.values.sum) }
+      (r.toLong, a, b, a + b, cnt)
+    }
+    assert(got.toSeq === expected)
+    assert(got.map(_._5).toSeq === got.map(_._5).sorted.reverse.toSeq ||
+      true) // counts need not be monotone; rule equality above is the gate
+  }
 }
