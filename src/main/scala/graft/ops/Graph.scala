@@ -120,15 +120,22 @@ object Graph {
     * [[triangleCounts]].
     *
     * Each peel is one co-partitioned edge⋈nodes join + a map-side-combined
-    * degree count — never an adjacency collect. The loop runs TWO peels per
-    * checkpoint+count probe: the checkpoint and the count action were the
-    * round-serial cost (the peels themselves pipeline lazily through
-    * Catalyst), so pairing them halves the action overhead at identical
-    * semantics — monotone shrink means "count unchanged across a double
-    * peel" still certifies the fixpoint, and the last probe's recomputed
-    * degree IS the in-core degree (the confirming probe removes nothing).
-    * `maxRounds` bounds the number of SHRINKING peels only; the confirming
-    * probe is free, so a graph whose peel fixpoint lands exactly on round
+    * degree count — never an adjacency collect. The FIRST peel needs no
+    * node-join at all (every endpoint is trivially present), so it is a
+    * plain degree aggregation over the edge frame — the two most expensive
+    * joins of the old shape (full edge set ⋈ full node set, twice) never
+    * happen. The loop then runs SINGLE-peel rounds, each lazily
+    * checkpointed, but probes the count only every SECOND peel: the count
+    * action was the round-serial cost, so pairing probes halves the action
+    * overhead, while per-peel checkpoints keep the un-checkpointed plan
+    * segment one peel deep (round 8 showed a two-peel-deep segment costs
+    * MORE than the action it saves — AQE can't size the inner node frame,
+    * so the second peel's joins can't broadcast the shrunken set).
+    * Monotone shrink means "count unchanged across a double peel" still
+    * certifies the fixpoint, and the last probe's recomputed degree IS the
+    * in-core degree (the confirming probe removes nothing). `maxRounds`
+    * bounds the number of SHRINKING peels only; the confirming probe is
+    * free, so a graph whose peel fixpoint lands exactly on round
     * `maxRounds` converges instead of throwing (the round-7 ADVICE
     * off-by-one). If the set still shrinks beyond `maxRounds` effective
     * peels, THROWS rather than returning a not-yet-core set. Peel depth is
@@ -136,13 +143,22 @@ object Graph {
     * rounds — the spec pins that pathology).
     *
     * @param pairs undirected edges (`id_a`, `id_b`), `id_a < id_b`
+    * @param uniquePairs caller asserts `pairs` is already duplicate-free
+    *   with the `id_a < id_b` invariant (true for every blocked-pair
+    *   producer in [[Dedup]], which all end in a groupBy on the pair) —
+    *   the two symmetrized branches are then provably disjoint and the
+    *   dedup shuffle over the full edge frame is skipped entirely
     * @return (id, deg) — the k-core members with their in-core degree
     */
-  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 8,
+            uniquePairs: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
+    // materialize pairs once: the symmetrizing union otherwise computes the
+    // (often expensive) pair-producer plan twice, once per branch
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val symRaw = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val sym = (if (uniquePairs) symRaw else symRaw.distinct())
       .localCheckpoint(false) // loop-invariant: every peel re-joins it
     def peel(nodes: DataFrame): DataFrame = sym
       .join(nodes.select(col("id").as("src")), Seq("src"))
@@ -150,13 +166,20 @@ object Graph {
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k)
       .select(col("src").as("id"), col("deg"))
-    var cur = sym.select(col("src").as("id"), lit(0L).as("deg")).distinct()
+    // Peel 1 degenerates to a bare degree count: with all nodes present the
+    // two node-joins are identities, so skip them on the largest frame.
+    var cur = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("src").as("id"), col("deg"))
       .localCheckpoint(false)
     var nCur = cur.count()
     var converged = false
-    var shrinkPeels = 0
+    var shrinkPeels = 1 // the degree-init IS peel 1 (it may have removed nodes)
     while (!converged) {
-      val next = peel(peel(cur)).localCheckpoint(false)
+      // Two single-peel rounds per probe; checkpoint EACH so the count
+      // materializes two shallow segments (and AQE sees the mid frame's
+      // size), not one double-deep one.
+      val next = peel(peel(cur).localCheckpoint(false)).localCheckpoint(false)
       val nNext = next.count()
       converged = nNext == nCur // monotone shrink: equal count = fixpoint
       if (!converged) {

@@ -1019,7 +1019,7 @@ object LlmOps {
     import s.implicits._
     val pairs = Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
       shingleSize = 3, minJaccard = 0.3)
-    Graph.kCore(pairs, k = 2)
+    Graph.kCore(pairs, k = 2, uniquePairs = true) // groupBy(id_a,id_b) producer
       .select($"id".as("doc_id"), $"deg")
       .orderBy($"doc_id")
   }
