@@ -38,7 +38,8 @@ object Bench {
     * total and surfaced via `n_failed` (round 6 had 37 broken queries
     * masquerade as 0.1 s "speedups" because failures were swallowed). */
   private final case class Timing(name: String, cold: Double, warm: Double,
-                                  failed: Boolean = false)
+                                  failed: Boolean = false,
+                                  runs: Seq[Double] = Nil)
 
   private def runInline(names: Seq[String], sfDir: String, cpus: String): Seq[Timing] = {
     val spark = EngineSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -82,15 +83,30 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val (t1, ok1) = runOnce(name, fn)
-      if (!ok1) Timing(name, t1, t1, failed = true)
+      if (!ok1) Timing(name, t1, t1, failed = true, runs = Seq(t1))
       else {
-        val sec =
-          if (t1 <= warmCutoff) {
+        // Variance defense (round-8 verdict #2): a warm run that fails to
+        // beat the cold run is the signature of a machine-state artifact
+        // (cold carries codegen+JIT, so warm < cold is the expected shape;
+        // r8's three cold==warm outliers were all transient slowness that a
+        // single min-of-2 couldn't shake). Tie-break with a THIRD run in
+        // exactly that case — cheap, because it only fires on anomalies —
+        // and surface every raw run time so drift is diagnosable from the
+        // artifact alone (BENCH_DETAIL.json `runs`).
+        val runs: Seq[Double] =
+          if (t1 > warmCutoff) Seq(t1)
+          else {
             val (t2, ok2) = runOnce(name, fn)
-            if (ok2) math.min(t1, t2) else t1 // flaky rerun: keep the good run
-          } else t1
+            if (!ok2) Seq(t1) // flaky rerun: keep the good run
+            else if (t2 < t1) Seq(t1, t2)
+            else {
+              val (t3, ok3) = runOnce(name, fn)
+              if (ok3) Seq(t1, t2, t3) else Seq(t1, t2)
+            }
+          }
+        val sec = runs.min
         System.err.println(f"[bench] $name%-24s $sec%9.3f s  (cold ${t1}%.3f s)")
-        Timing(name, t1, sec)
+        Timing(name, t1, sec, runs = runs)
       }
     }
     spark.stop()
@@ -123,11 +139,16 @@ object Bench {
       def extract(section: String): Option[Double] =
         ("\"" + section + "\":\\{\"" + q + "\":([0-9.]+)").r
           .findFirstMatchIn(out).map(_.group(1).toDouble)
+      def extractRuns: Seq[Double] =
+        ("\"runs\":\\{\"" + q + "\":\\[([0-9.,]+)\\]").r
+          .findFirstMatchIn(out).toSeq
+          .flatMap(_.group(1).split(",").toSeq.map(_.toDouble))
       // The child excludes a failed query from its "queries" map and sets
       // n_failed; a missing map (or dead child) is therefore a FAILURE, not
       // a wall-clock measurement (round 6's silent-swallow lesson).
       val t = extract("queries").filter(_ => rc == 0) match {
-        case Some(warm) => Timing(name, extract("cold").getOrElse(warm), warm)
+        case Some(warm) =>
+          Timing(name, extract("cold").getOrElse(warm), warm, runs = extractRuns)
         case None =>
           System.err.println(s"[bench] $name FAILED (child rc=$rc, no measurement)")
           Timing(name, wall, wall, failed = true)
@@ -145,14 +166,16 @@ object Bench {
   /** Full per-query record — the artifact the bounded tail cannot clip. */
   private def writeDetail(path: String, results: Seq[Timing],
                           total: Double, sfDir: String): Unit = {
-    val rows = results.map(t =>
+    val rows = results.map { t =>
+      val runs = t.runs.map(v => f"$v%.3f").mkString("[", ", ", "]")
       if (t.failed)
-        f"""  "${t.name}": {"failed": true, "elapsed": ${t.warm}%.3f}"""
+        f"""  "${t.name}": {"failed": true, "elapsed": ${t.warm}%.3f, "runs": $runs}"""
       else
-        f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f}""")
+        f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs}"""
+    }
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         | "methodology": "per-query forked JVM; warm = min of 2 runs, cold = first run",
+         | "methodology": "per-query forked JVM; warm = min of runs, cold = first run; a 3rd run tie-breaks when run2 >= run1 (variance defense); raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}
@@ -172,6 +195,19 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val isChild = sys.env.get("SPARK_GRAFT_FORKED").contains("1")
     val inline = isChild || sys.env.get("SPARK_GRAFT_NO_FORK").contains("1")
+    if (!inline) {
+      // Populate the run-level fixture caches BEFORE any timed child forks,
+      // so the first cdc query measures the parse operator, not the one-time
+      // generate→to_json→parquet cache build (round-8 verdict #3). Idempotent
+      // and ~free when the cache is already warm.
+      val pw = EngineSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+      pw.sparkContext.setLogLevel("WARN")
+      try graft.queries.CdcQueries.prewarmFixtures(pw, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] fixture prewarm failed: ${e.getMessage}")
+      }
+      pw.stop()
+    }
     val results = if (inline) runInline(names, sfDir, cpus) else runForked(names)
     val (failedQ, okQ) = results.partition(_.failed)
     // Total covers only genuine measurements; failed queries are named on
@@ -192,7 +228,15 @@ object Bench {
     val warm = jsonMap(okQ.map(t => t.name -> t.warm))
     val cold = jsonMap(okQ.map(t => t.name -> t.cold))
     val nFailed = s""","n_failed":${failedQ.size}"""
-    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$warm,"cold":$cold$nFailed,"sf":"$sfDir"}"""
+    // A child's one-query line also carries the raw run times, which the
+    // parent extracts into the detail artifact (variance diagnosability).
+    val runsSection =
+      if (isChild)
+        "," + "\"runs\":" + okQ.map(t =>
+          "\"" + t.name + "\":" + t.runs.map(v => f"$v%.3f").mkString("[", ",", "]"))
+          .mkString("{", ",", "}")
+      else ""
+    val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$warm,"cold":$cold$runsSection$nFailed,"sf":"$sfDir"}"""
     // The driver parses the line from a bounded ~2 KB output tail; a line
     // that outgrows it gets clipped mid-JSON (round 5 lost the total this
     // way). Rounds 5-7 ALSO failed because sbt's forked-run logger
