@@ -198,15 +198,29 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** Build (or rebuild) the persisted LSH band index for
+    * [[lshIncrementalPortable]]: the [[portableBandRows]] signature+band
+    * rows of the standing corpus, written as parquet at `indexDir`. */
+  def buildLshBandIndex(corpus: DataFrame, textCol: String, idCol: String,
+                        indexDir: String, shingleSize: Int = 3,
+                        bands: Int = 8, rowsPerBand: Int = 2): Unit = {
+    portableBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(indexDir)
+    ()
+  }
+
   /** INCREMENTAL near-dup ingest — X2's analog of [[exactIncremental]]:
     * classify each NEW document against the STANDING corpus's persisted
     * LSH band index and against earlier documents of its own batch,
     * re-hashing only the batch. The corpus index (the [[portableBandRows]]
-    * signature+band rows) is written to `indexDir` once and read back — in
-    * a real pipeline that parquet is maintained across ingests (append new
-    * keepers after each batch), so per-ingest cost is O(batch), never
-    * O(corpus): the property that keeps continuous near-dedup viable at
-    * 100 TB, exactly as [[exactIncremental]] establishes for digests.
+    * signature+band rows) is built at `indexDir` ONLY when no valid index
+    * (`_SUCCESS` marker) is already there — every later ingest against the
+    * same path reuses it, so per-ingest cost is O(batch), never O(corpus):
+    * the property that keeps continuous near-dedup viable at 100 TB,
+    * exactly as [[exactIncremental]] establishes for digests. The caller
+    * owns invalidation: maintain the index across ingests (append new
+    * keepers' band rows), or rebuild explicitly via [[buildLshBandIndex]]
+    * when the corpus changes out-of-band.
     *
     * Classification is first-copy-wins, corpus first: any ≥`minAgree`
     * signature agreement (integer positions-of-16, no float Jaccard)
@@ -222,8 +236,14 @@ object Dedup {
                              rowsPerBand: Int = 2, minAgree: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
     val spark = corpus.sparkSession
-    portableBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand)
-      .write.mode("overwrite").parquet(indexDir)
+    // An existing valid index is REUSED, not rebuilt — this is what makes
+    // the per-ingest cost genuinely O(batch) across calls (round-8 ADVICE:
+    // an unconditional rebuild made the claim true only in prose). The
+    // caller owns invalidation: a corpus change at the same path requires
+    // either a fresh indexDir or an explicit [[buildLshBandIndex]].
+    if (!new java.io.File(indexDir, "_SUCCESS").exists())
+      buildLshBandIndex(corpus, textCol, idCol, indexDir,
+        shingleSize, bands, rowsPerBand)
     val corpusBands = spark.read.parquet(indexDir)
     val batchBands = portableBandRows(batch, textCol, idCol, shingleSize,
       bands, rowsPerBand).localCheckpoint(false) // feeds both match passes

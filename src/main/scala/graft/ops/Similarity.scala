@@ -466,39 +466,45 @@ object Similarity {
     * large one goes through [[signBucketCandidates]] so the scored pairs
     * are |candidates|, not |corpus|·|eval| — the 100 TB shape for real
     * eval suites (the round-7 VERDICT's scale note on the brute-force-only
-    * form). On the bucketed path, corpus vectors with no candidate carry
-    * `n_eval_hits = 0` and the `-1.0` sentinel for `max_eval_sim` (never a
-    * nullable numeric), and near-misses below LSH recall are the
-    * documented trade — the spec pins recall ≥ 0.8 on high-sim pairs at
-    * |eval| = 500. */
+    * form). On EITHER path, corpus vectors with no scored pair (no band
+    * collision — or an empty eval set) still come back, carrying
+    * `n_eval_hits = 0` and the `-2.0` sentinel for `max_eval_sim` (outside
+    * cosine's [-1, 1], so it can never collide with a real similarity the
+    * way the old `-1.0` could; never a nullable numeric). Near-misses below
+    * LSH recall on the bucketed path are the documented trade — the spec
+    * pins recall ≥ 0.8 on high-sim pairs at |eval| = 500. The routing probe
+    * counts at most `bruteForceEvalMax + 1` eval rows (one bounded action,
+    * not a full eval count). */
   def semanticDecontaminate(corpus: DataFrame, eval: DataFrame, dim: Int,
                             simThreshold: Double = 0.2,
                             bruteForceEvalMax: Long = 64L,
                             bands: Int = 8, bitsPerBand: Int = 6,
                             roundTo: Int = 4): DataFrame = {
     val c = corpus.select(col("vec_id"), col("embedding"))
-    if (eval.count() <= bruteForceEvalMax) {
-      val ev = broadcast(eval.select(col("vec_id").as("eval_id"),
-        col("embedding").as("e_emb")))
-      c.crossJoin(ev)
-        .select(col("vec_id"),
-          round(cosine(col("embedding"), col("e_emb")), roundTo).as("sim"))
-        .groupBy(col("vec_id"))
-        .agg(sum(when(col("sim") >= simThreshold, 1L).otherwise(0L)).as("n_eval_hits"),
-          max(col("sim")).as("max_eval_sim"))
-    } else {
-      val cand = signBucketCandidates(c, eval, dim, bands, bitsPerBand)
-        .select(col("vec_id"),
-          round(cosine(col("vec_id_emb"), col("e_emb")), roundTo).as("sim"))
-        .groupBy(col("vec_id"))
-        .agg(sum(when(col("sim") >= simThreshold, 1L).otherwise(0L)).as("n_eval_hits"),
-          max(col("sim")).as("max_eval_sim"))
-      c.select(col("vec_id"))
-        .join(cand, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
-          coalesce(col("max_eval_sim"), lit(-1.0d)).as("max_eval_sim"))
-    }
+    val evalSmall =
+      eval.limit(bruteForceEvalMax.toInt + 1).count() <= bruteForceEvalMax
+    val scored =
+      if (evalSmall) {
+        val ev = broadcast(eval.select(col("vec_id").as("eval_id"),
+          col("embedding").as("e_emb")))
+        c.crossJoin(ev)
+          .select(col("vec_id"),
+            round(cosine(col("embedding"), col("e_emb")), roundTo).as("sim"))
+      } else {
+        signBucketCandidates(c, eval, dim, bands, bitsPerBand)
+          .select(col("vec_id"),
+            round(cosine(col("vec_id_emb"), col("e_emb")), roundTo).as("sim"))
+      }
+    // one shared finalize: aggregate the scored pairs, then left-join back
+    // onto the full corpus id set so no path can drop unmatched vectors
+    val agg = scored.groupBy(col("vec_id"))
+      .agg(sum(when(col("sim") >= simThreshold, 1L).otherwise(0L)).as("n_eval_hits"),
+        max(col("sim")).as("max_eval_sim"))
+    c.select(col("vec_id"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("max_eval_sim"), lit(-2.0d)).as("max_eval_sim"))
   }
 
   /** CERTIFIED-INTEGER IVF twin ([[ivfTopK]]'s oracle-checkable sibling):
@@ -532,10 +538,21 @@ object Similarity {
     val assigned = ranked.filter(col("r") === 1)
       .select(col("vec_id").as("neighbor_id"), col("mv").as("c_mv"),
         col("cid").as("list_id"))
-    val qids = broadcast(queries.select(col("vec_id").as("query_id")))
-    val probes = ranked.join(qids, col("vec_id") === col("query_id"))
+    // Probe selection ranks the QUERIES' OWN milli-codes against the
+    // centroids (the pqTopKIntCertified contract) — a query vector absent
+    // from the corpus is served, not silently dropped (round-8 ADVICE).
+    // For queries drawn from the corpus the codes coincide, so results are
+    // identical to ranking via the corpus frame.
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2c").asc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), milliCodes(col("embedding")).as("q_mv"))
+      .crossJoin(cent)
+      .select(col("query_id"), col("q_mv"), col("cid"),
+        d2Milli(col("q_mv"), col("cv")).as("d2c"))
+      .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nProbe)
-      .select(col("query_id"), col("mv").as("q_mv"), col("cid").as("list_id"))
+      .select(col("query_id"), col("q_mv"), col("cid").as("list_id"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("d2m").asc, col("neighbor_id").asc)
     broadcast(probes).join(assigned, Seq("list_id"))

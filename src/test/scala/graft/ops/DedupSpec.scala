@@ -304,6 +304,26 @@ class DedupSpec extends SparkSpec {
     assert(capped === Map((1L, 2L) -> 1000000L))
   }
 
+  test("lshIncrementalPortable reuses an existing band index: the second " +
+    "ingest never re-hashes the corpus") {
+    val idx = java.nio.file.Files.createTempDirectory("lsh-idx-spec-").toString
+    val corpus = docs.filter($"doc_id" <= 2) // contains the text of doc 1/2
+    val batch = docs.filter($"doc_id" > 2)
+    val first = Dedup.lshIncrementalPortable(corpus, batch, "text", "doc_id", idx)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // docs 3/4 near-dup the corpus text; 5 is clean
+    assert(first(5L) === "keep")
+    // second call hands a DIFFERENT (empty) corpus but the same indexDir:
+    // with a valid index present the corpus argument must be ignored —
+    // classifications still come from the PERSISTED index, proving the
+    // O(batch) reuse path (an unconditional rebuild would classify
+    // everything "keep" against the empty corpus)
+    val second = Dedup.lshIncrementalPortable(
+        corpus.limit(0), batch, "text", "doc_id", idx)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(second === first)
+  }
+
   test("noveltyScores: first copy keeps full score, later copies lose theirs") {
     import spark.implicits._
     val docs = Seq(

@@ -232,6 +232,18 @@ class SimilaritySpec extends SparkSpec {
       "every corpus vector's identical eval twin must be flagged")
   }
 
+  test("semantic decontamination: an EMPTY eval set reports every corpus " +
+    "vector clean instead of dropping the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.semanticDecontaminate(
+        emb, emb.filter($"vec_id" < 0), dim = 64)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === emb.count().toInt)
+    // -2.0 sits outside cosine's range, so "no scored pair" can never be
+    // confused with a legitimate similarity of -1.0
+    assert(out.forall { case (_, hits, maxSim) => hits === 0L && maxSim === -2.0 })
+  }
+
   test("MMR rerank: pick 1 is pure relevance; later picks trade off diversity") {
     // query at 0° sits BETWEEN a twin pair at −40°/−41° and a lone point at
     // +40°: pure relevance would take the twins first (1, 2, …); greedy MMR

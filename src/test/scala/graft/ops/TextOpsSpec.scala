@@ -306,7 +306,6 @@ class TextOpsSpec extends SparkSpec {
       (r.toLong, a, b, a + b, cnt)
     }
     assert(got.toSeq === expected)
-    assert(got.map(_._5).toSeq === got.map(_._5).sorted.reverse.toSeq ||
-      true) // counts need not be monotone; rule equality above is the gate
+    // counts need not be monotone across rounds; rule equality above is the gate
   }
 }
