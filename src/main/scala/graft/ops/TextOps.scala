@@ -532,4 +532,41 @@ object TextOps {
       .withColumn("merged", concat(col("left"), col("right")))
       .select("merge_rank", "left", "right", "merged", "pair_count")
   }
+
+  /** BPE APPLY as a standalone operator — tokenize the corpus with an
+    * ordered merge-rule list. The rules are DATA (the artifact
+    * [[bpeMerges]] ships; any fixed vocabulary works), so unlike training
+    * the apply step has a full SQL replay: each rule is a greedy
+    * left-to-right non-overlapping merge, which on a separator-joined
+    * token string is exactly one `replace` pass.
+    *
+    * Scale shape: the rule fold ([[applyMerge]], a codegen'd `aggregate`
+    * over bounded word-length arrays) runs over the DISTINCT-word table —
+    * vocabulary-sized, orders below the corpus — and per-word token counts
+    * join back to the exploded corpus for the per-doc sum. The raw corpus
+    * is touched exactly twice (word explode + count join), never per rule.
+    *
+    * @return (doc_id, n_words, n_tokens) per document
+    */
+  def bpeApply(docs: DataFrame, textCol: String, idCol: String,
+               rules: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = words.select("w").distinct()
+      .select(col("w"),
+        filter(split(col("w"), ""), t => t =!= lit("")).as("toks"))
+    // one projection per rule, with a lazy checkpoint as a plan BARRIER:
+    // without it CollapseProject folds all rules into one nested-lambda
+    // mega-expression whose codegen cost dwarfs the (vocabulary-sized)
+    // evaluation — the same per-rule cut bpeMerges uses
+    rules.foreach { case (a, b) =>
+      vocab = vocab.select(col("w"), applyMerge(col("toks"), a, b).as("toks"))
+        .localCheckpoint(false)
+    }
+    words.join(vocab.select(col("w"), size(col("toks")).as("w_tokens")), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("w_tokens")).as("n_tokens"))
+  }
 }

