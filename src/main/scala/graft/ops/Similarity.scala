@@ -507,6 +507,58 @@ object Similarity {
         coalesce(col("max_eval_sim"), lit(-2.0d)).as("max_eval_sim"))
   }
 
+  /** Deterministic INTEGER hyperplanes in [-1000, 999] from the same
+    * splitmix64 [[mix]] stream as [[hyperplanes]] — exported so an oracle
+    * generator can inline the identical constants. */
+  def intHyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Long]] =
+    (0 until nBits).map(b =>
+      (0 until dim).map(d => math.floor(mix(seed, b, d) * 1000d).toLong))
+
+  /** Exact integer dot of a milli-code array against a constant plane. */
+  private def intPlaneDot(mv: Column, plane: Seq[Long]): Column =
+    aggregate(zip_with(mv, array(plane.map(lit): _*), (x, p) => x * p),
+      lit(0L), (acc, v) => acc + v)
+
+  /** CERTIFIED-INTEGER LSH twin ([[lshTopK]]'s oracle-checkable sibling):
+    * the full multi-probe LSH mechanics — sign-plane bucketing, own-bucket
+    * + Hamming-1 probes, within-bucket scoring — carried entirely in exact
+    * int64. Signatures come from INTEGER hyperplanes ([[intHyperplanes]])
+    * dotted against [[milliCodes]] (every term ≤ ~2·10⁶, sums ≪ 2⁵³ — no
+    * float sign flips at bucket boundaries, the thing that makes the float
+    * path structurally uncertifiable), and candidates are ranked by the
+    * same integer milli-L2² as the IVF/PQ twins. A (query, neighbor) pair
+    * can reach the join through at most one probe (a corpus vector has ONE
+    * bucket and the 9 probe buckets are pairwise distinct), so no dedup
+    * step is needed — a fact the oracle certifies implicitly via row
+    * counts. Scale shape is [[lshTopK]]'s: probes broadcast, candidates
+    * shuffle within colliding buckets only. */
+  def lshTopKIntCertified(queries: DataFrame, corpus: DataFrame, k: Int,
+                          dim: Int, nBits: Int = 8,
+                          seed: Long = 42L): DataFrame = {
+    val planes = intHyperplanes(dim, nBits, seed)
+    def sig(mv: Column): Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        when(intPlaneDot(mv, p) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), milliCodes(col("embedding")).as("c_mv"))
+      .withColumn("bucket", sig(col("c_mv")))
+    val q = queries
+      .select(col("vec_id").as("query_id"), milliCodes(col("embedding")).as("q_mv"))
+      .withColumn("sig", sig(col("q_mv")))
+    val probes = q.select(col("query_id"), col("q_mv"),
+      explode(array(col("sig") +: (0 until nBits).map(b =>
+        col("sig").bitwiseXOR(shiftleft(lit(1L), b))): _*)).as("bucket"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2m").asc, col("neighbor_id").asc)
+    broadcast(probes).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        d2Milli(col("q_mv"), col("c_mv")).as("d2m"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
   /** CERTIFIED-INTEGER IVF twin ([[ivfTopK]]'s oracle-checkable sibling):
     * the full inverted-file mechanics — coarse assignment, nProbe probe
     * selection, in-list candidate scoring — carried entirely in exact
@@ -558,6 +610,72 @@ object Similarity {
     broadcast(probes).join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("list_id"),
+        d2Milli(col("q_mv"), col("c_mv")).as("d2m"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
+  /** CERTIFIED-INTEGER persisted IVF index — [[writeIvfIndex]]'s
+    * oracle-checkable sibling. Assignment uses the [[ivfTopKIntCertified]]
+    * substitutions (seed centroids = first `nLists` corpus vectors by id,
+    * exact int64 milli-L2²) and the lists land as a `list`-partitioned
+    * parquet, the 100 TB serving layout. Stores the integer milli-codes —
+    * the serving path never touches floats. Returns the centroid codes as
+    * bounded driver-side metadata (nLists rows — the float path's `cents`
+    * contract), which the query side broadcasts. */
+  def writeIvfIndexInt(corpus: DataFrame, nLists: Int,
+                       path: String): Array[(Long, Array[Long])] = {
+    val m = corpus.select(col("vec_id"), milliCodes(col("embedding")).as("mv"))
+    val cent = broadcast(m.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("cid"), col("mv").as("cv")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2c").asc, col("cid").asc)
+    m.crossJoin(cent)
+      .select(col("vec_id"), col("mv"), col("cid"),
+        d2Milli(col("mv"), col("cv")).as("d2c"))
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      .select(col("vec_id"), col("mv"), col("cid").as("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+    cent.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+  }
+
+  /** Query the integer IVF index: probe selection against the broadcast
+    * centroid codes, a partition-pruned read of exactly the probed lists
+    * (the only driver step is collecting ≤ nLists probed ids), then exact
+    * int64 scoring — every step SQL-replayable, so unlike the float
+    * serving path this one is hash-certifiable end-to-end. Ranking
+    * semantics identical to [[ivfTopKIntCertified]] at equal parameters
+    * (a fact the spec pins). */
+  def ivfTopKFromIndexInt(spark: org.apache.spark.sql.SparkSession,
+                          queries: DataFrame, indexPath: String,
+                          cents: Array[(Long, Array[Long])], k: Int,
+                          nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val cent = broadcast(
+      cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2c").asc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), milliCodes(col("embedding")).as("q_mv"))
+      .crossJoin(cent)
+      .select(col("query_id"), col("q_mv"), col("cid"),
+        d2Milli(col("q_mv"), col("cv")).as("d2c"))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("q_mv"), col("cid").as("list"))
+    val probedLists = probes.select(col("list")).distinct()
+      .collect().map(_.getLong(0)) // bounded metadata: ≤ nLists ids
+    val c = spark.read.parquet(indexPath)
+      .filter(col("list").isin(probedLists.map(x => x: Any): _*))
+      .select(col("vec_id").as("neighbor_id"), col("mv").as("c_mv"), col("list"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2m").asc, col("neighbor_id").asc)
+    broadcast(probes).join(c, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // partition-column read-back is int-typed; pin bigint for the oracle
+        col("list").cast("bigint").as("list_id"),
         d2Milli(col("q_mv"), col("c_mv")).as("d2m"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)

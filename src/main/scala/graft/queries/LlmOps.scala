@@ -288,17 +288,23 @@ object LlmOps {
     * list-partitioned parquet index, then answer the probe batch from
     * partition-pruned reads of exactly the probed lists — the layout that
     * matters at 100 TB, where a query batch touches |probed lists| / nLists
-    * of the index bytes instead of the full corpus. Rows-only for the
-    * driver; equality with the in-memory [[x3_ann_ivf]] form and the
-    * partition-pruned scan are spec-asserted in SimilaritySpec. */
+    * of the index bytes instead of the full corpus. CERTIFIED-INTEGER
+    * since round 9 ([[Similarity.writeIvfIndexInt]] /
+    * [[Similarity.ivfTopKFromIndexInt]]): seed centroids + int64 milli-L2²
+    * make the whole write→prune→serve chain hash-checkable (the oracle
+    * replays it from raw embeddings — the index materialization must be
+    * semantically invisible). The float-trained serving twin
+    * ([[Similarity.ivfTopKFromIndex]]) stays spec-asserted in
+    * SimilaritySpec, including its partition-pruned scan. */
   def x3_ann_ivf_index(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
     val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
     deleteOnExit(idxDir)
-    val cents = Similarity.writeIvfIndex(emb, dim = 64, nLists = 16, path = idxDir)
-    Similarity.ivfTopKFromIndex(s, emb.filter($"vec_id" < 20), idxDir, cents, k = 5)
-      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+    val cents = Similarity.writeIvfIndexInt(emb, nLists = 16, path = idxDir)
+    Similarity.ivfTopKFromIndexInt(s, emb.filter($"vec_id" < 20), idxDir, cents,
+        k = 5, nProbe = 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
       .orderBy($"query_id", $"rank")
   }
 
@@ -334,6 +340,64 @@ object LlmOps {
         k = 5, nLists = 8, nProbe = 2)
       .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** X3b'''''' — CERTIFIED-INTEGER LSH ([[Similarity.lshTopKIntCertified]]):
+    * multi-probe sign-plane LSH with INTEGER hyperplanes over milli-codes,
+    * so bucket membership (the thing float LSH can't certify — a sign flip
+    * at the boundary moves a vector between buckets) and the within-bucket
+    * milli-L2² ranking are both exact int64 and hash-checked end-to-end.
+    * The float path (x3_ann_lsh) stays recall-bounded; this twin pins the
+    * MECHANICS: bucketing, own+Hamming-1 probe set, in-bucket scoring,
+    * tie-breaks. The oracle inlines the IDENTICAL plane constants (both
+    * sides call [[Similarity.intHyperplanes]] / its generated literals). */
+  def x3_ann_lsh_int(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    Similarity.lshTopKIntCertified(
+        emb.filter($"vec_id" >= 40 && $"vec_id" < 60), emb,
+        k = 5, dim = 64, nBits = 8)
+      .select($"query_id", $"rank", $"neighbor_id", $"d2m")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The [[x3_ann_lsh_int]] oracle, generated so the integer plane
+    * constants are inlined from the same [[Similarity.intHyperplanes]]
+    * call the Spark plan uses — the constants cannot drift. */
+  private def lshIntOracleSql: String = {
+    val planeRows = Similarity.intHyperplanes(64, 8).zipWithIndex
+      .map { case (p, b) => s"($b, [${p.mkString(", ")}])" }
+      .mkString(",\n    ")
+    s"""WITH m AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |planes AS (SELECT * FROM (VALUES
+       |    $planeRows) AS t(b, p)),
+       |sigs AS (
+       |  SELECT m.vec_id, m.mv,
+       |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+       |        i -> m.mv[i] * pl.p[i])) >= 0
+       |      THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM m CROSS JOIN planes pl GROUP BY m.vec_id, m.mv),
+       |probes AS (
+       |  SELECT vec_id AS query_id, mv AS q_mv, sig AS bucket FROM sigs
+       |  WHERE vec_id >= 40 AND vec_id < 60
+       |  UNION ALL
+       |  SELECT vec_id, mv, xor(sig, CAST(1 AS BIGINT) << CAST(f AS INT))
+       |  FROM sigs CROSS JOIN range(0, 8) t(f)
+       |  WHERE vec_id >= 40 AND vec_id < 60),
+       |cand AS (
+       |  SELECT p.query_id, s.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (p.q_mv[i] - s.mv[i]) * (p.q_mv[i] - s.mv[i]))) AS BIGINT) AS d2m
+       |  FROM probes p JOIN sigs s ON s.sig = p.bucket
+       |  WHERE p.query_id <> s.vec_id),
+       |fin AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2m ASC, neighbor_id ASC) AS rank FROM cand)
+       |SELECT query_id, rank, neighbor_id, d2m
+       |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** X3b''''' — CERTIFIED-INTEGER PQ ([[Similarity.pqTopKIntCertified]]):
@@ -1183,6 +1247,7 @@ object LlmOps {
     "x3_ann_pq" -> x3_ann_pq _,
     "x3_ann_ivf_int" -> x3_ann_ivf_int _,
     "x3_ann_pq_int" -> x3_ann_pq_int _,
+    "x3_ann_lsh_int" -> x3_ann_lsh_int _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
     "x8_decontaminate_semantic" -> x8_decontaminate_semantic _,
     "x3_sql_topk" -> x3_sql_topk _,
@@ -1496,6 +1561,47 @@ object LlmOps {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY d2m ASC, neighbor_id ASC) AS rank FROM cand)
         |SELECT query_id, rank, neighbor_id, list_id, d2m
+        |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "x3_ann_lsh_int" -> lshIntOracleSql,
+    // the persisted-index serve replayed from raw embeddings: assignment to
+    // the 16 seed centroids, 4-probe routing, in-list int64 scoring — the
+    // parquet index materialization must be semantically invisible
+    "x3_ann_ivf_index" ->
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS mv
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id AS neighbor_id, mv AS c_mv, cid AS list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2c ASC, cid ASC) AS r
+        |    FROM (SELECT m.vec_id, m.mv, cent.cid,
+        |            list_sum(list_transform(range(1, 65),
+        |              i -> (m.mv[i] - cent.cv[i]) * (m.mv[i] - cent.cv[i]))) AS d2c
+        |          FROM m CROSS JOIN cent))
+        |  WHERE r = 1),
+        |probes AS (
+        |  SELECT query_id, q_mv, list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY d2c ASC, cid ASC) AS r
+        |    FROM (SELECT m.vec_id AS query_id, m.mv AS q_mv, cent.cid AS list_id,
+        |            cent.cid,
+        |            list_sum(list_transform(range(1, 65),
+        |              i -> (m.mv[i] - cent.cv[i]) * (m.mv[i] - cent.cv[i]))) AS d2c
+        |          FROM m CROSS JOIN cent
+        |          WHERE m.vec_id < 20))
+        |  WHERE r <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.neighbor_id, a.list_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (p.q_mv[i] - a.c_mv[i]) * (p.q_mv[i] - a.c_mv[i]))) AS BIGINT) AS d2m
+        |  FROM probes p JOIN assigned a USING (list_id)
+        |  WHERE p.query_id <> a.neighbor_id),
+        |fin AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d2m ASC, neighbor_id ASC) AS rank FROM cand)
+        |SELECT query_id, rank, neighbor_id, CAST(list_id AS BIGINT) AS list_id, d2m
         |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x3_ann_pq_int" ->
       """WITH m AS (

@@ -140,6 +140,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("integer IVF index: pruned-read serve equals the in-memory certified " +
+    "twin and prunes on the list partition") {
+    def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 970.0f)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) Array.fill(dim)(1.0f) else Array.fill(dim)(-1.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + noise(i, d) }.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 6)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_int").toString
+    try {
+      val cents = Similarity.writeIvfIndexInt(corpus, nLists = 8, path = dir)
+      assert(cents.length === 8 && cents.map(_._1).toSeq === (0L until 8L))
+      val fromIndex = Similarity.ivfTopKFromIndexInt(spark, queries, dir, cents,
+        k = 5, nProbe = 2)
+      val inMem = Similarity.ivfTopKIntCertified(queries, corpus, k = 5,
+        nLists = 8, nProbe = 2)
+      assert(
+        fromIndex.select($"query_id", $"rank", $"neighbor_id", $"d2m")
+          .as[(Long, Int, Long, Long)].collect().toSet ===
+        inMem.select($"query_id", $"rank", $"neighbor_id", $"d2m")
+          .as[(Long, Int, Long, Long)].collect().toSet)
+      // the probe read must prune on the partition column, not scan+filter
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("list"),
+        s"expected partition-pruned index scan, got:\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("PQ codes are bounded, reconstruction is lossy-but-close, recall high with re-rank") {
     def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 970.0f)
     val dim = 16
