@@ -265,8 +265,13 @@ object CdcQueries {
     * materialize sink) with [[graft.streaming.PipelineHealth]] attached, then
     * surface the gauges and sink counters as one metric table — the
     * /health + /metrics scrape analog (index.js:390-457). */
-  def cdc_health_surface(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Shared harness for the two health entries: run the embedded fixture
+    * plus the poison line through the real streaming path (file source →
+    * parse/flatten → incremental materialize sink) with a fresh
+    * [[graft.streaming.PipelineHealth.HealthListener]] attached; returns
+    * the listener and the sink-counter snapshot. */
+  private def runHealthPipeline(s: SparkSession)
+      : (graft.streaming.PipelineHealth.HealthListener, Seq[(String, String, Long)]) = {
     import graft.streaming.{CdcPipeline, PipelineHealth}
     val listener = new PipelineHealth.HealthListener
     s.streams.addListener(listener)
@@ -287,20 +292,48 @@ object CdcQueries {
       q.processAllAvailable()
       q.stop()
     } finally s.streams.removeListener(listener)
-    val gauges = Seq(
+    (listener, graft.streaming.PipelineHealth.SinkCounters.snapshot)
+  }
+
+  /** The DETERMINISTIC slice of the health surface, split out (round-8
+    * verdict #6) so it is oracle-checked: query lifecycle counts, total
+    * input rows, application errors, and the sink's per-row error route are
+    * all pure functions of the (constant) fixture — a golden VALUES oracle
+    * pins them cross-engine, same contract as `cdc_message_status`. The
+    * engine-native gauges whose values ride on trigger timing stay in
+    * [[cdc_health_surface]]. */
+  def cdc_health_counts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (listener, sinks) = runHealthPipeline(s)
+    val rowError = sinks.collectFirst {
+      case ("materialize", "row_error", n) => n
+    }.getOrElse(0L)
+    Seq(
+      ("engine", "application_errors", listener.errorCounts.map(_._2).sum),
       ("engine", "queries_started", listener.queriesStarted.sum),
       ("engine", "queries_terminated", listener.queriesTerminated.sum),
       ("engine", "rows_processed", listener.rowsProcessed.sum),
-      ("engine", "application_errors", listener.errorCounts.map(_._2).sum),
+      ("sink_materialize", "row_error", rowError))
+      .toDF("component", "metric", "value")
+      .orderBy($"component", $"metric")
+  }
+
+  /** M3/M6 — the remaining ENGINE-NATIVE health gauges: values that depend
+    * on trigger timing (batch scheduling, per-batch sink successes) and so
+    * have no cross-engine derivation — rows-only by structural design; the
+    * deterministic slice lives in [[cdc_health_counts]]. */
+  def cdc_health_surface(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (listener, sinks) = runHealthPipeline(s)
+    val gauges = Seq(
       // honest boolean, not a clamped gauge: the raw batch count varies with
       // trigger timing (empty batches), so the stable cross-run signal is
       // "did any batch complete"; the real >= count invariant is asserted in
       // StreamingSpec where the batch schedule is controlled
       ("engine", "ran_any_batch",
         math.min(listener.batchesCompleted.sum, 1L)))
-    val sinks = PipelineHealth.SinkCounters.snapshot
-      .map { case (op, st, n) => (s"sink_$op", st, n) }
-    (gauges ++ sinks).toDF("component", "metric", "value")
+    val sinkRows = sinks.map { case (op, st, n) => (s"sink_$op", st, n) }
+    (gauges ++ sinkRows).toDF("component", "metric", "value")
       .orderBy($"component", $"metric")
   }
 
@@ -846,6 +879,7 @@ object CdcQueries {
     "cdc_schema_evolution" -> cdc_schema_evolution _,
     "cdc_wire_multi_table" -> cdc_wire_multi_table _,
     "cdc_message_status" -> cdc_message_status _,
+    "cdc_health_counts" -> cdc_health_counts _,
     "cdc_health_surface" -> cdc_health_surface _,
     "s6_log_levels" -> s6_log_levels _,
     "s6_wire_logs" -> s6_wire_logs _,
@@ -875,6 +909,18 @@ object CdcQueries {
     // driver's hash compare enforces them (a wrong parse, route, or count
     // breaks the hash, same as a regression golden test). The wire-generated
     // queries below remain the independent-derivation oracles.
+    // the deterministic health slice: 1 query lifecycle, 10 fixture lines
+    // + 1 poison line = 11 input rows (the sink persists its micro-batch,
+    // so input rows are counted once, not per sink action), the poison is
+    // the single row-error route, and no application error fires
+    "cdc_health_counts" ->
+      """SELECT * FROM (VALUES
+        |  ('engine', 'application_errors', CAST(0 AS BIGINT)),
+        |  ('engine', 'queries_started', CAST(1 AS BIGINT)),
+        |  ('engine', 'queries_terminated', CAST(1 AS BIGINT)),
+        |  ('engine', 'rows_processed', CAST(11 AS BIGINT)),
+        |  ('sink_materialize', 'row_error', CAST(1 AS BIGINT))
+        |) AS t(component, metric, value) ORDER BY component, metric""".stripMargin,
     "cdc_op_counts" ->
       """SELECT * FROM (VALUES
         |  ('orders', 'insert', CAST(1 AS BIGINT)),

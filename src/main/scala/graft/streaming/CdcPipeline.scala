@@ -207,6 +207,11 @@ object CdcPipeline {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // persist the micro-batch ONCE: the sink runs three actions (error
+        // count, dirty-bucket collect, state write) and an unpersisted batch
+        // re-scans the source for each — 3× the input I/O per batch, and an
+        // input-rows health metric inflated by the same factor
+        batch.persist()
         try {
           val spark = batch.sparkSession
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -247,7 +252,7 @@ object CdcPipeline {
           case e: Throwable =>
             PipelineHealth.SinkCounters.inc("materialize", "error")
             throw e
-        }
+        } finally batch.unpersist()
         ()
       }
 }
