@@ -20,12 +20,14 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState
   * recompute would.
   *
   * Scale: state is per-user. Retention state is O(distinct active weeks)
-  * — bounded by calendar time, the practical ideal. Transition state
-  * buffers the user's (ts, id, type) triples because exactness under
-  * arbitrary arrival order is the certified contract; under
-  * watermark-ordered delivery it prunes to the last event per user (the
-  * sliding pair frontier) — prune only when the deployment guarantees
-  * ordering (the [[FunnelStream]] rule).
+  * — bounded by calendar time, the practical ideal. Transition state in
+  * [[transitionUpdates]] buffers the user's (ts, id, type) triples because
+  * exactness under arbitrary arrival order is the certified contract;
+  * [[transitionUpdatesOrdered]] is the BOUNDED-state variant for
+  * watermark-ordered delivery — last-event frontier + cumulative pair
+  * counts, O(1)/user over a bounded type alphabet — the one to deploy at
+  * 100 TB when the source guarantees per-key ordering (the
+  * [[FunnelStream]] prune rule, here implemented, not just documented).
   *
   * `update_seq` identifies the latest emitted row-set per user in
   * Update-mode output without relying on sink ordering ([[FunnelStream]]
@@ -102,6 +104,58 @@ object JourneyStream {
             .map { case ((from, to), hits) =>
               TransitionRow(user, from, to, hits.size.toLong, next.updates) }
             .iterator
+      }
+  }
+
+  // --------------------------------------------------------- q41'' ordered
+  /** `lastType = null` marks "no frontier yet" (first event of the user);
+    * counts key is from + '\\u0001' + to (the type alphabet is control-char-free)
+    * so the state encoder stays a plain string-keyed map. */
+  case class OrderedPathState(lastTs: Long, lastId: Long, lastType: String,
+                              counts: Map[String, Long], updates: Long)
+
+  /** BOUNDED-STATE transition twin for watermark-ORDERED delivery: state is
+    * the last-event frontier plus cumulative per-pair counts — O(1)/user
+    * over a bounded event-type alphabet (≤ |types|² count cells + one
+    * triple) versus [[transitionUpdates]]'s O(events/user) buffer; counts
+    * only ever increment, nothing refolds. The trade is the ordering
+    * CONTRACT: an out-of-order arrival (earlier than the frontier) is
+    * folded at its ARRIVAL position — it cannot rewire the two transitions
+    * around its true timestamp position the way the exact twin does. The
+    * parity spec pins equality with the exact twin under in-order delivery;
+    * the divergence spec pins exactly how the two differ when ordering is
+    * violated. Deploy this variant when the source guarantees per-key
+    * ordering; the exact refold when it doesn't. */
+  def transitionUpdatesOrdered(events: Dataset[JourneyEvent]): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OrderedPathState, TransitionRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[JourneyEvent],
+         state: GroupState[OrderedPathState]) =>
+          val prev = state.getOption
+            .getOrElse(OrderedPathState(Long.MinValue, Long.MinValue, null,
+              Map.empty, 0L))
+          var lastTs = prev.lastTs
+          var lastId = prev.lastId
+          var lastType = prev.lastType
+          var counts = prev.counts
+          // within a batch the (ts, id) sort is free and exact; only CROSS
+          // batch order rides on the delivery contract
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (lastType != null) {
+              val k = lastType + "\u0001" + e.event_type
+              counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
+            }
+            lastTs = e.ts_us; lastId = e.event_id; lastType = e.event_type
+          }
+          val next = OrderedPathState(lastTs, lastId, lastType, counts,
+            prev.updates + 1)
+          state.update(next)
+          counts.toSeq.sortBy(_._1).map { case (k, n) =>
+            val Array(from, to) = k.split('\u0001')
+            TransitionRow(user, from, to, n, next.updates)
+          }.iterator
       }
   }
 }

@@ -751,6 +751,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((2L, "view", "click", 1L))) // id tie-break order
   }
 
+  test("q41'' ordered transitions: bounded state equals the exact refold " +
+    "under in-order delivery, diverges exactly as documented when violated") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.JourneyStream
+    import graft.streaming.JourneyStream.JourneyEvent
+    val base = 1704067200000000L
+    def e(u: Long, id: Long, us: Long, t: String) = JourneyEvent(u, id, base + us, t)
+    def latestRows(table: String): Set[(Long, String, String, Long)] = {
+      val byUser = spark.table(table)
+        .as[(Long, String, String, Long, Long)].collect().groupBy(_._1)
+      byUser.values.flatMap { rows =>
+        val latest = rows.map(_._5).max
+        rows.filter(_._5 == latest).map(r => (r._1, r._2, r._3, r._4))
+      }.toSet
+    }
+    def run(table: String,
+            op: org.apache.spark.sql.Dataset[JourneyEvent] =>
+              org.apache.spark.sql.Dataset[JourneyStream.TransitionRow],
+            batches: Seq[Seq[JourneyEvent]]): Set[(Long, String, String, Long)] = {
+      val mem = MemoryStream[JourneyEvent]
+      val q = op(mem.toDS())
+        .writeStream.format("memory").queryName(table)
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      latestRows(table)
+    }
+    // IN-ORDER delivery across batches (and an intra-batch shuffle, which
+    // the batch-local sort must absorb): bounded state == exact refold
+    val inOrder = Seq(
+      Seq(e(1, 2, 20, "click"), e(1, 1, 10, "view")), // shuffled WITHIN batch
+      Seq(e(1, 3, 30, "purchase"), e(2, 4, 10, "view")),
+      Seq(e(2, 5, 20, "click")))
+    val exact1 = run("jt_exact_inorder", JourneyStream.transitionUpdates, inOrder)
+    val bounded1 = run("jt_bounded_inorder", JourneyStream.transitionUpdatesOrdered, inOrder)
+    assert(bounded1 === exact1)
+    assert(bounded1.contains((1L, "view", "click", 1L)))
+    assert(bounded1.contains((1L, "click", "purchase", 1L)))
+    // ORDERING VIOLATED: a click with ts BETWEEN view and purchase arrives
+    // a batch late. The exact twin rewires (view->click, click->purchase);
+    // the bounded variant folds it at ARRIVAL position (purchase->click).
+    val outOfOrder = Seq(
+      Seq(e(1, 1, 10, "view"), e(1, 3, 30, "purchase")),
+      Seq(e(1, 2, 20, "click")))
+    val exact2 = run("jt_exact_ooo", JourneyStream.transitionUpdates, outOfOrder)
+    val bounded2 = run("jt_bounded_ooo", JourneyStream.transitionUpdatesOrdered, outOfOrder)
+    assert(exact2 === Set((1L, "view", "click", 1L), (1L, "click", "purchase", 1L)))
+    assert(bounded2 === Set((1L, "view", "purchase", 1L), (1L, "purchase", "click", 1L)))
+  }
+
   test("S1 Kafka source contract: options mirror the reference consumer config") {
     // No broker (or connector jar) in the sandbox, so the assertable surface
     // is the options map the reader is built from (index.js:26-33 +
