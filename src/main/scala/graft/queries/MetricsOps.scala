@@ -528,7 +528,8 @@ object MetricsOps {
       .groupBy($"event_type").agg(count(lit(1)).as("series_total"))
     hourly.join(broadcast(totals), Seq("event_type"))
       .select($"event_type", $"hour", $"cnt", $"series_total",
-        expr("cnt * 1000000 DIV series_total").as("share_ppm"))
+        graft.functions.IntGuards.ppmShare($"cnt", $"series_total", "p15_topk")
+          .as("share_ppm"))
       .orderBy($"event_type", $"hour")
   }
 
@@ -635,12 +636,15 @@ object MetricsOps {
     buckets
       .withColumn("total_1h", sum($"total_5m").over(w))
       .withColumn("err_1h", sum($"err_5m").over(w))
-      .select($"bucket_start", $"err_5m", $"total_5m",
-        expr("err_5m * 1000000 DIV total_5m").as("ratio_5m_ppm"),
-        expr("err_1h * 1000000 DIV total_1h").as("ratio_1h_ppm"),
-        when(expr("err_5m * 1000000 DIV total_5m") > 10000 &&
-             expr("err_1h * 1000000 DIV total_1h") > 10000, 1).otherwise(0)
-          .as("page"))
+      .select({
+        val r5 = graft.functions.IntGuards
+          .ppmShare($"err_5m", $"total_5m", "p20_burn_rate")
+        val r1h = graft.functions.IntGuards
+          .ppmShare($"err_1h", $"total_1h", "p20_burn_rate")
+        Seq($"bucket_start", $"err_5m", $"total_5m",
+          r5.as("ratio_5m_ppm"), r1h.as("ratio_1h_ppm"),
+          when(r5 > 10000 && r1h > 10000, 1).otherwise(0).as("page"))
+      }: _*)
       .orderBy($"bucket_start")
   }
 
@@ -692,7 +696,8 @@ object MetricsOps {
       $"event_type", $"cnt".as("prev_cnt"))
     hourly.join(prev, Seq("bucket_start", "event_type"))
       .select($"bucket_start", $"event_type", $"cnt", $"prev_cnt",
-        expr("CAST(cnt * 1000000 DIV prev_cnt AS BIGINT)").as("dod_ratio_ppm"))
+        graft.functions.IntGuards.ppmShare($"cnt", $"prev_cnt", "p17_offset_ratio")
+          .as("dod_ratio_ppm"))
       .orderBy($"bucket_start", $"event_type")
   }
 
