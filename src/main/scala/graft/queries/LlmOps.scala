@@ -361,6 +361,42 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The [[x4_bpe_train]] oracle: the WHOLE training loop unrolled as 8
+    * SQL rounds (the x9_kcore precedent) — per round, adjacent-pair counts
+    * over the word-frequency table, the (cnt desc, a asc, b asc) argmax,
+    * and the greedy non-overlapping merge as one `replace` over the
+    * separator-joined encoding ([[x4_bpe_apply]]'s replay trick). Generated
+    * so the round count stays a single constant. */
+  private def bpeTrainOracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""t$r AS (SELECT freq, string_split(trim(s, '|'), '||') AS toks, s FROM w${r - 1}),
+         |p$r AS (SELECT freq,
+         |          unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS z
+         |        FROM t$r WHERE len(toks) > 1),
+         |c$r AS (SELECT z[1] AS a, z[2] AS b, sum(freq) AS cnt FROM p$r GROUP BY 1, 2),
+         |r$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$r AS (SELECT freq, replace(s, '|'||r$r.a||'||'||r$r.b||'|',
+         |                             '|'||r$r.a||r$r.b||'|') AS s
+         |        FROM w${r - 1} CROSS JOIN r$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to 8).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS "left", b AS "right",
+         |  a||b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM r$r""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT w, count(*) AS freq
+       |  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |w0 AS (
+       |  SELECT freq, '|' || array_to_string(
+       |    [substr(w, CAST(i AS INT), 1) FOR i IN range(1, length(w) + 1)],
+       |    '||') || '|' AS s
+       |  FROM wf),
+       |$rounds
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** The [[x3_ann_lsh_int]] oracle, generated so the integer plane
     * constants are inlined from the same [[Similarity.intHyperplanes]]
     * call the Spark plan uses — the constants cannot drift. */
@@ -1355,6 +1391,8 @@ object LlmOps {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // the full 8-round training loop, unrolled (see bpeTrainOracleSql)
+    "x4_bpe_train" -> bpeTrainOracleSql,
     // BPE apply replay: each greedy left-to-right non-overlapping merge is
     // ONE replace() over the '|'-joined ('||' between tokens) encoding —
     // the pattern '|a||b|' consumes one sep char per side, preserving the
