@@ -65,4 +65,42 @@ object FunnelStream {
           FunnelRow(user, step, tV, tC, tP, next.updates)
       }
   }
+
+  case class OrderedFunnelState(tV: Long, tC: Long, tP: Long, updates: Long)
+
+  /** BOUNDED-STATE funnel twin for watermark-ORDERED delivery: state is the
+    * per-step frontier only — three longs per user, O(1), versus
+    * [[funnelUpdates]]'s O(funnel events/user) buffer. Under per-key
+    * ordered delivery the chained-min fold is incrementally computable
+    * (the first view IS the min view; the first click after it IS the
+    * chained min click), so results equal the exact refold — the parity
+    * spec pins it. The trade: a LATE earlier view cannot re-open click
+    * eligibility the way the exact twin's refold does (divergence spec).
+    * The [[graft.streaming.JourneyStream.transitionUpdatesOrdered]]
+    * contract, applied to the funnel. */
+  def funnelUpdatesOrdered(events: Dataset[FunnelEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => steps.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[OrderedFunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (user, batch, state) =>
+          val prev = state.getOption.getOrElse(OrderedFunnelState(-1L, -1L, -1L, 0L))
+          var (tV, tC, tP) = (prev.tV, prev.tC, prev.tP)
+          // intra-batch (ts, type) sort is free and exact; cross-batch order
+          // rides on the delivery contract
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" if tV < 0 => tV = e.ts_us
+              case "click" if tV >= 0 && tC < 0 && e.ts_us > tV => tC = e.ts_us
+              case "purchase" if tC >= 0 && tP < 0 && e.ts_us > tC => tP = e.ts_us
+              case _ => ()
+            }
+          }
+          val next = OrderedFunnelState(tV, tC, tP, prev.updates + 1)
+          state.update(next)
+          val step = if (tP >= 0) 3L else if (tC >= 0) 2L else if (tV >= 0) 1L else 0L
+          FunnelRow(user, step, tV, tC, tP, next.updates)
+      }
+  }
 }

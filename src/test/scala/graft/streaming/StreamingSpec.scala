@@ -658,6 +658,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains((1L, 3L, base + 10, base + 40, base + 45)))
   }
 
+  test("q39'' ordered funnel: O(1) frontier state equals the exact refold " +
+    "under in-order delivery, cannot re-open on a late earlier view") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.FunnelStream
+    import graft.streaming.FunnelStream.FunnelEvent
+    val base = 1704067200000000L
+    def e(u: Long, t: String, us: Long) = FunnelEvent(u, t, base + us)
+    def run(table: String,
+            op: org.apache.spark.sql.Dataset[FunnelEvent] =>
+              org.apache.spark.sql.Dataset[FunnelStream.FunnelRow],
+            batches: Seq[Seq[FunnelEvent]]): Set[(Long, Long, Long, Long, Long)] = {
+      val mem = MemoryStream[FunnelEvent]
+      val q = op(mem.toDS())
+        .writeStream.format("memory").queryName(table)
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(table)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).values.map(_.maxBy(_._6))
+        .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+    }
+    // IN-ORDER across batches (intra-batch shuffle absorbed by the sort):
+    // bounded frontier == exact refold, including the same-ts no-advance rule
+    val inOrder = Seq(
+      Seq(e(1, "click", 5), e(1, "view", 10)),   // pre-view click ignored
+      Seq(e(1, "click", 10), e(1, "click", 40)), // same-ts click doesn't chain
+      Seq(e(1, "purchase", 45), e(2, "view", 10)))
+    val exact1 = run("fo_exact_in", FunnelStream.funnelUpdates, inOrder)
+    val bounded1 = run("fo_bounded_in", FunnelStream.funnelUpdatesOrdered, inOrder)
+    assert(bounded1 === exact1)
+    assert(bounded1.contains((1L, 3L, base + 10, base + 40, base + 45)))
+    // ORDERING VIOLATED: an earlier view arrives late. The exact twin
+    // re-opens eligibility and pulls the chain down; the frontier variant
+    // keeps its committed mins.
+    val outOfOrder = Seq(
+      Seq(e(1, "view", 100), e(1, "click", 150)),
+      Seq(e(1, "view", 10), e(1, "click", 40)))
+    val exact2 = run("fo_exact_ooo", FunnelStream.funnelUpdates, outOfOrder)
+    val bounded2 = run("fo_bounded_ooo", FunnelStream.funnelUpdatesOrdered, outOfOrder)
+    assert(exact2 === Set((1L, 2L, base + 10, base + 40, -1L)))
+    assert(bounded2 === Set((1L, 2L, base + 100, base + 150, -1L)))
+  }
+
   test("q40' retention: streaming state op equals the batch cohort plan, " +
     "late earlier event shifts the cohort week") {
     implicit val sqlCtx = spark.sqlContext
