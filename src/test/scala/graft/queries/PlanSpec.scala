@@ -413,4 +413,13 @@ class PlanSpec extends SparkSpec {
     out.unpersist()
     ()
   }
+
+  test("x3 integer LSH twin: probe set broadcasts into the bucket join, " +
+    "never a cartesian") {
+    val p = plan(LlmOps.x3_ann_lsh_int(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes should broadcast into the bucket equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bucketed candidate join must not degenerate to a cartesian:\n$p")
+  }
 }
