@@ -239,9 +239,16 @@ object Dedup {
     // An existing valid index is REUSED, not rebuilt — this is what makes
     // the per-ingest cost genuinely O(batch) across calls (round-8 ADVICE:
     // an unconditional rebuild made the claim true only in prose). The
-    // caller owns invalidation: a corpus change at the same path requires
-    // either a fresh indexDir or an explicit [[buildLshBandIndex]].
-    if (!new java.io.File(indexDir, "_SUCCESS").exists())
+    // check goes through the Hadoop FileSystem so it works on HDFS/S3
+    // paths too (a java.io.File check is always-false there and would
+    // silently rebuild every ingest — round-9 review). The caller owns
+    // invalidation (fresh indexDir or explicit [[buildLshBandIndex]] on a
+    // corpus change) AND first-build coordination: index maintenance is a
+    // single-writer pipeline step; two concurrent FIRST ingests against
+    // one empty indexDir race their overwrite writes.
+    val idxPath = new org.apache.hadoop.fs.Path(indexDir, "_SUCCESS")
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idxPath))
       buildLshBandIndex(corpus, textCol, idCol, indexDir,
         shingleSize, bands, rowsPerBand)
     val corpusBands = spark.read.parquet(indexDir)

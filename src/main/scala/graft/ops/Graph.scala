@@ -174,7 +174,13 @@ object Graph {
       .localCheckpoint(false)
     var nCur = cur.count()
     var converged = false
-    var shrinkPeels = 1 // the degree-init IS peel 1 (it may have removed nodes)
+    // The degree-init peel is BUDGET-FREE (it replaces the old free initial
+    // node-build): counting it unconditionally would charge one peel the
+    // loop can't verify shrank, making a graph whose fixpoint lands exactly
+    // on `maxRounds` throw — the documented-converging boundary (round-9
+    // review). `maxRounds` therefore bounds post-init shrinking peels, at
+    // the same ±2 probe granularity as always.
+    var shrinkPeels = 0
     while (!converged) {
       // Two single-peel rounds per probe; checkpoint EACH so the count
       // materializes two shallow segments (and AQE sees the mid frame's

@@ -664,6 +664,9 @@ object Similarity {
         d2Milli(col("q_mv"), col("cv")).as("d2c"))
       .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
       .select(col("query_id"), col("q_mv"), col("cid").as("list"))
+      // two consumers (probed-list collect + the broadcast join): cut the
+      // lineage so the centroid ranking runs once, not per consumer
+      .localCheckpoint(false)
     val probedLists = probes.select(col("list")).distinct()
       .collect().map(_.getLong(0)) // bounded metadata: ≤ nLists ids
     val c = spark.read.parquet(indexPath)

@@ -260,12 +260,8 @@ object CdcQueries {
     byOutcome.unionByName(invalid).orderBy($"status")
   }
 
-  /** M3/M5/M6 — engine health surface: run the embedded fixture through the
-    * real streaming path (file source → parse/flatten → incremental
-    * materialize sink) with [[graft.streaming.PipelineHealth]] attached, then
-    * surface the gauges and sink counters as one metric table — the
-    * /health + /metrics scrape analog (index.js:390-457). */
-  /** Shared harness for the two health entries: run the embedded fixture
+  /** Shared harness for the two health entries (M3/M5/M6 — the /health +
+    * /metrics scrape analog, index.js:390-457): run the embedded fixture
     * plus the poison line through the real streaming path (file source →
     * parse/flatten → incremental materialize sink) with a fresh
     * [[graft.streaming.PipelineHealth.HealthListener]] attached; returns
@@ -291,6 +287,23 @@ object CdcQueries {
         s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
       q.processAllAvailable()
       q.stop()
+      // The listener bus is ASYNC: progress/termination events can still be
+      // in flight after stop(), and removeListener below drops them for
+      // good. cdc_health_counts pins exact values, so DRAIN before the
+      // snapshot: wait for the termination event, then for two consecutive
+      // stable reads (progress events precede termination on the bus in
+      // practice, but that ordering is not contractual).
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def snap() = (listener.queriesTerminated.sum, listener.queriesStarted.sum,
+        listener.rowsProcessed.sum, listener.batchesCompleted.sum)
+      var prev = snap()
+      var stable = false
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val cur = snap()
+        stable = cur._1 >= 1 && cur == prev
+        prev = cur
+      }
     } finally s.streams.removeListener(listener)
     (listener, graft.streaming.PipelineHealth.SinkCounters.snapshot)
   }

@@ -101,6 +101,11 @@ class GraphSpec extends SparkSpec {
     val path = (20L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] { Graph.kCore(path, k = 2, maxRounds = 3) }
     assert(Graph.kCore(path, k = 2, maxRounds = 8).count() === 0L)
+    // boundary: a 16-node path peels to empty in exactly 8 shrinking peels —
+    // maxRounds=8 must CONVERGE, not throw (the degree-init peel is
+    // budget-free; round-9 review regression)
+    val path16 = (40L to 54L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(Graph.kCore(path16, k = 2, maxRounds = 8).count() === 0L)
     // empty edges: empty core, no throw
     assert(Graph.kCore(pairs.limit(0), k = 2).count() === 0L)
   }
