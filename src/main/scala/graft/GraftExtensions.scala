@@ -53,22 +53,28 @@ object GraftExtensions {
     val email = graft.ops.TextOps.emailRe.replace("\\", "\\\\")
     val phone = graft.ops.TextOps.phoneRe.replace("\\", "\\\\")
     Seq(
+      // `transform(array(split(...)), ws -> ...)` binds the words array ONCE
+      // per row — SQL bodies have no CSE across lambda boundaries, so the
+      // naive form re-splits the text at EVERY reference (the documented 3×
+      // cost of this route; the binding trick removes the recomputation
+      // while keeping every term and fold order bit-identical, so the
+      // DuckDB oracle is untouched)
       """CREATE OR REPLACE TEMPORARY FUNCTION word_entropy(t STRING)
         |RETURNS DOUBLE RETURN
-        |round(aggregate(transform(array_sort(array_distinct(split(t, ' '))), d ->
-        |  -(CAST(size(filter(split(t, ' '), x -> x = d)) AS DOUBLE)
-        |      / size(split(t, ' ')))
-        |    * log2(CAST(size(filter(split(t, ' '), x -> x = d)) AS DOUBLE)
-        |      / size(split(t, ' ')))),
-        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) + 0.0, 4)""".stripMargin,
+        |element_at(transform(array(split(t, ' ')), ws ->
+        |  round(aggregate(transform(array_sort(array_distinct(ws)), d ->
+        |    -(CAST(size(filter(ws, x -> x = d)) AS DOUBLE) / size(ws))
+        |      * log2(CAST(size(filter(ws, x -> x = d)) AS DOUBLE) / size(ws))),
+        |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) + 0.0, 4)), 1)""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION repetition_ratio(t STRING)
         |RETURNS DOUBLE RETURN
-        |CASE WHEN size(split(t, ' ')) >= 3 THEN
-        |  round(1.0 - CAST(size(array_distinct(transform(
-        |      sequence(1, size(split(t, ' ')) - 2),
-        |      i -> array_join(slice(split(t, ' '), i, 3), ' ')))) AS DOUBLE)
-        |    / (size(split(t, ' ')) - 2), 4)
-        |ELSE 0.0 END""".stripMargin,
+        |element_at(transform(array(split(t, ' ')), ws ->
+        |  CASE WHEN size(ws) >= 3 THEN
+        |    round(1.0 - CAST(size(array_distinct(transform(
+        |        sequence(1, size(ws) - 2),
+        |        i -> array_join(slice(ws, i, 3), ' ')))) AS DOUBLE)
+        |      / (size(ws) - 2), 4)
+        |  ELSE 0.0 END), 1)""".stripMargin,
       s"""CREATE OR REPLACE TEMPORARY FUNCTION redact_pii(t STRING)
          |RETURNS STRING RETURN
          |regexp_replace(regexp_replace(t, '$email', '<EMAIL>'),
