@@ -971,10 +971,10 @@ object LlmOps {
     * UDFs ([[graft.GraftExtensions.textSqlFunctions]]) whose bodies mirror
     * the TextOps combinators term-for-term — proving a SQL-only user gets
     * the full quality stack, value-identical to the DataFrame route.
-    * ~3× the DataFrame route's cost: the inlined body re-evaluates
-    * `split(t, ' ')` at each reference (no CSE across lambda boundaries),
-    * where the Column path binds the words array once — use the DataFrame
-    * entries (`x4_entropy`/`x4_repetition`) as the production shape. */
+    * Cost parity with the DataFrame path since round 9: the bodies bind the
+    * words array once per row via a one-element `transform` lambda — SQL
+    * bodies have no CSE across lambda boundaries, so the naive inlined form
+    * re-split the text at every reference (~5× the cost). */
   def x4_sql_quality(s: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.registerTextSql(s)
     documents(s, dir).createOrReplaceTempView("documents_sql")
