@@ -406,8 +406,11 @@ object Dedup {
     * `id == cluster_id` is the canonical keeper. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // materialize the pair producer once: the symmetrizing union otherwise
+    // computes the (often expensive) upstream plan per branch (kCore rule)
+    val p = pairs.select(col(idA), col(idB)).localCheckpoint(false)
+    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(p.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint(false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -471,12 +474,16 @@ object Dedup {
     * shuffles per round; this is the escape hatch its doc points at. */
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
                               idB: String = "id_b", maxIters: Int = 50): DataFrame = {
+    // materialize the pair producer once: allNodes' two union branches and
+    // the edge normalization would otherwise each recompute the (often
+    // expensive) upstream plan — 3× the producer cost per call (kCore rule)
+    val p = pairs.select(col(idA), col(idB)).localCheckpoint(false)
     // every node mentioned anywhere keeps a row even if its only pair is a
     // self-loop (parity with the hash-min contract)
-    val allNodes = pairs.select(col(idA).as("id"))
-      .union(pairs.select(col(idB).as("id"))).distinct()
+    val allNodes = p.select(col(idA).as("id"))
+      .union(p.select(col(idB).as("id"))).distinct()
       .localCheckpoint(false)
-    var edges = pairs
+    var edges = p
       .filter(col(idA) =!= col(idB))
       .select(least(col(idA), col(idB)).as("small"),
         greatest(col(idA), col(idB)).as("large"))

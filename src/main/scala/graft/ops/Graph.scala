@@ -35,16 +35,21 @@ object Graph {
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
                dampingPpm: Long = 850000L): DataFrame = {
     val basePpm = 1000000L - dampingPpm
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // materialize the (possibly expensive) producers once: the degree agg +
+    // join would otherwise compute `edges` twice, and every round's left
+    // join would recompute `nodes` (kCore rule)
+    val e = edges.localCheckpoint(false)
+    val n = nodes.select(col("node")).localCheckpoint(false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // edge+degree frame is loop-invariant: materialize once, reuse per round
-    val withDeg = edges.join(deg, "src").localCheckpoint(false)
-    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
+    val withDeg = e.join(deg, "src").localCheckpoint(false)
+    var ranks = n.select(col("node"), lit(1000000L).as("rank_ppm"))
     for (_ <- 1 to iters) {
       val contrib = ranks
         .join(withDeg, ranks("node") === withDeg("src"))
         .select(col("dst").as("node"), expr("rank_ppm DIV outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes
+      ranks = n
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(basePpm) +
