@@ -520,8 +520,11 @@ object Dedup {
         .filter(col("small") =!= col("large"))
         .distinct()
       // SMALL-STAR with edges held at the larger endpoint: all of u's
-      // (strictly smaller) neighbors and u itself re-attach to the min
+      // (strictly smaller) neighbors and u itself re-attach to the min.
+      // Checkpointed: both union branches below read it, and un-materialized
+      // the whole large-star window pipeline would run twice per round
       val ss0 = ls.withColumn("m", min(col("small")).over(Window.partitionBy("large")))
+        .localCheckpoint(false)
       val next = ss0.select(col("m").as("small"), col("small").as("large"))
         .union(ss0.select(col("m").as("small"), col("large")))
         .filter(col("small") =!= col("large"))
