@@ -201,6 +201,14 @@ object Dedup {
   /** Build (or rebuild) the persisted LSH band index for
     * [[lshIncrementalPortable]]: the [[portableBandRows]] signature+band
     * rows of the standing corpus, written as parquet at `indexDir`. */
+  /** The band-index ROWS for a corpus — exactly what [[buildLshBandIndex]]
+    * persists; exposed so a caller can materialize them through its own
+    * storage/cache layer and feed [[lshIngestClassify]] directly. */
+  def buildLshBandRows(corpus: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, bands: Int = 8,
+                       rowsPerBand: Int = 2): DataFrame =
+    portableBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand)
+
   def buildLshBandIndex(corpus: DataFrame, textCol: String, idCol: String,
                         indexDir: String, shingleSize: Int = 3,
                         bands: Int = 8, rowsPerBand: Int = 2): Unit = {
@@ -234,7 +242,6 @@ object Dedup {
                              textCol: String, idCol: String, indexDir: String,
                              shingleSize: Int = 3, bands: Int = 8,
                              rowsPerBand: Int = 2, minAgree: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val spark = corpus.sparkSession
     // An existing valid index is REUSED, not rebuilt — this is what makes
     // the per-ingest cost genuinely O(batch) across calls (round-8 ADVICE:
@@ -251,7 +258,19 @@ object Dedup {
     if (!fs.exists(idxPath))
       buildLshBandIndex(corpus, textCol, idCol, indexDir,
         shingleSize, bands, rowsPerBand)
-    val corpusBands = spark.read.parquet(indexDir)
+    lshIngestClassify(spark.read.parquet(indexDir), batch, textCol, idCol,
+      shingleSize, bands, rowsPerBand, minAgree)
+  }
+
+  /** The ingest-classify core of [[lshIncrementalPortable]], taking the
+    * standing corpus's band-index ROWS directly (however the caller
+    * materialized them — a parquet read, a [[portableBandRows]] result, a
+    * run-level cache); hashes ONLY the batch. */
+  def lshIngestClassify(corpusBands: DataFrame, batch: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleSize: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 2, minAgree: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
     val batchBands = portableBandRows(batch, textCol, idCol, shingleSize,
       bands, rowsPerBand).localCheckpoint(false) // feeds both match passes
     val agree = (0 until numHashes).map(i =>
