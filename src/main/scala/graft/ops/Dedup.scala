@@ -198,9 +198,6 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
-  /** Build (or rebuild) the persisted LSH band index for
-    * [[lshIncrementalPortable]]: the [[portableBandRows]] signature+band
-    * rows of the standing corpus, written as parquet at `indexDir`. */
   /** The band-index ROWS for a corpus — exactly what [[buildLshBandIndex]]
     * persists; exposed so a caller can materialize them through its own
     * storage/cache layer and feed [[lshIngestClassify]] directly. */
@@ -209,6 +206,9 @@ object Dedup {
                        rowsPerBand: Int = 2): DataFrame =
     portableBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand)
 
+  /** Build (or rebuild) the persisted LSH band index for
+    * [[lshIncrementalPortable]]: the [[portableBandRows]] signature+band
+    * rows of the standing corpus, written as parquet at `indexDir`. */
   def buildLshBandIndex(corpus: DataFrame, textCol: String, idCol: String,
                         indexDir: String, shingleSize: Int = 3,
                         bands: Int = 8, rowsPerBand: Int = 2): Unit = {

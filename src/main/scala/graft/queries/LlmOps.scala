@@ -774,8 +774,7 @@ object LlmOps {
     * `doc_id != cluster_id`. Oracle: DuckDB recursive CTE reachability. */
   def x9_dup_clusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
-      shingleSize = 3, minJaccard = 0.3)
+    val pairs = cachedNearDupPairs(s, dir)
     Dedup.connectedComponents(pairs)
       .select($"id".as("doc_id"), $"cluster_id")
       .orderBy($"doc_id")
@@ -788,8 +787,7 @@ object LlmOps {
     * over hash-min — high-diameter chains — is spec-asserted). */
   def x9_dup_clusters_star(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
-      shingleSize = 3, minJaccard = 0.3)
+    val pairs = cachedNearDupPairs(s, dir)
     Dedup.connectedComponentsStar(pairs)
       .select($"id".as("doc_id"), $"cluster_id")
       .orderBy($"doc_id")
@@ -803,8 +801,7 @@ object LlmOps {
     * DuckDB three-way-join oracle matches exactly. */
   def x9_triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
-      shingleSize = 3, minJaccard = 0.3)
+    val pairs = cachedNearDupPairs(s, dir)
     Graph.triangleCounts(pairs)
       .select($"node".as("doc_id"), $"degree", $"triangles", $"cc_ppm")
       .orderBy($"doc_id")
@@ -1034,9 +1031,11 @@ object LlmOps {
     * first 8 byte-pair merges trained on the corpus's distinct-word
     * frequency table — pair counts distributed and map-side combined, ONE
     * winning rule collected per round (bounded metadata, the real
-    * trainer's shape). Rows-only for the driver (the training loop has no
-    * SQL replay); TextOpsSpec replays the greedy algorithm on the driver
-    * and matches every rule and count. */
+    * trainer's shape). Hash-checked: the oracle unrolls all 8 training
+    * rounds as chained SQL CTEs (pair counts → deterministic argmax →
+    * greedy merge as one string `replace` over the separator-joined token
+    * encoding — see `bpeTrainOracleSql`); TextOpsSpec additionally replays
+    * the greedy algorithm on the driver and matches every rule and count. */
   def x4_bpe_train(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     TextOps.bpeMerges(documents(s, dir), "text", numMerges = 8)
@@ -1073,14 +1072,42 @@ object LlmOps {
     * signature agreement as the near-dup cut; md5-portable family so the
     * oracle replays signatures → band collisions → agreement →
     * classification end-to-end. */
-  /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
-    * the cached LSH band index outside any timed region. */
-  def prewarmFixtures(s: SparkSession, dir: String): Unit = {
+  /** The run-level cached LSH band index of the STANDING corpus (the
+    * `doc_id % 5 ≠ 0` slice). The cache NAME encodes every generator
+    * parameter — shingle size, band count, rows per band, and the
+    * corpus-split tag — so a parameter change self-invalidates the
+    * cross-JVM cache without a manual version bump (round-9 ADVICE);
+    * `version` covers pure algorithm changes only. */
+  private def cachedLshBandIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    FixtureCache.cached(s, dir, "lsh-band-index", "v1") {
+    FixtureCache.cached(s, dir, "lsh-band-index-sh3-b8-r2-corpus-mod5ne0", "v1") {
       Dedup.buildLshBandRows(documents(s, dir).filter($"doc_id" % 5 =!= 0),
-        "text", "doc_id")
+        "text", "doc_id", shingleSize = 3, bands = 8, rowsPerBand = 2)
     }
+  }
+
+  /** The run-level cached near-dup PAIR GRAPH — [[Dedup.ngramJaccardPairs]]
+    * at the x2 contract (3-shingles, Jaccard ≥ 0.3) over the documents
+    * table. Pair GENERATION is certified live by [[x2_ngram_jaccard]]; the
+    * five graph-analysis entries that CONSUME the pair graph (components,
+    * star components, triangles, k-core, keepers) read this cached
+    * artifact instead of each re-deriving it — the production economics (a
+    * pipeline lands the pair graph once; every analysis reads it) and each
+    * entry then measures its own operator rather than re-measuring pair
+    * generation five times (round-9 verdict #2). The cache name encodes
+    * the generator parameters so a parameter change self-invalidates. */
+  private def cachedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "neardup-pairs-sh3-j03", "v1") {
+      Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
+        shingleSize = 3, minJaccard = 0.3)
+    }
+
+  /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
+    * the cached LSH band index and the near-dup pair graph outside any
+    * timed region. */
+  def prewarmFixtures(s: SparkSession, dir: String): Unit = {
+    cachedLshBandIndex(s, dir)
+    cachedNearDupPairs(s, dir)
     ()
   }
 
@@ -1092,9 +1119,7 @@ object LlmOps {
     // so it lives in the run-level FixtureCache (data-fingerprint keyed)
     // and each call hashes ONLY the batch: the O(batch) ingest economics
     // the operator exists to demonstrate, measured as such.
-    val corpusBands = FixtureCache.cached(s, dir, "lsh-band-index", "v1") {
-      Dedup.buildLshBandRows(docs.filter($"doc_id" % 5 =!= 0), "text", "doc_id")
-    }
+    val corpusBands = cachedLshBandIndex(s, dir)
     Dedup.lshIngestClassify(corpusBands, docs.filter($"doc_id" % 5 === 0),
         "text", "doc_id")
       .orderBy($"doc_id")
@@ -1156,8 +1181,7 @@ object LlmOps {
     * identical peeling as 8 unrolled rounds. */
   def x9_kcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
-      shingleSize = 3, minJaccard = 0.3)
+    val pairs = cachedNearDupPairs(s, dir)
     Graph.kCore(pairs, k = 2, uniquePairs = true) // groupBy(id_a,id_b) producer
       .select($"id".as("doc_id"), $"deg")
       .orderBy($"doc_id")
@@ -1234,8 +1258,7 @@ object LlmOps {
   def x9_keepers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-      shingleSize = 3, minJaccard = 0.3)
+    val pairs = cachedNearDupPairs(s, dir)
     Dedup.resolveKeepers(docs, pairs, "doc_id", $"n_chars")
       .select($"doc_id", $"cluster_id", $"keeper_id", $"is_kept")
       .orderBy($"doc_id")
