@@ -70,6 +70,25 @@ object Multimodal {
       * sampled frame offsets for `fps`-rate sampling of `durationMs`. */
     def sampleFrameOffsets(durationMs: Long, everyMs: Long): Seq[Long] =
       (0L until durationMs by everyMs).toSeq
+
+    /** The CERTIFIED-INTEGER twin of [[extractFeatures]]: the identical
+      * strided byte fold carried as exact int64 sums (`out(i % dim) +=
+      * payload(i) & 0xFF`) instead of the /255 float accumulation — same
+      * access pattern, same plumbing, but every output is an integer a SQL
+      * oracle can replay bit-for-bit over the payload bytes. This is the
+      * evidence path for the codec stub family: the float twin stays the
+      * declared production shape. */
+    def extractFeaturesInt(payload: Array[Byte], dim: Int): Array[Long] = {
+      val out = new Array[Long](dim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          out(i % dim) += (payload(i) & 0xFF).toLong
+          i += 1
+        }
+      }
+      out
+    }
   }
 
   /** Decode metadata for image payloads — `mapPartitions` so a real decoder
@@ -86,6 +105,23 @@ object Multimodal {
       rows.map { r =>
         val (w, h, c) = StubCodec.decodeImage(r.getAs[Array[Byte]]("payload"))
         Row(r.getLong(0), w, h, c)
+      }
+    }(enc)
+  }
+
+  /** Integer-certified feature extraction ([[StubCodec.extractFeaturesInt]])
+    * through the same `mapPartitions` plumbing as [[extractFeatures]] —
+    * identical schema shape, partition iteration, and per-partition init
+    * point, so certifying this path certifies the plumbing the float/real
+    * codec rides on. */
+  def extractFeaturesInt(media: DataFrame, dim: Int = 16): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features_int", ArrayType(LongType, containsNull = false), nullable = false))))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0),
+          StubCodec.extractFeaturesInt(r.getAs[Array[Byte]]("payload"), dim).toSeq)
       }
     }(enc)
   }

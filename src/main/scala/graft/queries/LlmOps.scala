@@ -628,6 +628,29 @@ object LlmOps {
       .orderBy($"media_id")
   }
 
+  /** X5c' — the CERTIFIED-INTEGER feature-extraction twin
+    * ([[graft.ops.Multimodal.extractFeaturesInt]]): the same strided byte
+    * fold as the stub codec's float features, carried as exact int64 sums
+    * through the identical `mapPartitions` plumbing, exploded to one row
+    * per (media, lane). The oracle replays the fold over the SAME UTF-8
+    * payload bytes (hex-decoded per position in SQL), so the whole
+    * decode-side dataflow — payload bytes, stride assignment, per-lane
+    * accumulation — is hash-certified; the float twin
+    * ([[x5_media_features]]) stays the declared production codec shape. */
+  def x5_media_features_int(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Multimodal
+    val media = Multimodal.toMediaFrame(
+      documents(s, dir).withColumn("kind", lit("image")),
+      "doc_id", "text", "kind")
+    Multimodal.extractFeaturesInt(media, dim = 16)
+      .select($"media_id",
+        posexplode($"features_int").as(Seq("feat_idx", "feat_sum")))
+      .select($"media_id", $"feat_idx".cast("bigint").as("feat_idx"),
+        $"feat_sum")
+      .orderBy($"media_id", $"feat_idx")
+  }
+
   /** X5d — frame sampling plumbing: per media row, the sampled frame
     * offsets for 1-per-500ms sampling of a (deterministic fake) duration —
     * `posexplode` over the offset sequence, the row-shape a real container
@@ -1333,6 +1356,7 @@ object LlmOps {
     "x5_multimodal_join" -> x5_multimodal_join _,
     "x5_media_envelope" -> x5_media_envelope _,
     "x5_media_features" -> x5_media_features _,
+    "x5_media_features_int" -> x5_media_features_int _,
     "x5_frame_sample" -> x5_frame_sample _,
     "x6_props_agg" -> x6_props_agg _,
     "x4_bm25" -> x4_bm25 _,
@@ -1785,6 +1809,30 @@ object LlmOps {
         |  octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    // strided byte fold replayed per byte position: hex-decode the UTF-8
+    // payload two nibbles at a time (strpos over '123456789ABCDEF' maps a
+    // hex digit to its value, '0' -> 0 by strpos-miss), then sum bytes by
+    // stride lane i % 16; the 16-lane frame left-joins the sums so a doc
+    // with no bytes still carries 16 zero lanes, matching posexplode
+    "x5_media_features_int" ->
+      """WITH hx AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |b AS (
+        |  SELECT media_id,
+        |    strpos('123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) * 16
+        |      + strpos('123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) AS bv,
+        |    i % 16 AS lane
+        |  FROM hx, LATERAL (SELECT unnest(range(0, nb)) AS i) t),
+        |s AS (
+        |  SELECT media_id, lane, sum(bv) AS fs FROM b GROUP BY media_id, lane),
+        |lanes AS (SELECT unnest(range(16)) AS lane)
+        |SELECT hx.media_id, CAST(lanes.lane AS BIGINT) AS feat_idx,
+        |  CAST(coalesce(s.fs, 0) AS BIGINT) AS feat_sum
+        |FROM hx CROSS JOIN lanes
+        |LEFT JOIN s ON s.media_id = hx.media_id AND s.lane = lanes.lane
+        |ORDER BY hx.media_id, feat_idx""".stripMargin,
     "x5_frame_sample" ->
       """SELECT media_id, duration_ms,
         |  CAST(frame_offset_ms // 500 AS INT) AS frame_idx, frame_offset_ms

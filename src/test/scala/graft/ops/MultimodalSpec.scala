@@ -38,6 +38,30 @@ class MultimodalSpec extends SparkSpec {
     assert(ff === 1L)
   }
 
+  test("integer feature twin: exact strided byte fold, matches the float " +
+    "twin's access pattern, empty payload yields all-zero lanes") {
+    val f = Multimodal.extractFeaturesInt(media, dim = 8)
+    assert(f.schema("features_int").dataType.simpleString === "array<bigint>")
+    val rows = f.as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    // driver-side reference fold over the same UTF-8 bytes
+    def ref(s: String) = {
+      val out = new Array[Long](8)
+      s.getBytes("UTF-8").zipWithIndex.foreach { case (b, i) =>
+        out(i % 8) += (b & 0xFF).toLong }
+      out.toSeq
+    }
+    assert(rows(0)._2 === ref("abcdef"))
+    assert(rows(1)._2 === ref("xyz"))
+    assert(rows(2)._2 === Seq.fill(8)(0L)) // empty payload
+    // int twin strides exactly like the float twin: lanes with zero float
+    // mass are exactly the lanes with zero integer mass
+    val fl = Multimodal.extractFeatures(media, dim = 8)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    rows.zip(fl).foreach { case ((_, li), (_, lf)) =>
+      assert(li.map(_ == 0L) === lf.map(_ == 0.0f).toSeq)
+    }
+  }
+
   test("X5e shard manifest: covers every joined sample, id ranges don't " +
     "overlap, fills respect start-offset packing") {
     val dir = "/root/testdata/sf0.001"
