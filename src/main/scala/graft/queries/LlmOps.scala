@@ -247,13 +247,36 @@ object LlmOps {
        |ORDER BY query_id, pick_rank""".stripMargin
   }
 
-  /** X3b — LSH-bucketed approximate top-5 (rows-only; recall measured in
-    * ScalaTest against x3's exact answer). */
+  /** Attach the per-query MEASURED recall@k — integer per-mille overlap
+    * with the exact brute-force top-k (the [[x3_cosine_topk]] contract) —
+    * to an approximate top-k result. Round-9 verdict #4: the rows-only
+    * float-ANN entries carry their quantitative evidence inside the driver
+    * artifact itself (`recall_pm` on every row), not only in ScalaTest;
+    * the specs keep pinning the ≥ 0.8 aggregate bound. The exact pass
+    * costs one extra brute-force scan over the SAME 20-query slice the
+    * entry already scans — evidence the entry pays for; the production
+    * serving path is the approximate result alone. */
+  private def withRecallPm(approx: DataFrame, queries: DataFrame,
+                           corpus: DataFrame, k: Int): DataFrame = {
+    val exact = Similarity.bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
+    val recall = approx.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(expr(s"sum(coalesce(in_exact, 0)) * 1000 DIV $k").as("recall_pm"))
+    approx.join(broadcast(recall), Seq("query_id"))
+  }
+
+  /** X3b — LSH-bucketed approximate top-5 (rows-only; every row carries
+    * its query's measured `recall_pm` vs the exact top-5 — see
+    * [[withRecallPm]] — and ScalaTest pins the ≥ 0.8 bound). */
   def x3_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
-    Similarity.lshTopK(emb.filter($"vec_id" < 20), emb, k = 5, dim = 64)
-      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+    val queries = emb.filter($"vec_id" < 20)
+    withRecallPm(
+        Similarity.lshTopK(queries, emb, k = 5, dim = 64), queries, emb, k = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm")
       .orderBy($"query_id", $"rank")
   }
 
@@ -273,14 +296,17 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
-  /** X3b' — IVF-bucketed approximate top-5 (rows-only; recall measured in
-    * ScalaTest against x3's exact answer). Data-adaptive coarse quantizer vs
-    * the oblivious hyperplanes of x3_ann_lsh. */
+  /** X3b' — IVF-bucketed approximate top-5 (rows-only; every row carries
+    * its query's measured `recall_pm` vs the exact top-5, and ScalaTest
+    * pins the ≥ 0.8 bound). Data-adaptive coarse quantizer vs the
+    * oblivious hyperplanes of x3_ann_lsh. */
   def x3_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
-    Similarity.ivfTopK(emb.filter($"vec_id" < 20), emb, k = 5, dim = 64)
-      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+    val queries = emb.filter($"vec_id" < 20)
+    withRecallPm(
+        Similarity.ivfTopK(queries, emb, k = 5, dim = 64), queries, emb, k = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm")
       .orderBy($"query_id", $"rank")
   }
 
@@ -309,8 +335,9 @@ object LlmOps {
   }
 
   /** X3b''' — product-quantization approximate top-5 with ADC + exact
-    * re-rank (rows-only; recall pinned in ScalaTest against x3's exact
-    * answer). The STORAGE-side ANN path: 16 one-byte codes stand in for 64
+    * re-rank (rows-only; every row carries its query's measured
+    * `recall_pm` vs the exact top-5, and ScalaTest pins the ≥ 0.8 bound).
+    * The STORAGE-side ANN path: 16 one-byte codes stand in for 64
     * floats (16× smaller corpus footprint), candidates rank by asymmetric
     * distance on the reconstructed vectors, and only the top-25 touch exact
     * embeddings. m=16 (4-dim subspaces) holds recall ≥ 0.8 even on this
@@ -320,9 +347,11 @@ object LlmOps {
   def x3_ann_pq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
-    Similarity.pqTopK(emb.filter($"vec_id" < 20), emb, k = 5, dim = 64,
-        m = 16, ksub = 16, rerank = 25)
-      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+    val queries = emb.filter($"vec_id" < 20)
+    withRecallPm(
+        Similarity.pqTopK(queries, emb, k = 5, dim = 64,
+          m = 16, ksub = 16, rerank = 25), queries, emb, k = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm")
       .orderBy($"query_id", $"rank")
   }
 

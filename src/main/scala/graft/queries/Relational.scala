@@ -144,13 +144,26 @@ object Relational {
   }
 
   /** HLL approximate distinct — no oracle (sketch-dependent); driver does the
-    * weaker rows-only check. The scale path for "users touched" audit queries. */
+    * weaker rows-only check. The scale path for "users touched" audit queries.
+    * The output CARRIES ITS OWN ERROR EVIDENCE (round-9 verdict #4): each
+    * row's `*_err_ppm` is the measured |approx − exact| / exact in integer
+    * ppm against the exact distinct computed in the same pass (one extra
+    * shuffle the evidence pays for; the production shape is the approx
+    * aggregate alone). ApproxSpec pins the envelope (4σ of the 5% default
+    * rsd); the driver artifact then shows the achieved error per flag. */
   def q10_approx_distinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
-           approx_count_distinct($"l_partkey").as("approx_parts"))
+           approx_count_distinct($"l_partkey").as("approx_parts"),
+           countDistinct($"l_orderkey").as("exact_orders"),
+           countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"approx_orders", $"approx_parts",
+        expr("abs(approx_orders - exact_orders) * 1000000 DIV exact_orders")
+          .as("orders_err_ppm"),
+        expr("abs(approx_parts - exact_parts) * 1000000 DIV exact_parts")
+          .as("parts_err_ppm"))
       .orderBy($"l_returnflag")
   }
 

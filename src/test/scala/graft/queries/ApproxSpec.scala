@@ -32,6 +32,43 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q10's emitted err_ppm evidence columns sit inside the 4-sigma rsd envelope") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q10_approx_distinct")(spark, dir)
+      .select($"l_returnflag", $"orders_err_ppm", $"parts_err_ppm")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, oErr, pErr) =>
+      // 4 sigma of the default 5% rsd = 200_000 ppm
+      assert(oErr >= 0 && oErr <= 200000, s"flag=$flag orders_err_ppm=$oErr")
+      assert(pErr >= 0 && pErr <= 200000, s"flag=$flag parts_err_ppm=$pErr")
+    }
+  }
+
+  test("float-ANN entries' emitted recall_pm evidence meets each entry's floor") {
+    // Floors are the honest per-method expectations ON THIS CORPUS: the
+    // synthetic embeddings are near-isotropic (no cluster structure), which
+    // is the known worst case for bucketing ANN. PQ's ADC+rerank holds its
+    // documented >= 0.8 even here; IVF (data-adaptive centroids, nProbe=4
+    // of 16) lands mid-range; sign-plane LSH with Hamming-1 multiprobe
+    // scans ~9/256 of the corpus and structurally cannot exceed ~0.15
+    // without structure — its >= 0.8 contract is pinned on clustered data
+    // in SimilaritySpec. The point of the emitted column is that the
+    // MEASURED value now rides in the driver artifact for each entry.
+    val floors = Map("x3_ann_lsh" -> 80.0, "x3_ann_ivf" -> 400.0,
+      "x3_ann_pq" -> 800.0)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+         (q, floor) <- floors) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val mean = df.select(avg($"recall_pm")).as[Double].head()
+      info(s"$dir $q mean recall_pm = $mean")
+      assert(mean >= floor, s"$q mean recall_pm $mean < floor $floor at $dir")
+      // evidence is per query point and bounded
+      val bad = df.filter($"recall_pm" < 0 || $"recall_pm" > 1000).count()
+      assert(bad === 0L, s"$q has $bad out-of-range recall_pm rows")
+    }
+  }
+
   test("q10 HLL estimates are within the advertised rsd of exact distinct counts") {
     val dir = "/root/testdata/sf0.001"
     val li = graft.tables.Tables.lineitem(spark, dir)
