@@ -392,6 +392,87 @@ object MetricsOps {
       .orderBy($"event_type", $"minute")
   }
 
+  /** P27 — the BOUNDED-STATE journey streaming twins promoted to the driver
+    * surface (round-9 verdict #6): run the two 100 TB-posture variants —
+    * [[graft.streaming.FunnelStream.funnelUpdatesOrdered]] (O(1) per-step
+    * frontier) and
+    * [[graft.streaming.JourneyStream.transitionUpdatesOrdered]] (last-event
+    * frontier + cumulative pair counts) — over an IN-ORDER delivery of a
+    * deterministic events slice: three micro-batches cut along the GLOBAL
+    * (ts, event_id) sort, so per-key ordering holds across batches (the
+    * variants' delivery contract). Census per user: funnel step + frontier
+    * timestamps, the transition-state footprint (`state_pair_cells` —
+    * distinct pair count-cells, the bounded-state claim made measurable)
+    * and total transitions. Under ordered delivery both variants equal the
+    * exact refold, so DuckDB certifies the streaming result end-to-end from
+    * the base table (chained-min funnel + lead() adjacency) — the named
+    * green artifact for the bounded-state shapes. The only driver-side data
+    * is the fixture slice itself (user_id % 10 = 0, ~1/10 of events;
+    * bounded, and inherent to feeding MemoryStream) — the volume story
+    * rides the certified batch twins (q39/q41). */
+  def p27_journey_ordered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{FunnelStream, JourneyStream}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val slice = events(s, dir).filter($"user_id" % 10 === 0)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("ts_us"), $"event_type")
+      .orderBy($"ts_us", $"event_id")
+      .as[(Long, Long, Long, String)].collect()
+    val n = slice.length
+    val batches = Seq(slice.slice(0, n / 3), slice.slice(n / 3, 2 * n / 3),
+      slice.slice(2 * n / 3, n)).filter(_.nonEmpty)
+    val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val fMem = MemoryStream[FunnelStream.FunnelEvent]
+    val tMem = MemoryStream[JourneyStream.JourneyEvent]
+    val fq = FunnelStream.funnelUpdatesOrdered(fMem.toDS())
+      .writeStream.format("memory").queryName(s"p27f_$tag")
+      .outputMode(OutputMode.Update()).start()
+    val tq = JourneyStream.transitionUpdatesOrdered(tMem.toDS())
+      .writeStream.format("memory").queryName(s"p27t_$tag")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      batches.foreach { b =>
+        fMem.addData(b.toSeq.map { case (u, _, ts, et) =>
+          FunnelStream.FunnelEvent(u, et, ts) }: _*)
+        tMem.addData(b.toSeq.map { case (u, id, ts, et) =>
+          JourneyStream.JourneyEvent(u, id, ts, et) }: _*)
+        fq.processAllAvailable()
+        tq.processAllAvailable()
+      }
+    } finally { fq.stop(); tq.stop() }
+    // Update-mode sinks append one row-set per touched user per batch; the
+    // final state is the max-update_seq row-set per user
+    def latest(df: DataFrame) = df
+      .withColumn("mx", max($"update_seq").over(Window.partitionBy($"user_id")))
+      .filter($"update_seq" === $"mx")
+    val funnel = latest(s.table(s"p27f_$tag"))
+      .select($"user_id", $"step_reached",
+        $"t_view_us", $"t_click_us", $"t_purchase_us")
+    val trans = latest(s.table(s"p27t_$tag"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"), sum($"n").as("n_trans"))
+    // base = every user in the slice: a user with only non-funnel events has
+    // no funnel row; a single-event user emits no transition rows
+    val base = s.createDataset(slice.map(_._1).distinct.toSeq).toDF("user_id")
+    val out = base
+      .join(funnel, Seq("user_id"), "left")
+      .join(trans, Seq("user_id"), "left")
+      .select($"user_id",
+        coalesce($"step_reached", lit(0L)).as("step_reached"),
+        coalesce($"t_view_us", lit(-1L)).as("t_view_us"),
+        coalesce($"t_click_us", lit(-1L)).as("t_click_us"),
+        coalesce($"t_purchase_us", lit(-1L)).as("t_purchase_us"),
+        coalesce($"n_pairs", lit(0L)).as("state_pair_cells"),
+        coalesce($"n_trans", lit(0L)).as("n_transitions"))
+      .orderBy($"user_id")
+    s.catalog.dropTempView(s"p27f_$tag")
+    s.catalog.dropTempView(s"p27t_$tag")
+    out
+  }
+
   def p21_anomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perMin = events(s, dir)
@@ -833,6 +914,7 @@ object MetricsOps {
     "p18_irate" -> p18_irate _,
     "p21_anomaly" -> p21_anomaly _,
     "p26_cusum" -> p26_cusum _,
+    "p27_journey_ordered" -> p27_journey_ordered _,
     "p22_gapfill" -> p22_gapfill _,
     "p23_lttb" -> p23_lttb _,
     "p24_group_left" -> p24_group_left _,
@@ -1136,6 +1218,51 @@ object MetricsOps {
         |    ORDER BY minute ROWS UNBOUNDED PRECEDING), 0) > 5 * k
         |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM pre ORDER BY event_type, minute""".stripMargin,
+    // under in-order delivery the bounded-state streaming variants equal the
+    // exact refold, which IS batch-expressible: chained-min funnel + lead()
+    // adjacency over the same (ts, event_id) order the stream delivered in
+    "p27_journey_ordered" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE user_id % 10 = 0),
+        |v AS (
+        |  SELECT user_id, min(ts_us) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t_click
+        |  FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts_us > v.t_view
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t_purchase
+        |  FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts_us > c.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |adj AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_us, event_id) AS to_type
+        |  FROM ev),
+        |tr AS (
+        |  SELECT user_id,
+        |    count(DISTINCT from_type || '|' || to_type) AS n_pairs,
+        |    count(*) AS n_trans
+        |  FROM adj WHERE to_type IS NOT NULL GROUP BY user_id),
+        |base AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT b.user_id,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS step_reached,
+        |  coalesce(v.t_view, -1) AS t_view_us,
+        |  coalesce(c.t_click, -1) AS t_click_us,
+        |  coalesce(p.t_purchase, -1) AS t_purchase_us,
+        |  CAST(coalesce(tr.n_pairs, 0) AS BIGINT) AS state_pair_cells,
+        |  CAST(coalesce(tr.n_trans, 0) AS BIGINT) AS n_transitions
+        |FROM base b
+        |LEFT JOIN v ON v.user_id = b.user_id
+        |LEFT JOIN c ON c.user_id = b.user_id
+        |LEFT JOIN p ON p.user_id = b.user_id
+        |LEFT JOIN tr ON tr.user_id = b.user_id
+        |ORDER BY b.user_id""".stripMargin,
     "p21_anomaly" ->
       """WITH b AS (
         |  SELECT event_type, date_trunc('minute', ts) AS minute,
