@@ -502,7 +502,15 @@ object Relational {
       .groupBy($"bucket")
       .agg(max($"cents").as("hi_cents"),
         count(lit(1)).as("n_rows"),
-        approx_count_distinct($"cents").as("ndv_approx"))
+        approx_count_distinct($"cents").as("ndv_approx"),
+        // measured-evidence column (round-9 verdict #4 pattern): the exact
+        // NDV rides the SAME aggregation pass (distinct-expand, no extra
+        // scan, still no window), so each row carries its achieved HLL
+        // error for the driver artifact; the production plan drops it
+        countDistinct($"cents").as("ndv_exact"))
+      .select($"bucket", $"hi_cents", $"n_rows", $"ndv_approx",
+        expr("abs(ndv_approx - ndv_exact) * 1000000 DIV ndv_exact")
+          .as("ndv_err_ppm"))
       .orderBy($"bucket")
   }
 

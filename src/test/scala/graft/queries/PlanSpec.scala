@@ -302,7 +302,11 @@ class PlanSpec extends SparkSpec {
     val p = plan(out)
     assert(!p.contains("Window"),
       s"approx stats must not total-order the table:\n$p")
-    val rows = out.as[(Long, Long, Long, Long)].collect()
+    val rows = out.select($"bucket", $"hi_cents", $"n_rows", $"ndv_approx")
+      .as[(Long, Long, Long, Long)].collect()
+    // the emitted evidence column: achieved HLL error within 4 sigma of the
+    // default 5% rsd
+    assert(out.filter($"ndv_err_ppm" < 0 || $"ndv_err_ppm" > 200000).count() === 0L)
     assert(rows.map(_._1).toSeq === (1L to 8L))
     val hi = rows.map(_._2)
     assert(hi.toSeq === hi.sorted.toSeq, "boundaries must be non-decreasing")
