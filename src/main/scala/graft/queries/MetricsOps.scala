@@ -422,27 +422,39 @@ object MetricsOps {
       .orderBy($"ts_us", $"event_id")
       .as[(Long, Long, Long, String)].collect()
     val n = slice.length
-    val batches = Seq(slice.slice(0, n / 3), slice.slice(n / 3, 2 * n / 3),
-      slice.slice(2 * n / 3, n)).filter(_.nonEmpty)
+    // two micro-batches: the minimum that exercises cross-batch state
+    // continuation (what the entry certifies); each extra batch costs two
+    // fixed micro-batch executions (one per stateful query)
+    val batches = Seq(slice.slice(0, n / 2), slice.slice(n / 2, n))
+      .filter(_.nonEmpty)
     val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    // the keyed state shuffles at spark.sql.shuffle.partitions, pinned into
+    // each query's checkpoint at start: 32 state partitions x 2 queries x 2
+    // batches of a ~150-user fixture is pure commit overhead, so narrow the
+    // conf for the streaming section and restore it for the (batch) output
+    // plan, which executes after this function returns
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val fMem = MemoryStream[FunnelStream.FunnelEvent]
     val tMem = MemoryStream[JourneyStream.JourneyEvent]
-    val fq = FunnelStream.funnelUpdatesOrdered(fMem.toDS())
-      .writeStream.format("memory").queryName(s"p27f_$tag")
-      .outputMode(OutputMode.Update()).start()
-    val tq = JourneyStream.transitionUpdatesOrdered(tMem.toDS())
-      .writeStream.format("memory").queryName(s"p27t_$tag")
-      .outputMode(OutputMode.Update()).start()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      batches.foreach { b =>
-        fMem.addData(b.toSeq.map { case (u, _, ts, et) =>
-          FunnelStream.FunnelEvent(u, et, ts) }: _*)
-        tMem.addData(b.toSeq.map { case (u, id, ts, et) =>
-          JourneyStream.JourneyEvent(u, id, ts, et) }: _*)
-        fq.processAllAvailable()
-        tq.processAllAvailable()
-      }
-    } finally { fq.stop(); tq.stop() }
+      val fq = FunnelStream.funnelUpdatesOrdered(fMem.toDS())
+        .writeStream.format("memory").queryName(s"p27f_$tag")
+        .outputMode(OutputMode.Update()).start()
+      val tq = JourneyStream.transitionUpdatesOrdered(tMem.toDS())
+        .writeStream.format("memory").queryName(s"p27t_$tag")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        batches.foreach { b =>
+          fMem.addData(b.toSeq.map { case (u, _, ts, et) =>
+            FunnelStream.FunnelEvent(u, et, ts) }: _*)
+          tMem.addData(b.toSeq.map { case (u, id, ts, et) =>
+            JourneyStream.JourneyEvent(u, id, ts, et) }: _*)
+          fq.processAllAvailable()
+          tq.processAllAvailable()
+        }
+      } finally { fq.stop(); tq.stop() }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // Update-mode sinks append one row-set per touched user per batch; the
     // final state is the max-update_seq row-set per user
     def latest(df: DataFrame) = df

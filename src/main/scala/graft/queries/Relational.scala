@@ -495,19 +495,25 @@ object Relational {
     val cuts = li.agg(expr(
       "approx_percentile(cents, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875), 10000)")
       .as("cuts"))
+    // Two-level aggregation instead of a distinct-expand: the (bucket,
+    // cents) pre-aggregate is map-side combined down to the distinct values
+    // BEFORE the shuffle, and the bucket level then gets exact NDV as a
+    // plain count — one scan, no row duplication (an expand would 2x the
+    // scanned rows), and the HLL fed distinct values estimates the same
+    // set. The exact NDV exists only to feed the measured-evidence column
+    // (round-9 verdict #4 pattern): each row carries its achieved HLL error
+    // for the driver artifact; the production plan keeps the sketch alone.
     li.crossJoin(broadcast(cuts)) // 1-row boundary broadcast
       .select($"cents",
         (lit(1L) + aggregate($"cuts", lit(0L),
           (acc, c) => acc + when($"cents" > c, 1L).otherwise(0L))).as("bucket"))
+      .groupBy($"bucket", $"cents")
+      .agg(count(lit(1)).as("c"))
       .groupBy($"bucket")
       .agg(max($"cents").as("hi_cents"),
-        count(lit(1)).as("n_rows"),
+        sum($"c").as("n_rows"),
         approx_count_distinct($"cents").as("ndv_approx"),
-        // measured-evidence column (round-9 verdict #4 pattern): the exact
-        // NDV rides the SAME aggregation pass (distinct-expand, no extra
-        // scan, still no window), so each row carries its achieved HLL
-        // error for the driver artifact; the production plan drops it
-        countDistinct($"cents").as("ndv_exact"))
+        count(lit(1)).as("ndv_exact"))
       .select($"bucket", $"hi_cents", $"n_rows", $"ndv_approx",
         expr("abs(ndv_approx - ndv_exact) * 1000000 DIV ndv_exact")
           .as("ndv_err_ppm"))
