@@ -283,10 +283,17 @@ object CdcQueries {
         (CanalJson.fixtureLines.map(_._1) :+ CanalJson.poisonLine)
           .mkString("\n").getBytes("UTF-8"))
       val events = CanalJson.events(CdcPipeline.fileSource(s, in.toString))
-      val q = CdcPipeline.materializeSink(events.coalesce(1),
-        s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
-      q.processAllAvailable()
-      q.stop()
+      // 32 shuffle partitions on an 11-line fixture is pure per-task
+      // overhead in the sink's window/agg actions — narrow for the
+      // streaming section and restore after stop (the p27 rule)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = CdcPipeline.materializeSink(events.coalesce(1),
+          s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // The listener bus is ASYNC: progress/termination events can still be
       // in flight after stop(), and removeListener below drops them for
       // good. cdc_health_counts pins exact values, so DRAIN before the
