@@ -257,7 +257,8 @@ object Bench {
       names.exists(n => n.startsWith("cdc_") || n.startsWith("w") ||
         n.startsWith("s5_"))
     val pairGraphConsumers = Set("x9_dup_clusters", "x9_dup_clusters_star",
-      "x9_triangles", "x9_kcore", "x9_keepers", "x10_pipeline")
+      "x9_triangles", "x9_kcore", "x9_keepers", "x10_pipeline",
+      "x2_minhash_lsh", "x2_simhash")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
       names.exists(pairGraphConsumers)
     if (!inline && (touchesCdcFixtures || touchesLshIndex)) {

@@ -138,12 +138,23 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** X2b — MinHash-LSH near-dup candidates (rows-only: xxhash64-based). */
+  /** X2b — MinHash-LSH near-dup candidates (rows-only: xxhash64-based).
+    * Evidence column (round-9 verdict #4 pattern): each emitted pair
+    * carries `exact_jaccard_pm` — its TRUE 3-shingle Jaccard in integer
+    * per-mille from the exact pair graph ([[cachedNearDupPairs]]), −1 when
+    * the pair sits below that graph's 0.3 threshold — so the sketch
+    * estimate is auditable against ground truth row by row in the driver
+    * artifact. */
   def x2_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val exact = cachedNearDupPairs(s, dir)
+      .select($"id_a", $"id_b",
+        round($"jaccard" * 1000).cast("bigint").as("exact_jaccard_pm"))
     Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id",
         shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.25)
-      .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
+      .join(exact, Seq("id_a", "id_b"), "left")
+      .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"),
+        coalesce($"exact_jaccard_pm", lit(-1L)).as("exact_jaccard_pm"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -162,10 +173,18 @@ object LlmOps {
   /** X2c — SimHash near-dup candidates at Hamming ≤ 7 of 64 bits
     * (rows-only: xxhash64-based). Block count derives from the bound
     * (pigeonhole: 8 × 8-bit blocks), so recall is guaranteed, and 8-bit
-    * buckets keep the candidate join selective at scale. */
+    * buckets keep the candidate join selective at scale. Each pair carries
+    * `exact_jaccard_pm` ground-truth evidence — the [[x2_minhash_lsh]]
+    * contract. */
   def x2_simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val exact = cachedNearDupPairs(s, dir)
+      .select($"id_a", $"id_b",
+        round($"jaccard" * 1000).cast("bigint").as("exact_jaccard_pm"))
     Dedup.simhashPairs(documents(s, dir), "text", "doc_id", maxHamming = 7)
+      .join(exact, Seq("id_a", "id_b"), "left")
+      .withColumn("exact_jaccard_pm",
+        coalesce($"exact_jaccard_pm", lit(-1L)))
       .orderBy($"id_a", $"id_b")
   }
 

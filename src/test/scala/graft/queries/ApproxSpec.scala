@@ -69,6 +69,25 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("sketch pair entries' exact_jaccard_pm evidence is a valid ground-truth column") {
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("x2_minhash_lsh", "x2_simhash")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      // sentinel or a value from the exact pair graph (threshold 0.3)
+      val bad = df.filter($"exact_jaccard_pm" =!= -1L &&
+        ($"exact_jaccard_pm" < 300 || $"exact_jaccard_pm" > 1000)).count()
+      assert(bad === 0L, s"$q has $bad out-of-range exact_jaccard_pm rows")
+    }
+    // the minhash estimate must track ground truth where both exist:
+    // mean |est*1000 - exact_pm| within the 16-hash sketch's coarse grid
+    val mh = graft.SparkEntry.queries("x2_minhash_lsh")(spark, dir)
+      .filter($"exact_jaccard_pm" =!= -1L)
+      .select(avg(abs($"est_jaccard" * 1000 - $"exact_jaccard_pm")))
+      .as[Double].collect().headOption.flatMap(Option(_))
+    mh.foreach(err => assert(err <= 350.0,
+      s"minhash estimate strays $err per-mille from exact on average"))
+  }
+
   test("q10 HLL estimates are within the advertised rsd of exact distinct counts") {
     val dir = "/root/testdata/sf0.001"
     val li = graft.tables.Tables.lineitem(spark, dir)
