@@ -762,11 +762,33 @@ object Dedup {
     // candidate cut positions: every gram start; a cut needs a full next
     // chunk start inside the doc (i+gramSize <= len) so no empty chunk forms
     val positions = sequence(lit(1), greatest(len - (gramSize - 1), lit(1)))
+    // Gram hash: base-257 polynomial over the gram's code points — the
+    // FastCDC/gear family's shape (content-derived, O(1) per position,
+    // pure integer) and still ORACLE-PORTABLE: DuckDB replays it with
+    // ord()+arithmetic. Replaced the per-position md5 (hex + 15-digit
+    // base-conv per position) AND any per-position substr: `substr(text,
+    // i, 1)` is an O(i) char-boundary scan in UTF8String, so per-position
+    // substrings make the whole pass O(len²)/doc — the code-point array is
+    // materialized ONCE per doc and each position reads it O(1) via
+    // element_at. Code points match across engines for the single-byte/BMP
+    // text this corpus contracts (ASCII — see TESTDATA.md); chunk IDENTITY
+    // stays md5 over the chunk bytes below.
+    // try_element_at, not element_at: ANSI mode throws on out-of-bounds,
+    // and a doc shorter than gramSize still enumerates position 1 — the
+    // null propagates through the sum and the cut predicate stays false,
+    // exactly the `i + gramSize <= len` guard's intent
+    val codes = col("__codes")
+    val gramHash = (i: Column) =>
+      (0 until gramSize).map(off =>
+        try_element_at(codes, (i + lit(off)).cast("int")) *
+          lit(math.pow(257.0, (gramSize - 1 - off).toDouble).toLong))
+        .reduce(_ + _)
     val cuts = filter(positions, i =>
-      (conv(substring(md5(text.substr(i, lit(gramSize))), 1, 15), 16, 10)
-        .cast("bigint") % divisor === 0) && (i + lit(gramSize) <= len))
+      (gramHash(i) % divisor === 0) && (i + lit(gramSize) <= len))
     val starts = concat(array(lit(1)), transform(cuts, i => i + lit(gramSize)))
     df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__codes",
+        transform(split(text, ""), c => ascii(c).cast("bigint")))
       .withColumn("__starts", starts)
       .select(col("doc_id"), text,
         posexplode(transform(col("__starts"), (st, j) =>

@@ -2348,8 +2348,9 @@ object LlmOps {
         |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS keeper_id
         |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin),
-    // identical cut rule: portable 60-bit md5 gram hash % 61, cut only when a
-    // full next chunk fits; lead() closes each chunk at the next start
+    // identical cut rule: base-257 code-point polynomial gram hash % 61, cut
+    // only when a full next chunk fits; lead() closes each chunk at the next
+    // start
     "x2_cdc_chunks" -> (chunksCte +
       """
         |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5
@@ -2483,7 +2484,10 @@ object LlmOps {
       |  FROM documents),
       |cuts AS (
       |  SELECT doc_id, i + 4 AS start FROM pos
-      |  WHERE CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 4)), 1, 15)) AS BIGINT) % 61 = 0
+      |  WHERE (CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 16974593
+      |       + CAST(ord(substr(text, CAST(i + 1 AS INT), 1)) AS BIGINT) * 66049
+      |       + CAST(ord(substr(text, CAST(i + 2 AS INT), 1)) AS BIGINT) * 257
+      |       + CAST(ord(substr(text, CAST(i + 3 AS INT), 1)) AS BIGINT)) % 61 = 0
       |    AND i + 4 <= len(text)),
       |starts AS (
       |  SELECT doc_id, 1 AS start FROM documents
