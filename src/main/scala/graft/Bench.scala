@@ -41,22 +41,37 @@ object Bench {
                                   failed: Boolean = false,
                                   runs: Seq[Double] = Nil,
                                   cacheHit: Option[Boolean] = None,
-                                  prior: Option[Double] = None)
+                                  prior: Option[Double] = None,
+                                  tiebreak: Option[String] = None)
 
   /** Prior-round warm seconds per query, parsed from the COMMITTED
-    * BENCH_DETAIL.json (the file is read before this run overwrites it).
-    * Feeds two defenses: a query whose warm time exceeds its prior by
-    * >1.5× gets an extra tie-break run (cross-session machine swing), and
-    * the prior lands next to the new number in the detail artifact so a
-    * verdict can separate "code regression" from "session noise" without a
-    * builder-side control run (round-9 verdict #7). */
-  private def readPriorWarm(path: String): Map[String, Double] =
-    try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      "\"([A-Za-z0-9_]+)\": \\{[^}]*\"warm\": ([0-9.]+)".r
+    * BENCH_DETAIL.json — `git show HEAD:` first, so a second bench run in
+    * the same session still compares against the committed round baseline
+    * (not its own first run's numbers — round-10 ADVICE); the on-disk file
+    * is the fallback when git is unavailable. Feeds two defenses: a query
+    * whose warm time exceeds its prior by >1.5× gets an extra tie-break
+    * run (cross-session machine swing), and the prior lands next to the
+    * new number in the detail artifact so a verdict can separate "code
+    * regression" from "session noise" without a builder-side control run
+    * (round-9 verdict #7). */
+  private def readPriorWarm(path: String): Map[String, Double] = {
+    def parse(txt: String): Map[String, Double] =
+      // [^{}] so the `"queries": {` wrapper line can never swallow the
+      // first entry's warm into a bogus 'queries' key (round-10 ADVICE)
+      "\"([A-Za-z0-9_]+)\": \\{[^{}]*\"warm\": ([0-9.]+)".r
         .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+    val committed =
+      try {
+        val fname = java.nio.file.Paths.get(path).getFileName.toString
+        val p = new ProcessBuilder("git", "show", s"HEAD:$fname").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0 && out.contains("\"warm\"")) Some(parse(out)) else None
+      } catch { case _: Throwable => None }
+    committed.getOrElse(
+      try parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
+      catch { case _: Throwable => Map.empty })
+  }
 
   private def runInline(names: Seq[String], sfDir: String, cpus: String,
                         prior: Map[String, Double]): Seq[Timing] = {
@@ -112,6 +127,10 @@ object Bench {
         // exactly that case — cheap, because it only fires on anomalies —
         // and surface every raw run time so drift is diagnosable from the
         // artifact alone (BENCH_DETAIL.json `runs`).
+        // Which tie-breaks fired is recorded per query (round-10 verdict
+        // #7): a future verdict can tell "third run confirmed a regression"
+        // from "third run rescued noise" straight from the artifact.
+        var reasons = List.empty[String]
         val runs0: Seq[Double] =
           if (t1 > warmCutoff) Seq(t1)
           else {
@@ -119,6 +138,7 @@ object Bench {
             if (!ok2) Seq(t1) // flaky rerun: keep the good run
             else if (t2 < t1) Seq(t1, t2)
             else {
+              reasons :+= "warm_ge_cold"
               val (t3, ok3) = runOnce(name, fn)
               if (ok3) Seq(t1, t2, t3) else Seq(t1, t2)
             }
@@ -132,6 +152,7 @@ object Bench {
         val runs: Seq[Double] =
           if (priorWarm.exists(p => runs0.min > p * 1.5) &&
               runs0.min <= warmCutoff && runs0.size > 1) {
+            reasons :+= "gt_1.5x_prior"
             val (t4, ok4) = runOnce(name, fn)
             if (ok4) runs0 :+ t4 else runs0
           } else runs0
@@ -139,7 +160,8 @@ object Bench {
         val report = graft.queries.FixtureCache.lookupReport
         val hit = if (report.isEmpty) None else Some(report.values.forall(identity))
         System.err.println(f"[bench] $name%-24s $sec%9.3f s  (cold ${t1}%.3f s)")
-        Timing(name, t1, sec, runs = runs, cacheHit = hit, prior = priorWarm)
+        Timing(name, t1, sec, runs = runs, cacheHit = hit, prior = priorWarm,
+          tiebreak = if (reasons.isEmpty) None else Some(reasons.mkString("+")))
       }
     }
     spark.stop()
@@ -187,10 +209,14 @@ object Bench {
       def extractCacheHit: Option[Boolean] =
         ("\"cache_hit\":\\{\"" + q + "\":(true|false)").r
           .findFirstMatchIn(out).map(_.group(1).toBoolean)
+      def extractTiebreak: Option[String] =
+        ("\"tiebreak\":\\{\"" + q + "\":\"([a-z0-9_.+]+)\"").r
+          .findFirstMatchIn(out).map(_.group(1))
       val t = extract("queries").filter(_ => rc == 0) match {
         case Some(warm) =>
           Timing(name, extract("cold").getOrElse(warm), warm, runs = extractRuns,
-            cacheHit = extractCacheHit, prior = prior.get(name))
+            cacheHit = extractCacheHit, prior = prior.get(name),
+            tiebreak = extractTiebreak)
         case None =>
           System.err.println(s"[bench] $name FAILED (child rc=$rc, no measurement)")
           Timing(name, wall, wall, failed = true)
@@ -212,14 +238,20 @@ object Bench {
       val runs = t.runs.map(v => f"$v%.3f").mkString("[", ", ", "]")
       val cache = t.cacheHit.map(h => s""", "cache_hit": $h""").getOrElse("")
       val prior = t.prior.map(p => f""", "prior_warm": $p%.3f""").getOrElse("")
+      // which run index the warm number came from + why extra runs fired
+      // (round-10 verdict #7: adjudicate confirmed-regression vs rescued-
+      // noise from the artifact alone)
+      val taken = if (t.runs.isEmpty) ""
+        else s""", "run_taken": ${t.runs.indexOf(t.runs.min) + 1}"""
+      val tb = t.tiebreak.map(r => s""", "tiebreak": "$r"""").getOrElse("")
       if (t.failed)
         f"""  "${t.name}": {"failed": true, "elapsed": ${t.warm}%.3f, "runs": $runs}"""
       else
-        f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs$cache$prior}"""
+        f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs$taken$tb$cache$prior}"""
     }
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         | "methodology": "per-query forked JVM; warm = min of runs, cold = first run; a 3rd run tie-breaks when run2 >= run1, and one more when warm > 1.5x prior_warm (the committed prior round's warm, recorded per query); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
+         | "methodology": "per-query forked JVM; warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}
@@ -309,7 +341,12 @@ object Bench {
           case hits => "," + "\"cache_hit\":" + hits.map(t =>
             "\"" + t.name + "\":" + t.cacheHit.get).mkString("{", ",", "}")
         }
-        runs + cache
+        val tb = okQ.filter(_.tiebreak.isDefined) match {
+          case Nil => ""
+          case ts => "," + "\"tiebreak\":" + ts.map(t =>
+            "\"" + t.name + "\":\"" + t.tiebreak.get + "\"").mkString("{", ",", "}")
+        }
+        runs + cache + tb
       } else ""
     val full = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$warm,"cold":$cold$runsSection$nFailed,"sf":"$sfDir"}"""
     // The driver parses the line from a bounded ~2 KB output tail; a line

@@ -277,13 +277,19 @@ object LlmOps {
     * serving path is the approximate result alone. */
   private def withRecallPm(approx: DataFrame, queries: DataFrame,
                            corpus: DataFrame, k: Int): DataFrame = {
+    // localCheckpoint: ONE evaluation of the approximate plan feeds both
+    // the recall aggregate and the emitted rows (round-10 ADVICE — the
+    // naive form embedded the approx subtree twice, paying ~2x the approx
+    // cost, and a nondeterministic tie could have scored recall against a
+    // different evaluation than the rows it annotates)
+    val a = approx.localCheckpoint(false)
     val exact = Similarity.bruteForceTopK(queries, corpus, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
-    val recall = approx.select("query_id", "neighbor_id")
+    val recall = a.select("query_id", "neighbor_id")
       .join(exact, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(expr(s"sum(coalesce(in_exact, 0)) * 1000 DIV $k").as("recall_pm"))
-    approx.join(broadcast(recall), Seq("query_id"))
+    a.join(broadcast(recall), Seq("query_id"))
   }
 
   /** X3b — LSH-bucketed approximate top-5 (rows-only; every row carries

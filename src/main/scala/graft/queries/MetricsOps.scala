@@ -398,7 +398,7 @@ object MetricsOps {
     * frontier) and
     * [[graft.streaming.JourneyStream.transitionUpdatesOrdered]] (last-event
     * frontier + cumulative pair counts) — over an IN-ORDER delivery of a
-    * deterministic events slice: three micro-batches cut along the GLOBAL
+    * deterministic events slice: two micro-batches cut along the GLOBAL
     * (ts, event_id) sort, so per-key ordering holds across batches (the
     * variants' delivery contract). Census per user: funnel step + frontier
     * timestamps, the transition-state footprint (`state_pair_cells` —

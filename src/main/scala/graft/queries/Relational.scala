@@ -153,12 +153,30 @@ object Relational {
     * rsd); the driver artifact then shows the achieved error per flag. */
   def q10_approx_distinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    lineitem(s, dir)
-      .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey").as("approx_orders"),
-           approx_count_distinct($"l_partkey").as("approx_parts"),
-           countDistinct($"l_orderkey").as("exact_orders"),
-           countDistinct($"l_partkey").as("exact_parts"))
+    // Two-level aggregation instead of a two-column distinct-expand (the
+    // q48 treatment, round-10 verdict #3): stack the two counted columns
+    // as (which, val) pairs — the explode is narrow and map-side combine
+    // collapses it to the DISTINCT (flag, which, val) triples BEFORE the
+    // shuffle, so no 3x row expand ever crosses the wire. The second level
+    // then gets exact NDV as a plain count, and the HLL sketch fed the
+    // distinct values estimates the SAME set (HLL registers are
+    // duplicate-insensitive). The exact NDV exists only to feed the
+    // measured-evidence columns; the production plan keeps the sketch
+    // alone, one narrow shuffle either way.
+    val stacked = lineitem(s, dir)
+      .select($"l_returnflag", explode(array(
+        struct(lit("orders").as("which"), $"l_orderkey".as("v")),
+        struct(lit("parts").as("which"), $"l_partkey".as("v")))).as("wv"))
+      .groupBy($"l_returnflag", $"wv.which".as("which"), $"wv.v".as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"l_returnflag", $"which")
+      .agg(approx_count_distinct($"v").as("approx"),
+           count(lit(1)).as("exact"))
+    stacked.groupBy($"l_returnflag")
+      .agg(max(when($"which" === "orders", $"approx")).as("approx_orders"),
+           max(when($"which" === "parts", $"approx")).as("approx_parts"),
+           max(when($"which" === "orders", $"exact")).as("exact_orders"),
+           max(when($"which" === "parts", $"exact")).as("exact_parts"))
       .select($"l_returnflag", $"approx_orders", $"approx_parts",
         expr("abs(approx_orders - exact_orders) * 1000000 DIV exact_orders")
           .as("orders_err_ppm"),
