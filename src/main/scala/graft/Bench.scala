@@ -282,17 +282,19 @@ object Bench {
       else readPriorWarm(sys.env.getOrElse("SPARK_GRAFT_PRIOR_DETAIL", detail))
     // Queries whose children read the run-level fixture caches: the cdc
     // family, the apply/materialize (w*) entries, the snapshot roundtrip,
-    // the incremental-LSH ingest, and the five consumers of the cached
-    // near-dup pair graph. A filtered local run over other queries must
-    // not pay the (deliberately expensive) builds it never reads.
+    // the incremental-LSH ingest, the consumers of the cached near-dup
+    // pair graph, and the shingle-keyed x2 family (shared shingle table).
+    // A filtered local run over other queries must not pay the
+    // (deliberately expensive) builds it never reads.
     val touchesCdcFixtures =
       names.exists(n => n.startsWith("cdc_") || n.startsWith("w") ||
         n.startsWith("s5_"))
-    val pairGraphConsumers = Set("x9_dup_clusters", "x9_dup_clusters_star",
+    val llmFixtureConsumers = Set("x9_dup_clusters", "x9_dup_clusters_star",
       "x9_triangles", "x9_kcore", "x9_keepers", "x10_pipeline",
-      "x2_minhash_lsh", "x2_simhash")
+      "x2_minhash_lsh", "x2_simhash", "x2_minhash_md5", "x2_ngram_jaccard",
+      "x2_containment", "x2_tf_cosine")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
-      names.exists(pairGraphConsumers)
+      names.exists(llmFixtureConsumers)
     if (!inline && (touchesCdcFixtures || touchesLshIndex)) {
       // Populate the run-level fixture caches BEFORE any timed child forks,
       // so the first cdc query measures the parse operator (not the one-time

