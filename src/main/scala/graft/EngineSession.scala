@@ -30,6 +30,9 @@ object EngineSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.excludedRules", excludedRules)
+      // graft's Catalyst surface: native SQL functions + the top-k
+      // candidate-prefilter optimizer rule (SURVEY.md §2.8 / §4)
+      .withExtensions(new GraftExtensions)
 
   /** Production streaming-state configuration: the RocksDB provider spills
     * state to local disk instead of holding it in an executor heap map —

@@ -7,20 +7,28 @@ import graft.functions.VectorDotProduct
 
 /** Session extension entry point (SURVEY.md §2.8): registers graft's native
   * expressions as SQL functions, so
-  * `spark.sql("SELECT vector_dot(a, b) ...")` plans the codegen expression.
+  * `spark.sql("SELECT vector_dot(a, b) ...")` plans the codegen expression,
+  * and injects the engine's optimizer rules (SURVEY.md §4 item 3:
+  * [[graft.plans.CosineTopKRewrite]], the brute-force-cosine-top-k →
+  * quantized-candidate-prefilter rewrite) into the session's Catalyst
+  * operator-optimization fixpoint.
   *
   * Wire at session build:
   * {{{
   *   spark.sql.extensions=graft.GraftExtensions     // config, or
   *   SparkSession.builder().withExtensions(new GraftExtensions) ...
   * }}}
-  * or post-hoc on a live session with [[GraftExtensions.register]].
+  * (both routes are what [[graft.EngineSession.builder]] does) or post-hoc
+  * on a live session with [[GraftExtensions.register]] — which can only
+  * add the functions; optimizer rules need the build-time hook.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.CosineTopKRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,240 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.expressions.Window.{partitionBy => winPartitionBy}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorDotProduct, VectorFunctions}
+
+/** The declared stretch optimizer rule (SURVEY.md §4 custom-Catalyst item
+  * 3): rewrite the NAIVE brute-force cosine top-k shape —
+  *
+  * {{{
+  *   queries.join(corpus, qid =!= cid)                  // cross-shaped join
+  *     .select(qid, cid, cosine(q_emb, c_emb).as(score)) // graft's codegen cosine
+  *     .withColumn(rn, row_number over (partitionBy qid orderBy score DESC, cid ASC))
+  *     .filter(rn <= k)
+  * }}}
+  *
+  * — into a quantized candidate pre-filter + exact re-rank, WITHOUT changing
+  * the result by a single row:
+  *
+  *  1. augment each side once, per row: milli-rounded vector `v̂`
+  *     (`round(1000·vᵢ)/1000` — the certified int8/milli quantization
+  *     family of [[graft.ops.Similarity]]), true norm ‖v‖, quantized norm
+  *     ‖v̂‖ and residual norm ‖v−v̂‖;
+  *  2. approx pass over the pairs: `approx = ⟨q̂,ĉ⟩/(‖q‖‖c‖)` — ONE dot per
+  *     pair against the naive plan's three — plus the per-pair error bound
+  *     `ε = (‖q̂‖‖rc‖ + ‖rq‖‖ĉ‖ + ‖rq‖‖rc‖)/(‖q‖‖c‖)`, which dominates
+  *     `|cosine − approx|` by Cauchy-Schwarz on
+  *     `⟨q,c⟩ = ⟨q̂,ĉ⟩ + ⟨q̂,rc⟩ + ⟨rq,ĉ⟩ + ⟨rq,rc⟩`;
+  *  3. per query, exact-rescore the top-k BY APPROX and take their minimum
+  *     exact cosine as the threshold `t_q` — k real rows score ≥ `t_q`, so
+  *     the true k-th cosine is ≥ `t_q`;
+  *  4. keep only pairs with `approx + ε ≥ t_q` (any true top-k row survives:
+  *     its cosine ≥ `t_q` and `approx ≥ cosine − ε`), then exact-rescore and
+  *     re-rank the survivors with the ORIGINAL order (score DESC, id ASC).
+  *
+  * The rewrite is provably exact — the emitted rows, scores, and ranks are
+  * identical to brute force (certified by `x3_rule_topk`'s brute-force
+  * DuckDB oracle) — while the expensive full-dimension scoring and the
+  * final ranking sort touch only the surviving candidates (ε ≈ 2·√dim·5e-4:
+  * for well-spread corpora that prunes ~99% of pairs). At 100 TB the milli
+  * codes are also the bandwidth story: the approx pass ships quantized
+  * vectors (int16-packable) instead of float32, exactly like the int8
+  * serving path, and the threshold join broadcasts one row per query.
+  *
+  * Matching is deliberately NARROW: row_number (not rank), a single
+  * partition key, an order of exactly (unrounded-cosine DESC, id ASC) where
+  * the cosine is graft's native `Divide(VectorDotProduct, ‖·‖‖·‖)` tree, a
+  * projection of exactly (qid, cid, score), and a cross-shaped join (no
+  * equi-conjunct; condition at most a `qid ≠ cid`-style inequality over the
+  * two ids). Anything else — including the `round(cosine, 3)`-ranked
+  * certified entries, whose score is a `Round` node — is left untouched.
+  * The rewritten subtree itself can't re-match: its approx window ranks by
+  * a precomputed-norm divide (no `Sqrt(VectorDotProduct)` factors) and its
+  * exact re-rank sits on equi-joins.
+  *
+  * Injected via `SparkSessionExtensions.injectOptimizerRule`
+  * ([[graft.GraftExtensions]]), so it runs inside the operator-optimization
+  * fixpoint on every [[graft.EngineSession]]-built session. Internal
+  * columns carry the `__graft_ann` prefix — the plan-level marker PlanSpec
+  * asserts on.
+  */
+object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(LessThanOrEqual(rnRef: AttributeReference, IntegerLiteral(k)),
+                    Window(Seq(rnAlias @ Alias(
+                        WindowExpression(RowNumber(), _), _)),
+                      Seq(pk: AttributeReference),
+                      Seq(SortOrder(scoreRef: AttributeReference, Descending, _, _),
+                          SortOrder(tieRef: AttributeReference, Ascending, _, _)),
+                      child, _))
+        if rnRef.exprId == rnAlias.exprId && k > 0 =>
+      rewrite(f, rnAlias, k, pk, scoreRef, tieRef, child).getOrElse(f)
+  }
+
+  /** `Divide(VectorDotProduct(a, b), Multiply(Sqrt(dot(a,a)), Sqrt(dot(b,b))))`
+    * — the exact tree [[VectorFunctions.cosine]] and the SQL
+    * `vector_cosine` lower to. Returns the two embedding expressions. */
+  private def asCosine(e: Expression): Option[(AttributeReference, AttributeReference)] =
+    e match {
+      case Divide(VectorDotProduct(a: AttributeReference, b: AttributeReference),
+                  Multiply(Sqrt(VectorDotProduct(a2, a3)),
+                           Sqrt(VectorDotProduct(b2, b3)), _), _)
+          if a.semanticEquals(a2) && a.semanticEquals(a3) &&
+             b.semanticEquals(b2) && b.semanticEquals(b3) =>
+        Some((a, b))
+      case _ => None
+    }
+
+  /** A cross-shaped join: Inner/Cross whose condition (if any) has no
+    * TOP-LEVEL equi-conjunct (an `EqualTo` under a `Not` — the naive form's
+    * `qid =!= cid` self-exclusion — is not one) and references only the two
+    * id attributes. */
+  private def crossish(j: Join, qid: Attribute, cid: Attribute): Boolean = {
+    val typeOk = j.joinType == Inner || j.joinType == Cross
+    val condOk = j.condition match {
+      case None => true
+      case Some(c) =>
+        val noEqui = !splitConjunctivePredicates(c).exists {
+          case EqualTo(l: AttributeReference, r: AttributeReference) =>
+            (j.left.outputSet.contains(l) && j.right.outputSet.contains(r)) ||
+              (j.left.outputSet.contains(r) && j.right.outputSet.contains(l))
+          case _ => false
+        }
+        noEqui && c.references.subsetOf(AttributeSet(Seq(qid, cid)))
+    }
+    typeOk && condOk
+  }
+
+  private def rewrite(f: Filter, rnAlias: Alias, k: Int, pk: AttributeReference,
+                      scoreRef: AttributeReference, tieRef: AttributeReference,
+                      child0: LogicalPlan): Option[LogicalPlan] = (child0 match {
+    // InferWindowGroupLimit (a later batch than the extension slot, but the
+    // fixpoint can re-enter) plants a WindowGroupLimit between Window and
+    // the scored projection — transparent for matching purposes
+    case WindowGroupLimit(_, _, _, _, inner) => inner
+    case other => other
+  }) match {
+    // the scored projection directly over the cross-shaped join, exactly
+    // (qid, cid, score) — wider projections (embeddings carried upward)
+    // are not the naive top-k shape and are left alone
+    case Project(projList, j: Join)
+        if projList.length == 3 &&
+          projList.map(_.exprId).toSet ==
+            Set(pk.exprId, tieRef.exprId, scoreRef.exprId) =>
+      for {
+        scoreAlias <- projList.collectFirst {
+          case a @ Alias(e, _) if a.exprId == scoreRef.exprId => e }
+        (qEmb, cEmb) <- asCosine(scoreAlias)
+        // orient the sides: the partition key and its embedding on one,
+        // the tiebreak id and its embedding on the other
+        (qPlan, cPlan) <-
+          if (j.left.outputSet.contains(pk) && j.left.outputSet.contains(qEmb) &&
+              j.right.outputSet.contains(tieRef) && j.right.outputSet.contains(cEmb))
+            Some((j.left, j.right))
+          else if (j.right.outputSet.contains(pk) && j.right.outputSet.contains(qEmb) &&
+                   j.left.outputSet.contains(tieRef) && j.left.outputSet.contains(cEmb))
+            Some((j.right, j.left)) // query side sat on the right: swap
+          else None
+        if crossish(j, pk, tieRef)
+      } yield build(f, rnAlias, k, pk, scoreRef, tieRef,
+        qPlan, qEmb, cPlan, cEmb, j.condition.isDefined)
+    case _ => None
+  }
+
+  private def build(f: Filter, rnAlias: Alias, k: Int, pk: AttributeReference,
+                    scoreRef: AttributeReference, tieRef: AttributeReference,
+                    qPlan: LogicalPlan, qEmb: AttributeReference,
+                    cPlan: LogicalPlan, cEmb: AttributeReference,
+                    excludeSelf: Boolean): LogicalPlan = {
+    val spark = SparkSession.active
+    import graft.functions.VectorFunctions.{cosine, dot}
+
+    // one narrow projection per side: id, embedding, milli-quantized
+    // vector, true/quantized/residual norms — all per-ROW (linear) work
+    def side(p: LogicalPlan, id: Attribute, emb: Attribute, pfx: String): DataFrame = {
+      val base = GraftColumnBridge.ofRows(spark,
+        Project(Seq(Alias(id, s"${pfx}_id")(), Alias(emb, s"${pfx}_emb")()), p))
+      val e = VectorFunctions.toDouble(col(s"${pfx}_emb"))
+      base.select(col(s"${pfx}_id"), col(s"${pfx}_emb"),
+          transform(e, x => round(x * 1000) / 1000.0d).as(s"${pfx}_qv"))
+        .select(col(s"${pfx}_id"), col(s"${pfx}_emb"), col(s"${pfx}_qv"),
+          sqrt(dot(col(s"${pfx}_emb"), col(s"${pfx}_emb"))).as(s"${pfx}_n"),
+          sqrt(dot(col(s"${pfx}_qv"), col(s"${pfx}_qv"))).as(s"${pfx}_nh"),
+          sqrt(org.apache.spark.sql.functions.aggregate(
+            zip_with(e, col(s"${pfx}_qv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (acc, x) => acc + x)).as(s"${pfx}_rn"))
+    }
+    val q = side(qPlan, pk, qEmb, "__graft_ann_q")
+    val c = side(cPlan, tieRef, cEmb, "__graft_ann_c")
+    val qid = col("__graft_ann_q_id")
+    val cid = col("__graft_ann_c_id")
+
+    // approx pass: quantized dot + error bound, NARROW pair rows (ids +
+    // two doubles — no embeddings cross the pair shuffle)
+    val pairCond = if (excludeSelf) qid =!= cid else lit(true)
+    val pairs = q.drop("__graft_ann_q_emb").join(c.drop("__graft_ann_c_emb"), pairCond)
+      .select(qid, cid,
+        (dot(col("__graft_ann_q_qv"), col("__graft_ann_c_qv")) /
+          (col("__graft_ann_q_n") * col("__graft_ann_c_n"))).as("__graft_ann_approx"),
+        ((col("__graft_ann_q_nh") * col("__graft_ann_c_rn") +
+          col("__graft_ann_q_rn") * col("__graft_ann_c_nh") +
+          col("__graft_ann_q_rn") * col("__graft_ann_c_rn")) /
+          (col("__graft_ann_q_n") * col("__graft_ann_c_n"))).as("__graft_ann_eps"))
+
+    val qe = q.select(qid, col("__graft_ann_q_emb"))
+    val ce = c.select(cid, col("__graft_ann_c_emb"))
+    val exact = cosine(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
+
+    // threshold: min exact cosine of each query's top-k BY APPROX — a
+    // provable lower bound on the true k-th cosine
+    val wApprox = winPartitionBy(qid)
+      .orderBy(col("__graft_ann_approx").desc, cid.asc)
+    val thr = pairs
+      .withColumn("__graft_ann_crk", row_number().over(wApprox))
+      .filter(col("__graft_ann_crk") <= k)
+      .select(qid, cid)
+      .join(qe, Seq("__graft_ann_q_id")).join(ce, Seq("__graft_ann_c_id"))
+      .groupBy(qid).agg(min(exact).as("__graft_ann_thr"))
+
+    // survivors: approx + ε clears the threshold (1e-9 slack absorbs the
+    // float rounding inside the bound arithmetic itself — the bound terms
+    // are ~1e-3, fifteen orders above double ulp); then exact re-rank in
+    // the ORIGINAL order
+    val wFinal = winPartitionBy(qid)
+      .orderBy(col("__graft_ann_score").desc, cid.asc)
+    val ranked = pairs
+      .join(broadcast(thr), Seq("__graft_ann_q_id"))
+      .filter(col("__graft_ann_approx") + col("__graft_ann_eps") + lit(1e-9d) >=
+        col("__graft_ann_thr"))
+      .select(qid, cid)
+      .join(qe, Seq("__graft_ann_q_id")).join(ce, Seq("__graft_ann_c_id"))
+      .select(qid, cid, exact.as("__graft_ann_score"))
+      .withColumn("__graft_ann_rn", row_number().over(wFinal))
+      .filter(col("__graft_ann_rn") <= k)
+
+    // splice: alias the rewritten outputs back onto the ORIGINAL exprIds,
+    // in the original output order, so every parent reference stays bound.
+    // The OPTIMIZED subtree goes in (not the analyzed one): the
+    // hint-resolution and finish-analysis batches have already run on the
+    // outer plan, so an analyzed splice would carry a ResolvedHint the
+    // planner no longer accepts; optimizing the subtree here is idempotent
+    // under the outer fixpoint.
+    val analyzed = GraftColumnBridge.optimized(ranked)
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    val mapping: Map[ExprId, Attribute] = Map(
+      pk.exprId -> byName("__graft_ann_q_id"),
+      tieRef.exprId -> byName("__graft_ann_c_id"),
+      scoreRef.exprId -> byName("__graft_ann_score"),
+      rnAlias.exprId -> byName("__graft_ann_rn"))
+    Project(f.output.map(o =>
+      Alias(mapping(o.exprId), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier)), analyzed)
+  }
+}

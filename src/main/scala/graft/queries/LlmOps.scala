@@ -128,6 +128,36 @@ object LlmOps {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** X3j — the Catalyst top-k rewrite rule certified END-TO-END (SURVEY.md
+    * §4 custom-Catalyst item 3, round-10 verdict #2): the query below is
+    * written in the NAIVE brute-force form — cross-shaped join, per-pair
+    * [[graft.functions.VectorFunctions.cosine]], `row_number ≤ k` window —
+    * and the [[graft.plans.CosineTopKRewrite]] rule injected by
+    * [[graft.EngineSession]] rewrites the EXECUTED plan into the
+    * milli-quantized candidate pre-filter + exact re-rank (PlanSpec
+    * asserts the `__graft_ann` rewritten shape appears, and that the
+    * `round`-scored certified entries stay untouched). The rewrite is
+    * provably exact, so the DuckDB oracle is plain brute force: identical
+    * rows, ranks, and scores. Query slice 100-119, disjoint from the other
+    * top-k entries' slices. */
+  def x3_rule_topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val q = emb.filter($"vec_id" >= 100 && $"vec_id" < 120)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.cosine($"q_emb", $"c_emb").as("sim_raw"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim_raw".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id",
+        round($"sim_raw", 3).as("sim"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** X2e — edit-distance-1 fuzzy pair join over customer names via
     * deletion-neighborhood blocking ([[Dedup.editDistance1Pairs]]): exact
     * Levenshtein-1 pairs WITHOUT the all-pairs join — candidates share a
@@ -1411,6 +1441,7 @@ object LlmOps {
     "x2_simhash" -> x2_simhash _,
     "x2_simhash_md5" -> x2_simhash_md5 _,
     "x3_cosine_topk" -> x3_cosine_topk _,
+    "x3_rule_topk" -> x3_rule_topk _,
     "x3_mmr_rerank" -> x3_mmr_rerank _,
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_int8" -> x3_ann_int8 _,
@@ -1656,6 +1687,23 @@ object LlmOps {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // plain brute force — the rewrite is provably exact, so the rewritten
+    // plan must reproduce the unrewritten semantics row for row; ranking is
+    // by RAW cosine (the naive form ranks unrounded), output rounded
+    "x3_rule_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS sim_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id >= 100 AND q.vec_id < 120),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim_raw, 3) AS sim
+        |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     // broadcast eval slice, max over ALL 10 rounded sims (never null),
     // integer hit counts — order-independent aggregates only

@@ -485,6 +485,140 @@ object MetricsOps {
     out
   }
 
+  /** P28 — the streaming ALERT evaluator promoted to a driver census entry
+    * (round-10 verdict #4, the p27 treatment for
+    * [[graft.streaming.Alerts.sustainedThreshold]] /
+    * [[graft.streaming.Alerts.staleness]] — the `for:` hold-down and
+    * absent-metric semantics of monitoring/alerts.yml:6-24):
+    *
+    * The metric series is each (event_type, user-quarter) key's DAILY event
+    * count as a ratio to its own per-day mean — `(c·nd)/tot` — so the
+    * breach predicate `value > 1.0` is scale-invariant AND exactly
+    * integer-equivalent (`c·nd > tot`: the operands are exact integers well
+    * under 2⁵³ and `1/tot ≫ 2⁻⁵³`, so the correctly-rounded double divide
+    * can never cross 1.0), which is what lets DuckDB replay the float
+    * comparison as integer arithmetic. Delivery: each key's ordered points
+    * split into two micro-batches (first half / second half — per-key order
+    * holds across batches, and EVERY key has points in the final data
+    * batch), driving hold-down islands across the batch boundary; then a
+    * sentinel-key third batch dated past every key's horizon pushes the
+    * WATERMARK over `lastSeen + staleAfterMs` for all real keys and fires
+    * their event-time staleness timeouts
+    * ([[graft.streaming.Alerts.stalenessEventTime]] — the deterministic,
+    * quiescing twin; see its scaladoc for why processing-time timeouts
+    * cannot drive a census).
+    *
+    * Census per key: FIRING/RESOLVED counts and first/last fire
+    * event-times from the hold-down machine, plus the STALE alert's
+    * recorded last-seen event-time. Mid-stream stale fires (cross-key
+    * event-time skew can put a sparse key's timeout behind the watermark
+    * before its second batch arrives) are absorbed by design: a re-seen
+    * key rebuilds state, its final STALE always carries the key's true max
+    * event-time, and the census takes `max(atMs)` — so the output is
+    * deterministic and the DuckDB oracle re-derives everything (islands →
+    * fire points → resolve points → last-seen) from the base table's
+    * day-count arithmetic. All output columns are integer ms / counts with
+    * −1 sentinels — no floats. */
+  def p28_alert_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Alerts
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val forDurationMs = 2L * 86400000L // alerts.yml `for:` — 2 daily buckets
+    val staleAfterMs = 3L * 86400000L  // event-time: stale = 3 silent days
+    val pts = events(s, dir)
+      .select(concat($"event_type", lit("#"), pmod($"user_id", lit(4))).as("k"),
+        date_trunc("day", $"ts").as("dy"))
+      .groupBy($"k", $"dy").agg(count(lit(1)).as("c"))
+    val tot = pts.groupBy($"k").agg(sum($"c").as("tot"), count(lit(1)).as("nd"))
+    // bounded driver-side collect (~|keys| × |days| rows — the MemoryStream
+    // feed, the p27 rationale): 20 keys × ≤31 days at any SF
+    val series = pts.join(tot, "k")
+      .select($"k", unix_millis($"dy".cast("timestamp")).as("ts_ms"),
+        (($"c" * $"nd").cast("double") / $"tot").as("v"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    def points(half: Int): Seq[Alerts.MetricPoint] = series.toSeq.flatMap {
+      case (k, rows) =>
+        val cut = rows.length / 2
+        (if (half == 0) rows.take(cut) else rows.drop(cut)).map { case (_, ts, v) =>
+          Alerts.MetricPoint(k, new java.sql.Timestamp(ts), v) }
+    }
+    val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val sMem = MemoryStream[Alerts.MetricPoint]
+    val tMem = MemoryStream[Alerts.MetricPoint]
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val sq = Alerts.sustainedThreshold(sMem.toDS(), threshold = 1.0,
+          forDurationMs = forDurationMs)
+        .writeStream.format("memory").queryName(s"p28s_$tag")
+        .outputMode(OutputMode.Append()).start()
+      val tq = Alerts.stalenessEventTime(
+          tMem.toDS().withWatermark("ts", "0 seconds"),
+          staleAfterMs = staleAfterMs)
+        .writeStream.format("memory").queryName(s"p28t_$tag")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        Seq(0, 1).foreach { half =>
+          val b = points(half)
+          if (b.nonEmpty) {
+            sMem.addData(b: _*)
+            tMem.addData(b: _*)
+            sq.processAllAvailable()
+            tq.processAllAvailable()
+          }
+        }
+        // horizon tick: one sentinel point dated past every key's
+        // lastSeen + staleAfter pushes the watermark over every timeout —
+        // purely event-time, no wall-clock sleeps anywhere
+        val horizon = series.values.flatten.map(_._2).max +
+          staleAfterMs + 86400000L
+        tMem.addData(Alerts.MetricPoint("__tick",
+          new java.sql.Timestamp(horizon), 0.0))
+        tq.processAllAvailable()
+        // the timeout batch is TRIGGERED by the tick batch's watermark
+        // advance and can commit after processAllAvailable returns — drain
+        // until every real key's STALE landed (the runHealthPipeline
+        // deadline pattern: fail loudly, never proceed on a partial sink)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def staleKeys() = s.table(s"p28t_$tag")
+          .filter($"key" =!= "__tick").select($"key").distinct().count()
+        var n = staleKeys()
+        while (n < series.size && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          n = staleKeys()
+        }
+        if (n < series.size) throw new IllegalStateException(
+          s"p28 staleness drain hit the 30s deadline: $n of ${series.size} " +
+            "keys fired STALE")
+      } finally { sq.stop(); tq.stop() }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val alerts = s.table(s"p28s_$tag")
+    val sus = alerts.groupBy($"key")
+      .agg(sum(when($"alert" === "FIRING", 1L).otherwise(0L)).as("n_firing"),
+        sum(when($"alert" === "RESOLVED", 1L).otherwise(0L)).as("n_resolved"),
+        min(when($"alert" === "FIRING", $"atMs")).as("first_fire_ms"),
+        max(when($"alert" === "FIRING", $"atMs")).as("last_fire_ms"))
+    val stale = s.table(s"p28t_$tag").filter($"key" =!= "__tick")
+      .groupBy($"key").agg(max($"atMs").as("stale_last_seen_ms"))
+    val base = s.createDataset(series.keys.toSeq).toDF("key")
+    val out = base
+      .join(sus, Seq("key"), "left")
+      .join(stale, Seq("key"), "left")
+      .select($"key",
+        coalesce($"n_firing", lit(0L)).as("n_firing"),
+        coalesce($"n_resolved", lit(0L)).as("n_resolved"),
+        coalesce($"first_fire_ms", lit(-1L)).as("first_fire_ms"),
+        coalesce($"last_fire_ms", lit(-1L)).as("last_fire_ms"),
+        coalesce($"stale_last_seen_ms", lit(-1L)).as("stale_last_seen_ms"))
+      .orderBy($"key")
+    s.catalog.dropTempView(s"p28s_$tag")
+    s.catalog.dropTempView(s"p28t_$tag")
+    out
+  }
+
   def p21_anomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perMin = events(s, dir)
@@ -927,6 +1061,7 @@ object MetricsOps {
     "p21_anomaly" -> p21_anomaly _,
     "p26_cusum" -> p26_cusum _,
     "p27_journey_ordered" -> p27_journey_ordered _,
+    "p28_alert_stream" -> p28_alert_stream _,
     "p22_gapfill" -> p22_gapfill _,
     "p23_lttb" -> p23_lttb _,
     "p24_group_left" -> p24_group_left _,
@@ -1275,6 +1410,51 @@ object MetricsOps {
         |LEFT JOIN p ON p.user_id = b.user_id
         |LEFT JOIN tr ON tr.user_id = b.user_id
         |ORDER BY b.user_id""".stripMargin,
+    // the hold-down/staleness state machines refold in SQL: breach islands
+    // over each key's ordered points (the double compare (c*nd)/tot > 1.0
+    // is exactly integer c*nd > tot — operands < 2^53 and 1/tot >> 2^-53,
+    // so the correctly-rounded divide can never cross 1.0), FIRING at the
+    // first island point >= forDuration past the island start, RESOLVED at
+    // the next (necessarily non-breach) point, STALE last-seen = max
+    // event-time per key
+    "p28_alert_stream" ->
+      """WITH pts AS (
+        |  SELECT event_type || '#' || CAST(user_id % 4 AS VARCHAR) AS k,
+        |         date_trunc('day', ts) AS dy, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT k, sum(c) AS tot, count(*) AS nd FROM pts GROUP BY 1),
+        |o AS (
+        |  SELECT p.k, epoch_ms(p.dy) AS ts_ms, (p.c * t.nd > t.tot) AS br,
+        |    row_number() OVER (PARTITION BY p.k ORDER BY p.dy) AS rn
+        |  FROM pts p JOIN tot t USING (k)),
+        |b AS (
+        |  SELECT k, ts_ms, rn,
+        |    rn - row_number() OVER (PARTITION BY k ORDER BY rn) AS grp
+        |  FROM o WHERE br),
+        |runs AS (SELECT k, grp, min(ts_ms) AS t0, max(rn) AS rn_max
+        |         FROM b GROUP BY 1, 2),
+        |fire AS (
+        |  SELECT b.k, b.grp, min(b.ts_ms) AS fire_ms
+        |  FROM b JOIN runs r ON r.k = b.k AND r.grp = b.grp
+        |  WHERE b.ts_ms - r.t0 >= 172800000 GROUP BY 1, 2),
+        |res AS (
+        |  SELECT f.k, f.grp
+        |  FROM fire f JOIN runs r ON r.k = f.k AND r.grp = f.grp
+        |  JOIN o n ON n.k = f.k AND n.rn = r.rn_max + 1),
+        |sus AS (
+        |  SELECT k, count(*) AS n_firing, min(fire_ms) AS first_fire_ms,
+        |         max(fire_ms) AS last_fire_ms FROM fire GROUP BY 1),
+        |rs AS (SELECT k, count(*) AS n_resolved FROM res GROUP BY 1),
+        |seen AS (SELECT k, max(ts_ms) AS stale_last_seen_ms FROM o GROUP BY 1)
+        |SELECT seen.k AS key,
+        |  CAST(coalesce(sus.n_firing, 0) AS BIGINT) AS n_firing,
+        |  CAST(coalesce(rs.n_resolved, 0) AS BIGINT) AS n_resolved,
+        |  coalesce(sus.first_fire_ms, -1) AS first_fire_ms,
+        |  coalesce(sus.last_fire_ms, -1) AS last_fire_ms,
+        |  seen.stale_last_seen_ms
+        |FROM seen LEFT JOIN sus ON sus.k = seen.k
+        |LEFT JOIN rs ON rs.k = seen.k
+        |ORDER BY key""".stripMargin,
     "p21_anomaly" ->
       """WITH b AS (
         |  SELECT event_type, date_trunc('minute', ts) AS minute,

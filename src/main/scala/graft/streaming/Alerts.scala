@@ -81,6 +81,47 @@ object Alerts {
       }
   }
 
+  /** P8' — EVENT-TIME staleness: a key is stale when the stream's WATERMARK
+    * passes its last event + `staleAfterMs`. The deterministic twin of
+    * [[staleness]]: processing-time timeouts make the engine re-run a batch
+    * every trigger forever (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch`
+    * is unconditionally true for ProcessingTimeTimeout — timers are checked
+    * by polling wall time), which is correct for a 24/7 monitoring
+    * deployment on an interval trigger but unterminating (and
+    * wall-clock-dependent) under `processAllAvailable`. Event-time timeouts
+    * re-batch only when the watermark ADVANCES, so the query quiesces and
+    * every fire is a pure function of the delivered data — the form a
+    * replayable pipeline (and the p28 census) wants. Input must carry a
+    * watermark on `ts` (e.g. `.withWatermark("ts", "0 seconds")`).
+    *
+    * A key whose `lastSeen + staleAfterMs` is already behind the watermark
+    * (cross-key event-time skew) arms at watermark+1 and fires on the next
+    * advance — the STALE row always carries the key's true last-seen
+    * event-time either way. */
+  def stalenessEventTime(points: Dataset[MetricPoint],
+                         staleAfterMs: Long): Dataset[Alert] = {
+    implicit val alertEnc = Encoders.product[Alert]
+    implicit val stateEnc = Encoders.product[AlertState]
+    implicit val keyEnc = Encoders.STRING
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[AlertState, Alert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[AlertState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Alert(key, "STALE", st.lastSeenMs, 0.0))
+          } else {
+            val lastSeen = rows.map(_.ts.getTime)
+              .foldLeft(state.getOption.map(_.lastSeenMs).getOrElse(0L))(math.max)
+            state.update(AlertState(-1L, lastSeen, firing = false))
+            state.setTimeoutTimestamp(math.max(lastSeen + staleAfterMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Batch twin of the P7 hold-down (oracle-friendly shape): windows where a
     * per-bucket error rate exceeded `threshold` for at least `sustainBuckets`
     * consecutive buckets — expressed with window functions only. */

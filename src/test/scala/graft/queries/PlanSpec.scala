@@ -426,4 +426,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"bucketed candidate join must not degenerate to a cartesian:\n$p")
   }
+
+  test("x3 rule top-k: the naive brute-force plan is rewritten to the " +
+    "quantized candidate pre-filter, and rewritten output = unrewritten") {
+    import org.apache.spark.sql.functions._
+    // the entry is authored NAIVELY; CosineTopKRewrite (injected via
+    // EngineSession -> GraftExtensions) must rewrite its optimized plan:
+    // the __graft_ann marker columns only exist in the rewritten shape
+    val df = LlmOps.x3_rule_topk(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_ann"), s"CosineTopKRewrite did not fire:\n$opt")
+    assert(opt.contains("__graft_ann_thr"),
+      s"threshold pass missing from the rewritten plan:\n$opt")
+    // the round()-scored certified entries must be left alone (their score
+    // is a Round tree, not the bare cosine the matcher requires)
+    val brute = LlmOps.x3_cosine_topk(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!brute.contains("__graft_ann"),
+      "rule must not touch the rounded-score brute-force entry")
+    // exactness: an UNREWRITTEN twin (the same naive query carrying one
+    // extra projected column, which the narrow matcher refuses) must
+    // produce identical rows — the in-spec version of the entry's
+    // brute-force DuckDB oracle
+    import spark.implicits._
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" >= 100 && $"vec_id" < 120)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.cosine($"q_emb", $"c_emb").as("sim_raw"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+      .orderBy($"sim_raw".desc, $"neighbor_id".asc)
+    // the extra conjunct (non-foldable, vacuously true, and not pushable
+    // through the window since neighbor_id is no partition key) breaks the
+    // matcher's exact `rn <= k` filter shape, so this twin executes the
+    // brute-force plan
+    val unrewritten = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5 && $"neighbor_id" >= -1L)
+      .select($"query_id", $"rank", $"neighbor_id", round($"sim_raw", 3).as("sim"))
+      .orderBy($"query_id", $"rank")
+    assert(!unrewritten.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "twin was supposed to stay unrewritten")
+    val got = df.as[(Long, Int, Long, Double)].collect().toSeq
+    val want = unrewritten.as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === want)
+  }
 }
