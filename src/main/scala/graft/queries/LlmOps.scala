@@ -315,7 +315,7 @@ object LlmOps {
     // naive form embedded the approx subtree twice, paying ~2x the approx
     // cost, and a nondeterministic tie could have scored recall against a
     // different evaluation than the rows it annotates)
-    val a = approx.localCheckpoint(false)
+    val a = approx.localCheckpoint(true)
     val exact = Similarity.bruteForceTopK(queries, corpus, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
     val recall = a.select("query_id", "neighbor_id")
@@ -1206,7 +1206,7 @@ object LlmOps {
     * corpus generation; every near-dup pass reads it), and each entry then
     * measures its own operator — signatures, banding, the inverted-index
     * join — not the text explode five times over. */
-  private[queries] def cachedDocShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cachedDocShingles(s: SparkSession, dir: String): DataFrame =
     FixtureCache.cached(s, dir, "doc-shingles-sh3", "v1") {
       Dedup.shingleCounts(documents(s, dir), "text", "doc_id", n = 3)
     }

@@ -1,0 +1,77 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Adversarial exactness for [[CosineTopKRewrite]] beyond PlanSpec's
+  * happy-path assertion: the rewrite must reproduce brute force bit-for-bit
+  * on a corpus built to stress the threshold logic — EXACT duplicate
+  * vectors (equal cosines across many neighbors, so the k-th score ties
+  * far past rank k and the candidate threshold `t_q` equals the scores of
+  * hundreds of survivors at once) and near-colinear vectors (approx scores
+  * inside one quantization ε of each other). Any off-by-one in the
+  * survivor bound or a tie broken differently from (score DESC, id ASC)
+  * diverges here immediately. */
+class CosineTopKRewriteSpec extends SparkSpec {
+
+  private def syntheticEmb(n: Int, distinct: Int): DataFrame = {
+    import spark.implicits._
+    // id -> one of `distinct` base vectors (exact float duplicates), dim 8;
+    // deterministic splitmix-ish component values in [-1, 1]
+    spark.range(n).select($"id".as("vec_id"),
+      expr(s"""transform(sequence(0, 7), d -> CAST(
+        sin(CAST((id % $distinct) * 8 + d AS DOUBLE) * 12.9898 + 4.1414) AS FLOAT))""")
+        .as("embedding"))
+  }
+
+  private def naive(emb: DataFrame, defeat: Boolean): DataFrame = {
+    import spark.implicits._
+    val q = emb.filter($"vec_id" < 12)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.cosine($"q_emb", $"c_emb").as("sim_raw"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim_raw".desc, $"neighbor_id".asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    val filtered =
+      if (defeat) ranked.filter($"rank" <= 7 && $"neighbor_id" >= -1L)
+      else ranked.filter($"rank" <= 7)
+    filtered
+      .select($"query_id", $"rank", $"neighbor_id", round($"sim_raw", 6).as("sim"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  test("rewrite == brute force under exact-duplicate-vector tie storms") {
+    import spark.implicits._
+    val emb = syntheticEmb(n = 400, distinct = 5) // 80 exact copies each
+    val rewritten = naive(emb, defeat = false)
+    val brute = naive(emb, defeat = true)
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "rule was supposed to fire on the tie-storm corpus")
+    assert(!brute.queryExecution.optimizedPlan.toString.contains("__graft_ann"))
+    val got = rewritten.as[(Long, Int, Long, Double)].collect().toSeq
+    val want = brute.as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === want)
+    // ties really are present: with 5 distinct vectors every query has 79+
+    // neighbors at cosine exactly 1.0, so the top-7 must be the 7 SMALLEST
+    // neighbor ids among the same-class copies
+    assert(want.count(_._4 == 1.0) > 50, s"tie storm missing: $want")
+  }
+
+  test("rewrite == brute force on near-colinear (sub-epsilon) corpora") {
+    import spark.implicits._
+    // 60 vectors within ~1e-4 of each other: approx scores collide inside
+    // one quantization step, so survival rides entirely on the ε bound
+    val emb = spark.range(60).select($"id".as("vec_id"),
+      expr("""transform(sequence(0, 7), d -> CAST(
+        1.0 + CAST(id AS DOUBLE) * 0.0001 * (d + 1) / 8.0 AS FLOAT))""")
+        .as("embedding"))
+    val got = naive(emb, defeat = false).as[(Long, Int, Long, Double)].collect().toSeq
+    val want = naive(emb, defeat = true).as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === want)
+  }
+}
