@@ -292,7 +292,8 @@ object Bench {
     val llmFixtureConsumers = Set("x9_dup_clusters", "x9_dup_clusters_star",
       "x9_triangles", "x9_kcore", "x9_keepers", "x10_pipeline",
       "x2_minhash_lsh", "x2_simhash", "x2_minhash_md5", "x2_ngram_jaccard",
-      "x2_containment", "x2_tf_cosine")
+      "x2_containment", "x2_tf_cosine", "x1_dup_ngram", "x1_novelty",
+      "x1_dup_spans", "x1_span_removal")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
       names.exists(llmFixtureConsumers)
     if (!inline && (touchesCdcFixtures || touchesLshIndex)) {

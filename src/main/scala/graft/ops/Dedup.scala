@@ -663,10 +663,17 @@ object Dedup {
     * in total shingle volume. Documents shorter than `n` words have no
     * n-grams and are absent from the output (mirror the cut in consumers). */
   def duplicatedNgramFraction(df: DataFrame, textCol: String, idCol: String,
-                              n: Int = 5): DataFrame = {
-    // shingles() is per-doc distinct, so count-per-hash IS the doc frequency
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+                              n: Int = 5): DataFrame =
+    duplicatedNgramFractionFromShingles(
+      df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("shingle")))
+
+  /** [[duplicatedNgramFraction]] over a pre-materialized exploded
+    * per-document DISTINCT shingle frame `(id, shingle)` — the
+    * [[shingleCounts]] sharing rationale for the 5-gram x1 family. */
+  def duplicatedNgramFractionFromShingles(shRows: DataFrame): DataFrame = {
+    // per-doc-distinct rows, so count-per-hash IS the doc frequency
+    val sh = shRows
       .select(col("id"), xxhash64(col("shingle")).as("sh_h"))
       .localCheckpoint(false)
     val docFreq = sh.groupBy("sh_h").agg(count(lit(1)).as("n_docs"))
@@ -691,9 +698,15 @@ object Dedup {
     * duplicatedNgramFraction cost envelope exactly. Docs with fewer than
     * `n` words have no shingles and no row. */
   def noveltyScores(df: DataFrame, textCol: String, idCol: String,
-                    n: Int = 5): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+                    n: Int = 5): DataFrame =
+    noveltyScoresFromShingles(
+      df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("shingle")))
+
+  /** [[noveltyScores]] over a pre-materialized exploded per-document
+    * DISTINCT shingle frame `(id, shingle)`. */
+  def noveltyScoresFromShingles(shRows: DataFrame): DataFrame = {
+    val sh = shRows
       .select(col("id"), xxhash64(col("shingle")).as("sh_h"))
       .localCheckpoint(false)
     val firstSeen = sh.groupBy("sh_h").agg(min(col("id")).as("first_id"))
@@ -730,15 +743,28 @@ object Dedup {
     *
     * Output: (`id`, `span_start`, `span_end`, `span_words`) with 0-based
     * word offsets, `span_end` exclusive. */
+  /** Positional word n-gram rows `(id, pos, gram)` — the shared (and
+    * cacheable) input of the span family ([[duplicatedSpansFromGrams]],
+    * [[removeDuplicatedSpansFromGrams]]). 0-based word positions; docs
+    * shorter than `n` words contribute no rows. */
+  def gramRows(df: DataFrame, textCol: String, idCol: String,
+               n: Int): DataFrame = df
+    .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
+    .filter(size(col("w")) >= n) // sequence(0, neg) would count DOWN
+    .select(col("id"), posexplode(expr(
+      s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
+    .toDF("id", "pos", "gram")
+
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-                      n: Int = 5): DataFrame = {
-    val grams = df
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= n) // sequence(0, neg) would count DOWN
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
-      .toDF("id", "pos", "gram")
-      .localCheckpoint(false)
+                      n: Int = 5): DataFrame =
+    duplicatedSpansFromGrams(
+      gramRows(df, textCol, idCol, n).localCheckpoint(false), n)
+
+  /** [[duplicatedSpans]] over a pre-materialized positional gram frame
+    * (see [[gramRows]]) — callers sharing a gram table across the x1
+    * family pass it here; the text form above checkpoints its one-shot
+    * explode so the two consumers below don't re-derive it. */
+  def duplicatedSpansFromGrams(grams: DataFrame, n: Int): DataFrame = {
     // distinct-doc frequency per gram; intra-doc repeats alone don't qualify
     val dup = grams.select(col("gram"), col("id")).distinct()
       .groupBy("gram").agg(count(lit(1)).as("n_docs"))
@@ -772,15 +798,17 @@ object Dedup {
     *
     * Output: (`id`, `kept_text`, `n_words`, `n_removed`). */
   def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-                            n: Int = 5): DataFrame = {
-    val words = df.select(col(idCol).as("id"), split(col(textCol), " ").as("w"))
-      .localCheckpoint(false)
-    val grams = words
-      .filter(size(col("w")) >= n)
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")))
-      .toDF("id", "pos", "gram")
-      .localCheckpoint(false)
+                            n: Int = 5): DataFrame =
+    removeDuplicatedSpansFromGrams(
+      df.select(col(idCol).as("id"), split(col(textCol), " ").as("w")),
+      gramRows(df, textCol, idCol, n).localCheckpoint(false), n)
+
+  /** [[removeDuplicatedSpans]] over a pre-materialized positional gram
+    * frame plus the live word arrays `(id, w)` (the rebuild side — cheap
+    * per-row splits that stay derived from the source). */
+  def removeDuplicatedSpansFromGrams(wordRows: DataFrame, grams: DataFrame,
+                                     n: Int): DataFrame = {
+    val words = wordRows.localCheckpoint(false) // rebuild + n_words share it
     val dup = grams.select(col("gram"), col("id")).distinct()
       .groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)

