@@ -75,7 +75,16 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
                           SortOrder(tieRef: AttributeReference, Ascending, _, _)),
                       child, _))
         if rnRef.exprId == rnAlias.exprId && k > 0 =>
-      rewrite(f, rnAlias, k, pk, scoreRef, tieRef, child).getOrElse(f)
+      // fail OPEN: an injected rule must never turn an optimizer surprise
+      // into a query failure — any exception in the rewrite leaves the
+      // (correct) naive plan in place and logs why
+      try rewrite(f, rnAlias, k, pk, scoreRef, tieRef, child).getOrElse(f)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"CosineTopKRewrite matched but failed to rewrite; " +
+            s"keeping the unrewritten plan: $e")
+          f
+      }
   }
 
   /** `Divide(VectorDotProduct(a, b), Multiply(Sqrt(dot(a,a)), Sqrt(dot(b,b))))`
