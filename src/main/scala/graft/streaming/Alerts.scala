@@ -94,10 +94,12 @@ object Alerts {
     * replayable pipeline (and the p28 census) wants. Input must carry a
     * watermark on `ts` (e.g. `.withWatermark("ts", "0 seconds")`).
     *
-    * A key whose `lastSeen + staleAfterMs` is already behind the watermark
-    * (cross-key event-time skew) arms at watermark+1 and fires on the next
-    * advance — the STALE row always carries the key's true last-seen
-    * event-time either way. */
+    * Late-arrival semantics (pinned in StreamingSpec): a point behind the
+    * current watermark is dropped by the watermark filter BEFORE this
+    * operator, so a surviving row always has `ts ≥ watermark` and the
+    * armed deadline `lastSeen + staleAfterMs` always clears the watermark;
+    * the `max(deadline, watermark + 1)` below is insurance, not a hot
+    * path. The STALE row carries the key's last SURVIVING event-time. */
   def stalenessEventTime(points: Dataset[MetricPoint],
                          staleAfterMs: Long): Dataset[Alert] = {
     implicit val alertEnc = Encoders.product[Alert]

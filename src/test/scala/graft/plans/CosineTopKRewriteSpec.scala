@@ -62,6 +62,24 @@ class CosineTopKRewriteSpec extends SparkSpec {
     assert(want.count(_._4 == 1.0) > 50, s"tie storm missing: $want")
   }
 
+  test("matcher refuses rank() — only row_number is the certified shape") {
+    import spark.implicits._
+    val emb = syntheticEmb(n = 100, distinct = 100)
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim_raw".desc, $"neighbor_id".asc)
+    val ranked = q.join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.cosine($"q_emb", $"c_emb").as("sim_raw"))
+      .withColumn("rank", rank().over(w))
+      .filter($"rank" <= 3)
+    // rank() admits ties past k — rewriting it with the row_number machinery
+    // would change cardinality, so the matcher must leave it alone
+    assert(!ranked.queryExecution.optimizedPlan.toString.contains("__graft_ann"))
+  }
+
   test("rewrite == brute force on near-colinear (sub-epsilon) corpora") {
     import spark.implicits._
     // 60 vectors within ~1e-4 of each other: approx scores collide inside

@@ -365,6 +365,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._2 > 0), "fixture should produce multi-chunk docs")
   }
 
+  test("P8' event-time staleness: quiesces, fires per key at its true " +
+    "last-seen, and survives a behind-watermark arrival") {
+    import Alerts._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val mem = MemoryStream[MetricPoint]
+    val q = Alerts.stalenessEventTime(
+        mem.toDS().withWatermark("ts", "0 seconds"), staleAfterMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("stale_et")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: key a far ahead of key b — after this batch the watermark
+      // is t(30), already past b's lastSeen + staleAfter (t(1) + 10m)
+      mem.addData(MetricPoint("a", t(30), 1.0), MetricPoint("b", t(1), 1.0))
+      q.processAllAvailable()
+      // batch 2: b's refresh at t(5) is BEHIND the watermark — standard
+      // streaming semantics DROP it before the stateful operator (the
+      // max(deadline, wm+1) timeout guard stays as insurance, but a
+      // surviving row always has ts >= watermark); a advances normally
+      mem.addData(MetricPoint("a", t(40), 1.0), MetricPoint("b", t(5), 1.0))
+      q.processAllAvailable()
+      // horizon tick pushes the watermark past every deadline
+      mem.addData(MetricPoint("__tick", t(600), 0.0))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def n() = spark.table("stale_et")
+        .filter($"key" =!= "__tick").select($"key").distinct().count()
+      while (n() < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally q.stop()
+    val byKey = spark.table("stale_et").as[Alert].collect()
+      .filter(_.key != "__tick").groupBy(_.key)
+      .view.mapValues(_.map(_.atMs).max).toMap
+    // every key's final STALE carries its last SURVIVING event-time: a's
+    // t(40); b's t(1), because the t(5) refresh was late and dropped —
+    // exactly why the p28 census delivery keeps each key's max point in
+    // the final data batch (a max point can never be late)
+    assert(byKey === Map("a" -> t(40).getTime, "b" -> t(1).getTime))
+  }
+
   test("P7 sustained threshold: fires only after the hold-down duration") {
     import Alerts._
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
