@@ -137,30 +137,43 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if projList.length == 3 &&
           projList.map(_.exprId).toSet ==
             Set(pk.exprId, tieRef.exprId, scoreRef.exprId) =>
+      // the id columns may be join-side attrs passed through OR aliased
+      // inside this very projection (the SQL route collapses them here) —
+      // resolve each to its SOURCE attribute below the join
+      def sourceAttr(exprId: ExprId): Option[AttributeReference] =
+        projList.find(_.exprId == exprId).flatMap {
+          case a: AttributeReference => Some(a)
+          case Alias(ar: AttributeReference, _) => Some(ar)
+          case _ => None
+        }
       for {
         scoreAlias <- projList.collectFirst {
           case a @ Alias(e, _) if a.exprId == scoreRef.exprId => e }
         (qEmb, cEmb) <- asCosine(scoreAlias)
+        pkSrc <- sourceAttr(pk.exprId)
+        tieSrc <- sourceAttr(tieRef.exprId)
         // orient the sides: the partition key and its embedding on one,
         // the tiebreak id and its embedding on the other
         (qPlan, cPlan) <-
-          if (j.left.outputSet.contains(pk) && j.left.outputSet.contains(qEmb) &&
-              j.right.outputSet.contains(tieRef) && j.right.outputSet.contains(cEmb))
+          if (j.left.outputSet.contains(pkSrc) && j.left.outputSet.contains(qEmb) &&
+              j.right.outputSet.contains(tieSrc) && j.right.outputSet.contains(cEmb))
             Some((j.left, j.right))
-          else if (j.right.outputSet.contains(pk) && j.right.outputSet.contains(qEmb) &&
-                   j.left.outputSet.contains(tieRef) && j.left.outputSet.contains(cEmb))
+          else if (j.right.outputSet.contains(pkSrc) && j.right.outputSet.contains(qEmb) &&
+                   j.left.outputSet.contains(tieSrc) && j.left.outputSet.contains(cEmb))
             Some((j.right, j.left)) // query side sat on the right: swap
           else None
-        if crossish(j, pk, tieRef)
+        if crossish(j, pkSrc, tieSrc)
       } yield build(f, rnAlias, k, pk, scoreRef, tieRef,
-        qPlan, qEmb, cPlan, cEmb, j.condition.isDefined)
+        qPlan, pkSrc, qEmb, cPlan, tieSrc, cEmb, j.condition.isDefined)
     case _ => None
   }
 
   private def build(f: Filter, rnAlias: Alias, k: Int, pk: AttributeReference,
                     scoreRef: AttributeReference, tieRef: AttributeReference,
-                    qPlan: LogicalPlan, qEmb: AttributeReference,
-                    cPlan: LogicalPlan, cEmb: AttributeReference,
+                    qPlan: LogicalPlan, pkSrc: AttributeReference,
+                    qEmb: AttributeReference,
+                    cPlan: LogicalPlan, tieSrc: AttributeReference,
+                    cEmb: AttributeReference,
                     excludeSelf: Boolean): LogicalPlan = {
     val spark = SparkSession.active
     import graft.functions.VectorFunctions.{cosine, dot}
@@ -180,8 +193,8 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             zip_with(e, col(s"${pfx}_qv"), (x, y) => (x - y) * (x - y)),
             lit(0.0d), (acc, x) => acc + x)).as(s"${pfx}_rn"))
     }
-    val q = side(qPlan, pk, qEmb, "__graft_ann_q")
-    val c = side(cPlan, tieRef, cEmb, "__graft_ann_c")
+    val q = side(qPlan, pkSrc, qEmb, "__graft_ann_q")
+    val c = side(cPlan, tieSrc, cEmb, "__graft_ann_c")
     val qid = col("__graft_ann_q_id")
     val cid = col("__graft_ann_c_id")
 

@@ -62,6 +62,37 @@ class CosineTopKRewriteSpec extends SparkSpec {
     assert(want.count(_._4 == 1.0) > 50, s"tie storm missing: $want")
   }
 
+  test("the SQL route's naive form is rewritten too (vector_cosine lowers " +
+    "to the same tree)") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    syntheticEmb(n = 300, distinct = 30).createOrReplaceTempView("rw_emb")
+    val df = spark.sql(
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    vector_cosine(q.embedding, c.embedding) AS sim_raw
+        |  FROM rw_emb q JOIN rw_emb c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim_raw, 6) AS sim
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "SQL-route naive top-k should plan through the same rewrite")
+    val emb = syntheticEmb(n = 300, distinct = 30)
+    val want = naive(emb, defeat = true).filter($"query_id" < 8)
+      .filter($"rank" <= 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+      .map { case (q, r, n, _) => (q, r, n) }
+    val got = df.as[(Long, Int, Long, Double)].collect().toSeq
+      .map { case (q, r, n, _) => (q, r, n) }
+    assert(got === want)
+  }
+
   test("matcher refuses rank() — only row_number is the certified shape") {
     import spark.implicits._
     val emb = syntheticEmb(n = 100, distinct = 100)
