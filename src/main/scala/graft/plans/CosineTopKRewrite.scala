@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.{VectorDotProduct, VectorFunctions}
 
 /** The declared stretch optimizer rule (SURVEY.md §4 custom-Catalyst item
-  * 3): rewrite the NAIVE brute-force cosine top-k shape —
+  * 3): rewrite the NAIVE brute-force similarity top-k shape — cosine
+  * (`vector_cosine`) or raw inner product (`vector_dot`, the MIPS
+  * retrieval form; same machinery, the error bound simply skips the norm
+  * division) —
   *
   * {{{
   *   queries.join(corpus, qid =!= cid)                  // cross-shaped join
@@ -87,17 +90,24 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** `Divide(VectorDotProduct(a, b), Multiply(Sqrt(dot(a,a)), Sqrt(dot(b,b))))`
-    * — the exact tree [[VectorFunctions.cosine]] and the SQL
-    * `vector_cosine` lower to. Returns the two embedding expressions. */
-  private def asCosine(e: Expression): Option[(AttributeReference, AttributeReference)] =
+  /** The two certified score shapes, each returning the embedding
+    * expressions plus whether the score normalizes:
+    *   - cosine: `Divide(VectorDotProduct(a, b),
+    *     Multiply(Sqrt(dot(a,a)), Sqrt(dot(b,b))))` — the exact tree
+    *     [[VectorFunctions.cosine]] and SQL `vector_cosine` lower to;
+    *   - inner product (MIPS retrieval): a bare `VectorDotProduct(a, b)` —
+    *     [[VectorFunctions.dot]] / SQL `vector_dot`. Same pre-filter
+    *     machinery; the error bound simply skips the norm division. */
+  private def asScore(e: Expression): Option[(AttributeReference, AttributeReference, Boolean)] =
     e match {
       case Divide(VectorDotProduct(a: AttributeReference, b: AttributeReference),
                   Multiply(Sqrt(VectorDotProduct(a2, a3)),
                            Sqrt(VectorDotProduct(b2, b3)), _), _)
           if a.semanticEquals(a2) && a.semanticEquals(a3) &&
              b.semanticEquals(b2) && b.semanticEquals(b3) =>
-        Some((a, b))
+        Some((a, b, true))
+      case VectorDotProduct(a: AttributeReference, b: AttributeReference) =>
+        Some((a, b, false))
       case _ => None
     }
 
@@ -136,7 +146,11 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case Project(projList, j: Join)
         if projList.length == 3 &&
           projList.map(_.exprId).toSet ==
-            Set(pk.exprId, tieRef.exprId, scoreRef.exprId) =>
+            Set(pk.exprId, tieRef.exprId, scoreRef.exprId) &&
+          // never re-enter our own rewritten subtrees: the approx pass is
+          // itself a bare-dot row_number<=k shape over a cross join (the
+          // MIPS form), distinguishable only by the internal column names
+          !projList.exists(_.name.startsWith("__graft_ann")) =>
       // the id columns may be join-side attrs passed through OR aliased
       // inside this very projection (the SQL route collapses them here) —
       // resolve each to its SOURCE attribute below the join
@@ -149,7 +163,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       for {
         scoreAlias <- projList.collectFirst {
           case a @ Alias(e, _) if a.exprId == scoreRef.exprId => e }
-        (qEmb, cEmb) <- asCosine(scoreAlias)
+        (qEmb, cEmb, normalized) <- asScore(scoreAlias)
         pkSrc <- sourceAttr(pk.exprId)
         tieSrc <- sourceAttr(tieRef.exprId)
         // orient the sides: the partition key and its embedding on one,
@@ -164,7 +178,8 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
           else None
         if crossish(j, pkSrc, tieSrc)
       } yield build(f, rnAlias, k, pk, scoreRef, tieRef,
-        qPlan, pkSrc, qEmb, cPlan, tieSrc, cEmb, j.condition.isDefined)
+        qPlan, pkSrc, qEmb, cPlan, tieSrc, cEmb, j.condition.isDefined,
+        normalized)
     case _ => None
   }
 
@@ -174,7 +189,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
                     qEmb: AttributeReference,
                     cPlan: LogicalPlan, tieSrc: AttributeReference,
                     cEmb: AttributeReference,
-                    excludeSelf: Boolean): LogicalPlan = {
+                    excludeSelf: Boolean, normalized: Boolean): LogicalPlan = {
     val spark = SparkSession.active
     import graft.functions.VectorFunctions.{cosine, dot}
 
@@ -201,18 +216,21 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // approx pass: quantized dot + error bound, NARROW pair rows (ids +
     // two doubles — no embeddings cross the pair shuffle)
     val pairCond = if (excludeSelf) qid =!= cid else lit(true)
+    val approxRaw = dot(col("__graft_ann_q_qv"), col("__graft_ann_c_qv"))
+    val epsRaw = col("__graft_ann_q_nh") * col("__graft_ann_c_rn") +
+      col("__graft_ann_q_rn") * col("__graft_ann_c_nh") +
+      col("__graft_ann_q_rn") * col("__graft_ann_c_rn")
+    val denom = col("__graft_ann_q_n") * col("__graft_ann_c_n")
     val pairs = q.drop("__graft_ann_q_emb").join(c.drop("__graft_ann_c_emb"), pairCond)
       .select(qid, cid,
-        (dot(col("__graft_ann_q_qv"), col("__graft_ann_c_qv")) /
-          (col("__graft_ann_q_n") * col("__graft_ann_c_n"))).as("__graft_ann_approx"),
-        ((col("__graft_ann_q_nh") * col("__graft_ann_c_rn") +
-          col("__graft_ann_q_rn") * col("__graft_ann_c_nh") +
-          col("__graft_ann_q_rn") * col("__graft_ann_c_rn")) /
-          (col("__graft_ann_q_n") * col("__graft_ann_c_n"))).as("__graft_ann_eps"))
+        (if (normalized) approxRaw / denom else approxRaw).as("__graft_ann_approx"),
+        (if (normalized) epsRaw / denom else epsRaw).as("__graft_ann_eps"))
 
     val qe = q.select(qid, col("__graft_ann_q_emb"))
     val ce = c.select(cid, col("__graft_ann_c_emb"))
-    val exact = cosine(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
+    val exact =
+      if (normalized) cosine(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
+      else dot(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
 
     // threshold: min exact cosine of each query's top-k BY APPROX — a
     // provable lower bound on the true k-th cosine

@@ -160,6 +160,31 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3j' — the MIPS form of the rewrite rule: the same naive top-k
+    * written over the RAW inner product (`vector_dot` — maximum-inner-
+    * product retrieval, the form recommendation scorers use where cosine
+    * would erase magnitude). [[graft.plans.CosineTopKRewrite]] matches the
+    * bare-dot score too and rewrites with the norm-free error bound; the
+    * oracle is plain brute force over `list_dot_product`. Query slice
+    * 120-139. */
+  def x3_rule_topk_dot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val q = emb.filter($"vec_id" >= 120 && $"vec_id" < 140)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.dot($"q_emb", $"c_emb").as("score_raw"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"score_raw".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id",
+        round($"score_raw", 3).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** X2e — edit-distance-1 fuzzy pair join over customer names via
     * deletion-neighborhood blocking ([[Dedup.editDistance1Pairs]]): exact
     * Levenshtein-1 pairs WITHOUT the all-pairs join — candidates share a
@@ -1465,6 +1490,7 @@ object LlmOps {
     "x2_simhash_md5" -> x2_simhash_md5 _,
     "x3_cosine_topk" -> x3_cosine_topk _,
     "x3_rule_topk" -> x3_rule_topk _,
+    "x3_rule_topk_dot" -> x3_rule_topk_dot _,
     "x3_mmr_rerank" -> x3_mmr_rerank _,
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_int8" -> x3_ann_int8 _,
@@ -1726,6 +1752,21 @@ object LlmOps {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim_raw, 3) AS sim
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // the MIPS twin: brute force over the raw inner product
+    "x3_rule_topk_dot" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+        |                     CAST(c.embedding AS DOUBLE[])) AS score_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id >= 120 AND q.vec_id < 140),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(score_raw, 3) AS score
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     // broadcast eval slice, max over ALL 10 rounded sims (never null),

@@ -62,6 +62,36 @@ class CosineTopKRewriteSpec extends SparkSpec {
     assert(want.count(_._4 == 1.0) > 50, s"tie storm missing: $want")
   }
 
+  test("MIPS form: a bare vector_dot score is rewritten and equals brute " +
+    "force under the same tie storm") {
+    import spark.implicits._
+    def naiveDot(emb: DataFrame, defeat: Boolean): DataFrame = {
+      val q = emb.filter($"vec_id" < 12)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+      val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          graft.functions.VectorFunctions.dot($"q_emb", $"c_emb").as("score_raw"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score_raw".desc, $"neighbor_id".asc)
+      val ranked = scored.withColumn("rank", row_number().over(w))
+      (if (defeat) ranked.filter($"rank" <= 7 && $"neighbor_id" >= -1L)
+       else ranked.filter($"rank" <= 7))
+        .select($"query_id", $"rank", $"neighbor_id",
+          round($"score_raw", 6).as("score"))
+        .orderBy($"query_id", $"rank")
+    }
+    val emb = syntheticEmb(n = 400, distinct = 5)
+    val rewritten = naiveDot(emb, defeat = false)
+    val brute = naiveDot(emb, defeat = true)
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "rule was supposed to fire on the bare-dot MIPS form")
+    assert(!brute.queryExecution.optimizedPlan.toString.contains("__graft_ann"))
+    val got = rewritten.as[(Long, Int, Long, Double)].collect().toSeq
+    val want = brute.as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === want)
+  }
+
   test("the SQL route's naive form is rewritten too (vector_cosine lowers " +
     "to the same tree)") {
     import spark.implicits._
