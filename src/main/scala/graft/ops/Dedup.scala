@@ -1072,7 +1072,10 @@ object Dedup {
     val b = keyed.select(col("variant_h"), col("id").as("id_b"), col("s").as("s_b"))
     a.join(b, Seq("variant_h"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      // one row per candidate pair: dedup on the ids alone (the strings are
+      // functions of the ids), so the dedup exchange carries 16 bytes per
+      // pair instead of two name strings
+      .select("id_a", "id_b", "s_a", "s_b").dropDuplicates("id_a", "id_b")
       .filter(levenshtein(col("s_a"), col("s_b")) === 1)
       .select(col("id_a"), col("id_b"))
   }
