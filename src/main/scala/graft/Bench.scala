@@ -62,11 +62,22 @@ object Bench {
         .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     val committed =
       try {
-        val fname = java.nio.file.Paths.get(path).getFileName.toString
-        val p = new ProcessBuilder("git", "show", s"HEAD:$fname").start()
+        // resolve repo-relative: -C into the detail file's own directory and
+        // a ./-prefixed basename (HEAD:./f is cwd-relative under -C, while a
+        // bare HEAD:f is repo-root-relative) — so the lookup works no matter
+        // where the JVM was launched from or how nested the detail path is
+        // (round-11 ADVICE #3)
+        val abs = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+        val p = new ProcessBuilder("git", "-C", abs.getParent.toString,
+          "show", s"HEAD:./${abs.getFileName}").start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         if (p.waitFor() == 0 && out.contains("\"warm\"")) Some(parse(out)) else None
       } catch { case _: Throwable => None }
+    if (committed.isEmpty)
+      // the on-disk file may already hold THIS session's first run — flag
+      // the weaker baseline so a drifted prior_warm is explainable
+      System.err.println(s"[bench] git show failed for $path; " +
+        "falling back to the on-disk detail file as the prior baseline")
     committed.getOrElse(
       try parse(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8"))

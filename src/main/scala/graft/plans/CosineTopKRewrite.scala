@@ -53,10 +53,26 @@ import graft.functions.{VectorDotProduct, VectorFunctions}
   * Matching is deliberately NARROW: row_number (not rank), a single
   * partition key, an order of exactly (unrounded-cosine DESC, id ASC) where
   * the cosine is graft's native `Divide(VectorDotProduct, ‖·‖‖·‖)` tree, a
-  * projection of exactly (qid, cid, score), and a cross-shaped join (no
-  * equi-conjunct; condition at most a `qid ≠ cid`-style inequality over the
-  * two ids). Anything else — including the `round(cosine, 3)`-ranked
+  * projection of exactly (qid, cid, score), and a cross-shaped join: no
+  * equi-conjunct (`=` or `<=>` — those plan as hash joins, not ANN
+  * cross-scoring), and a DETERMINISTIC condition referencing only the two
+  * id attributes. The accepted condition is carried VERBATIM into the
+  * rewritten pair join (round-11 ADVICE #1) — so `qid ≠ cid`, the
+  * ordered-pair dedup form `qid < cid`, and one-sided filters like
+  * `qid ≠ 5` all restrict the rewritten pair set exactly as they restrict
+  * the naive one. Anything else — including the `round(cosine, 3)`-ranked
   * certified entries, whose score is a `Round` node — is left untouched.
+  *
+  * Duplicate id values need no uniqueness assumption (round-11 ADVICE #2):
+  * the narrow pair rows are one per (q-row, c-row) combination already, and
+  * both embedding re-joins first collapse the selected pairs to DISTINCT
+  * (qid, cid) id pairs. Re-joining a distinct id pair re-expands to exactly
+  * the combinations the naive join produces for those id values (the
+  * condition depends only on the ids, so all such combinations pass it
+  * together): the threshold is a min over a superset of the k selected
+  * combos (repetition-insensitive, still a valid lower bound), and the
+  * survivor multiset is the naive partition restricted to surviving id
+  * pairs — a superset of the true top-k rows, re-ranked exactly.
   * The rewritten subtree itself can't re-match: its approx window ranks by
   * a precomputed-norm divide (no `Sqrt(VectorDotProduct)` factors) and its
   * exact re-rank sits on equi-joins.
@@ -111,22 +127,32 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  /** A cross-shaped join: Inner/Cross whose condition (if any) has no
-    * TOP-LEVEL equi-conjunct (an `EqualTo` under a `Not` — the naive form's
-    * `qid =!= cid` self-exclusion — is not one) and references only the two
-    * id attributes. */
+  /** A cross-shaped join: Inner/Cross whose condition (if any) is
+    * deterministic, references only the two id attributes, and has no
+    * TOP-LEVEL equi-conjunct (`EqualTo`/`EqualNullSafe` across the sides —
+    * those plan as hash joins and are not the naive ANN shape; an
+    * `EqualTo` under a `Not` — the `qid =!= cid` self-exclusion — is fine).
+    * The accepted condition is carried verbatim into the rewritten pair
+    * join by [[build]], so any such restriction of the pair set — `≠`,
+    * `<`, `≤`, one-sided literals — is reproduced exactly. */
   private def crossish(j: Join, qid: Attribute, cid: Attribute): Boolean = {
     val typeOk = j.joinType == Inner || j.joinType == Cross
     val condOk = j.condition match {
       case None => true
       case Some(c) =>
-        val noEqui = !splitConjunctivePredicates(c).exists {
-          case EqualTo(l: AttributeReference, r: AttributeReference) =>
-            (j.left.outputSet.contains(l) && j.right.outputSet.contains(r)) ||
-              (j.left.outputSet.contains(r) && j.right.outputSet.contains(l))
+        def acrossSides(l: Expression, r: Expression): Boolean = (l, r) match {
+          case (la: AttributeReference, ra: AttributeReference) =>
+            (j.left.outputSet.contains(la) && j.right.outputSet.contains(ra)) ||
+              (j.left.outputSet.contains(ra) && j.right.outputSet.contains(la))
           case _ => false
         }
-        noEqui && c.references.subsetOf(AttributeSet(Seq(qid, cid)))
+        val noEqui = !splitConjunctivePredicates(c).exists {
+          case EqualTo(l, r) => acrossSides(l, r)
+          case EqualNullSafe(l, r) => acrossSides(l, r)
+          case _ => false
+        }
+        noEqui && c.deterministic &&
+          c.references.subsetOf(AttributeSet(Seq(qid, cid)))
     }
     typeOk && condOk
   }
@@ -178,7 +204,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
           else None
         if crossish(j, pkSrc, tieSrc)
       } yield build(f, rnAlias, k, pk, scoreRef, tieRef,
-        qPlan, pkSrc, qEmb, cPlan, tieSrc, cEmb, j.condition.isDefined,
+        qPlan, pkSrc, qEmb, cPlan, tieSrc, cEmb, j.condition,
         normalized)
     case _ => None
   }
@@ -189,7 +215,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
                     qEmb: AttributeReference,
                     cPlan: LogicalPlan, tieSrc: AttributeReference,
                     cEmb: AttributeReference,
-                    excludeSelf: Boolean, normalized: Boolean): LogicalPlan = {
+                    origCond: Option[Expression], normalized: Boolean): LogicalPlan = {
     val spark = SparkSession.active
     import graft.functions.VectorFunctions.{cosine, dot}
 
@@ -214,8 +240,22 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val cid = col("__graft_ann_c_id")
 
     // approx pass: quantized dot + error bound, NARROW pair rows (ids +
-    // two doubles — no embeddings cross the pair shuffle)
-    val pairCond = if (excludeSelf) qid =!= cid else lit(true)
+    // two doubles — no embeddings cross the pair shuffle). The ORIGINAL
+    // join condition rides along verbatim (crossish() proved it references
+    // only the two id attributes), remapped onto the renamed id columns —
+    // so `≠`, ordered-pair `<`, and one-sided forms all carve out exactly
+    // the naive plan's pair set.
+    val pairCond = origCond match {
+      case Some(c) => GraftColumnBridge.column(c.transform {
+        case a: AttributeReference if a.exprId == pkSrc.exprId =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("__graft_ann_q_id"))
+        case a: AttributeReference if a.exprId == tieSrc.exprId =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("__graft_ann_c_id"))
+      })
+      case None => lit(true)
+    }
     val approxRaw = dot(col("__graft_ann_q_qv"), col("__graft_ann_c_qv"))
     val epsRaw = col("__graft_ann_q_nh") * col("__graft_ann_c_rn") +
       col("__graft_ann_q_rn") * col("__graft_ann_c_nh") +
@@ -233,13 +273,24 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       else dot(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
 
     // threshold: min exact cosine of each query's top-k BY APPROX — a
-    // provable lower bound on the true k-th cosine
+    // provable lower bound on the true k-th cosine. Both re-joins below
+    // first collapse to DISTINCT id pairs (round-11 ADVICE #2): if an id
+    // value is duplicated on either side, joining the pair ids back to the
+    // embeddings re-expands to exactly the (q-row, c-row) combinations the
+    // naive join emits for those id values — never the duplicate-count-
+    // squared fan-out a non-distinct re-join would produce. For the
+    // threshold that means min() over a superset of the k selected combos
+    // (min is repetition-insensitive, the bound stays valid); for the
+    // survivors it means the re-ranked multiset IS the naive partition
+    // restricted to surviving id pairs. Under unique ids the distinct is a
+    // semantic no-op over already-pruned narrow id rows.
     val wApprox = winPartitionBy(qid)
       .orderBy(col("__graft_ann_approx").desc, cid.asc)
     val thr = pairs
       .withColumn("__graft_ann_crk", row_number().over(wApprox))
       .filter(col("__graft_ann_crk") <= k)
       .select(qid, cid)
+      .dropDuplicates("__graft_ann_q_id", "__graft_ann_c_id")
       .join(qe, Seq("__graft_ann_q_id")).join(ce, Seq("__graft_ann_c_id"))
       .groupBy(qid).agg(min(exact).as("__graft_ann_thr"))
 
@@ -254,6 +305,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       .filter(col("__graft_ann_approx") + col("__graft_ann_eps") + lit(1e-9d) >=
         col("__graft_ann_thr"))
       .select(qid, cid)
+      .dropDuplicates("__graft_ann_q_id", "__graft_ann_c_id")
       .join(qe, Seq("__graft_ann_q_id")).join(ce, Seq("__graft_ann_c_id"))
       .select(qid, cid, exact.as("__graft_ann_score"))
       .withColumn("__graft_ann_rn", row_number().over(wFinal))

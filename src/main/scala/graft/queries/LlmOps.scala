@@ -185,6 +185,34 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3j'' — the ORDERED-PAIR form of the rewrite rule (round-11 ADVICE
+    * #1 certified end-to-end): the naive top-k written with the dedup
+    * pipeline's `qid < cid` join condition — "for each anchor, its k most
+    * similar LARGER-id neighbors", the shape near-dup candidate ranking
+    * uses so each unordered pair is scored once. The matcher accepts any
+    * deterministic non-equi condition over the two ids and
+    * [[graft.plans.CosineTopKRewrite]] carries it VERBATIM into the
+    * rewritten pair join, so the pre-filter prunes exactly the naive pair
+    * set. Oracle is plain brute force with the same `<` predicate. Query
+    * slice 140-159, disjoint from the other top-k entries' slices. */
+  def x3_rule_topk_pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val q = emb.filter($"vec_id" >= 140 && $"vec_id" < 160)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val scored = q.join(c, $"query_id" < $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.cosine($"q_emb", $"c_emb").as("sim_raw"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim_raw".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id",
+        round($"sim_raw", 3).as("sim"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** X2e — edit-distance-1 fuzzy pair join over customer names via
     * deletion-neighborhood blocking ([[Dedup.editDistance1Pairs]]): exact
     * Levenshtein-1 pairs WITHOUT the all-pairs join — candidates share a
@@ -1491,6 +1519,7 @@ object LlmOps {
     "x3_cosine_topk" -> x3_cosine_topk _,
     "x3_rule_topk" -> x3_rule_topk _,
     "x3_rule_topk_dot" -> x3_rule_topk_dot _,
+    "x3_rule_topk_pairs" -> x3_rule_topk_pairs _,
     "x3_mmr_rerank" -> x3_mmr_rerank _,
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_int8" -> x3_ann_int8 _,
@@ -1747,6 +1776,22 @@ object LlmOps {
         |                           CAST(c.embedding AS DOUBLE[])) AS sim_raw
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id >= 100 AND q.vec_id < 120),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(sim_raw, 3) AS sim
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // the ordered-pair twin: brute force with the SAME carried `<`
+    // predicate — certifies the condition rides into the rewritten plan
+    "x3_rule_topk_pairs" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS sim_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+        |  WHERE q.vec_id >= 140 AND q.vec_id < 160),
         |ranked AS (
         |  SELECT query_id, neighbor_id, sim_raw,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC) AS rank

@@ -167,6 +167,12 @@ object Relational {
       .select($"l_returnflag", explode(array(
         struct(lit("orders").as("which"), $"l_orderkey".as("v")),
         struct(lit("parts").as("which"), $"l_partkey".as("v")))).as("wv"))
+      // NULL keys: countDistinct and approx_count_distinct both ignore
+      // NULLs, but a NULL v would survive the groupBy as its own group and
+      // inflate the exact count — filter it so exact and approx count the
+      // SAME set (round-11 ADVICE #4; lineitem keys are non-null, this
+      // guards the shape itself)
+      .filter($"wv.v".isNotNull)
       .groupBy($"l_returnflag", $"wv.which".as("which"), $"wv.v".as("v"))
       .agg(count(lit(1)).as("c"))
       .groupBy($"l_returnflag", $"which")

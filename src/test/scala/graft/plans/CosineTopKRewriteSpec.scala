@@ -123,6 +123,107 @@ class CosineTopKRewriteSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ordered-pair dedup form (qid < cid): the condition is carried into " +
+    "the rewritten pair join and the output equals brute force") {
+    import spark.implicits._
+    // round-11 ADVICE #1: before the fix this shape matched crossish() but
+    // build() substituted =!= for <, silently drawing top-k from ALL
+    // neighbors instead of only larger-id ones
+    def pairForm(emb: DataFrame, defeat: Boolean): DataFrame = {
+      val q = emb.filter($"vec_id" < 12)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+      val scored = q.join(c, $"query_id" < $"neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          graft.functions.VectorFunctions.cosine($"q_emb", $"c_emb").as("sim_raw"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"sim_raw".desc, $"neighbor_id".asc)
+      val ranked = scored.withColumn("rank", row_number().over(w))
+      (if (defeat) ranked.filter($"rank" <= 7 && $"neighbor_id" >= -1L)
+       else ranked.filter($"rank" <= 7))
+        .select($"query_id", $"rank", $"neighbor_id", round($"sim_raw", 6).as("sim"))
+        .orderBy($"query_id", $"rank")
+    }
+    val emb = syntheticEmb(n = 400, distinct = 5)
+    val rewritten = pairForm(emb, defeat = false)
+    val brute = pairForm(emb, defeat = true)
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "rule was supposed to fire on the ordered-pair form")
+    val got = rewritten.as[(Long, Int, Long, Double)].collect().toSeq
+    val want = brute.as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === want)
+    // the carried condition really bites: no neighbor_id <= its query_id
+    assert(got.forall { case (q, _, n, _) => n > q })
+  }
+
+  test("one-sided literal condition (cid != const) is carried and exact") {
+    import spark.implicits._
+    def oneSided(emb: DataFrame, defeat: Boolean): DataFrame = {
+      val q = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+      val scored = q.join(c,
+          $"query_id" =!= $"neighbor_id" && $"neighbor_id" =!= lit(17L))
+        .select($"query_id", $"neighbor_id",
+          graft.functions.VectorFunctions.cosine($"q_emb", $"c_emb").as("sim_raw"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"sim_raw".desc, $"neighbor_id".asc)
+      val ranked = scored.withColumn("rank", row_number().over(w))
+      (if (defeat) ranked.filter($"rank" <= 5 && $"neighbor_id" >= -1L)
+       else ranked.filter($"rank" <= 5))
+        .select($"query_id", $"rank", $"neighbor_id", round($"sim_raw", 6).as("sim"))
+        .orderBy($"query_id", $"rank")
+    }
+    val emb = syntheticEmb(n = 120, distinct = 6)
+    val rewritten = oneSided(emb, defeat = false)
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "rule was supposed to fire on the one-sided-literal form")
+    val got = rewritten.as[(Long, Int, Long, Double)].collect().toSeq
+    val want = oneSided(emb, defeat = true).as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.forall(_._3 != 17L))
+  }
+
+  test("duplicate id values: the distinct-before-re-join keeps the naive " +
+    "multiset (no duplicate-count-squared fan-out)") {
+    import spark.implicits._
+    // round-11 ADVICE #2 stressor: every id value appears on 5 rows with 5
+    // DIFFERENT embeddings — the re-join by id value must re-expand to
+    // exactly the naive (q-row, c-row) combinations, nothing more
+    val emb = spark.range(200).select(($"id" % 40).as("vec_id"),
+      expr(s"""transform(sequence(0, 7), d -> CAST(
+        sin(CAST(id * 8 + d AS DOUBLE) * 12.9898 + 4.1414) AS FLOAT))""")
+        .as("embedding"))
+    val rewritten = naive(emb, defeat = false)
+    val brute = naive(emb, defeat = true)
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "rule was supposed to fire on the duplicate-id corpus")
+    val got = rewritten.as[(Long, Int, Long, Double)].collect().toSeq
+    val want = brute.as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === want)
+    // duplicates really are present: 12 qid values x 5 rows each on the
+    // query side, so every partition ranks 5x the per-id pair rows
+    assert(want.nonEmpty && emb.groupBy("vec_id").count()
+      .filter($"count" =!= 5L).count() == 0)
+  }
+
+  test("matcher refuses an equi-join condition (qid = cid is a hash join, " +
+    "not the ANN cross-scoring shape)") {
+    import spark.implicits._
+    val emb = syntheticEmb(n = 80, distinct = 80)
+    val q = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"sim_raw".desc, $"neighbor_id".asc)
+    val ranked = q.join(c, $"query_id" === $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.cosine($"q_emb", $"c_emb").as("sim_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+    assert(!ranked.queryExecution.optimizedPlan.toString.contains("__graft_ann"))
+  }
+
   test("matcher refuses rank() — only row_number is the certified shape") {
     import spark.implicits._
     val emb = syntheticEmb(n = 100, distinct = 100)

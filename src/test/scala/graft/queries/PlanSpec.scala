@@ -444,6 +444,15 @@ class PlanSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!brute.contains("__graft_ann"),
       "rule must not touch the rounded-score brute-force entry")
+    // the ordered-pair entry (qid < cid) must fire too, with the carried
+    // condition surviving in the rewritten pair join (round-11 ADVICE #1)
+    val pairsOpt = LlmOps.x3_rule_topk_pairs(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(pairsOpt.contains("__graft_ann"),
+      s"rewrite did not fire on the ordered-pair driver entry:\n$pairsOpt")
+    assert(pairsOpt.contains("__graft_ann_q_id#") &&
+      pairsOpt.contains(" < "),
+      s"carried `<` condition missing from the rewritten plan:\n$pairsOpt")
     // exactness: an UNREWRITTEN twin (the same naive query carrying one
     // extra projected column, which the narrow matcher refuses) must
     // produce identical rows — the in-spec version of the entry's
