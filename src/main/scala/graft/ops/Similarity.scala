@@ -363,10 +363,17 @@ object Similarity {
     * every selection bit-for-bit.
     *
     * Scale shape: stage 1 (candidate top-`pool`) is the brute-force scan —
-    * swap in any ANN path for the same contract; stages 2-3 only touch
-    * |queries| × pool rows (bounded), with the greedy loop as `k` rounds of
-    * join + max-agg + row_number — ALL distributed, nothing collects to the
-    * driver. Per-round state is the selected set: k rows per query. */
+    * swap in any ANN path for the same contract; stage 2 computes the
+    * pairwise candidate sims once with the same codegen'd cosine (so no
+    * float fold is ever re-implemented host-side); stage 3 runs the
+    * inherently SEQUENTIAL greedy selection per query in ONE cogroup pass —
+    * the parallelism axis is queries, and the per-group state is bounded by
+    * pool² integer milli-sims (≤ 144 longs at the default pool). The
+    * previous shape ran the greedy loop as k distributed rounds of
+    * join + max-agg + row_number with an eager checkpoint per round —
+    * correct, but k× the job-scheduling overhead for state that never
+    * exceeds a few hundred integers per query. Nothing collects to the
+    * driver either way. */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
                 pool: Int = 12): DataFrame = {
     require(pool >= k, s"pool ($pool) must be >= k ($k)")
@@ -390,28 +397,59 @@ object Similarity {
     val b = cand.select(col("query_id"), col("cand_id").as("cb"), col("c_emb").as("eb"))
     val psim = a.join(b, Seq("query_id")).filter(col("ca") =!= col("cb"))
       .select(col("query_id"), col("ca"), col("cb"), simM(col("ea"), col("eb")).as("sim_m"))
-      .localCheckpoint(false)
     val slim = cand.drop("c_emb")
-    var selected = slim.filter(lit(false))
-      .select(col("query_id"), col("cand_id"), lit(0L).as("pick_rank"), lit(0L).as("score_m"))
-    for (t <- 1 to k) {
-      val maxs = psim.join(selected.select(col("query_id"), col("cand_id").as("cb")),
-          Seq("query_id", "cb"))
-        .groupBy(col("query_id"), col("ca")).agg(max(col("sim_m")).as("maxsim"))
-        .withColumnRenamed("ca", "cand_id")
-      val wPick = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_m").desc, col("cand_id").asc)
-      val pick = slim
-        .join(selected.select(col("query_id"), col("cand_id")), Seq("query_id", "cand_id"),
-          "left_anti")
-        .join(maxs, Seq("query_id", "cand_id"), "left")
-        .select(col("query_id"), col("cand_id"),
-          (col("rel_m") - coalesce(col("maxsim"), lit(0L))).as("score_m"))
-        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-        .select(col("query_id"), col("cand_id"), lit(t.toLong).as("pick_rank"), col("score_m"))
-      selected = selected.union(pick).localCheckpoint(false)
-    }
-    selected
+    // one cogroup pass: per query, replay the greedy argmax over EXACT
+    // integer milli-sims — identical compares and (score DESC, cand_id ASC)
+    // tie-breaks to the former k-round distributed form and to the chained-
+    // CTE DuckDB oracle; floats never enter the host-side loop
+    val spark = slim.sparkSession
+    import spark.implicits._
+    slim.select(col("query_id").cast("long"), col("cand_id").cast("long"),
+        col("rel_m")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .cogroup(psim.select(col("query_id").cast("long"), col("ca").cast("long"),
+          col("cb").cast("long"), col("sim_m")).as[(Long, Long, Long, Long)]
+        .groupByKey(_._1)) { (qid, cs, ps) =>
+        val cands = cs.map { case (_, id, rel) => (id, rel) }.toArray
+        val sim = new java.util.HashMap[Long, Long](cands.length * cands.length)
+        // pool ≤ ~thousands ⇒ (ca index, cb index) packs into one long key
+        val idx = cands.iterator.map(_._1).zipWithIndex.toMap
+        ps.foreach { case (_, ca, cb, s) =>
+          for (i <- idx.get(ca); j <- idx.get(cb))
+            sim.put(i.toLong * cands.length + j, s)
+        }
+        val selected = new scala.collection.mutable.ArrayBuffer[Int](k)
+        val taken = new Array[Boolean](cands.length)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)](k)
+        var t = 1
+        while (t <= k && selected.length < cands.length) {
+          var bestScore = Long.MinValue
+          var bestId = Long.MaxValue
+          var bestI = -1
+          var i = 0
+          while (i < cands.length) {
+            if (!taken(i)) {
+              var maxsim = 0L // COALESCE(maxsim, 0) when nothing is selected
+              var first = true
+              selected.foreach { s =>
+                val v = sim.getOrDefault(i.toLong * cands.length + s, Long.MinValue)
+                if (v != Long.MinValue && (first || v > maxsim)) { maxsim = v; first = false }
+              }
+              val score = cands(i)._2 - (if (first && selected.nonEmpty) 0L else maxsim)
+              if (score > bestScore || (score == bestScore && cands(i)._1 < bestId)) {
+                bestScore = score; bestId = cands(i)._1; bestI = i
+              }
+            }
+            i += 1
+          }
+          selected += bestI
+          taken(bestI) = true
+          out += ((qid, bestId, t.toLong, bestScore))
+          t += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "cand_id", "pick_rank", "score_m")
   }
 
   /** `CAST(round(x * 1000) AS BIGINT)` — exact milli-units from an
