@@ -308,7 +308,8 @@ object Bench {
       "x3_ann_lsh", "x3_ann_ivf", "x3_ann_pq")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
       names.exists(llmFixtureConsumers)
-    val touchesMetricsFixtures = names.contains("p28_alert_stream")
+    val touchesMetricsFixtures =
+      names.contains("p28_alert_stream") || names.contains("p29_stream_correlate")
     if (!inline && (touchesCdcFixtures || touchesLshIndex || touchesMetricsFixtures)) {
       // Populate the run-level fixture caches BEFORE any timed child forks,
       // so the first cdc query measures the parse operator (not the one-time

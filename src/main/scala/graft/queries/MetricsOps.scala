@@ -507,8 +507,22 @@ object MetricsOps {
 
   /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
     * the p28 series input outside any timed region. */
+  /** The p29 feed slice — a pure projection of the events table, the
+    * entry's standing INPUT (see [[p29_stream_correlate]]). */
+  private def cachedCorrelateSlice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    FixtureCache.cached(s, dir, "p29-slice", "v1") {
+      events(s, dir)
+        .filter($"user_id" % 10 === 0)
+        .select($"user_id", $"event_id",
+          unix_micros($"ts".cast("timestamp")).as("us"),
+          ($"event_type" === "error").as("is_err"))
+    }
+  }
+
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
     cachedAlertSeries(s, dir)
+    cachedCorrelateSlice(s, dir)
     ()
   }
 
@@ -638,6 +652,94 @@ object MetricsOps {
       .orderBy($"key")
     s.catalog.dropTempView(s"p28s_$tag")
     s.catalog.dropTempView(s"p28t_$tag")
+    out
+  }
+
+  /** P29 — the STREAM-STREAM interval correlation promoted to a driver
+    * census entry ([[graft.streaming.CdcPipeline.intervalCorrelate]], the
+    * reference's "correlate every apply error with the operations that
+    * preceded it" monitoring join — previously StreamingSpec-only): every
+    * `error` event inner-joined to the SAME user's preceding non-error
+    * operations within a 24 h lookback (`op_ts ∈ (err_ts − 24 h, err_ts]`),
+    * run as a REAL two-stream Structured Streaming join over MemoryStream
+    * micro-batches. Both sides are watermarked; the interval condition plus
+    * the two watermarks is what bounds join state on unbounded streams —
+    * the 100 TB posture for long-running correlation. Delivery splits BOTH
+    * streams at one global time cut, so batch-1 op state must survive into
+    * batch 2 to match batch-2 errors: the cross-batch state retention the
+    * entry certifies (ops older than the lookback are correctly expirable —
+    * the left watermark passes `op_ts + lookback` — and any wrongly-eager
+    * expiry loses pairs and hash-mismatches).
+    *
+    * Census per user: error count, correlated-pair count, matched-error
+    * count, and the widest error→op gap in EXACT microseconds (the join
+    * compares full-precision event times; truncating the feed to ms would
+    * flip boundary pairs). DuckDB replays the interval join as a plain SQL
+    * join over the same slice. Bounded driver-side collect (the p27/p28
+    * MemoryStream-feed rationale): a 1-in-10 user slice, ~150 users × ~67
+    * events at any SF. */
+  def p29_stream_correlate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.CdcPipeline
+    import graft.streaming.CdcPipeline.KeyedEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    // the feed slice is a pure projection of the events table — a standing
+    // INPUT served from the run-level FixtureCache like the p28 series; the
+    // timed body is the two-stream join, its state, and the census
+    val slice = cachedCorrelateSlice(s, dir)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(r => (r._3, r._2))
+    val cut = slice(slice.length / 2)._3
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val errM = MemoryStream[KeyedEvent]
+    val opM = MemoryStream[KeyedEvent]
+    val errDf = errM.toDS().toDF("err_key", "err_id", "err_ts")
+      .withWatermark("err_ts", "0 seconds")
+    val opDf = opM.toDS().toDF("op_key", "op_id", "op_ts")
+      .withWatermark("op_ts", "0 seconds")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = CdcPipeline.intervalCorrelate(errDf, opDf,
+          leftKey = "err_key", rightKey = "op_key",
+          leftTs = "err_ts", rightTs = "op_ts", lookback = "24 hours")
+        .select($"err_key", $"err_id",
+          unix_micros($"err_ts").as("err_us"), unix_micros($"op_ts").as("op_us"))
+        .writeStream.format("memory").queryName(s"p29_$tag")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        Seq(0, 1).foreach { half =>
+          val part = slice.filter(r =>
+            if (half == 0) r._3 < cut else r._3 >= cut)
+          val ops = part.filter(!_._4).map(r => KeyedEvent(r._1, r._2, toTs(r._3)))
+          val errs = part.filter(_._4).map(r => KeyedEvent(r._1, r._2, toTs(r._3)))
+          if (ops.nonEmpty) opM.addData(ops.toIndexedSeq: _*)
+          if (errs.nonEmpty) errM.addData(errs.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val agg = s.table(s"p29_$tag")
+      .groupBy($"err_key".as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"err_id").as("n_matched_errors"),
+        max($"err_us" - $"op_us").as("max_gap_us"))
+    val base = s.createDataset(
+        slice.groupBy(_._1).view.mapValues(_.count(_._4).toLong).toSeq)
+      .toDF("user_id", "n_errors")
+    val out = base.join(agg, Seq("user_id"), "left")
+      .select($"user_id", $"n_errors",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_matched_errors", lit(0L)).as("n_matched_errors"),
+        coalesce($"max_gap_us", lit(-1L)).as("max_gap_us"))
+      .orderBy($"user_id")
+    s.catalog.dropTempView(s"p29_$tag")
     out
   }
 
@@ -1084,6 +1186,7 @@ object MetricsOps {
     "p26_cusum" -> p26_cusum _,
     "p27_journey_ordered" -> p27_journey_ordered _,
     "p28_alert_stream" -> p28_alert_stream _,
+    "p29_stream_correlate" -> p29_stream_correlate _,
     "p22_gapfill" -> p22_gapfill _,
     "p23_lttb" -> p23_lttb _,
     "p24_group_left" -> p24_group_left _,
@@ -1439,6 +1542,35 @@ object MetricsOps {
     // first island point >= forDuration past the island start, RESOLVED at
     // the next (necessarily non-breach) point, STALE last-seen = max
     // event-time per key
+    // the stream-stream interval join refolds as a plain SQL join over the
+    // same 1-in-10 user slice: op_ts in (err_ts - 24h, err_ts], exact
+    // microsecond gaps, -1 sentinels for users with no correlated pairs
+    "p29_stream_correlate" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, user_id, event_type
+        |  FROM events WHERE user_id % 10 = 0),
+        |errs AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'error'),
+        |ops AS (SELECT user_id, ts FROM ev WHERE event_type <> 'error'),
+        |pairs AS (
+        |  SELECT e.user_id, e.event_id,
+        |         epoch_us(e.ts) - epoch_us(o.ts) AS gap_us
+        |  FROM errs e JOIN ops o ON o.user_id = e.user_id
+        |    AND o.ts > e.ts - INTERVAL 24 HOUR AND o.ts <= e.ts),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_pairs,
+        |         count(DISTINCT event_id) AS n_matched_errors,
+        |         max(gap_us) AS max_gap_us
+        |  FROM pairs GROUP BY 1),
+        |base AS (
+        |  SELECT user_id,
+        |         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors
+        |  FROM ev GROUP BY 1)
+        |SELECT b.user_id, b.n_errors,
+        |  coalesce(a.n_pairs, 0) AS n_pairs,
+        |  coalesce(a.n_matched_errors, 0) AS n_matched_errors,
+        |  coalesce(a.max_gap_us, -1) AS max_gap_us
+        |FROM base b LEFT JOIN agg a ON a.user_id = b.user_id
+        |ORDER BY b.user_id""".stripMargin,
     "p28_alert_stream" ->
       """WITH pts AS (
         |  SELECT event_type || '#' || CAST(user_id % 4 AS VARCHAR) AS k,

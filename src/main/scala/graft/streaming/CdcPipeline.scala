@@ -92,6 +92,11 @@ object CdcPipeline {
         col("table"), col("op"), col("cnt"),
         round(col("cnt") / 300.0, 6).as("rate_per_sec"))
 
+  /** MemoryStream feed row for the keyed-event streams the census entries
+    * drive through [[intervalCorrelate]] (p29): key, event identity, exact
+    * microsecond event time. */
+  case class KeyedEvent(k: Long, id: Long, ts: java.sql.Timestamp)
+
   /** Stream-stream interval correlation: each left event joined to right
     * events of the same key whose timestamp falls in the trailing
     * `lookback` window (`rightTs ∈ (leftTs - lookback, leftTs]`) — e.g.
