@@ -327,12 +327,31 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, rerank: Int = 0,
              roundTo: Int = 3): DataFrame = {
     val books = trainPqCodebooks(corpus, dim, m, ksub)
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-        pqCodes(col("embedding"), books).as("codes"))
-      .withColumn("recon", pqReconstruct(col("codes"), books))
+    pqTopKFromCodes(queries, corpus, pqEncode(corpus, books), books,
+      k, rerank, roundTo)
+  }
+
+  /** The encode-at-ingest artifact a production PQ index PERSISTS: one row
+    * per corpus vector, m one-byte codes replacing dim floats. */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col("vec_id"), pqCodes(col("embedding"), books).as("codes"))
+
+  /** PQ serving from a persisted codes table: the ADC scan touches ONLY
+    * (id, codes) rows — the exact corpus vectors enter through a
+    * rerank-bounded id join-back (`rerank × |queries|` rows), never riding
+    * every scored row. At 100 TB this is the storage/bandwidth shape PQ
+    * exists for: the full-precision vectors stay in their store and only
+    * the final candidates fetch them. Output is row-identical to
+    * [[pqTopK]] (same books ⇒ same codes ⇒ same ADC scores, same
+    * candidates, same exact re-rank). */
+  def pqTopKFromCodes(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+                      books: Array[Array[Array[Double]]], k: Int,
+                      rerank: Int = 0, roundTo: Int = 3): DataFrame = {
+    val c = codes.select(col("vec_id").as("neighbor_id"),
+      pqReconstruct(col("codes"), books).as("recon"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("c_emb"),
+      .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("recon")).as("adc_sim"))
     if (rerank > 0) {
       val wAdc = Window.partitionBy(col("query_id"))
@@ -341,6 +360,10 @@ object Similarity {
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       scored.withColumn("adc_rank", row_number().over(wAdc))
         .filter(col("adc_rank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_emb")), Seq("neighbor_id"))
+        .join(q.select(col("query_id"), col("q_emb")), Seq("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           round(cosine(col("q_emb"), col("c_emb")), roundTo).as("sim"))
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

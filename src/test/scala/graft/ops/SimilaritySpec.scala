@@ -222,6 +222,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ recall $recall over ${exact.size} true pairs")
   }
 
+  test("PQ serving from a persisted codes table is row-identical to the " +
+    "inline encode path (same books => same ADC scores => same re-rank)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val books = Similarity.trainPqCodebooks(emb, dim = 64, m = 16, ksub = 16)
+    val inline = Similarity.pqTopK(queries, emb, k = 5, dim = 64,
+        m = 16, ksub = 16, rerank = 25)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // round-trip the codes through parquet exactly as the fixture does
+    val tmp = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    Similarity.pqEncode(emb, books).write.mode("overwrite").parquet(tmp)
+    val fromCodes = Similarity.pqTopKFromCodes(queries, emb,
+        spark.read.parquet(tmp), books, k = 5, rerank = 25)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(fromCodes === inline)
+  }
+
   test("x3_cosine_neardup's 16-bit sign bucket keeps the candidate join near-linear") {
     // the certification twin must not degenerate into a within-bucket
     // cartesian: on the real corpus the 16-bit bucket keeps occupancy ~1,
