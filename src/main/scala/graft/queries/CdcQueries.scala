@@ -464,6 +464,7 @@ object CdcQueries {
     maxPreSnap(s, dir)
     scd2PreHistory(s, dir)
     wireLatestState(s, dir)
+    dedupStreamFeed(s, dir)
     ()
   }
 
@@ -600,6 +601,90 @@ object CdcQueries {
 
   def cdc_wire_latest(s: SparkSession, dir: String): DataFrame =
     wireState(CdcApply.materialize(wireOrderEvents(s, dir)))
+
+  /** T8' — the STREAMING delivery dedup promoted to a driver census entry
+    * ([[graft.streaming.CdcPipeline.dedupDelivery]] —
+    * `dropDuplicatesWithinWatermark("partition", "offset", "pos")`, the
+    * at-least-once → effectively-once gate; previously StreamingSpec-only
+    * while the batch twin rode the oracle-checked apply entries): a
+    * bounded wire feed (1-in-40 orders slice; INSERT + UPDATE + every-7th
+    * DELETE) runs through the REAL streaming parse → dedup pipeline over
+    * MemoryStream micro-batches, with every UPDATE REDELIVERED in the
+    * SECOND batch under its original Kafka coordinate. Cross-batch dedup
+    * state must suppress the redelivery: per-batch dedup (or lost state)
+    * doubles `n_update` and hash-mismatches. The feed packs `es` densely
+    * (base + 3·(id div 40) + opOff ms, minutes of spread) and the entry
+    * passes a 2 h dedup delay, so every redelivery lands INSIDE the
+    * watermark and suppression can only come from state — never from
+    * late-row drops. Census per op: delivered-event and distinct-key
+    * counts plus the min/max envelope time in ms; DuckDB derives all five
+    * columns from the orders key arithmetic alone. */
+  def cdc_dedup_stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.CdcPipeline
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val feed = dedupStreamFeed(s, dir).as[(String, Long, Int)].collect()
+    val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val mem = MemoryStream[(String, Long)]
+    val raw = mem.toDS().toDF("value", "offset").withColumn("partition", lit(0))
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = CdcPipeline.dedupDelivery(CdcPipeline.events(raw), delay = "2 hours")
+        .select($"op", $"pk".cast("bigint").as("id"),
+          unix_millis($"timestamp").as("es_ms"))
+        .writeStream.format("memory").queryName(s"t8_$tag")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        Seq(0, 1).foreach { b =>
+          val part = feed.filter(_._3 == b).map(r => (r._1, r._2))
+          if (part.nonEmpty) mem.addData(part.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val out = s.table(s"t8_$tag")
+      .groupBy($"op")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"id").as("n_keys"),
+        min($"es_ms").as("min_es_ms"),
+        max($"es_ms").as("max_es_ms"))
+      .orderBy($"op")
+    s.catalog.dropTempView(s"t8_$tag")
+    out
+  }
+
+  /** The [[cdc_dedup_stream]] feed — raw canal-json lines with delivery
+    * coordinates and a batch tag (0 = first delivery, 1 = redelivery +
+    * deletes); a pure function of the orders table, run-level cached. */
+  private def dedupStreamFeed(s: SparkSession, dir: String): DataFrame =
+      cachedFixture(s, dir, "dedup-stream-feed", "v1") {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 40 === 0)
+      .select($"o_orderkey".as("id"), $"o_orderstatus".as("final_status"))
+    def line(op: String, status: Column, esOff: Int) = {
+      val old = if (op == "UPDATE") array(map(lit("status"), lit("pending")))
+                else lit(null).cast("array<map<string,string>>")
+      to_json(struct(
+        array(map(lit("id"), $"id".cast("string"), lit("status"), status)).as("data"),
+        old.as("old"),
+        lit(op).as("type"), lit("orders").as("table"), lit("testdb").as("database"),
+        (lit(1704067200000L) + expr("id div 40") * 3 + esOff).as("es"),
+        lit(false).as("isDdl")))
+    }
+    def raw(df: DataFrame, op: String, status: Column, esOff: Int, batch: Int) =
+      df.select(line(op, status, esOff).as("value"),
+        (expr("id div 40") * 3 + esOff).cast("bigint").as("offset"),
+        lit(batch).as("batch"))
+    raw(base, "INSERT", lit("pending"), 0, 0)
+      .unionByName(raw(base, "UPDATE", $"final_status", 1, 0))
+      // the redelivery: same line, same (partition, offset) — batch 2
+      .unionByName(raw(base, "UPDATE", $"final_status", 1, 1))
+      .unionByName(raw(base.filter($"id" % 7 === 0), "DELETE", $"final_status", 2, 1))
+  }
 
   /** W2'/temporal — state **as of** a mid-stream cutoff (base epoch +15000
     * ms): keys ≤ 4999 have their full history visible (UPDATE wins, every
@@ -930,6 +1015,7 @@ object CdcQueries {
     "s6_wire_logs" -> s6_wire_logs _,
     "cdc_wire_parse" -> cdc_wire_parse _,
     "cdc_wire_latest" -> cdc_wire_latest _,
+    "cdc_dedup_stream" -> cdc_dedup_stream _,
     "cdc_store_pruned" -> cdc_store_pruned _,
     "cdc_wire_asof" -> cdc_wire_asof _,
     "cdc_wire_agg_maintain" -> cdc_wire_agg_maintain _,
@@ -1085,6 +1171,28 @@ object CdcQueries {
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
         |ORDER BY id""".stripMargin,
+    // effectively-once census: the redelivered UPDATEs must count ONCE —
+    // every column derives from the orders key arithmetic (dense key
+    // d = id // 40, es = 1704067200000 + 3d + opOffset)
+    "cdc_dedup_stream" ->
+      """WITH k AS (
+        |  SELECT o_orderkey AS id, o_orderkey // 40 AS d
+        |  FROM orders WHERE o_orderkey % 40 = 0)
+        |SELECT * FROM (
+        |  SELECT 'delete' AS op, count(*) AS n_events,
+        |    count(DISTINCT id) AS n_keys,
+        |    1704067200000 + 3 * min(d) + 2 AS min_es_ms,
+        |    1704067200000 + 3 * max(d) + 2 AS max_es_ms
+        |  FROM k WHERE id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'insert', count(*), count(DISTINCT id),
+        |    1704067200000 + 3 * min(d), 1704067200000 + 3 * max(d)
+        |  FROM k
+        |  UNION ALL
+        |  SELECT 'update', count(*), count(DISTINCT id),
+        |    1704067200000 + 3 * min(d) + 1, 1704067200000 + 3 * max(d) + 1
+        |  FROM k)
+        |ORDER BY op""".stripMargin,
     // the day-5 partition = surviving keys with pk % 10 = 4 (day index is
     // pk % 10 over the 2024-01-01 epoch); state values as cdc_wire_latest
     "cdc_store_pruned" ->
