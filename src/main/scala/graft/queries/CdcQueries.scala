@@ -633,7 +633,9 @@ object CdcQueries {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = CdcPipeline.dedupDelivery(CdcPipeline.events(raw), delay = "2 hours")
-        .select($"op", $"pk".cast("bigint").as("id"),
+        // the envelope carries the raw `data` map, not a pk column — derive
+        // the key the same way the batch apply does (CdcApply pkCol idiom)
+        .select($"op", element_at($"data", "id").cast("bigint").as("id"),
           unix_millis($"timestamp").as("es_ms"))
         .writeStream.format("memory").queryName(s"t8_$tag")
         .outputMode(OutputMode.Append()).start()

@@ -505,8 +505,6 @@ object MetricsOps {
     }
   }
 
-  /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
-    * the p28 series input outside any timed region. */
   /** The p29 feed slice — a pure projection of the events table, the
     * entry's standing INPUT (see [[p29_stream_correlate]]). */
   private def cachedCorrelateSlice(s: SparkSession, dir: String): DataFrame = {
@@ -520,6 +518,8 @@ object MetricsOps {
     }
   }
 
+  /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
+    * the p28 series and p29 slice inputs outside any timed region. */
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
     cachedAlertSeries(s, dir)
     cachedCorrelateSlice(s, dir)
