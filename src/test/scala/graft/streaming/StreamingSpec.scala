@@ -78,6 +78,64 @@ class StreamingSpec extends SparkSpec {
     assert(counts(("products", "delete")) === 1)
   }
 
+  test("dedupDelivery: redelivery past the dedup delay is NOT suppressed (state-expiry boundary)") {
+    // The negative space of the census entry `cdc_dedup_stream`: that entry
+    // certifies suppression INSIDE the watermark; this pins the exact
+    // boundary where effectively-once degrades back to at-least-once.
+    // `dropDuplicatesWithinWatermark` guarantees dedup only for duplicates
+    // arriving within `delay` of each other — once the watermark passes
+    // firstSeen + delay, the key's state is EVICTED (that eviction is the
+    // whole point: state stays bounded by delay × ingest rate at 100 TB),
+    // and a later record with the SAME delivery identity sails through.
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+    def min(m: Long) = new Timestamp(t0 + m * 60000L)
+    // (partition, offset, pos, eventTime)
+    val mem = MemoryStream[(Int, Long, Int, Timestamp)]
+    val envl = mem.toDF().toDF("partition", "offset", "pos", "timestamp")
+    val q = CdcPipeline.dedupDelivery(envl, delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_expiry")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: first delivery of identity (0, 100, 0) at t=0
+      mem.addData((0, 100L, 0, min(0)))
+      q.processAllAvailable()
+      // batch 2: unrelated traffic at t=30 advances the watermark to t=20,
+      // past identity-100's expiry horizon (0 + 10) — its state is evicted
+      mem.addData((0, 200L, 0, min(30)))
+      q.processAllAvailable()
+      // batch 3: the SAME identity (0, 100, 0) redelivered at t=25 — above
+      // the t=20 watermark (not late-droppable), but its dedup state is
+      // gone, so it is emitted AGAIN: at-least-once resurfaces
+      mem.addData((0, 100L, 0, min(25)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("dedup_expiry")
+      .groupBy($"offset").count().as[(Long, Long)].collect().toMap
+    assert(emitted(100L) === 2L, // both deliveries of identity 100 visible
+      s"expected the past-delay redelivery to escape dedup, got $emitted")
+    assert(emitted(200L) === 1L)
+    // and the complementary positive at the same choreography: a redelivery
+    // INSIDE the delay stays suppressed (certified at scale by the
+    // cdc_dedup_stream census; asserted here so the two contracts sit
+    // side by side)
+    val mem2 = MemoryStream[(Int, Long, Int, Timestamp)]
+    val q2 = CdcPipeline.dedupDelivery(
+        mem2.toDF().toDF("partition", "offset", "pos", "timestamp"),
+        delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_inside")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData((0, 100L, 0, min(0)))
+      q2.processAllAvailable()
+      mem2.addData((0, 100L, 0, min(5))) // within delay: suppressed
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("dedup_inside").count() === 1L)
+    spark.catalog.dropTempView("dedup_expiry")
+    spark.catalog.dropTempView("dedup_inside")
+  }
+
   test("W8 delta maintenance runs incrementally: update-mode counts match batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import graft.cdc.CdcApply
