@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
-import graft.functions.VectorDotProduct
+import graft.functions.{VectorDotProduct, VectorL2Squared}
 
 /** Session extension entry point (SURVEY.md §2.8): registers graft's native
   * expressions as SQL functions, so
@@ -47,7 +47,13 @@ object GraftExtensions {
         Multiply(norm(children(0)), norm(children(1))))),
     (FunctionIdentifier("vector_norm"),
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_norm"),
-      (children: Seq[Expression]) => norm(children(0))))
+      (children: Seq[Expression]) => norm(children(0))),
+    (FunctionIdentifier("vector_l2sq"),
+      new ExpressionInfo(classOf[VectorL2Squared].getName, "vector_l2sq"),
+      (children: Seq[Expression]) => VectorL2Squared(children(0), children(1))),
+    (FunctionIdentifier("vector_l2"),
+      new ExpressionInfo(classOf[VectorL2Squared].getName, "vector_l2"),
+      (children: Seq[Expression]) => Sqrt(VectorL2Squared(children(0), children(1)))))
 
   /** The text-quality stack for SQL-only users, as Spark 4 SQL-body UDFs
     * (`CREATE FUNCTION ... RETURN <expr>`). NOT the expression-registry

@@ -31,10 +31,16 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Euclidean (L2) distance. */
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+  /** Squared Euclidean distance: native codegen loop (same numeric contract
+    * as [[dot]] — exact float widening, left-to-right fold). */
+  def l2sq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VectorL2Squared(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Euclidean (L2) distance — `Sqrt` over the codegen [[VectorL2Squared]]
+    * node (bit-identical to the interpreted HOF fold it replaces, and the
+    * stable tree the L2 arm of `CosineTopKRewrite` matches). */
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2sq(a, b))
 
   /** Sign bit of the projection of `a` onto a fixed hyperplane vector —
     * one bit of a random-hyperplane LSH signature. `plane` must be a

@@ -7,13 +7,16 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.expressions.Window.{partitionBy => winPartitionBy}
 import org.apache.spark.sql.functions._
-import graft.functions.{VectorDotProduct, VectorFunctions}
+import graft.functions.{VectorDotProduct, VectorFunctions, VectorL2Squared}
 
 /** The declared stretch optimizer rule (SURVEY.md §4 custom-Catalyst item
   * 3): rewrite the NAIVE brute-force similarity top-k shape — cosine
   * (`vector_cosine`) or raw inner product (`vector_dot`, the MIPS
   * retrieval form; same machinery, the error bound simply skips the norm
-  * division) —
+  * division), plus the ASCENDING L2 nearest-neighbor forms `vector_l2` /
+  * `vector_l2sq` (round-12 verdict #5; triangle-inequality bound
+  * `|‖q−c‖ − ‖q̂−ĉ‖| ≤ ‖rq‖+‖rc‖`, threshold = MAX exact distance of the
+  * approx-top-k, survivors keep `approx − ε ≤ t_q`) —
   *
   * {{{
   *   queries.join(corpus, qid =!= cid)                  // cross-shaped join
@@ -85,19 +88,30 @@ import graft.functions.{VectorDotProduct, VectorFunctions}
   */
 object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** One accepted naive score shape. `higherIsBetter` fixes every direction
+    * in the rewrite (window sort, threshold agg, survivor inequality);
+    * `sqrtForm` distinguishes L2 distance from squared L2 (monotone twins —
+    * ranking is identical; only the emitted score column differs). */
+  private sealed abstract class Shape(val higherIsBetter: Boolean)
+  private case object CosineShape extends Shape(true)
+  private case object DotShape extends Shape(true)
+  private case class L2Shape(sqrtForm: Boolean) extends Shape(false)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(LessThanOrEqual(rnRef: AttributeReference, IntegerLiteral(k)),
                     Window(Seq(rnAlias @ Alias(
                         WindowExpression(RowNumber(), _), _)),
                       Seq(pk: AttributeReference),
-                      Seq(SortOrder(scoreRef: AttributeReference, Descending, _, _),
+                      Seq(SortOrder(scoreRef: AttributeReference, scoreDir, _, _),
                           SortOrder(tieRef: AttributeReference, Ascending, _, _)),
                       child, _))
-        if rnRef.exprId == rnAlias.exprId && k > 0 =>
+        if rnRef.exprId == rnAlias.exprId && k > 0 &&
+           (scoreDir == Descending || scoreDir == Ascending) =>
       // fail OPEN: an injected rule must never turn an optimizer surprise
       // into a query failure — any exception in the rewrite leaves the
       // (correct) naive plan in place and logs why
-      try rewrite(f, rnAlias, k, pk, scoreRef, tieRef, child).getOrElse(f)
+      try rewrite(f, rnAlias, k, pk, scoreRef, scoreDir == Descending,
+          tieRef, child).getOrElse(f)
       catch {
         case scala.util.control.NonFatal(e) =>
           logWarning(s"CosineTopKRewrite matched but failed to rewrite; " +
@@ -106,24 +120,37 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  /** The two certified score shapes, each returning the embedding
-    * expressions plus whether the score normalizes:
-    *   - cosine: `Divide(VectorDotProduct(a, b),
+  /** The certified score shapes, each returning the embedding attributes
+    * plus the [[Shape]]. The window's sort direction must agree with the
+    * shape's better-direction — `cosine ASC` ("k most DISsimilar") or
+    * `l2 DESC` ("k farthest") are not the ANN serving shape and the
+    * pruning bound would be the wrong side, so they are left untouched:
+    *   - cosine (DESC): `Divide(VectorDotProduct(a, b),
     *     Multiply(Sqrt(dot(a,a)), Sqrt(dot(b,b))))` — the exact tree
     *     [[VectorFunctions.cosine]] and SQL `vector_cosine` lower to;
-    *   - inner product (MIPS retrieval): a bare `VectorDotProduct(a, b)` —
-    *     [[VectorFunctions.dot]] / SQL `vector_dot`. Same pre-filter
-    *     machinery; the error bound simply skips the norm division. */
-  private def asScore(e: Expression): Option[(AttributeReference, AttributeReference, Boolean)] =
+    *   - inner product (DESC, MIPS retrieval): a bare
+    *     `VectorDotProduct(a, b)` — [[VectorFunctions.dot]] / SQL
+    *     `vector_dot`. Same pre-filter machinery; the error bound simply
+    *     skips the norm division;
+    *   - L2 distance (ASC): `Sqrt(VectorL2Squared(a, b))` —
+    *     [[VectorFunctions.l2Distance]] / SQL `vector_l2` — or the bare
+    *     squared form `VectorL2Squared(a, b)` ([[VectorFunctions.l2sq]] /
+    *     SQL `vector_l2sq`; same ranking, squared score). Triangle-
+    *     inequality bound: |‖q−c‖ − ‖q̂−ĉ‖| ≤ ‖rq‖ + ‖rc‖. */
+  private def asScore(e: Expression, desc: Boolean): Option[(AttributeReference, AttributeReference, Shape)] =
     e match {
       case Divide(VectorDotProduct(a: AttributeReference, b: AttributeReference),
                   Multiply(Sqrt(VectorDotProduct(a2, a3)),
                            Sqrt(VectorDotProduct(b2, b3)), _), _)
-          if a.semanticEquals(a2) && a.semanticEquals(a3) &&
+          if desc && a.semanticEquals(a2) && a.semanticEquals(a3) &&
              b.semanticEquals(b2) && b.semanticEquals(b3) =>
-        Some((a, b, true))
-      case VectorDotProduct(a: AttributeReference, b: AttributeReference) =>
-        Some((a, b, false))
+        Some((a, b, CosineShape))
+      case VectorDotProduct(a: AttributeReference, b: AttributeReference) if desc =>
+        Some((a, b, DotShape))
+      case Sqrt(VectorL2Squared(a: AttributeReference, b: AttributeReference)) if !desc =>
+        Some((a, b, L2Shape(sqrtForm = true)))
+      case VectorL2Squared(a: AttributeReference, b: AttributeReference) if !desc =>
+        Some((a, b, L2Shape(sqrtForm = false)))
       case _ => None
     }
 
@@ -158,7 +185,8 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(f: Filter, rnAlias: Alias, k: Int, pk: AttributeReference,
-                      scoreRef: AttributeReference, tieRef: AttributeReference,
+                      scoreRef: AttributeReference, desc: Boolean,
+                      tieRef: AttributeReference,
                       child0: LogicalPlan): Option[LogicalPlan] = (child0 match {
     // InferWindowGroupLimit (a later batch than the extension slot, but the
     // fixpoint can re-enter) plants a WindowGroupLimit between Window and
@@ -189,7 +217,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       for {
         scoreAlias <- projList.collectFirst {
           case a @ Alias(e, _) if a.exprId == scoreRef.exprId => e }
-        (qEmb, cEmb, normalized) <- asScore(scoreAlias)
+        (qEmb, cEmb, shape) <- asScore(scoreAlias, desc)
         pkSrc <- sourceAttr(pk.exprId)
         tieSrc <- sourceAttr(tieRef.exprId)
         // orient the sides: the partition key and its embedding on one,
@@ -205,7 +233,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if crossish(j, pkSrc, tieSrc)
       } yield build(f, rnAlias, k, pk, scoreRef, tieRef,
         qPlan, pkSrc, qEmb, cPlan, tieSrc, cEmb, j.condition,
-        normalized)
+        shape)
     case _ => None
   }
 
@@ -215,7 +243,7 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
                     qEmb: AttributeReference,
                     cPlan: LogicalPlan, tieSrc: AttributeReference,
                     cEmb: AttributeReference,
-                    origCond: Option[Expression], normalized: Boolean): LogicalPlan = {
+                    origCond: Option[Expression], shape: Shape): LogicalPlan = {
     val spark = SparkSession.active
     import graft.functions.VectorFunctions.{cosine, dot}
 
@@ -256,21 +284,47 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       })
       case None => lit(true)
     }
+    // approx score + error bound per shape. Similarity shapes: quantized
+    // dot with the Cauchy-Schwarz cross-term bound (÷ norms for cosine).
+    // L2: quantized distance ‖q̂−ĉ‖ with the triangle-inequality bound
+    // |‖q−c‖ − ‖q̂−ĉ‖| ≤ ‖rq−rc‖ ≤ ‖rq‖ + ‖rc‖ — the threshold pass
+    // compares in UNSQUARED distance space even for the squared-score
+    // form (monotone, so ranks are unaffected; only the emitted score
+    // column squares).
     val approxRaw = dot(col("__graft_ann_q_qv"), col("__graft_ann_c_qv"))
     val epsRaw = col("__graft_ann_q_nh") * col("__graft_ann_c_rn") +
       col("__graft_ann_q_rn") * col("__graft_ann_c_nh") +
       col("__graft_ann_q_rn") * col("__graft_ann_c_rn")
     val denom = col("__graft_ann_q_n") * col("__graft_ann_c_n")
+    val (approxCol, epsCol) = shape match {
+      case CosineShape => (approxRaw / denom, epsRaw / denom)
+      case DotShape    => (approxRaw, epsRaw)
+      case L2Shape(_)  =>
+        (sqrt(VectorFunctions.l2sq(col("__graft_ann_q_qv"), col("__graft_ann_c_qv"))),
+         col("__graft_ann_q_rn") + col("__graft_ann_c_rn"))
+    }
     val pairs = q.drop("__graft_ann_q_emb").join(c.drop("__graft_ann_c_emb"), pairCond)
       .select(qid, cid,
-        (if (normalized) approxRaw / denom else approxRaw).as("__graft_ann_approx"),
-        (if (normalized) epsRaw / denom else epsRaw).as("__graft_ann_eps"))
+        approxCol.as("__graft_ann_approx"),
+        epsCol.as("__graft_ann_eps"))
 
     val qe = q.select(qid, col("__graft_ann_q_emb"))
     val ce = c.select(cid, col("__graft_ann_c_emb"))
-    val exact =
-      if (normalized) cosine(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
-      else dot(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
+    // exactCmp lives in the approx column's space (cosine / dot / unsquared
+    // distance) for the threshold + survivor inequalities; exactScore is
+    // the ORIGINAL tree's value, the emitted column
+    val (exactCmp, exactScore) = shape match {
+      case CosineShape =>
+        val e = cosine(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
+        (e, e)
+      case DotShape =>
+        val e = dot(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
+        (e, e)
+      case L2Shape(sqrtForm) =>
+        val sq = VectorFunctions.l2sq(col("__graft_ann_q_emb"), col("__graft_ann_c_emb"))
+        (sqrt(sq), if (sqrtForm) sqrt(sq) else sq)
+    }
+    val better = shape.higherIsBetter
 
     // threshold: min exact cosine of each query's top-k BY APPROX — a
     // provable lower bound on the true k-th cosine. Both re-joins below
@@ -285,29 +339,41 @@ object CosineTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // restricted to surviving id pairs. Under unique ids the distinct is a
     // semantic no-op over already-pruned narrow id rows.
     val wApprox = winPartitionBy(qid)
-      .orderBy(col("__graft_ann_approx").desc, cid.asc)
+      .orderBy(if (better) col("__graft_ann_approx").desc
+               else col("__graft_ann_approx").asc, cid.asc)
+    // similarity: min exact of the approx-top-k lower-bounds the true k-th
+    // score; distance: max exact of the approx-top-k upper-bounds the true
+    // k-th distance (the k-th smallest over ALL pairs ≤ the max over any
+    // particular k pairs)
     val thr = pairs
       .withColumn("__graft_ann_crk", row_number().over(wApprox))
       .filter(col("__graft_ann_crk") <= k)
       .select(qid, cid)
       .dropDuplicates("__graft_ann_q_id", "__graft_ann_c_id")
       .join(qe, Seq("__graft_ann_q_id")).join(ce, Seq("__graft_ann_c_id"))
-      .groupBy(qid).agg(min(exact).as("__graft_ann_thr"))
+      .groupBy(qid).agg(
+        (if (better) min(exactCmp) else max(exactCmp)).as("__graft_ann_thr"))
 
-    // survivors: approx + ε clears the threshold (1e-9 slack absorbs the
-    // float rounding inside the bound arithmetic itself — the bound terms
-    // are ~1e-3, fifteen orders above double ulp); then exact re-rank in
-    // the ORIGINAL order
+    // survivors: approx ± ε clears the threshold from the score's better
+    // side (1e-9 slack absorbs the float rounding inside the bound
+    // arithmetic itself — the bound terms are ~1e-3, fifteen orders above
+    // double ulp); then exact re-rank in the ORIGINAL order
     val wFinal = winPartitionBy(qid)
-      .orderBy(col("__graft_ann_score").desc, cid.asc)
+      .orderBy(if (better) col("__graft_ann_score").desc
+               else col("__graft_ann_score").asc, cid.asc)
     val ranked = pairs
       .join(broadcast(thr), Seq("__graft_ann_q_id"))
-      .filter(col("__graft_ann_approx") + col("__graft_ann_eps") + lit(1e-9d) >=
-        col("__graft_ann_thr"))
+      .filter(
+        if (better)
+          col("__graft_ann_approx") + col("__graft_ann_eps") + lit(1e-9d) >=
+            col("__graft_ann_thr")
+        else
+          col("__graft_ann_approx") - col("__graft_ann_eps") - lit(1e-9d) <=
+            col("__graft_ann_thr"))
       .select(qid, cid)
       .dropDuplicates("__graft_ann_q_id", "__graft_ann_c_id")
       .join(qe, Seq("__graft_ann_q_id")).join(ce, Seq("__graft_ann_c_id"))
-      .select(qid, cid, exact.as("__graft_ann_score"))
+      .select(qid, cid, exactScore.as("__graft_ann_score"))
       .withColumn("__graft_ann_rn", row_number().over(wFinal))
       .filter(col("__graft_ann_rn") <= k)
 

@@ -213,6 +213,35 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3j''' — the L2 nearest-neighbor form of the rewrite rule (round-12
+    * verdict #5): the naive top-k written ASCENDING over
+    * [[graft.functions.VectorFunctions.l2Distance]] — k closest neighbors
+    * by Euclidean distance, the embedding-space form IVF/PQ serve (their
+    * certified-integer twins score exact milli-L2²). The rule matches the
+    * `Sqrt(VectorL2Squared)` tree with ASC sort and rewrites with the
+    * triangle-inequality bound (threshold = MAX exact distance of the
+    * approx-top-k; survivors keep `approx − ε ≤ t_q`) — provably exact, so
+    * the DuckDB oracle is plain brute force over `list_distance`. PlanSpec
+    * asserts the `__graft_ann` rewritten shape appears. Query slice
+    * 160-179, disjoint from the other top-k entries' slices. */
+  def x3_rule_topk_l2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val q = emb.filter($"vec_id" >= 160 && $"vec_id" < 180)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.l2Distance($"q_emb", $"c_emb").as("dist_raw"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"dist_raw".asc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id",
+        round($"dist_raw", 3).as("dist"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** X2e — edit-distance-1 fuzzy pair join over customer names via
     * deletion-neighborhood blocking ([[Dedup.editDistance1Pairs]]): exact
     * Levenshtein-1 pairs WITHOUT the all-pairs join — candidates share a
@@ -1551,6 +1580,7 @@ object LlmOps {
     "x3_rule_topk" -> x3_rule_topk _,
     "x3_rule_topk_dot" -> x3_rule_topk_dot _,
     "x3_rule_topk_pairs" -> x3_rule_topk_pairs _,
+    "x3_rule_topk_l2" -> x3_rule_topk_l2 _,
     "x3_mmr_rerank" -> x3_mmr_rerank _,
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_int8" -> x3_ann_int8 _,
@@ -1828,6 +1858,21 @@ object LlmOps {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, round(sim_raw, 3) AS sim
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // the L2 twin: brute force over plain Euclidean distance, ranked ASC
+    "x3_rule_topk_l2" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_distance(CAST(q.embedding AS DOUBLE[]),
+        |                  CAST(c.embedding AS DOUBLE[])) AS dist_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id >= 160 AND q.vec_id < 180),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist_raw,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dist_raw ASC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(dist_raw, 3) AS dist
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     // the MIPS twin: brute force over the raw inner product

@@ -18,6 +18,20 @@ class VectorExpressionSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("l2sq/l2Distance match hand-computed values and the SQL route") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 6.0f, 3.0f))).toDF("a", "b")
+    val (sq, d) = df.select(VF.l2sq($"a", $"b"), VF.l2Distance($"a", $"b"))
+      .as[(Double, Double)].head()
+    assert(sq === 25.0) // 9 + 16 + 0
+    assert(d === 5.0)
+    graft.GraftExtensions.register(spark)
+    val (s2, d2) = spark.sql(
+      "SELECT vector_l2sq(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS s, " +
+        "vector_l2(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d")
+      .as[(Double, Double)].head()
+    assert(s2 === 25.0 && d2 === 5.0)
+  }
+
   test("mixed float/double inputs and mismatched lengths (shorter wins)") {
     val df = Seq((Seq(1.0f, 2.0f, 9.0f), Seq(3.0, 4.0))).toDF("a", "b")
     assert(df.select(VF.dot($"a", $"b")).as[Double].head() === 11.0)

@@ -481,4 +481,57 @@ class PlanSpec extends SparkSpec {
     val want = unrewritten.as[(Long, Int, Long, Double)].collect().toSeq
     assert(got === want)
   }
+
+  test("x3 rule top-k L2: the ascending nearest-neighbor plan is rewritten, " +
+    "and rewritten output = unrewritten") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the ASC L2 arm (round-12 verdict #5): Sqrt(VectorL2Squared) ranked
+    // ascending must fire the rewrite...
+    val df = LlmOps.x3_rule_topk_l2(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__graft_ann"), s"L2 arm did not fire:\n$opt")
+    assert(opt.contains("__graft_ann_thr"),
+      s"threshold pass missing from the rewritten L2 plan:\n$opt")
+    // ...while a DESCENDING sort over the same distance ("k farthest") is
+    // NOT the serving shape — the pruning bound would sit on the wrong
+    // side — and must stay untouched
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" >= 160 && $"vec_id" < 180)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.l2Distance($"q_emb", $"c_emb").as("dist_raw"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+    val farthest = scored
+      .withColumn("rank", row_number().over(w.orderBy($"dist_raw".desc, $"neighbor_id".asc)))
+      .filter($"rank" <= 5)
+    assert(!farthest.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "descending-distance (k farthest) must not be rewritten")
+    // exactness vs an unrewritten twin (extra vacuous conjunct breaks the
+    // matcher, same device as the cosine test)
+    val unrewritten = scored
+      .withColumn("rank", row_number().over(w.orderBy($"dist_raw".asc, $"neighbor_id".asc)))
+      .filter($"rank" <= 5 && $"neighbor_id" >= -1L)
+      .select($"query_id", $"rank", $"neighbor_id", round($"dist_raw", 3).as("dist"))
+      .orderBy($"query_id", $"rank")
+    assert(!unrewritten.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "twin was supposed to stay unrewritten")
+    val got = df.as[(Long, Int, Long, Double)].collect().toSeq
+    val want = unrewritten.as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === want)
+    // the squared form ranks identically and fires too
+    val sq = q.join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.l2sq($"q_emb", $"c_emb").as("d2_raw"))
+      .withColumn("rank", row_number().over(w.orderBy($"d2_raw".asc, $"neighbor_id".asc)))
+      .filter($"rank" <= 5)
+    assert(sq.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "bare squared-L2 form did not fire")
+    val sqGot = sq.select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val sqWant = want.map(t => (t._1, t._2, t._3)).sorted
+    assert(sqGot === sqWant, "squared form must rank identically to distance form")
+  }
 }
