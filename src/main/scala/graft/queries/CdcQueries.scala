@@ -285,15 +285,17 @@ object CdcQueries {
       val events = CanalJson.events(CdcPipeline.fileSource(s, in.toString))
       // 32 shuffle partitions on an 11-line fixture is pure per-task
       // overhead in the sink's window/agg actions — narrow for the
-      // streaming section and restore after stop (the p27 rule)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // streaming section and restore after stop (the p27 rule).
+      // noDataBatches stays ON: the health surface reports trigger gauges
+      // from the listener, and suppressing scheduled triggers would thin
+      // the very surface the entry measures
+      val prevConf = CensusConf.narrow(s, noDataBatches = true)
       try {
         val q = CdcPipeline.materializeSink(events.coalesce(1),
           s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
         q.processAllAvailable()
         q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally CensusConf.restore(s, prevConf)
       // The listener bus is ASYNC: progress/termination events can still be
       // in flight after stop(), and removeListener below drops them for
       // good. cdc_health_counts pins exact values, so DRAIN before the
@@ -627,10 +629,11 @@ object CdcQueries {
     implicit val sqlCtx = s.sqlContext
     val feed = dedupStreamFeed(s, dir).as[(String, Long, Int)].collect()
     val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val mem = MemoryStream[(String, Long)]
     val raw = mem.toDS().toDF("value", "offset").withColumn("partition", lit(0))
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // dedup emits on data arrival; no-data batches only evict expired
+    // identities and never change the output (CensusConf A/B evidence)
+    val prevConf = CensusConf.narrow(s, noDataBatches = false)
     try {
       val q = CdcPipeline.dedupDelivery(CdcPipeline.events(raw), delay = "2 hours")
         // the envelope carries the raw `data` map, not a pk column — derive
@@ -646,7 +649,7 @@ object CdcQueries {
           q.processAllAvailable()
         }
       } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally CensusConf.restore(s, prevConf)
     val out = s.table(s"t8_$tag")
       .groupBy($"op")
       .agg(count(lit(1)).as("n_events"),

@@ -433,10 +433,11 @@ object MetricsOps {
     // batches of a ~150-user fixture is pure commit overhead, so narrow the
     // conf for the streaming section and restore it for the (batch) output
     // plan, which executes after this function returns
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val fMem = MemoryStream[FunnelStream.FunnelEvent]
     val tMem = MemoryStream[JourneyStream.JourneyEvent]
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // update-mode state census: no timeouts, so no-data batches are dead
+    // weight (CensusConf A/B evidence)
+    val prevConf = CensusConf.narrow(s, noDataBatches = false)
     try {
       val fq = FunnelStream.funnelUpdatesOrdered(fMem.toDS())
         .writeStream.format("memory").queryName(s"p27f_$tag")
@@ -454,7 +455,7 @@ object MetricsOps {
           tq.processAllAvailable()
         }
       } finally { fq.stop(); tq.stop() }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally CensusConf.restore(s, prevConf)
     // Update-mode sinks append one row-set per touched user per batch; the
     // final state is the max-update_seq row-set per user
     def latest(df: DataFrame) = df
@@ -582,10 +583,12 @@ object MetricsOps {
           Alerts.MetricPoint(k, new java.sql.Timestamp(ts), v) }
     }
     val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val sMem = MemoryStream[Alerts.MetricPoint]
     val tMem = MemoryStream[Alerts.MetricPoint]
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // noDataBatches = true: the event-time staleness timeout fires in the
+    // no-data batch after the horizon tick advances the watermark —
+    // disabling it would deadlock the drain loop below
+    val prevConf = CensusConf.narrow(s, noDataBatches = true)
     try {
       val sq = Alerts.sustainedThreshold(sMem.toDS(), threshold = 1.0,
           forDurationMs = forDurationMs)
@@ -630,7 +633,7 @@ object MetricsOps {
           s"p28 staleness drain hit the 30s deadline: $n of ${series.size} " +
             "keys fired STALE")
       } finally { sq.stop(); tq.stop() }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally CensusConf.restore(s, prevConf)
     val alerts = s.table(s"p28s_$tag")
     val sus = alerts.groupBy($"key")
       .agg(sum(when($"alert" === "FIRING", 1L).otherwise(0L)).as("n_firing"),
@@ -697,14 +700,15 @@ object MetricsOps {
       t
     }
     val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val errM = MemoryStream[KeyedEvent]
     val opM = MemoryStream[KeyedEvent]
     val errDf = errM.toDS().toDF("err_key", "err_id", "err_ts")
       .withWatermark("err_ts", "0 seconds")
     val opDf = opM.toDS().toDF("op_key", "op_id", "op_ts")
       .withWatermark("op_ts", "0 seconds")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // inner join emits on data arrival; no-data batches only evict state
+    // and never change the output (CensusConf A/B: 4.67 -> 2.60 s)
+    val prevConf = CensusConf.narrow(s, noDataBatches = false)
     try {
       val q = CdcPipeline.intervalCorrelate(errDf, opDf,
           leftKey = "err_key", rightKey = "op_key",
@@ -724,7 +728,7 @@ object MetricsOps {
           q.processAllAvailable()
         }
       } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally CensusConf.restore(s, prevConf)
     val agg = s.table(s"p29_$tag")
       .groupBy($"err_key".as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),

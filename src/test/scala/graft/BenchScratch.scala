@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway interleaved A/B harness for streaming-census tuning (memory:
+  * bench-variance discipline — never compare timings across sessions).
+  * Not part of the driver surface; run via
+  * `sbt "Test/runMain graft.BenchScratch p29_stream_correlate"`. */
+object BenchScratch {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("p29_stream_correlate")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = EngineSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+
+    def run(label: String, conf: Map[String, String]): (Double, Long, String) = {
+      val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val hash = rows.map(_.toString).sorted.mkString("|").hashCode.toHexString
+        (sec, rows.length.toLong, hash)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
+    val all = Seq(
+      "base" -> Map.empty[String, String],
+      "noData-off" -> Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
+      "parts1" -> Map("graft.census.shuffle" -> "1"),
+      "parts1+noData-off" -> Map(
+        "graft.census.shuffle" -> "1",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))
+    // p28's event-time staleness TIMEOUT fires in the no-data batch after
+    // the horizon tick advances the watermark — disabling no-data batches
+    // would deadlock its drain loop, so only the partition axis applies
+    val variants = if (name.contains("p28")) all.filterNot(_._1.contains("noData"))
+                   else all
+
+    // warmup once, then interleave 3 rounds of every variant
+    run("warmup", Map.empty)
+    val results = collection.mutable.Map.empty[String, List[Double]]
+    var hashes = Map.empty[String, String]
+    (1 to 3).foreach { r =>
+      variants.foreach { case (label, conf) =>
+        val (sec, n, h) = run(label, conf)
+        results(label) = sec :: results.getOrElse(label, Nil)
+        hashes += label -> h
+        println(f"round $r  $label%-18s $sec%6.2f s  rows=$n hash=$h")
+      }
+    }
+    println("--- medians ---")
+    variants.foreach { case (label, _) =>
+      val xs = results(label).sorted
+      println(f"$label%-18s median=${xs(xs.size / 2)}%6.2f s  hash=${hashes(label)}")
+    }
+    spark.stop()
+  }
+}
