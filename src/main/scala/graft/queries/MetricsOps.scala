@@ -1142,6 +1142,25 @@ object MetricsOps {
       .orderBy($"minute_start")
   }
 
+  /** P30 — PromQL `count_values("value", metric)`: per evaluation bucket,
+    * how many SERIES carry each observed sample value — the cardinality-of-
+    * values view that finds "most of the fleet reports exactly N" plateaus
+    * (e.g. a stuck counter) that averages erase. Mapped onto the event
+    * stream: per-hour per-event_type counts are the sample vector; the
+    * second aggregation counts series per distinct value. Two map-side-
+    * combined hash aggregations — the second one's key space is
+    * |buckets| × |distinct counts|, tiny at any scale — and integers end
+    * to end. */
+  def p30_count_values(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"hour_start", $"c".as("value"))
+      .agg(count(lit(1)).as("n_series"))
+      .orderBy($"hour_start", $"value")
+  }
+
   /** W2 — latest-image-wins per key over the event stream (the CDC apply
     * ranking, run_test.sh:41-43): last event per user. */
   def w2_latest_by_key(s: SparkSession, dir: String): DataFrame = {
@@ -1202,6 +1221,7 @@ object MetricsOps {
     "p5_filtered_rate" -> p5_filtered_rate _,
     "p6_global_sums" -> p6_global_sums _,
     "p9_date_histogram" -> p9_date_histogram _,
+    "p30_count_values" -> p30_count_values _,
     "w2_latest_by_key" -> w2_latest_by_key _,
     "w5_tombstone" -> w5_tombstone _,
   )
@@ -1840,6 +1860,15 @@ object MetricsOps {
     "p9_date_histogram" ->
       """SELECT date_trunc('minute', ts) AS minute_start, count(*) AS cnt
         |FROM events GROUP BY minute_start ORDER BY minute_start""".stripMargin,
+    // count_values: per-hour per-type counts are the sample vector, then
+    // count series per distinct value — integers end to end
+    "p30_count_values" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_start, c AS value, count(*) AS n_series
+        |FROM b GROUP BY 1, 2 ORDER BY hour_start, value""".stripMargin,
     "w2_latest_by_key" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id

@@ -92,6 +92,59 @@ class CosineTopKRewriteSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("L2 arm: rewrite == brute force under exact-duplicate tie storms, " +
+    "SQL route (vector_l2) included") {
+    import spark.implicits._
+    // exact duplicates make distance EXACTLY 0.0 across dozens of
+    // neighbors: the threshold t_q collapses to 0 and every copy must
+    // survive the approx−ε ≤ t_q bound and tie-break by id
+    val emb = syntheticEmb(n = 400, distinct = 5)
+    def naiveL2(defeat: Boolean): DataFrame = {
+      val q = emb.filter($"vec_id" < 12)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+      val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          graft.functions.VectorFunctions.l2Distance($"q_emb", $"c_emb").as("dist_raw"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"dist_raw".asc, $"neighbor_id".asc)
+      val ranked = scored.withColumn("rank", row_number().over(w))
+      val filtered =
+        if (defeat) ranked.filter($"rank" <= 7 && $"neighbor_id" >= -1L)
+        else ranked.filter($"rank" <= 7)
+      filtered
+        .select($"query_id", $"rank", $"neighbor_id", round($"dist_raw", 6).as("dist"))
+        .orderBy($"query_id", $"rank")
+    }
+    val rewritten = naiveL2(defeat = false)
+    val brute = naiveL2(defeat = true)
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "L2 arm was supposed to fire on the tie-storm corpus")
+    assert(!brute.queryExecution.optimizedPlan.toString.contains("__graft_ann"))
+    val got = rewritten.as[(Long, Int, Long, Double)].collect().toSeq
+    val want = brute.as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got === want)
+    // SQL route: vector_l2 lowers to the same Sqrt(VectorL2Squared) tree
+    graft.GraftExtensions.register(spark)
+    syntheticEmb(n = 300, distinct = 30).createOrReplaceTempView("rw_emb_l2")
+    val sqlDf = spark.sql(
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    vector_l2(q.embedding, c.embedding) AS dist_raw
+        |  FROM rw_emb_l2 q JOIN rw_emb_l2 c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, dist_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY dist_raw ASC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(dist_raw, 6) AS dist
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
+    assert(sqlDf.queryExecution.optimizedPlan.toString.contains("__graft_ann"),
+      "SQL-route naive L2 top-k should plan through the same rewrite")
+  }
+
   test("the SQL route's naive form is rewritten too (vector_cosine lowers " +
     "to the same tree)") {
     import spark.implicits._
