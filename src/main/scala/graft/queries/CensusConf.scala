@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Round-13 interleaved A/B (same session, 3 rounds, identical census
   * hashes): p29 4.67→2.60 s, p28 4.76→3.31 s (partitions only), p27
-  * 1.92→1.61 s, cdc_dedup_stream 1.84→1.44 s.
+  * 1.92→1.61 s, cdc_dedup_stream 1.84→1.44 s. RocksDB state store was
+  * also A/B'd for p29 and is ~18% SLOWER than the default HDFS-backed
+  * provider here (2.31 vs 1.95 s median, identical hash): JNI + disk
+  * commit costs dwarf any benefit when per-query state is a few hundred
+  * keys — RocksDB earns its keep only when state outgrows executor heap.
   *
   * `noDataBatches = true` keeps no-data batches ON — REQUIRED for any entry
   * whose results ride a state timeout (p28: the event-time staleness

@@ -35,7 +35,11 @@ object BenchScratch {
       "parts1" -> Map("graft.census.shuffle" -> "1"),
       "parts1+noData-off" -> Map(
         "graft.census.shuffle" -> "1",
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
+      "parts1+rocksdb" -> Map(
+        "graft.census.shuffle" -> "1",
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
     // p28's event-time staleness TIMEOUT fires in the no-data batch after
     // the horizon tick advances the watermark — disabling no-data batches
     // would deadlock its drain loop, so only the partition axis applies

@@ -32,6 +32,26 @@ class VectorExpressionSpec extends SparkSpec {
     assert(s2 === 25.0 && d2 === 5.0)
   }
 
+  test("VectorL2Squared is bit-identical to the interpreted HOF fold it replaced") {
+    // the scaladoc's numeric contract, asserted: exact float widening +
+    // left-to-right double accumulation == aggregate(zip_with(...)) on
+    // deterministic pseudo-random vectors (exact double equality, no eps)
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextFloat() * 4f - 2f),
+      Seq.fill(64)(rnd.nextFloat() * 4f - 2f)))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(transform($"a", x => x.cast("double")),
+               transform($"b", x => x.cast("double")),
+               (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val mismatches = df
+      .select(VF.l2sq($"a", $"b").as("native"), hof.as("interp"))
+      .filter($"native" =!= $"interp").count()
+    assert(mismatches === 0L)
+  }
+
   test("mixed float/double inputs and mismatched lengths (shorter wins)") {
     val df = Seq((Seq(1.0f, 2.0f, 9.0f), Seq(3.0, 4.0))).toDF("a", "b")
     assert(df.select(VF.dot($"a", $"b")).as[Double].head() === 11.0)
