@@ -696,6 +696,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("a", "00:12", "00:05")))
   }
 
+  test("interval-join state is EVICTED once the watermark passes the lookback horizon") {
+    // the 100 TB claim behind p29_stream_correlate, asserted from the state
+    // store's own metrics rather than inferred: op rows are joinable by
+    // errors up to op_ts + lookback, so once the watermark passes that
+    // horizon the rows must leave the store — unbounded streams, bounded
+    // state. (The results-side twin above pins WHICH pairs emit; this pins
+    // that the buffer actually shrinks.)
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val ops = MemoryStream[(String, Timestamp)]
+    val errs = MemoryStream[(String, Timestamp)]
+    val opsDf = ops.toDF().toDF("op_key", "op_ts").withWatermark("op_ts", "0 seconds")
+    val errsDf = errs.toDF().toDF("err_key", "err_ts").withWatermark("err_ts", "0 seconds")
+    val q = CdcPipeline.intervalCorrelate(errsDf, opsDf,
+        leftKey = "err_key", rightKey = "op_key",
+        leftTs = "err_ts", rightTs = "op_ts", lookback = "10 minutes")
+      .select($"err_key")
+      .writeStream.format("memory").queryName("evict_probe").start()
+    try {
+      // buffer 5 ops + 1 err at the epoch
+      ops.addData(("a", t(0)), ("a", t(1)), ("a", t(2)), ("a", t(3)), ("a", t(4)))
+      errs.addData(("a", t(4)))
+      q.processAllAvailable()
+      val peak = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      // both watermarks jump 2 h — far past t(4) + lookback — then one more
+      // tick so the eviction lands in an observable commit
+      ops.addData(("a", t(120)))
+      errs.addData(("a", t(120)))
+      q.processAllAvailable()
+      ops.addData(("a", t(121)))
+      errs.addData(("a", t(121)))
+      q.processAllAvailable()
+      val fin = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      assert(peak >= 6L, s"expected the epoch rows buffered in state, got $peak")
+      assert(fin < peak && fin <= 4L,
+        s"state not evicted past the lookback horizon: peak=$peak final=$fin")
+    } finally q.stop()
+  }
+
   test("q39' funnel: streaming state op equals the batch chained-min funnel") {
     // same fixture through FunnelStream (mapGroupsWithState, Update mode,
     // split across micro-batches WITH out-of-order delivery) and through the
