@@ -118,6 +118,9 @@ object CanalJson {
         when(col("parsed.old").isNotNull, element_at(col("parsed.old"), col("pos") + 1))
           .otherwise(lit(null)).as("old_data"),
         col("parsed.sql").as("sql"),
+        // the envelope's own key declaration (canal-json pkNames) — what
+        // CdcApply.materializeEnvelopeKeyed keys on, incl. composite keys
+        col("parsed.pkNames").as("pk_names"),
         col("partition"), col("offset"),
         // row index within the message: with (partition, offset) it is the
         // unique physical coordinate of this flattened event — the

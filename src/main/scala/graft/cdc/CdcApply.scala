@@ -37,9 +37,30 @@ object CdcApply {
     * (database, table, pk), drop tombstoned keys. `pkCol` is the key column
     * inside the `data` map (canal-json `pkNames`, single-column keys in the
     * reference schema). */
-  def materialize(events: DataFrame, pkCol: String = "id"): DataFrame = {
-    val keyed = dedupDelivery(events)
-      .withColumn("pk", element_at(col("data"), pkCol))
+  def materialize(events: DataFrame, pkCol: String = "id"): DataFrame =
+    latestByPk(dedupDelivery(events)
+      .withColumn("pk", element_at(col("data"), pkCol)))
+
+  /** W2'' — materialization keyed by the ENVELOPE's own key declaration
+    * (canal-json `pkNames`): the key value is the tuple of named payload
+    * cells, null-safe-joined with `\u0001` (payload cells are canal
+    * string-typed scalars; the separator cannot occur in key cells), so
+    * COMPOSITE primary keys — (order_id, line_no)-style, which the
+    * single-`pkCol` form cannot express — rank correctly. Envelopes
+    * without `pkNames` fall back to the reference schema's universal `id`.
+    * Same one-shuffle ranking plan as [[materialize]]; the concat key is a
+    * per-row projection, free at any scale. */
+  def materializeEnvelopeKeyed(events: DataFrame): DataFrame =
+    latestByPk(dedupDelivery(events).withColumn("pk",
+      when(col("pk_names").isNotNull && size(col("pk_names")) > 0,
+        concat_ws("\u0001",
+          transform(col("pk_names"), n => element_at(col("data"), n))))
+        .otherwise(element_at(col("data"), "id"))))
+
+  /** Latest-image-wins ranking shared by the key-derivation fronts: newest
+    * (timestamp, offset) per (database, table, pk) survives unless
+    * tombstoned. */
+  private def latestByPk(keyed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("database"), col("table"), col("pk"))
       .orderBy(col("timestamp").desc, col("offset").desc)
     keyed

@@ -593,6 +593,66 @@ object CdcQueries {
       ins.unionByName(upd).unionByName(del).unionByName(upd)) // redelivery
   }
 
+  /** W2'' — COMPOSITE-key materialization driven by the envelope's own
+    * `pkNames` declaration ([[CdcApply.materializeEnvelopeKeyed]]): a wire
+    * feed over a lineitem slice keyed (order_id, line_no) — an order has up
+    * to 7 lines, so any key-derivation bug that collapses to `order_id`
+    * (or falls back to a missing `id` cell) changes the row count and
+    * hash-mismatches. INSERT per line, UPDATE (qty doubled, REDELIVERED
+    * under its original coordinate — delivery dedup must hold for
+    * composite-keyed feeds too) for lines ≥ 4, tombstone for line 7.
+    * DuckDB derives the surviving state from the lineitem arithmetic
+    * alone. */
+  def cdc_wire_composite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcApply.materializeEnvelopeKeyed(compositeWireEvents(s, dir))
+      .select(
+        element_at($"data", "order_id").cast("bigint").as("order_id"),
+        element_at($"data", "line_no").cast("bigint").as("line_no"),
+        element_at($"data", "qty").cast("bigint").as("qty"),
+        $"op", unix_millis($"timestamp").as("es_ms"))
+      .orderBy($"order_id", $"line_no")
+  }
+
+  /** The [[cdc_wire_composite]] feed — canal-json lines with
+    * `pkNames: ["order_id","line_no"]`, a pure function of the lineitem
+    * slice (every 50th order), run-level cached. Event sequence per line
+    * k = oid·8 + lno: INSERT @3k, UPDATE @3k+1 (lines ≥ 4, redelivered),
+    * DELETE @3k+2 (line 7). */
+  private def compositeWireEvents(s: SparkSession, dir: String): DataFrame =
+      cachedFixture(s, dir, "wire-composite", "v2") {
+    import s.implicits._
+    // the synthetic lineitem does NOT enforce the TPC-H composite PK
+    // (sf0.01: 1176 slice rows, 902 distinct keys) — collapse to one
+    // deterministic image per key (max qty) so the feed's events are
+    // well-keyed and the delivery coordinates stay unique
+    val base = Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 50 === 0)
+      .groupBy($"l_orderkey".as("oid"), $"l_linenumber".cast("long").as("lno"))
+      .agg(max($"l_quantity".cast("long")).as("qty"))
+      .withColumn("k", $"oid" * 8 + $"lno")
+      .repartition(s.sparkContext.defaultParallelism)
+    def line(op: String, qty: Column, old: Column, esOff: Int) = to_json(struct(
+      array(map(lit("order_id"), $"oid".cast("string"),
+                lit("line_no"), $"lno".cast("string"),
+                lit("qty"), qty.cast("string"))).as("data"),
+      old.as("old"),
+      lit(op).as("type"), lit("lineitem").as("table"),
+      lit("testdb").as("database"),
+      (lit(1704067200000L) + $"k" * 3 + esOff).as("es"), lit(false).as("isDdl"),
+      array(lit("order_id"), lit("line_no")).as("pkNames")))
+    val noOld = lit(null).cast("array<map<string,string>>")
+    def raw(df: DataFrame, op: String, qty: Column, old: Column, esOff: Int) =
+      df.select(line(op, qty, old, esOff).as("value"),
+        lit(0).as("partition"), ($"k" * 3 + esOff).cast("bigint").as("offset"))
+    val ins = raw(base, "INSERT", $"qty", noOld, 0)
+    val upd = raw(base.filter($"lno" >= 4), "UPDATE", $"qty" * 2,
+      array(map(lit("qty"), $"qty".cast("string"))), 1)
+    val del = raw(base.filter($"lno" === 7), "DELETE", $"qty" * 2, noOld, 2)
+    CanalJson.events(
+      ins.unionByName(upd).unionByName(upd).unionByName(del)) // upd redelivered
+  }
+
   private def wireState(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.select($"pk".cast("bigint").as("id"),
@@ -1020,6 +1080,7 @@ object CdcQueries {
     "s6_wire_logs" -> s6_wire_logs _,
     "cdc_wire_parse" -> cdc_wire_parse _,
     "cdc_wire_latest" -> cdc_wire_latest _,
+    "cdc_wire_composite" -> cdc_wire_composite _,
     "cdc_dedup_stream" -> cdc_dedup_stream _,
     "cdc_store_pruned" -> cdc_store_pruned _,
     "cdc_wire_asof" -> cdc_wire_asof _,
@@ -1176,6 +1237,22 @@ object CdcQueries {
         |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
         |ORDER BY id""".stripMargin,
+    // composite-key state from the lineitem arithmetic: line 7 tombstoned,
+    // lines >= 4 carry the doubled UPDATE image at es +1, the rest their
+    // INSERT image
+    "cdc_wire_composite" ->
+      """WITH k AS (
+        |  SELECT l_orderkey AS oid, CAST(l_linenumber AS BIGINT) AS lno,
+        |    CAST(max(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem WHERE l_orderkey % 50 = 0
+        |  GROUP BY 1, 2)
+        |SELECT oid AS order_id, lno AS line_no,
+        |  CASE WHEN lno >= 4 THEN q * 2 ELSE q END AS qty,
+        |  CASE WHEN lno >= 4 THEN 'update' ELSE 'insert' END AS op,
+        |  1704067200000 + (oid * 8 + lno) * 3 +
+        |    CASE WHEN lno >= 4 THEN 1 ELSE 0 END AS es_ms
+        |FROM k WHERE lno <> 7
+        |ORDER BY order_id, line_no""".stripMargin,
     // effectively-once census: the redelivered UPDATEs must count ONCE —
     // every column derives from the orders key arithmetic (dense key
     // d = id // 40, es = 1704067200000 + 3d + opOffset)

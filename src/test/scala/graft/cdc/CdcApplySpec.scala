@@ -28,6 +28,28 @@ class CdcApplySpec extends SparkSpec {
     assert(o.toSeq === Seq("completed"))
   }
 
+  test("W2'' envelope-keyed materialize: composite pkNames keys rank per " +
+    "(order_id, line_no); missing pkNames falls back to id") {
+    // two lines of one order + an update to line 2 only; keying on
+    // order_id alone would collapse the lines to one survivor
+    def line(json: String, off: Long) = (json, 0, off)
+    val rows = Seq(
+      line("""{"data":[{"order_id":"1","line_no":"1","qty":"5"}],"old":null,"type":"INSERT","table":"t","database":"d","es":1704067200000,"isDdl":false,"pkNames":["order_id","line_no"]}""", 1L),
+      line("""{"data":[{"order_id":"1","line_no":"2","qty":"7"}],"old":null,"type":"INSERT","table":"t","database":"d","es":1704067200001,"isDdl":false,"pkNames":["order_id","line_no"]}""", 2L),
+      line("""{"data":[{"order_id":"1","line_no":"2","qty":"9"}],"old":[{"qty":"7"}],"type":"UPDATE","table":"t","database":"d","es":1704067200002,"isDdl":false,"pkNames":["order_id","line_no"]}""", 3L),
+      // fixture-style single-key envelope WITHOUT pkNames: falls back to id
+      line("""{"data":[{"id":"42","v":"a"}],"old":null,"type":"INSERT","table":"u","database":"d","es":1704067200003,"isDdl":false}""", 4L))
+    val raw = rows.toDF("value", "partition", "offset")
+    val st = CdcApply.materializeEnvelopeKeyed(CanalJson.events(raw))
+    val t = st.filter($"table" === "t")
+      .select(element_at($"data", "line_no"), element_at($"data", "qty"))
+      .as[(String, String)].collect().toSet
+    assert(t === Set(("1", "5"), ("2", "9")),
+      s"composite keys must keep both lines with line 2 updated, got $t")
+    val u = st.filter($"table" === "u").select($"pk").as[String].collect()
+    assert(u.toSeq === Seq("42"), "pkNames-less envelope must key on id")
+  }
+
   test("idempotent under at-least-once duplicate delivery") {
     // fixture contains the same UPDATE twice (offsets 4-dup); replaying the
     // whole log twice must give identical state
