@@ -140,6 +140,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** X3f — retrieval-quality evaluation as a first-class operator: score a
+    * predicted ranking against a ground-truth ranking, per query, in exact
+    * integers. `pred` and `truth` are (query_id, neighbor_id, rank) frames
+    * (any producer: int8 serving, IVF probe, hybrid fusion vs an exact
+    * brute-force pass). Emits per query:
+    *   - `n_hits`  — |pred@k ∩ truth@k| (recall@k numerator; the caller
+    *     divides by k if it wants a ratio — the integer is hash-stable);
+    *   - `rr_ppm`  — reciprocal rank of truth's #1 neighbor within pred@k,
+    *     as floor(1e6 / rank) ppm, 0 when missed (the MRR numerator).
+    * Scale: both inputs are \|queries\|·k rows, so the join and aggregate
+    * are trivially small no matter the corpus size — the expensive part of
+    * an eval harness is PRODUCING the rankings, never scoring them. */
+  def retrievalEval(pred: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val p = pred.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("p_rank"))
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    t.join(p, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(col("p_rank")).as("n_hits"),
+        max(when(col("t_rank") === 1,
+          coalesce(expr("CAST(1000000 div p_rank AS BIGINT)"), lit(0L))))
+          .as("rr_ppm"))
+  }
+
   /** Train IVF coarse centroids with fixed-iteration Lloyd's k-means on a
     * deterministic sample (first `sampleN` vectors by id). Model-fitting is
     * driver-side on purpose — the sample is tiny and the resulting centroids

@@ -242,6 +242,43 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3f — retrieval-quality evaluation ([[Similarity.retrievalEval]]):
+    * recall@5 hits and reciprocal-rank ppm of the int8 INTEGER-dot serving
+    * ranking against the exact cosine ranking, per query — the
+    * quantization-loss measurement a serving deployment runs before
+    * swapping float vectors for int8 codes. Everything is integer-exact
+    * cross-engine: predictions order by the certified int64 code dots
+    * (x3_ann_int8's family), ground truth by raw cosine (which — being the
+    * naive brute-force top-k shape — plans through the
+    * [[graft.plans.CosineTopKRewrite]] pre-filter, exercising the rewrite
+    * inside a composed query), and the metrics are integer counts and
+    * floor-divided ppm. Query slice 180-199, disjoint from the other
+    * top-k entries' slices. */
+  def x3_eval_int8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val queries = emb.filter($"vec_id" >= 180 && $"vec_id" < 200)
+    val k = 5
+    // membership AND order purely by the quantized integer dots
+    val wP = Window.partitionBy($"query_id")
+      .orderBy($"q_dot".desc, $"neighbor_id".asc)
+    val pred = Similarity.int8TopK(queries, emb, k = k, rerank = k)
+      .select($"query_id", $"neighbor_id",
+        row_number().over(wP).as("rank"))
+    val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val wT = Window.partitionBy($"query_id")
+      .orderBy($"sim".desc, $"neighbor_id".asc)
+    val truth = queries
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      .join(c, $"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.cosine($"q_emb", $"c_emb").as("sim"))
+      .withColumn("rank", row_number().over(wT))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"rank")
+    Similarity.retrievalEval(pred, truth, k).orderBy($"query_id")
+  }
+
   /** X2e — edit-distance-1 fuzzy pair join over customer names via
     * deletion-neighborhood blocking ([[Dedup.editDistance1Pairs]]): exact
     * Levenshtein-1 pairs WITHOUT the all-pairs join — candidates share a
@@ -1581,6 +1618,7 @@ object LlmOps {
     "x3_rule_topk_dot" -> x3_rule_topk_dot _,
     "x3_rule_topk_pairs" -> x3_rule_topk_pairs _,
     "x3_rule_topk_l2" -> x3_rule_topk_l2 _,
+    "x3_eval_int8" -> x3_eval_int8 _,
     "x3_mmr_rerank" -> x3_mmr_rerank _,
     "x3_ann_lsh" -> x3_ann_lsh _,
     "x3_ann_int8" -> x3_ann_int8 _,
@@ -1860,6 +1898,40 @@ object LlmOps {
         |SELECT query_id, rank, neighbor_id, round(sim_raw, 3) AS sim
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // retrieval eval: int8 integer-dot ranking vs exact cosine ranking,
+    // recall hits + reciprocal-rank ppm — all integers
+    "x3_eval_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS n FROM e),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x -> CAST(least(greatest(
+        |      floor((x / n) / (1.0 / 127.0) + 0.5), -127.0), 127.0) AS BIGINT))
+        |      AS codes
+        |  FROM u),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.codes) + 1),
+        |      i -> q.codes[i] * c.codes[i])) AS BIGINT) AS q_dot,
+        |    list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id >= 180 AND q.vec_id < 200),
+        |p AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY q_dot DESC, neighbor_id ASC) AS p_rank
+        |  FROM pairs QUALIFY p_rank <= 5),
+        |t AS (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS t_rank
+        |  FROM pairs QUALIFY t_rank <= 5)
+        |SELECT t.query_id, count(p.p_rank) AS n_hits,
+        |  max(CASE WHEN t.t_rank = 1
+        |      THEN coalesce(1000000 // p.p_rank, 0) END) AS rr_ppm
+        |FROM t LEFT JOIN p USING (query_id, neighbor_id)
+        |GROUP BY t.query_id ORDER BY query_id""".stripMargin,
     // the L2 twin: brute force over plain Euclidean distance, ranked ASC
     "x3_rule_topk_l2" ->
       """WITH scored AS (
