@@ -1142,6 +1142,30 @@ object MetricsOps {
       .orderBy($"minute_start")
   }
 
+  /** P31 — PromQL `label_replace` + `sum by (new_label)`: regex relabeling
+    * with SERIES-MERGE semantics — the relabeling pipeline Prometheus runs
+    * to collapse a fleet's raw labels into dashboard classes, where two
+    * source series mapping onto the same rewritten label must merge into
+    * ONE series with summed samples (view+click → engagement,
+    * signup+purchase → conversion). Relabeling runs on the RECORDED
+    * per-hour series, not raw events — |series| rows, map-side — and the
+    * merge is one more map-combined integer aggregation. Anchored
+    * alternation regexes stay inside the Java∩RE2 portability subset. */
+  def p31_relabel_merge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .select($"hour_start",
+        regexp_replace(regexp_replace($"event_type",
+            "^(view|click)$", "engagement"),
+          "^(signup|purchase)$", "conversion").as("class"),
+        $"c")
+      .groupBy($"hour_start", $"class")
+      .agg(sum($"c").as("cnt"))
+      .orderBy($"hour_start", $"class")
+  }
+
   /** P30 — PromQL `count_values("value", metric)`: per evaluation bucket,
     * how many SERIES carry each observed sample value — the cardinality-of-
     * values view that finds "most of the fleet reports exactly N" plateaus
@@ -1222,6 +1246,7 @@ object MetricsOps {
     "p6_global_sums" -> p6_global_sums _,
     "p9_date_histogram" -> p9_date_histogram _,
     "p30_count_values" -> p30_count_values _,
+    "p31_relabel_merge" -> p31_relabel_merge _,
     "w2_latest_by_key" -> w2_latest_by_key _,
     "w5_tombstone" -> w5_tombstone _,
   )
@@ -1860,6 +1885,19 @@ object MetricsOps {
     "p9_date_histogram" ->
       """SELECT date_trunc('minute', ts) AS minute_start, count(*) AS cnt
         |FROM events GROUP BY minute_start ORDER BY minute_start""".stripMargin,
+    // label_replace + sum by: relabel the recorded per-hour series, then
+    // merge same-class series with an integer sum
+    "p31_relabel_merge" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_start,
+        |  regexp_replace(regexp_replace(event_type,
+        |    '^(view|click)$', 'engagement'),
+        |    '^(signup|purchase)$', 'conversion') AS class,
+        |  CAST(sum(c) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY hour_start, class""".stripMargin,
     // count_values: per-hour per-type counts are the sample vector, then
     // count series per distinct value — integers end to end
     "p30_count_values" ->
