@@ -59,6 +59,25 @@ object CdcApplyProps extends Properties("CdcApply") {
       materialized(evs) == naive(evs)
     }
 
+  property("envelope-keyed apply == single-key apply under pkNames=[id] AND under the id fallback") =
+    forAll(Gen.listOfN(25, genEv), Gen.oneOf(true, false)) { (evs0, declare) =>
+      import org.apache.spark.sql.functions._
+      val evs = evs0.zipWithIndex.map { case (e, i) => e.copy(offset = i.toLong) }
+      // declared single-column key and the pkNames-less fallback must both
+      // land exactly on the pkCol form
+      val pkNames =
+        if (declare) array(lit("id"))
+        else lit(null).cast("array<string>")
+      val env = CdcApply.materializeEnvelopeKeyed(
+          toEvents(evs).withColumn("pk_names", pkNames))
+        .select(col("table"), col("pk"), col("op"),
+          element_at(col("data"), "price").as("price"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3)))
+        .toMap
+      env == materialized(evs)
+    }
+
   property("idempotent under at-least-once duplicate delivery") =
     forAll(Gen.listOfN(20, genEv), Gen.choose(1, 10)) { (evs0, dupCount) =>
       val evs = evs0.zipWithIndex.map { case (e, i) => e.copy(offset = i.toLong) }
