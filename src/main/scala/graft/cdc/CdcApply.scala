@@ -51,11 +51,17 @@ object CdcApply {
     * Same one-shuffle ranking plan as [[materialize]]; the concat key is a
     * per-row projection, free at any scale. */
   def materializeEnvelopeKeyed(events: DataFrame): DataFrame =
-    latestByPk(dedupDelivery(events).withColumn("pk",
-      when(col("pk_names").isNotNull && size(col("pk_names")) > 0,
-        concat_ws("\u0001",
-          transform(col("pk_names"), n => element_at(col("data"), n))))
-        .otherwise(element_at(col("data"), "id"))))
+    latestByPk(dedupDelivery(events).withColumn("pk", envelopePk))
+
+  /** The envelope-declared key VALUE ([[materializeEnvelopeKeyed]]'s key,
+    * also the streaming sink's bucket-hash input): tuple of `pkNames`
+    * payload cells, `id` fallback. Equals `element_at(data, "id")` on every
+    * single-`id` feed — the CdcApplyProps equivalence property. */
+  def envelopePk: Column =
+    when(col("pk_names").isNotNull && size(col("pk_names")) > 0,
+      concat_ws("\u0001",
+        transform(col("pk_names"), n => element_at(col("data"), n))))
+      .otherwise(element_at(col("data"), "id"))
 
   /** Latest-image-wins ranking shared by the key-derivation fronts: newest
     * (timestamp, offset) per (database, table, pk) survives unless

@@ -226,9 +226,13 @@ object CdcPipeline {
           val nErr = batch.filter(CanalJson.processErrorRow(col("data"))).count()
           if (nErr > 0) PipelineHealth.SinkCounters.inc("materialize", "row_error", nErr)
           val clean = batch.filter(!CanalJson.processErrorRow(col("data")))
+          // bucket + materialize on the envelope-declared key (pkNames
+          // tuple, id fallback): identical to the old element_at(data, id)
+          // hash on every single-id feed (CdcApplyProps equivalence), and
+          // correct for composite-keyed tables
           val keyed = clean.withColumn("bucket",
             pmod(xxhash64(col("database"), col("table"),
-              element_at(col("data"), "id")), lit(nBuckets)))
+              graft.cdc.CdcApply.envelopePk), lit(nBuckets)))
           val dirty = keyed.select("bucket").distinct()
             .collect().map(_.getLong(0)).toSeq
           val prev =
@@ -238,7 +242,8 @@ object CdcPipeline {
           val merged =
             if (prev.isEmpty) keyed
             else prev.select(keyed.columns.map(col).toSeq: _*).unionByName(keyed)
-          val materialized = graft.cdc.CdcApply.materialize(merged).persist()
+          val materialized =
+            graft.cdc.CdcApply.materializeEnvelopeKeyed(merged).persist()
           materialized
             .write.mode("overwrite").partitionBy("bucket").parquet(statePath)
           // dynamic overwrite never touches a partition with no output rows:

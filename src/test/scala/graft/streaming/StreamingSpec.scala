@@ -541,6 +541,32 @@ class StreamingSpec extends SparkSpec {
     assert(health.batchesCompleted.sum >= 3)
   }
 
+  test("incremental materialize sink keys composite-pkNames streams per line") {
+    // the streaming twin of cdc_wire_composite: two lines of one order
+    // arrive in batch 1, an update to line 2 and a tombstone for line 1 in
+    // batch 2 — bucketing and ranking must both use the envelope-declared
+    // (order_id, line_no) key, or the lines collapse
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mat_comp").toString
+    val mem = MemoryStream[String]
+    val raw = mem.toDF()
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+    val q = CdcPipeline.materializeSink(CdcPipeline.events(raw),
+      s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
+    def l(op: String, lno: Int, qty: Int, es: Long) =
+      s"""{"data":[{"order_id":"1","line_no":"$lno","qty":"$qty"}],"old":null,"type":"$op","table":"t","database":"d","es":$es,"isDdl":false,"pkNames":["order_id","line_no"]}"""
+    mem.addData(l("INSERT", 1, 5, 1704067200000L), l("INSERT", 2, 7, 1704067200001L))
+    q.processAllAvailable()
+    mem.addData(l("UPDATE", 2, 9, 1704067200002L), l("DELETE", 1, 5, 1704067200003L))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(s"$tmp/state")
+      .select(element_at($"data", "line_no"), element_at($"data", "qty"))
+      .as[(String, String)].collect().toSet
+    assert(state === Set(("2", "9")),
+      s"line 1 tombstoned, line 2 updated — got $state")
+  }
+
   test("M4 error route: poison row is counted and skipped, the sink keeps running") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_poison").toString
