@@ -166,6 +166,41 @@ object Similarity {
           .as("rr_ppm"))
   }
 
+  /** [[retrievalEval]]'s graded companion: per-query DCG and NDCG in exact
+    * integers. Relevance is position-graded from the truth ranking
+    * (`k+1-rank`, so truth's #1 carries grade k); the log2 discounts arrive
+    * as caller-supplied ppm INTEGER constants (`discountsPpm(i)` ≈
+    * 1e6/log2(i+2) for 0-based i) so the only transcendental lives in
+    * compile-time literals an oracle can inline verbatim — the
+    * generated-constants trick that keeps approximate-looking metrics
+    * hash-exact. IDCG is the same constant for every query (all k grades
+    * present by construction), so `ndcg_ppm = 1e6·dcg div idcg` is a pure
+    * integer fold. Same \|queries\|·k scoring-join bound as
+    * [[retrievalEval]]. */
+  /** round(1e6 / log2(i+1)) for ranks 1..5 — the inlined-literal discount
+    * table [[ndcgPpm]] callers and their oracles share verbatim. */
+  val log2DiscountsPpm5: Seq[Long] =
+    Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+
+  def ndcgPpm(pred: DataFrame, truth: DataFrame, k: Int,
+              discountsPpm: Seq[Long]): DataFrame = {
+    require(discountsPpm.length >= k, s"need $k discount constants")
+    val idcg = (1 to k).map(i => (k + 1 - i).toLong * discountsPpm(i - 1)).sum
+    val p = pred.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("p_rank"))
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    val disc = (1 to k).foldRight(lit(0L): Column) { (i, acc) =>
+      when(col("p_rank") === i, lit(discountsPpm(i - 1))).otherwise(acc)
+    }
+    t.join(p, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce((lit(k + 1) - col("t_rank")).cast("long") * disc,
+        lit(0L))).as("dcg"))
+      .select(col("query_id"), col("dcg"),
+        expr(s"CAST((1000000 * dcg) div ${idcg}L AS BIGINT)").as("ndcg_ppm"))
+  }
+
   /** Train IVF coarse centroids with fixed-iteration Lloyd's k-means on a
     * deterministic sample (first `sampleN` vectors by id). Model-fitting is
     * driver-side on purpose — the sample is tiny and the resulting centroids

@@ -276,7 +276,13 @@ object LlmOps {
       .withColumn("rank", row_number().over(wT))
       .filter($"rank" <= k)
       .select($"query_id", $"neighbor_id", $"rank")
-    Similarity.retrievalEval(pred, truth, k).orderBy($"query_id")
+    Similarity.retrievalEval(pred, truth, k)
+      // graded companion: DCG/NDCG over the same rankings, log2 discounts
+      // as shared integer literals (Similarity.log2DiscountsPpm5 — the
+      // oracle inlines the identical table)
+      .join(Similarity.ndcgPpm(pred, truth, k, Similarity.log2DiscountsPpm5),
+        Seq("query_id"))
+      .orderBy($"query_id")
   }
 
   /** X2e — edit-distance-1 fuzzy pair join over customer names via
@@ -1926,12 +1932,19 @@ object LlmOps {
         |t AS (
         |  SELECT query_id, neighbor_id, row_number() OVER (
         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS t_rank
-        |  FROM pairs QUALIFY t_rank <= 5)
-        |SELECT t.query_id, count(p.p_rank) AS n_hits,
-        |  max(CASE WHEN t.t_rank = 1
-        |      THEN coalesce(1000000 // p.p_rank, 0) END) AS rr_ppm
-        |FROM t LEFT JOIN p USING (query_id, neighbor_id)
-        |GROUP BY t.query_id ORDER BY query_id""".stripMargin,
+        |  FROM pairs QUALIFY t_rank <= 5),
+        |m AS (
+        |  SELECT t.query_id, count(p.p_rank) AS n_hits,
+        |    max(CASE WHEN t.t_rank = 1
+        |        THEN coalesce(1000000 // p.p_rank, 0) END) AS rr_ppm,
+        |    CAST(sum(coalesce((6 - t.t_rank) * CASE p.p_rank
+        |      WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+        |      WHEN 4 THEN 430677 WHEN 5 THEN 386853 END, 0)) AS BIGINT) AS dcg
+        |  FROM t LEFT JOIN p USING (query_id, neighbor_id)
+        |  GROUP BY t.query_id)
+        |SELECT query_id, n_hits, rr_ppm, dcg,
+        |  CAST((1000000 * dcg) // 10271927 AS BIGINT) AS ndcg_ppm
+        |FROM m ORDER BY query_id""".stripMargin,
     // the L2 twin: brute force over plain Euclidean distance, ranked ASC
     "x3_rule_topk_l2" ->
       """WITH scored AS (
