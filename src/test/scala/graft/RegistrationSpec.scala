@@ -19,6 +19,30 @@ class RegistrationSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL with no builder (dead oracle): $orphans")
   }
 
+  test("rows-only entries are exactly the declared structural set") {
+    // entries without oracle SQL get only the driver's weaker rows-only
+    // check — each of these is rows-only for a DECLARED structural reason
+    // (engine-specific xxhash sketch family, recall-bounded float ANN,
+    // HLL/sketch stores, the environmental codec stub), and every one
+    // carries measured evidence columns or a certified integer twin. A new
+    // entry landing here by accident (forgot the oracle) must fail loudly,
+    // not silently downgrade its own gate.
+    val declared = Set(
+      "q10_approx_distinct",     // HLL NDV — evidence: ndv_err_ppm + exact sibling q9
+      "q48_analyze_stats_approx",// sketch ANALYZE — evidence: *_err_ppm + exact q48
+      "q51_hll_store",           // re-aggregatable HLL store — spec-bounded ±4σ; exact bitmap sibling q47
+      "x2_minhash_lsh",          // xxhash64 MinHash — md5-portable twin oracle-checked; exact_jaccard_pm per pair
+      "x2_simhash",              // xxhash64 SimHash — md5-portable twin oracle-checked; exact_jaccard_pm per pair
+      "x3_ann_ivf",              // float ANN — measured recall_pm per query; certified-int twin x3_ann_ivf_int
+      "x3_ann_lsh",              // float ANN — measured recall_pm; certified-int twin x3_ann_lsh_int
+      "x3_ann_pq",               // float ANN — measured recall_pm; certified-int twin x3_ann_pq_int
+      "x5_media_features")       // declared codec stub — int64 twin x5_media_features_int hash-green
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual === declared,
+      s"undeclared rows-only entries (write the oracle or declare here): ${actual -- declared}; " +
+        s"stale declarations: ${declared -- actual}")
+  }
+
   test("no duplicate names across module query maps") {
     val maps = Seq(
       graft.queries.Relational.queries, graft.queries.MetricsOps.queries,
