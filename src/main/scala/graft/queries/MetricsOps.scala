@@ -519,6 +519,15 @@ object MetricsOps {
     }
   }
 
+  /** Exact-microsecond epoch → Timestamp for the MemoryStream feeds (p29 /
+    * p32): the ms part rides the constructor, the sub-ms part the nanos
+    * field, so no precision is lost round-tripping through the census. */
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
     * the p28 series and p29 slice inputs outside any timed region. */
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
@@ -694,11 +703,7 @@ object MetricsOps {
     val slice = cachedCorrelateSlice(s, dir)
       .as[(Long, Long, Long, Boolean)].collect().sortBy(r => (r._3, r._2))
     val cut = slice(slice.length / 2)._3
-    def toTs(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
+    val toTs = usToTs _
     val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
     val errM = MemoryStream[KeyedEvent]
     val opM = MemoryStream[KeyedEvent]
@@ -744,6 +749,110 @@ object MetricsOps {
         coalesce($"max_gap_us", lit(-1L)).as("max_gap_us"))
       .orderBy($"user_id")
     s.catalog.dropTempView(s"p29_$tag")
+    out
+  }
+
+  /** P32 — stream-stream LEFT OUTER interval join census: [[p29_stream_correlate]]'s
+    * correlation with the complementary contract certified — an error with
+    * NO preceding same-user operation in the 24 h lookback must be emitted
+    * BY THE ENGINE as a null-extended row, and only once the watermark
+    * proves no future op can match it (`op_ts ≤ err_ts`, so the row becomes
+    * unmatchable — and evictable — when the global watermark passes
+    * `err_ts`). p29's base-join subtraction would not certify that path: a
+    * join that silently DROPPED unmatched rows on eviction (the classic
+    * outer-join-state bug class) is invisible there and hash-mismatches
+    * here, because `n_unmatched_errors` counts only engine-emitted null
+    * rows. Delivery: the p29 two-halves global-time split (per-key order
+    * holds across batches, so delayed watermarks can never null-extend a
+    * row a later batch would have matched), then a sentinel horizon tick on
+    * BOTH streams — the global watermark is the MIN across inputs (p28
+    * pattern) — dated past every `err_ts`, then a drain loop until the
+    * expected unmatched census lands (expectation computed driver-side from
+    * the bounded slice purely as the drain target; the certification is the
+    * DuckDB LEFT JOIN hash). Census per user: distinct errors, matched /
+    * engine-emitted-unmatched splits, matched-pair count, and the widest
+    * error→op gap in exact microseconds (−1 when no pair exists). */
+  def p32_stream_outer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.CdcPipeline
+    import graft.streaming.CdcPipeline.KeyedEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    val slice = cachedCorrelateSlice(s, dir)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(r => (r._3, r._2))
+    val cut = slice(slice.length / 2)._3
+    val lookbackUs = 24L * 3600L * 1000000L
+    // drain target ONLY (the hash check is the oracle): errors with no
+    // same-user op in (err_ts − 24 h, err_ts] — O(per-user linear scan)
+    // over the bounded ~150-user slice already collected for the feed
+    val opsByUser = slice.filter(!_._4).groupBy(_._1)
+      .view.mapValues(_.map(_._3)).toMap
+    val expectedUnmatched = slice.filter(_._4).count { e =>
+      !opsByUser.getOrElse(e._1, Array.empty[Long])
+        .exists(t => t > e._3 - lookbackUs && t <= e._3)
+    }
+    val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+    val errM = MemoryStream[KeyedEvent]
+    val opM = MemoryStream[KeyedEvent]
+    val errDf = errM.toDS().toDF("err_key", "err_id", "err_ts")
+      .withWatermark("err_ts", "0 seconds")
+    val opDf = opM.toDS().toDF("op_key", "op_id", "op_ts")
+      .withWatermark("op_ts", "0 seconds")
+    // noDataBatches = true: null-extended rows ride the EVICTION batch the
+    // watermark advance schedules after the horizon tick — the p28 rule
+    val prevConf = CensusConf.narrow(s, noDataBatches = true)
+    try {
+      val q = CdcPipeline.intervalCorrelate(errDf, opDf,
+          leftKey = "err_key", rightKey = "op_key",
+          leftTs = "err_ts", rightTs = "op_ts", lookback = "24 hours",
+          joinType = "left_outer")
+        .select($"err_key", $"err_id",
+          unix_micros($"err_ts").as("err_us"), unix_micros($"op_ts").as("op_us"))
+        .writeStream.format("memory").queryName(s"p32_$tag")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        Seq(0, 1).foreach { half =>
+          val part = slice.filter(r =>
+            if (half == 0) r._3 < cut else r._3 >= cut)
+          val ops = part.filter(!_._4).map(r => KeyedEvent(r._1, r._2, usToTs(r._3)))
+          val errs = part.filter(_._4).map(r => KeyedEvent(r._1, r._2, usToTs(r._3)))
+          if (ops.nonEmpty) opM.addData(ops.toIndexedSeq: _*)
+          if (errs.nonEmpty) errM.addData(errs.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        // horizon tick: one sentinel event per stream dated past every
+        // err_ts + lookback pushes BOTH watermarks — and so the global
+        // minimum — over every real error's eviction point
+        val horizon = slice.map(_._3).max + lookbackUs + 3600L * 1000000L
+        opM.addData(KeyedEvent(-1L, -1L, usToTs(horizon)))
+        errM.addData(KeyedEvent(-1L, -1L, usToTs(horizon)))
+        q.processAllAvailable()
+        // eviction can commit after processAllAvailable returns (the p28
+        // drain rationale): wait until every expected unmatched error's
+        // null row landed — fail loudly, never census a partial sink
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def unmatched() = s.table(s"p32_$tag")
+          .filter($"err_key" =!= -1L && $"op_us".isNull).count()
+        var n = unmatched()
+        while (n < expectedUnmatched && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          n = unmatched()
+        }
+        if (n < expectedUnmatched) throw new IllegalStateException(
+          s"p32 outer drain hit the 30s deadline: $n of $expectedUnmatched " +
+            "unmatched errors emitted")
+      } finally q.stop()
+    } finally CensusConf.restore(s, prevConf)
+    val out = s.table(s"p32_$tag").filter($"err_key" =!= -1L)
+      .groupBy($"err_key".as("user_id"))
+      .agg(countDistinct($"err_id").as("n_errors"),
+        countDistinct(when($"op_us".isNotNull, $"err_id")).as("n_matched_errors"),
+        countDistinct(when($"op_us".isNull, $"err_id")).as("n_unmatched_errors"),
+        count($"op_us").as("n_pairs"),
+        coalesce(max($"err_us" - $"op_us"), lit(-1L)).as("max_gap_us"))
+      .orderBy($"user_id")
+    s.catalog.dropTempView(s"p32_$tag")
     out
   }
 
@@ -1247,6 +1356,7 @@ object MetricsOps {
     "p9_date_histogram" -> p9_date_histogram _,
     "p30_count_values" -> p30_count_values _,
     "p31_relabel_merge" -> p31_relabel_merge _,
+    "p32_stream_outer" -> p32_stream_outer _,
     "w2_latest_by_key" -> w2_latest_by_key _,
     "w5_tombstone" -> w5_tombstone _,
   )
@@ -1907,6 +2017,28 @@ object MetricsOps {
         |  FROM events GROUP BY 1, 2)
         |SELECT hour_start, c AS value, count(*) AS n_series
         |FROM b GROUP BY 1, 2 ORDER BY hour_start, value""".stripMargin,
+    // left-outer interval join: DuckDB replays the streaming outer join as
+    // a plain LEFT JOIN over the same slice; the matched/unmatched split
+    // must agree with the engine's null-extension on state eviction
+    "p32_stream_outer" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, user_id, event_type
+        |  FROM events WHERE user_id % 10 = 0),
+        |errs AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'error'),
+        |ops AS (SELECT user_id, ts FROM ev WHERE event_type <> 'error'),
+        |pairs AS (
+        |  SELECT e.user_id, e.event_id,
+        |         epoch_us(e.ts) - epoch_us(o.ts) AS gap_us,
+        |         o.ts IS NOT NULL AS matched
+        |  FROM errs e LEFT JOIN ops o ON o.user_id = e.user_id
+        |    AND o.ts > e.ts - INTERVAL 24 HOUR AND o.ts <= e.ts)
+        |SELECT user_id,
+        |  count(DISTINCT event_id) AS n_errors,
+        |  count(DISTINCT event_id) FILTER (WHERE matched) AS n_matched_errors,
+        |  count(DISTINCT event_id) FILTER (WHERE NOT matched) AS n_unmatched_errors,
+        |  CAST(count(*) FILTER (WHERE matched) AS BIGINT) AS n_pairs,
+        |  coalesce(max(gap_us), -1) AS max_gap_us
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "w2_latest_by_key" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id

@@ -103,19 +103,26 @@ object CdcPipeline {
     * every apply error correlated with the operations that preceded it.
     * Both sides MUST be watermarked by the caller: the interval condition
     * plus the two watermarks is what lets Spark expire join state, keeping
-    * memory bounded on unbounded streams. Inner join, so rows emit as soon
-    * as both sides arrive — the watermark only bounds state and lateness. */
+    * memory bounded on unbounded streams. Inner join by default, so rows
+    * emit as soon as both sides arrive — the watermark only bounds state
+    * and lateness. With `joinType = "left_outer"` an unmatched left row is
+    * null-extended and emitted by the ENGINE once the watermark proves no
+    * future right row can match it (rightTs ≤ leftTs, so eviction at
+    * watermark > leftTs) — "errors with no preceding operation" as a
+    * first-class streaming result instead of a batch subtraction. */
   def intervalCorrelate(left: DataFrame, right: DataFrame,
                         leftKey: String, rightKey: String,
                         leftTs: String, rightTs: String,
-                        lookback: String = "10 minutes"): DataFrame =
+                        lookback: String = "10 minutes",
+                        joinType: String = "inner"): DataFrame =
     // columns resolve against their own side: self-correlating one stream
     // (both sides keyed 'id', timestamped 'timestamp') would otherwise throw
     // AMBIGUOUS_REFERENCE from the bare col() lookups
     left.join(right,
       left(leftKey) === right(rightKey) &&
         right(rightTs) > left(leftTs) - expr(s"INTERVAL $lookback") &&
-        right(rightTs) <= left(leftTs))
+        right(rightTs) <= left(leftTs),
+      joinType)
 
   /** At-least-once → effectively-once: drop redelivered wire records by
     * their delivery identity (source partition, offset) with
