@@ -1569,6 +1569,33 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X7/X9 composition — LEAKAGE-FREE train/val/test split: the split key
+    * is the near-dup CLUSTER id (singletons key on themselves), so every
+    * near-duplicate of a test document lands in test with it — the
+    * assignment discipline that keeps eval sets honest (a per-doc hash
+    * split, [[CurationQueries.x7_split_assign]], scatters members of one
+    * duplicate cluster across splits and leaks train text into test).
+    * `moved` flags the docs the cluster-awareness re-routed relative to the
+    * naive per-doc split — the leak surface made visible. At 100 TB the
+    * added cost over the naive split is exactly the CC resolution the dedup
+    * pipeline already ran: one broadcast-able (doc → cluster) join, then
+    * the same stateless hash. Oracle: reachability CTE + the same split
+    * arithmetic on the min-label. */
+  def x7_split_leakfree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Curation
+    val cc = Dedup.connectedComponents(cachedNearDupPairs(s, dir))
+      .select($"id".as("doc_id"), $"cluster_id")
+    documents(s, dir).select($"doc_id")
+      .join(cc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("split_key"))
+      .select($"doc_id", $"split_key",
+        Curation.splitAssign($"split_key").as("split"),
+        (Curation.splitAssign($"split_key") =!=
+          Curation.splitAssign($"doc_id")).as("moved"))
+      .orderBy($"doc_id")
+  }
+
   /** X9''' — SEMANTIC dedup end-to-end over the embedding space: the
     * composition a real curation pipeline runs for meaning-level duplicates
     * that text hashing can't see. Candidate pairs come from
@@ -1663,6 +1690,7 @@ object LlmOps {
     "x4_sql_quality" -> x4_sql_quality _,
     "x4_fuzzy" -> x4_fuzzy _,
     "x9_keepers" -> x9_keepers _,
+    "x7_split_leakfree" -> x7_split_leakfree _,
     "x1_dup_ngram" -> x1_dup_ngram _,
     "x1_dup_spans" -> x1_dup_spans _,
     "x1_novelty" -> x1_novelty _,
@@ -2394,6 +2422,25 @@ object LlmOps {
     // x2_ngram_jaccard's pair SQL + recursive reachability: a node's
     // cluster_id = min id reachable in the symmetric pair graph
     "x9_dup_clusters" -> x9ReachabilityOracle,
+    // cluster-keyed split: same reachability ground truth, then the
+    // x7_split_assign hash arithmetic applied to the min-label key
+    "x7_split_leakfree" -> (x9Cte +
+      """,
+        |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+        |keyed AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+        |  FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN ((split_key * 1000003 + 12345) % 1000000007) % 100 < 90 THEN 'train'
+        |       WHEN ((split_key * 1000003 + 12345) % 1000000007) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  (CASE WHEN ((split_key * 1000003 + 12345) % 1000000007) % 100 < 90 THEN 'train'
+        |        WHEN ((split_key * 1000003 + 12345) % 1000000007) % 100 < 95 THEN 'val'
+        |        ELSE 'test' END) <>
+        |  (CASE WHEN ((doc_id * 1000003 + 12345) % 1000000007) % 100 < 90 THEN 'train'
+        |        WHEN ((doc_id * 1000003 + 12345) % 1000000007) % 100 < 95 THEN 'val'
+        |        ELSE 'test' END) AS moved
+        |FROM keyed ORDER BY doc_id""".stripMargin),
     "x9_kcore" -> x9KcoreOracle,
     // identical reachability ground truth for the star-rounds variant
     "x9_dup_clusters_star" -> x9ReachabilityOracle,

@@ -763,6 +763,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: null extension waits for the GLOBAL watermark, then emits") {
+    // the p32_stream_outer timing contract, isolated: (1) matched rows emit
+    // on arrival; (2) an unmatched left row is NOT null-extended while any
+    // input's watermark lags its err_ts — the global watermark is the MIN
+    // across inputs, so a one-sided advance must emit nothing (a join keyed
+    // to one input's watermark would leak premature nulls that a late op on
+    // the lagging stream could still have matched); (3) once BOTH inputs
+    // advance, the engine emits exactly the null-extended row.
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val ops = MemoryStream[(String, Timestamp)]
+    val errs = MemoryStream[(String, Timestamp)]
+    val opsDf = ops.toDF().toDF("op_key", "op_ts").withWatermark("op_ts", "0 seconds")
+    val errsDf = errs.toDF().toDF("err_key", "err_ts").withWatermark("err_ts", "0 seconds")
+    val q = CdcPipeline.intervalCorrelate(errsDf, opsDf,
+        leftKey = "err_key", rightKey = "op_key",
+        leftTs = "err_ts", rightTs = "op_ts", lookback = "10 minutes",
+        joinType = "left_outer")
+      .select($"err_key", $"err_ts", $"op_ts")
+      .writeStream.format("memory").queryName("outer_probe").start()
+    try {
+      def rows() = spark.table("outer_probe")
+        .as[(String, Timestamp, Option[Timestamp])].collect().toSet
+      ops.addData(("a", t(5)))
+      errs.addData(("a", t(8)), ("b", t(8)))
+      q.processAllAvailable()
+      assert(rows() === Set(("a", t(8), Some(t(5)))),
+        "matched row must emit on arrival, with no premature null extension")
+      // one-sided advance: op watermark jumps 2 h, err watermark stays at
+      // t(8) — the global minimum has NOT passed b's err_ts
+      ops.addData(("a", t(120)))
+      q.processAllAvailable()
+      assert(!rows().exists(_._1 == "b"),
+        "null row emitted before the GLOBAL watermark passed err_ts")
+      // both sides advanced: b's null-extended row must now emit (eviction
+      // can commit in a trailing no-data batch — drain with a deadline)
+      errs.addData(("c", t(120)))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!rows().exists(_._1 == "b") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(rows().contains(("b", t(8), None)),
+        "engine did not emit the null-extended row after both watermarks passed")
+    } finally q.stop()
+  }
+
   test("q39' funnel: streaming state op equals the batch chained-min funnel") {
     // same fixture through FunnelStream (mapGroupsWithState, Update mode,
     // split across micro-batches WITH out-of-order delivery) and through the
