@@ -812,22 +812,27 @@ object MetricsOps {
         .writeStream.format("memory").queryName(s"p32_$tag")
         .outputMode(OutputMode.Append()).start()
       try {
+        // horizon tick: one sentinel event per stream dated past every
+        // err_ts + lookback pushes BOTH watermarks — and so the global
+        // minimum — over every real error's eviction point. It RIDES the
+        // second half-batch (the watermark is computed from the batch max
+        // at batch END either way, so eviction still lands in the trailing
+        // no-data batch) — one fewer micro-batch round per stream than a
+        // standalone tick batch.
+        val horizon = slice.map(_._3).max + lookbackUs + 3600L * 1000000L
+        val tick = KeyedEvent(-1L, -1L, usToTs(horizon))
         Seq(0, 1).foreach { half =>
           val part = slice.filter(r =>
             if (half == 0) r._3 < cut else r._3 >= cut)
-          val ops = part.filter(!_._4).map(r => KeyedEvent(r._1, r._2, usToTs(r._3)))
-          val errs = part.filter(_._4).map(r => KeyedEvent(r._1, r._2, usToTs(r._3)))
+          val tail = if (half == 1) Seq(tick) else Seq.empty
+          val ops = part.filter(!_._4).map(r =>
+            KeyedEvent(r._1, r._2, usToTs(r._3))) ++ tail
+          val errs = part.filter(_._4).map(r =>
+            KeyedEvent(r._1, r._2, usToTs(r._3))) ++ tail
           if (ops.nonEmpty) opM.addData(ops.toIndexedSeq: _*)
           if (errs.nonEmpty) errM.addData(errs.toIndexedSeq: _*)
           q.processAllAvailable()
         }
-        // horizon tick: one sentinel event per stream dated past every
-        // err_ts + lookback pushes BOTH watermarks — and so the global
-        // minimum — over every real error's eviction point
-        val horizon = slice.map(_._3).max + lookbackUs + 3600L * 1000000L
-        opM.addData(KeyedEvent(-1L, -1L, usToTs(horizon)))
-        errM.addData(KeyedEvent(-1L, -1L, usToTs(horizon)))
-        q.processAllAvailable()
         // eviction can commit after processAllAvailable returns (the p28
         // drain rationale): wait until every expected unmatched error's
         // null row landed — fail loudly, never census a partial sink
