@@ -125,6 +125,45 @@ object CdcApply {
       .select(col("g").as(attr), col("cnt"))
   }
 
+  /** Incremental grouped SUM/COUNT (and derived AVG) maintenance — the
+    * SELF-MAINTAINABLE algebraic class: `V(g) = (SUM(m), COUNT(*)) GROUP BY
+    * g` updates purely from ±measure deltas (INSERT +m, UPDATE +m_new @
+    * g_new / −m_old @ g_old, DELETE −m_current), never consulting standing
+    * state — unlike MAX ([[maintainMax]]), whose DELETE can expose a
+    * second-place value only a dirty-group rescan can find. canal-json's
+    * `old` carries only the CHANGED cells, so the old image coalesces to
+    * the new one for untouched columns. Same logical-identity dedup as
+    * [[maintainCounts]] (redelivery would double-apply deltas), same
+    * existence rule as recompute: COUNT > 0 decides, so a group whose rows
+    * all leave vanishes even if its SUM was already 0. Scale: one narrow
+    * map-side-combined shuffle on the group value over ±rows; state is
+    * \|groups\|, not \|keys\|. Keyed by [[envelopePk]], so composite-pk
+    * feeds dedup on their declared key tuple. */
+  def maintainSums(events: DataFrame, groupCol: String,
+                   measureCol: String): DataFrame = {
+    val e = events.select(
+        col("database"), col("table"), col("op"), col("timestamp"),
+        envelopePk.as("__pk"),
+        element_at(col("data"), groupCol).as("__g"),
+        element_at(col("data"), measureCol).cast("long").as("__m"),
+        coalesce(element_at(col("old_data"), groupCol),
+          element_at(col("data"), groupCol)).as("__gOld"),
+        coalesce(element_at(col("old_data"), measureCol),
+          element_at(col("data"), measureCol)).cast("long").as("__mOld"))
+      .dropDuplicates(Seq("database", "table", "op", "timestamp", "__pk"))
+    val plus = e.filter(col("op") === "insert" || col("op") === "update")
+      .select(col("__g").as("g"), col("__m").as("dm"), lit(1L).as("dn"))
+    val minusDel = e.filter(col("op") === "delete")
+      .select(col("__g").as("g"), (-col("__m")).as("dm"), lit(-1L).as("dn"))
+    val minusOld = e.filter(col("op") === "update")
+      .select(col("__gOld").as("g"), (-col("__mOld")).as("dm"), lit(-1L).as("dn"))
+    plus.unionByName(minusDel).unionByName(minusOld)
+      .groupBy(col("g")).agg(sum(col("dm")).as("sum_m"),
+        sum(col("dn")).as("n_rows"))
+      .filter(col("n_rows") =!= 0)
+      .select(col("g").as(groupCol), col("sum_m"), col("n_rows"))
+  }
+
   /** Incremental JOIN-view maintenance (W8', the two-table step up from
     * [[maintainCounts]]): keep
     * `V(attr) = (SUM(measure), COUNT(*)) over fact ⋈_{fact.fk = dim.pk} dim GROUP BY dim.attr`

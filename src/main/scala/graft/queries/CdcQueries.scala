@@ -774,6 +774,26 @@ object CdcQueries {
       .orderBy($"status")
   }
 
+  /** W8''' — grouped SUM/COUNT (+ derived AVG) maintained purely from
+    * ±measure deltas ([[CdcApply.maintainSums]] — the SELF-MAINTAINABLE
+    * algebraic class: unlike the dirty-group MAX, a DELETE needs no state
+    * rescan) over the COMPOSITE-keyed lineitem wire feed: per line number,
+    * the standing quantity mass. The feed's redelivered UPDATE makes
+    * logical-identity dedup load-bearing (skip it and lines ≥ 4
+    * double-apply the +qty delta); the line-7 tombstones drive a whole
+    * group's count to zero, certifying the COUNT-decides-existence rule.
+    * AVG is emitted as exact integer milli-units — `(1000·Σqty) div n`,
+    * non-negative so Spark's truncating `div` equals DuckDB's floor `//` —
+    * and DuckDB recomputes everything from the lineitem arithmetic. */
+  def cdc_sum_maintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcApply.maintainSums(compositeWireEvents(s, dir), "line_no", "qty")
+      .select($"line_no".cast("bigint").as("line_no"),
+        $"sum_m".as("sum_qty"), $"n_rows")
+      .withColumn("avg_milli_qty", expr("(1000 * sum_qty) div n_rows"))
+      .orderBy($"line_no")
+  }
+
   /** S5' (oracle-checked) — snapshot diff ([[graft.streaming.Snapshot.diff]]):
     * state at the +15000 ms cutoff vs final state, every key classified
     * added / changed / unchanged — "what moved between these two restore
@@ -1085,6 +1105,7 @@ object CdcQueries {
     "cdc_store_pruned" -> cdc_store_pruned _,
     "cdc_wire_asof" -> cdc_wire_asof _,
     "cdc_wire_agg_maintain" -> cdc_wire_agg_maintain _,
+    "cdc_sum_maintain" -> cdc_sum_maintain _,
     "s5_snapshot_roundtrip" -> s5_snapshot_roundtrip _,
     "cdc_snapshot_diff" -> cdc_snapshot_diff _,
     "cdc_scd2" -> cdc_scd2 _,
@@ -1382,6 +1403,22 @@ object CdcQueries {
       """SELECT o_orderstatus AS status, count(*) AS cnt
         |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 7 <> 0
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    // sum/count deltas == recompute over the surviving composite-keyed
+    // state: lines < 4 keep q, lines 4-6 double (UPDATE +q net), line 7's
+    // group nets to count 0 and vanishes (COUNT decides existence)
+    "cdc_sum_maintain" ->
+      """WITH k AS (
+        |  SELECT l_orderkey AS oid, CAST(l_linenumber AS BIGINT) AS lno,
+        |    CAST(max(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem WHERE l_orderkey % 50 = 0
+        |  GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT lno, CASE WHEN lno >= 4 THEN q * 2 ELSE q END AS qty
+        |  FROM k WHERE lno <> 7)
+        |SELECT lno AS line_no, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  (1000 * CAST(sum(qty) AS BIGINT)) // count(*) AS avg_milli_qty
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // one pending→final transition per key (redelivery collapsed by dedup)
     "cdc_transitions" ->
       """SELECT o_orderkey AS id, 'pending' AS old_status,

@@ -50,6 +50,33 @@ class CdcApplySpec extends SparkSpec {
     assert(u.toSeq === Seq("42"), "pkNames-less envelope must key on id")
   }
 
+  test("W8''' maintainSums: group-move UPDATE shifts mass, DELETE needs no " +
+    "rescan, count-0 group vanishes") {
+    // key 1: INSERT g=a,m=5 then UPDATE moves it to g=b with m=7 (old
+    // carries BOTH changed cells — the full-delta path: −5@a, +7@b);
+    // key 2: INSERT g=a,m=3 then UPDATE changes ONLY m to 4 (old carries
+    // just m — the coalesce path must charge −3 and +4 to the SAME group);
+    // key 3: INSERT g=c,m=9 then DELETE (−9@c) — group c nets count 0 and
+    // must vanish even though other groups survive.
+    def line(json: String, off: Long) = (json, 0, off)
+    val rows = Seq(
+      line("""{"data":[{"id":"1","g":"a","m":"5"}],"old":null,"type":"INSERT","table":"t","database":"d","es":1704067200000,"isDdl":false}""", 1L),
+      line("""{"data":[{"id":"1","g":"b","m":"7"}],"old":[{"g":"a","m":"5"}],"type":"UPDATE","table":"t","database":"d","es":1704067200001,"isDdl":false}""", 2L),
+      line("""{"data":[{"id":"2","g":"a","m":"3"}],"old":null,"type":"INSERT","table":"t","database":"d","es":1704067200002,"isDdl":false}""", 3L),
+      line("""{"data":[{"id":"2","g":"a","m":"4"}],"old":[{"m":"3"}],"type":"UPDATE","table":"t","database":"d","es":1704067200003,"isDdl":false}""", 4L),
+      line("""{"data":[{"id":"3","g":"c","m":"9"}],"old":null,"type":"INSERT","table":"t","database":"d","es":1704067200004,"isDdl":false}""", 5L),
+      line("""{"data":[{"id":"3","g":"c","m":"9"}],"old":null,"type":"DELETE","table":"t","database":"d","es":1704067200005,"isDdl":false}""", 6L),
+      // redelivery of key 1's UPDATE at a NEW coordinate: logical-identity
+      // dedup must keep the deltas single-applied
+      line("""{"data":[{"id":"1","g":"b","m":"7"}],"old":[{"g":"a","m":"5"}],"type":"UPDATE","table":"t","database":"d","es":1704067200001,"isDdl":false}""", 7L))
+    val v = CdcApply.maintainSums(
+        CanalJson.events(rows.toDF("value", "partition", "offset")), "g", "m")
+      .as[(String, Long, Long)].collect()
+      .map { case (g, s, n) => g -> (s, n) }.toMap
+    assert(v === Map("a" -> (4L, 1L), "b" -> (7L, 1L)),
+      s"expected a=(4,1) b=(7,1) and c vanished, got $v")
+  }
+
   test("idempotent under at-least-once duplicate delivery") {
     // fixture contains the same UPDATE twice (offsets 4-dup); replaying the
     // whole log twice must give identical state
