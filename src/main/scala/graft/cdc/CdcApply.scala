@@ -112,6 +112,11 @@ object CdcApply {
         element_at(col("data"), attr).as("__new"),
         element_at(col("old_data"), attr).as("__old"))
       .dropDuplicates(Seq("database", "table", "op", "timestamp", "__pk"))
+      // three delta branches read ONE materialization: without it the
+      // per-branch op filters push into the dedup subtrees, the canonical
+      // plans diverge, exchange reuse dies, and the input is scanned and
+      // identity-shuffled 3× (plan-audited; the maintainJoinAgg pattern)
+      .localCheckpoint(false)
     val plus = e.filter(col("op") === "insert" ||
         (col("op") === "update" && col("__old").isNotNull))
       .select(col("__new").as("g"), lit(1L).as("delta"))
@@ -151,6 +156,9 @@ object CdcApply {
         coalesce(element_at(col("old_data"), measureCol),
           element_at(col("data"), measureCol)).cast("long").as("__mOld"))
       .dropDuplicates(Seq("database", "table", "op", "timestamp", "__pk"))
+      // one materialization for the three delta branches (see
+      // maintainCounts — pushed filters otherwise triple the scan+shuffle)
+      .localCheckpoint(false)
     val plus = e.filter(col("op") === "insert" || col("op") === "update")
       .select(col("__g").as("g"), col("__m").as("dm"), lit(1L).as("dn"))
     val minusDel = e.filter(col("op") === "delete")
