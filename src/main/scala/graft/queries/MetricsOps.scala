@@ -609,23 +609,27 @@ object MetricsOps {
         .writeStream.format("memory").queryName(s"p28t_$tag")
         .outputMode(OutputMode.Append()).start()
       try {
+        // horizon tick: one sentinel point dated past every key's
+        // lastSeen + staleAfter pushes the watermark over every timeout —
+        // purely event-time, no wall-clock sleeps anywhere. It RIDES the
+        // final data batch (the p32 trick — the watermark is computed from
+        // the batch max at batch END either way, and STALE carries the
+        // data-derived lastSeenMs, so output is identical): one fewer
+        // micro-batch round on the staleness query.
+        val horizon = series.values.flatten.map(_._2).max +
+          staleAfterMs + 86400000L
+        val tick = Alerts.MetricPoint("__tick",
+          new java.sql.Timestamp(horizon), 0.0)
         Seq(0, 1).foreach { half =>
           val b = points(half)
           if (b.nonEmpty) {
             sMem.addData(b: _*)
-            tMem.addData(b: _*)
+            val tb = if (half == 1) b :+ tick else b
+            tMem.addData(tb: _*)
             sq.processAllAvailable()
             tq.processAllAvailable()
           }
         }
-        // horizon tick: one sentinel point dated past every key's
-        // lastSeen + staleAfter pushes the watermark over every timeout —
-        // purely event-time, no wall-clock sleeps anywhere
-        val horizon = series.values.flatten.map(_._2).max +
-          staleAfterMs + 86400000L
-        tMem.addData(Alerts.MetricPoint("__tick",
-          new java.sql.Timestamp(horizon), 0.0))
-        tq.processAllAvailable()
         // the timeout batch is TRIGGERED by the tick batch's watermark
         // advance and can commit after processAllAvailable returns — drain
         // until every real key's STALE landed (the runHealthPipeline
