@@ -56,6 +56,23 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly 1 from_json instance, found $n:\n$s")
   }
 
+  test("maintainSums/maintainCounts: identity dedup materializes ONCE for " +
+    "the three delta branches") {
+    // without the localCheckpoint the per-branch op filters push into the
+    // dedup subtrees, the canonical plans diverge, exchange reuse dies, and
+    // the input is scanned + identity-shuffled 3× (a real 3× at 100 TB).
+    // Checkpointed: the branches read materialized blocks — at most the
+    // final group-by exchange survives in the census plan.
+    for (df <- Seq(CdcQueries.cdc_sum_maintain(spark, dir),
+                   CdcQueries.cdc_wire_agg_maintain(spark, dir))) {
+      val p = plan(df)
+      val nExchange = p.sliding("Exchange".length).count(_ == "Exchange")
+      val nParquet = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+      assert(nExchange <= 2, s"delta branches re-shuffle the dedup:\n$p")
+      assert(nParquet == 0, s"delta branches re-scan the input:\n$p")
+    }
+  }
+
   test("x1 exact dedup shuffles digests, not documents") {
     val p = plan(LlmOps.x1_dedup_exact(spark, dir))
     // partial agg before the exchange means the shuffle carries (sha, min, cnt)
