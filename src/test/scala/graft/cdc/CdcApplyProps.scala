@@ -296,6 +296,67 @@ object CdcApplyProps extends Properties("CdcApply") {
       rows(got) == rows(recompute(factSnapOf(fe), dimSnapOf(de)))
     }
 
+  /** W8''' chain generator: per key, a chronological INSERT → UPDATE* →
+    * DELETE? sequence whose UPDATE `old` images carry ONLY the changed
+    * cells (the canal-json contract maintainSums' coalesce path handles). */
+  private case class SEv(pk: String, op: String, g: String, m: Int,
+                         old: Option[Map[String, String]], es: Long)
+
+  private def genChain(pk: Int): Gen[List[SEv]] = for {
+    g0 <- Gen.oneOf("a", "b", "c")
+    m0 <- Gen.choose(1, 9)
+    upds <- Gen.listOfN(3, for {
+      present <- Gen.oneOf(true, false)
+      g <- Gen.oneOf("a", "b", "c")
+      m <- Gen.choose(1, 9)
+    } yield (present, g, m))
+    del <- Gen.oneOf(true, false)
+  } yield {
+    var cur = (g0, m0)
+    val ins = SEv(pk.toString, "insert", g0, m0, None, 0L)
+    val us = upds.zipWithIndex.collect { case (((true, g, m)), i) =>
+      val old = (if (g != cur._1) Map("g" -> cur._1) else Map.empty[String, String]) ++
+        (if (m != cur._2) Map("m" -> cur._2.toString) else Map.empty[String, String])
+      val ev = SEv(pk.toString, "update", g, m, Some(old), i + 1L)
+      cur = (g, m)
+      ev
+    }
+    val tomb =
+      if (del) List(SEv(pk.toString, "delete", cur._1, cur._2, None, 4L)) else Nil
+    ins :: us ::: tomb
+  }
+
+  private val genChains: Gen[List[SEv]] = for {
+    c1 <- genChain(1); c2 <- genChain(2); c3 <- genChain(3)
+    c4 <- genChain(4); c5 <- genChain(5)
+  } yield c1 ::: c2 ::: c3 ::: c4 ::: c5
+
+  private def toSumEvents(evs: Seq[SEv]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    evs.zipWithIndex.map { case (e, i) =>
+      (new Timestamp(e.es * 1000), "testdb", "t", e.op.toUpperCase, e.op,
+        Map("id" -> e.pk, "g" -> e.g, "m" -> e.m.toString),
+        e.old, Option.empty[String], 0, i.toLong, 0)
+    }.toDF("timestamp", "database", "table", "operation", "op",
+      "data", "old_data", "sql", "partition", "offset", "pos")
+      .withColumn("pk_names", lit(null).cast("array<string>"))
+  }
+
+  property("W8''' maintainSums == recompute from chain-final state, whole-log redelivered") =
+    forAll(genChains) { evs =>
+      // whole-log duplication: every delta must apply exactly once
+      val got = CdcApply.maintainSums(toSumEvents(evs ::: evs), "g", "m")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val fin = evs.groupBy(_.pk).values.toSeq.flatMap { chain =>
+        val last = chain.maxBy(_.es)
+        if (last.op == "delete") None else Some((last.g, last.m))
+      }
+      val exp = fin.groupBy(_._1).view
+        .mapValues(v => (v.map(_._2.toLong).sum, v.size.toLong)).toMap
+      got == exp
+    }
+
   property("W8'' maintainMax == recompute, any fact stream & cutover") =
     forAll(Gen.listOfN(16, genFact), Gen.choose(0L, 34L)) { (facts, cutS) =>
       import org.apache.spark.sql.functions._
