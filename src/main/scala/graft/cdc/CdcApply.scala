@@ -106,17 +106,19 @@ object CdcApply {
                      pkCol: String = "id"): DataFrame = {
     // project to scalars BEFORE the identity dedup: the exchange then
     // carries 7 narrow columns instead of the full data/old_data maps
-    val e = events.select(
+    val deduped = events.select(
         col("database"), col("table"), col("op"), col("timestamp"),
         element_at(col("data"), pkCol).as("__pk"),
         element_at(col("data"), attr).as("__new"),
         element_at(col("old_data"), attr).as("__old"))
       .dropDuplicates(Seq("database", "table", "op", "timestamp", "__pk"))
-      // three delta branches read ONE materialization: without it the
-      // per-branch op filters push into the dedup subtrees, the canonical
-      // plans diverge, exchange reuse dies, and the input is scanned and
-      // identity-shuffled 3× (plan-audited; the maintainJoinAgg pattern)
-      .localCheckpoint(false)
+    // three delta branches read ONE materialization: without it the
+    // per-branch op filters push into the dedup subtrees, the canonical
+    // plans diverge, exchange reuse dies, and the input is scanned and
+    // identity-shuffled 3× (plan-audited; the maintainJoinAgg pattern).
+    // Streaming plans can't checkpoint — there the micro-batch engine owns
+    // incrementalization and each branch reads the (small) batch source.
+    val e = if (deduped.isStreaming) deduped else deduped.localCheckpoint(false)
     val plus = e.filter(col("op") === "insert" ||
         (col("op") === "update" && col("__old").isNotNull))
       .select(col("__new").as("g"), lit(1L).as("delta"))
@@ -146,7 +148,7 @@ object CdcApply {
     * feeds dedup on their declared key tuple. */
   def maintainSums(events: DataFrame, groupCol: String,
                    measureCol: String): DataFrame = {
-    val e = events.select(
+    val deduped = events.select(
         col("database"), col("table"), col("op"), col("timestamp"),
         envelopePk.as("__pk"),
         element_at(col("data"), groupCol).as("__g"),
@@ -156,9 +158,10 @@ object CdcApply {
         coalesce(element_at(col("old_data"), measureCol),
           element_at(col("data"), measureCol)).cast("long").as("__mOld"))
       .dropDuplicates(Seq("database", "table", "op", "timestamp", "__pk"))
-      // one materialization for the three delta branches (see
-      // maintainCounts — pushed filters otherwise triple the scan+shuffle)
-      .localCheckpoint(false)
+    // one materialization for the three delta branches (see
+    // maintainCounts — pushed filters otherwise triple the scan+shuffle;
+    // streaming plans can't checkpoint, the micro-batch engine owns it)
+    val e = if (deduped.isStreaming) deduped else deduped.localCheckpoint(false)
     val plus = e.filter(col("op") === "insert" || col("op") === "update")
       .select(col("__g").as("g"), col("__m").as("dm"), lit(1L).as("dn"))
     val minusDel = e.filter(col("op") === "delete")
