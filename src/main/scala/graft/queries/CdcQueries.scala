@@ -467,6 +467,7 @@ object CdcQueries {
     scd2PreHistory(s, dir)
     wireLatestState(s, dir)
     dedupStreamFeed(s, dir)
+    compositeWireEvents(s, dir)
     ()
   }
 
