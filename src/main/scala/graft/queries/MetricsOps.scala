@@ -882,6 +882,39 @@ object MetricsOps {
       .orderBy($"event_type", $"minute")
   }
 
+  /** P33 — TIME-WEIGHTED average + LOCF integral (the TimescaleDB
+    * `time_weight('LOCF')` / InfluxDB `integral()` operator PromQL leaves
+    * to the TSDB): per series, each sample's value held until the next
+    * sample and weighted by the held duration — the correct mean for
+    * irregularly-sampled gauges, where the plain AVG over-weights bursts of
+    * dense samples. Exact cross-engine arithmetic throughout: values as
+    * integer cents (`round(value·100)`, the money idiom), time floored to
+    * epoch seconds, per-pair term `v_cents · Δt` and the final
+    * `Σ(v·Δt) div span` all int64 (bounded ≈ 1.5e16 at sf0.1 — the
+    * cent·second grid has ~600× headroom before a 100-TB deployment should
+    * switch the integral to DECIMAL). Sample pairing orders by
+    * (second, event_id) so equal-timestamp ties pair identically on both
+    * engines (a dt=0 tie contributes zero weight either way, but WHICH
+    * value carries the next gap must not depend on engine sort order). One
+    * shuffle on the series key shared by the lead() window and the
+    * aggregation; the last sample of each series holds no weight (no
+    * successor), matching the closed-open LOCF convention. */
+  def p33_time_weighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = events(s, dir).select($"event_type",
+      expr("unix_micros(cast(ts as timestamp)) div 1000000").as("t"),
+      $"event_id", round($"value" * 100).cast("long").as("v_cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"t", $"event_id")
+    base.withColumn("dt", lead($"t", 1).over(w) - $"t")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_samples"),
+        (max($"t") - min($"t")).as("span_s"),
+        coalesce(sum($"v_cents" * $"dt"), lit(0L)).as("integral_cs"))
+      .withColumn("twa_cents",
+        when($"span_s" > 0, expr("integral_cs div span_s")).otherwise(lit(-1L)))
+      .orderBy($"event_type")
+  }
+
   /** P22 — time-series GAP FILL (the TimescaleDB `time_bucket_gapfill` /
     * InfluxDB `fill()` operator PromQL leaves to the TSDB): materialize the
     * dense per-minute spine for each series' first 24 h and fill missing
@@ -1366,6 +1399,7 @@ object MetricsOps {
     "p30_count_values" -> p30_count_values _,
     "p31_relabel_merge" -> p31_relabel_merge _,
     "p32_stream_outer" -> p32_stream_outer _,
+    "p33_time_weighted" -> p33_time_weighted _,
     "w2_latest_by_key" -> w2_latest_by_key _,
     "w5_tombstone" -> w5_tombstone _,
   )
@@ -2048,6 +2082,25 @@ object MetricsOps {
         |  CAST(count(*) FILTER (WHERE matched) AS BIGINT) AS n_pairs,
         |  coalesce(max(gap_us), -1) AS max_gap_us
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LOCF time-weight replayed with the identical (second, event_id)
+    // pairing and cent·second integer grid; DuckDB's HUGEINT sum is cast
+    // back to BIGINT (bounded, see the builder's headroom note)
+    "p33_time_weighted" ->
+      """WITH b AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS t, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, v_cents, t,
+        |    lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) - t AS dt
+        |  FROM b)
+        |SELECT event_type, count(*) AS n_samples,
+        |  CAST(max(t) - min(t) AS BIGINT) AS span_s,
+        |  CAST(coalesce(sum(v_cents * dt), 0) AS BIGINT) AS integral_cs,
+        |  CASE WHEN max(t) > min(t)
+        |    THEN CAST(coalesce(sum(v_cents * dt), 0) AS BIGINT) // (max(t) - min(t))
+        |    ELSE -1 END AS twa_cents
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "w2_latest_by_key" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
