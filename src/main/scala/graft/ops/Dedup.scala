@@ -1072,11 +1072,12 @@ object Dedup {
     val b = keyed.select(col("variant_h"), col("id").as("id_b"), col("s").as("s_b"))
     a.join(b, Seq("variant_h"))
       .filter(col("id_a") < col("id_b"))
-      // one row per candidate pair: dedup on the ids alone (the strings are
-      // functions of the ids), so the dedup exchange carries 16 bytes per
-      // pair instead of two name strings
-      .select("id_a", "id_b", "s_a", "s_b").dropDuplicates("id_a", "id_b")
+      // confirm BEFORE the pair dedup: the codegen'd levenshtein runs
+      // map-side on candidate rows (a true lev-1 pair surfaces from at most
+      // a handful of shared variant keys), so the dedup exchange then
+      // carries 16 bytes per CONFIRMED pair — not two name strings per
+      // candidate — and strictly fewer rows
       .filter(levenshtein(col("s_a"), col("s_b")) === 1)
-      .select(col("id_a"), col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
   }
 }
