@@ -52,6 +52,10 @@ class RegistrationSpec extends SparkSpec {
     assert(dupes.isEmpty, s"entry name collides across modules (later map silently wins): $dupes")
   }
 
+  test("the flagship entry analyzes (the driver's t1 smoke surface)") {
+    assert(SparkEntry.entry(spark).schema.nonEmpty)
+  }
+
   test("every registered builder analyzes on sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
