@@ -5,14 +5,35 @@ import scala.jdk.CollectionConverters._
 /** Driver bench contract: run every SparkEntry query on SPARK_GRAFT_SF_DIR,
   * print ONE JSON line with total + per-query seconds.
   *
-  * Isolation: by default the entry process spawns ONE CHILD JVM PER QUERY
-  * (same classpath + JVM flags, `SPARK_GRAFT_ONLY=<name>`) and aggregates
+  * Isolation: child JVMs (same classpath + JVM flags,
+  * `SPARK_GRAFT_ONLY=<names>`) run the queries and the parent aggregates
   * the children's measurements. A 70-query run in a single JVM couples every
   * query through JIT/code-cache state — whole-stage codegen loads fresh
   * classes per query, profiles invalidate, and hot library methods
   * (Jackson, regex) deopt — which made same-code queries swing 10-30x
-  * between runs. Per-query JVMs make each number reproducible; JVM + session
-  * startup stays OUT of the measurement (the child times only the query).
+  * between runs (round 5). But ONE fork PER query stopped fitting the
+  * driver's wall-clock budget once the board passed ~200 entries: each fork
+  * pays ~11 s of JVM boot + session init + machinery prewarm, so 209 forks
+  * burn ~40 minutes on overhead alone — round 13's bench was timeout-killed
+  * with zero numbers out (BENCH_r13 rc 124). The round-5 coupling problem
+  * was about expensive queries amplifying each other, not sub-2 s ones, so
+  * the grouping is now tiered:
+  *   - entries that start Structured Streaming queries (census fixtures,
+  *     health pipeline) or whose committed prior warm exceeds
+  *     SPARK_GRAFT_ISOLATE_CUTOFF_S (default 4 s) keep a PRIVATE fork;
+  *   - everything else runs in shared-fork BATCHES of SPARK_GRAFT_BATCH
+  *     (default 24) queries, paying the fixed fork cost once per batch.
+  * JVM + session startup stays OUT of the measurement either way (the child
+  * times only the query), and an entry missing from a batch child's output
+  * (child crash, or a genuine query failure) is retried once in a private
+  * fork before being recorded as failed — a batch-mate's OOM can't take
+  * innocent entries down with it.
+  *
+  * Budget telemetry: the parent logs cumulative wall clock after every fork
+  * so an overrun is visible in the driver log BEFORE the kill; past 60% of
+  * SPARK_GRAFT_BUDGET_S (default 2100 s) remaining children switch to
+  * single-run mode (skip the warm rerun; warm = the one measured run,
+  * marked `tiebreak: "single_run"` in the detail artifact).
   *
   * Truncation posture: the driver captures a BOUNDED TAIL of process output
   * (~2 KB) and parses the JSON line out of it — at ~100 queries the full
@@ -124,12 +145,21 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // Budget-overrun degradation (parent sets this for late children): one
+    // measured run per query, no warm rerun. Warm == cold then — noisier,
+    // but every entry still carries a genuine measurement instead of the
+    // whole artifact dying at the driver's timeout.
+    val singleRun = sys.env.get("SPARK_GRAFT_SINGLE_RUN").contains("1")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       graft.queries.FixtureCache.clearReport()
       val (t1, ok1) = runOnce(name, fn)
       if (!ok1) Timing(name, t1, t1, failed = true, runs = Seq(t1))
-      else {
+      else if (singleRun) {
+        System.err.println(f"[bench] $name%-24s $t1%9.3f s  (single-run mode)")
+        Timing(name, t1, t1, runs = Seq(t1), prior = prior.get(name),
+          tiebreak = Some("single_run"))
+      } else {
         // Variance defense (round-8 verdict #2): a warm run that fails to
         // beat the cold run is the signature of a machine-state artifact
         // (cold carries codegen+JIT, so warm < cold is the expected shape;
@@ -179,63 +209,134 @@ object Bench {
     results
   }
 
-  /** Spawn one child JVM per query; the child re-enters [[main]] with
-    * SPARK_GRAFT_FORKED=1 and prints its own JSON line (a one-query map, so
-    * it always fits the tail), from which the parent extracts the
-    * inside-the-JVM warm + cold times. A child that dies or emits no JSON is
-    * recorded at its wall-clock time (upper bound) so the bench line stays
-    * complete. */
-  private def runForked(names: Seq[String],
-                        prior: Map[String, Double]): Seq[Timing] = {
+  /** Spawn one child JVM for a GROUP of queries; the child re-enters
+    * [[main]] with SPARK_GRAFT_FORKED=1 and prints one JSON line whose
+    * section maps (`queries`/`cold`/`runs`/`cache_hit`/`tiebreak`) carry
+    * every query it measured — the parent reads the child's FULL stdout, so
+    * the driver's bounded-tail limit does not apply here (it only bounds the
+    * PARENT's final line). A query absent from the child's `queries` map
+    * (child crash, or the query threw) comes back as a failed Timing; the
+    * caller decides whether to retry it in a private fork. */
+  private def forkGroup(group: Seq[String], prior: Map[String, Double],
+                        singleRun: Boolean): Seq[Timing] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
-    names.map { name =>
-      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
-      val pb = new ProcessBuilder(cmd)
-      pb.environment().put("SPARK_GRAFT_ONLY", name)
-      pb.environment().put("SPARK_GRAFT_FORKED", "1")
-      prior.get(name).foreach(p =>
-        pb.environment().put("SPARK_GRAFT_PRIOR_WARM", p.toString))
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val t0 = System.nanoTime()
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val rc = proc.waitFor()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val q = java.util.regex.Pattern.quote(name)
-      def extract(section: String): Option[Double] =
-        ("\"" + section + "\":\\{\"" + q + "\":([0-9.]+)").r
-          .findFirstMatchIn(out).map(_.group(1).toDouble)
-      def extractRuns: Seq[Double] =
-        ("\"runs\":\\{\"" + q + "\":\\[([0-9.,]+)\\]").r
-          .findFirstMatchIn(out).toSeq
-          .flatMap(_.group(1).split(",").toSeq.map(_.toDouble))
-      // The child excludes a failed query from its "queries" map and sets
-      // n_failed; a missing map (or dead child) is therefore a FAILURE, not
-      // a wall-clock measurement (round 6's silent-swallow lesson).
-      // cache_hit: the child's FixtureCache lookup evidence, absent when the
-      // query touches no cached fixture.
-      def extractCacheHit: Option[Boolean] =
-        ("\"cache_hit\":\\{\"" + q + "\":(true|false)").r
-          .findFirstMatchIn(out).map(_.group(1).toBoolean)
-      def extractTiebreak: Option[String] =
-        ("\"tiebreak\":\\{\"" + q + "\":\"([a-z0-9_.+]+)\"").r
-          .findFirstMatchIn(out).map(_.group(1))
-      val t = extract("queries").filter(_ => rc == 0) match {
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_ONLY", group.mkString(","))
+    pb.environment().put("SPARK_GRAFT_FORKED", "1")
+    if (singleRun) pb.environment().put("SPARK_GRAFT_SINGLE_RUN", "1")
+    // per-name prior map, `name=warm` pairs — a batch child needs each
+    // member's own baseline for the >1.5x tie-break trigger
+    val priorPairs = group.flatMap(n => prior.get(n).map(p => s"$n=$p"))
+    if (priorPairs.nonEmpty)
+      pb.environment().put("SPARK_GRAFT_PRIOR_WARM", priorPairs.mkString(","))
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val t0 = System.nanoTime()
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val rc = proc.waitFor()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // Section maps in the child's line are flat (`"name":value`), so a
+    // non-greedy brace match per section + a pair regex over its body
+    // recovers every entry; `runs` holds arrays, which contain no '}' and
+    // therefore survive the same section match.
+    def section(key: String): String =
+      ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(out)
+        .map(_.group(1)).getOrElse("")
+    def numMap(key: String): Map[String, Double] =
+      "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(section(key))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val warmMap = if (rc == 0) numMap("queries") else Map.empty[String, Double]
+    val coldMap = numMap("cold")
+    val runsMap: Map[String, Seq[Double]] =
+      "\"([A-Za-z0-9_]+)\":\\[([0-9.,]+)\\]".r.findAllMatchIn(section("runs"))
+        .map(m => m.group(1) -> m.group(2).split(",").toSeq.map(_.toDouble)).toMap
+    val cacheMap: Map[String, Boolean] =
+      "\"([A-Za-z0-9_]+)\":(true|false)".r.findAllMatchIn(section("cache_hit"))
+        .map(m => m.group(1) -> m.group(2).toBoolean).toMap
+    val tbMap: Map[String, String] =
+      "\"([A-Za-z0-9_]+)\":\"([a-z0-9_.+]+)\"".r.findAllMatchIn(section("tiebreak"))
+        .map(m => m.group(1) -> m.group(2)).toMap
+    group.map { name =>
+      warmMap.get(name) match {
         case Some(warm) =>
-          Timing(name, extract("cold").getOrElse(warm), warm, runs = extractRuns,
-            cacheHit = extractCacheHit, prior = prior.get(name),
-            tiebreak = extractTiebreak)
+          val t = Timing(name, coldMap.getOrElse(name, warm), warm,
+            runs = runsMap.getOrElse(name, Nil), cacheHit = cacheMap.get(name),
+            prior = prior.get(name), tiebreak = tbMap.get(name))
+          System.err.println(
+            f"[bench] $name%-24s ${t.warm}%9.3f s  (batch ${group.size}, wall ${wall}%.1f s)")
+          t
         case None =>
-          System.err.println(s"[bench] $name FAILED (child rc=$rc, no measurement)")
+          // The child excludes a failed query from its "queries" map and
+          // sets n_failed; a missing entry (or dead child) is therefore a
+          // FAILURE, not a wall-clock measurement (round 6's silent-swallow
+          // lesson). The caller retries batch members in a private fork.
+          System.err.println(
+            s"[bench] $name MISSING from child output (rc=$rc, batch ${group.size})")
           Timing(name, wall, wall, failed = true)
       }
-      if (!t.failed)
-        System.err.println(f"[bench] $name%-24s ${t.warm}%9.3f s  (wall ${wall}%.1f s)")
-      t
     }
+  }
+
+  /** Tiered forked execution: batches of small entries first, then the
+    * isolated (streaming / heavy) entries one fork each; entries missing
+    * from a batch child are retried once in a private fork. Logs cumulative
+    * wall clock after every fork and downgrades to single-run mode past 60%
+    * of the wall-clock budget. */
+  private def runForked(names: Seq[String],
+                        prior: Map[String, Double]): Seq[Timing] = {
+    // Entries that start Structured Streaming queries (MemoryStream census
+    // feeds, the health pipeline's file-source sink): state-store
+    // maintenance threads and listener-bus traffic outlive stop(), so these
+    // keep a private JVM regardless of their prior warm time.
+    val streamEntries = Set(
+      "cdc_health_counts", "cdc_health_surface", "cdc_dedup_stream",
+      "p27_journey_ordered", "p28_alert_stream", "p29_stream_correlate",
+      "p32_stream_outer")
+    val isolateCutoff =
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATE_CUTOFF_S", "4").toDouble
+    val batchSize =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BATCH", "24").toInt)
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "2100").toDouble
+    val (solo, small) = names.partition(n =>
+      streamEntries(n) || prior.get(n).exists(_ > isolateCutoff))
+    val groups: Seq[Seq[String]] =
+      small.grouped(batchSize).toSeq ++ solo.map(Seq(_))
+    System.err.println(f"[bench] plan: ${small.size} entries in " +
+      f"${small.grouped(batchSize).size} batches of <=$batchSize + " +
+      f"${solo.size} isolated forks; budget $budgetS%.0f s")
+    val t0 = System.nanoTime()
+    var singleRun = false
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Timing]
+    var done = 0
+    groups.foreach { g =>
+      val first = forkGroup(g, prior, singleRun)
+      val (missing, ok) = first.partition(_.failed)
+      buf ++= ok
+      // retry pass: a batch-mate's crash or a transient failure must not
+      // condemn an entry without giving it a clean private JVM once
+      buf ++= (if (g.size > 1 && missing.nonEmpty) {
+        System.err.println(s"[bench] retrying ${missing.size} missing " +
+          s"entries individually: ${missing.map(_.name).mkString(",")}")
+        missing.flatMap(t => forkGroup(Seq(t.name), prior, singleRun))
+      } else missing)
+      done += g.size
+      val wall = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[bench] cumulative wall $wall%.1f s after $done/${names.size} entries")
+      if (!singleRun && wall > budgetS * 0.6) {
+        singleRun = true
+        System.err.println(f"[bench] wall $wall%.1f s > 60%% of budget " +
+          f"$budgetS%.0f s - remaining forks switch to single-run mode")
+      }
+    }
+    // restore the caller's name order so the artifact stays diff-stable
+    val byName = buf.map(t => t.name -> t).toMap
+    names.map(byName)
   }
 
   private def jsonMap(entries: Seq[(String, Double)]): String =
@@ -262,7 +363,7 @@ object Bench {
     }
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         | "methodology": "per-query forked JVM; warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
+         | "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork, the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); past 60%% of the wall budget remaining entries run once (tiebreak: single_run); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}
@@ -283,13 +384,17 @@ object Bench {
     val isChild = sys.env.get("SPARK_GRAFT_FORKED").contains("1")
     val inline = isChild || sys.env.get("SPARK_GRAFT_NO_FORK").contains("1")
     val detail = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
-    // Prior-round warm baseline: a child gets its single query's prior via
-    // env from the parent; the parent reads the committed detail file
-    // BEFORE this run overwrites it.
+    // Prior-round warm baseline: a child gets its queries' priors via env
+    // from the parent (`name=warm` pairs); the parent reads the committed
+    // detail file BEFORE this run overwrites it.
     val prior: Map[String, Double] =
       if (isChild)
-        sys.env.get("SPARK_GRAFT_PRIOR_WARM").flatMap(_.toDoubleOption)
-          .map(p => names.map(_ -> p).toMap).getOrElse(Map.empty)
+        sys.env.get("SPARK_GRAFT_PRIOR_WARM").map(_.split(",").toSeq.flatMap {
+          pair => pair.split("=") match {
+            case Array(n, v) => v.toDoubleOption.map(n -> _)
+            case _ => None
+          }
+        }.toMap).getOrElse(Map.empty)
       else readPriorWarm(sys.env.getOrElse("SPARK_GRAFT_PRIOR_DETAIL", detail))
     // Queries whose children read the run-level fixture caches: the cdc
     // family, the apply/materialize (w*) entries, the snapshot roundtrip,
@@ -376,8 +481,11 @@ object Bench {
     // driver verbatim as the last stdout line. The compact fallback
     // keeps the key name "queries" and truncates it to the slowest entries
     // that fit; full detail always lands in BENCH_DETAIL.json.
+    // A child always prints the full line: the PARENT reads its entire
+    // stdout (no bounded tail there) and needs every batch member's
+    // sections; only the parent's own final line is tail-bounded.
     val line =
-      if (full.length <= 1400) full
+      if (isChild || full.length <= 1400) full
       else {
         val slowest = jsonMap(okQ.sortBy(-_.warm).take(12).map(t => t.name -> t.warm))
         s"""{"metric":"total","value":$totalStr,"unit":"sec","n_queries":${results.size}$nFailed,"queries":$slowest,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
