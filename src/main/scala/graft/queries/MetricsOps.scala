@@ -630,6 +630,15 @@ object MetricsOps {
             tq.processAllAvailable()
           }
         }
+        // fixture-drift guard: the tick normally rides the half-1 data
+        // batch, but a slice whose points all land in half 0 would skip
+        // that batch entirely — and with it the watermark advance every
+        // STALE emission depends on, turning the drain below into a
+        // guaranteed 30s-deadline throw. Deliver the tick standalone then.
+        if (points(1).isEmpty) {
+          tMem.addData(tick)
+          tq.processAllAvailable()
+        }
         // the timeout batch is TRIGGERED by the tick batch's watermark
         // advance and can commit after processAllAvailable returns — drain
         // until every real key's STALE landed (the runHealthPipeline

@@ -45,7 +45,15 @@ object Relational {
   }
 
   /** Projection + filter, no agg: raw column passthrough. Verifies predicate
-    * pushdown + column pruning reach the parquet scan (T2/T5 analog). */
+    * pushdown + column pruning reach the parquet scan (T2/T5 analog).
+    *
+    * The trailing global `orderBy` here (and on every full-export entry) is
+    * LOAD-BEARING for correctness, not a plan choice: the driver's hash
+    * compare sorts COLUMNS by name but compares ROWS positionally
+    * (`tools/verify_local.py` mirrors it), so Spark output and oracle SQL
+    * must agree on a total row order. Do not drop these sorts for bench
+    * savings (round-13/14 audit conclusion); production callers that don't
+    * need a total order simply don't add one. */
   def q2_filter_project(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     lineitem(s, dir)

@@ -15,7 +15,12 @@ object PlanAuditScratch {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
-        val nEx = p.sliding("Exchange".length).count(_ == "Exchange")
+        // count only real shuffle exchanges: a line's node name starts at
+        // its first letter (after the tree-drawing prefix), so
+        // ReusedExchange / BroadcastExchange — healthy reuse and broadcast,
+        // not shuffles — don't inflate the smell score
+        val nEx = p.linesIterator.count(
+          _.dropWhile(!_.isLetter).startsWith("Exchange"))
         // repeated scans of the same file set = same table scanned k times
         val scans = p.linesIterator.filter(_.contains("Scan parquet"))
           .map(_.trim.take(120)).toSeq

@@ -41,6 +41,13 @@ class RegistrationSpec extends SparkSpec {
     assert(actual === declared,
       s"undeclared rows-only entries (write the oracle or declare here): ${actual -- declared}; " +
         s"stale declarations: ${declared -- actual}")
+    // the explicit board tally (round-13 verdict #7): registered =
+    // oracle-checked + declared rows-only, so a missing-oracle typo can
+    // never reach the driver as a silent `no_oracle` downgrade
+    val oracled = (SparkEntry.queries.keySet & SparkEntry.oracleSql.keySet).size
+    assert(SparkEntry.queries.size === oracled + declared.size,
+      s"board tally drifted: ${SparkEntry.queries.size} registered != " +
+        s"$oracled oracled + ${declared.size} declared rows-only")
   }
 
   test("no duplicate names across module query maps") {

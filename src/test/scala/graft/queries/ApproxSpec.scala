@@ -66,6 +66,18 @@ class ApproxSpec extends SparkSpec {
       // evidence is per query point and bounded
       val bad = df.filter($"recall_pm" < 0 || $"recall_pm" > 1000).count()
       assert(bad === 0L, s"$q has $bad out-of-range recall_pm rows")
+      // x3_ann_lsh additionally carries its clustered-regime evidence
+      // (round-13 verdict #5): same operator + parameters over the derived
+      // clustered corpus, where the >= 0.8 deployment contract applies
+      if (q == "x3_ann_lsh") {
+        val cMean = df.select(avg($"clustered_recall_pm")).as[Double].head()
+        info(s"$dir $q mean clustered_recall_pm = $cMean")
+        assert(cMean >= 800.0,
+          s"$q mean clustered_recall_pm $cMean < 800 at $dir")
+        val cBad = df.filter(
+          $"clustered_recall_pm" < 0 || $"clustered_recall_pm" > 1000).count()
+        assert(cBad === 0L, s"$q has $cBad out-of-range clustered rows")
+      }
     }
   }
 

@@ -161,6 +161,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Map("completed" -> 1L))
   }
 
+  test("W8''' sum/count maintenance runs incrementally: update-mode sums " +
+      "match batch twin, whole-log redelivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.cdc.CdcApply
+    val mem = MemoryStream[String]
+    val raw = mem.toDF()
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+    // streaming consumption also guards the maintainSums localCheckpoint
+    // seam: the shared-frame materialization must stay a no-op on a
+    // streaming plan (df.isStreaming guard — a batch-only localCheckpoint
+    // here once broke the maintainCounts streaming consumer)
+    val q = CdcApply.maintainSums(
+        CdcPipeline.events(raw).filter($"table" === "orders"),
+        "status", "quantity")
+      .writeStream.format("memory").queryName("w8s_stream")
+      .outputMode(OutputMode.Complete()).start()
+    val lines = CanalJson.fixtureLines.map(_._1)
+    mem.addData(lines: _*)
+    q.processAllAvailable()
+    // whole-log redelivery batch (at-least-once replay of EVERYTHING): the
+    // cross-batch logical-identity dedup state must swallow every delta,
+    // leaving the maintained view byte-identical
+    mem.addData(lines: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("w8s_stream").as[(String, Long, Long)]
+      .collect().map { case (g, sm, n) => g -> ((sm, n)) }.toMap
+    val batch = CdcApply.maintainSums(
+        CanalJson.events(CanalJson.fixtureRaw(spark)).filter($"table" === "orders"),
+        "status", "quantity")
+      .as[(String, Long, Long)]
+      .collect().map { case (g, sm, n) => g -> ((sm, n)) }.toMap
+    assert(streamed === batch)
+    // pending nets to zero (INSERT +2 then UPDATE moves the mass out) and
+    // vanishes under COUNT-decides-existence; completed carries the mass
+    assert(streamed === Map("completed" -> ((2L, 1L))))
+  }
+
   test("W8' join-view maintenance runs incrementally in foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.cdc.CdcApply
