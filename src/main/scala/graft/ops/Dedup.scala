@@ -1072,12 +1072,17 @@ object Dedup {
     val b = keyed.select(col("variant_h"), col("id").as("id_b"), col("s").as("s_b"))
     a.join(b, Seq("variant_h"))
       .filter(col("id_a") < col("id_b"))
-      // confirm BEFORE the pair dedup: the codegen'd levenshtein runs
-      // map-side on candidate rows (a true lev-1 pair surfaces from at most
-      // a handful of shared variant keys), so the dedup exchange then
-      // carries 16 bytes per CONFIRMED pair — not two name strings per
-      // candidate — and strictly fewer rows
+      // dedup BEFORE the confirm: a candidate pair surfaces once per shared
+      // variant key — up to L+2 times for a true pair, and repeatedly for
+      // the distance-2 impostors the neighborhood admits — so confirming
+      // first multiplies the levenshtein work by that key-overlap factor.
+      // Measured at sf0.1: confirm-first 5.13 s vs dedup-first 2.87 s
+      // (the round-13 "smaller exchange" theory lost — dropDuplicates'
+      // map-side partial aggregation already collapses the duplicate
+      // candidates before the wire, so the string-bearing exchange is
+      // ~|distinct pairs| either way and the CPU saving dominates).
+      .dropDuplicates("id_a", "id_b")
       .filter(levenshtein(col("s_a"), col("s_b")) === 1)
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
   }
 }
