@@ -1345,6 +1345,116 @@ object MetricsOps {
       .orderBy($"hour_start", $"value")
   }
 
+  /** P34 — PromQL `rate()` with the REAL counter semantics: counter-reset
+    * correction plus the Prometheus 2.x boundary extrapolation
+    * (promql/functions.go `extrapolatedRate`), not the windowed-count
+    * approximation of [[p1_rate]]. The sample series is the per-(series,
+    * minute) DAY-cumulative event count — a counter that restarts at
+    * midnight (process-restart semantics), sampled only on active minutes
+    * (irregular grid, which is what makes extrapolation non-trivial).
+    * Evaluated at the hourly grid over a 1 h range; because the range
+    * equals the grid step, each sample belongs to EXACTLY one left-open
+    * window `(T−1h, T]`, so the range selector is a plain group-by — no
+    * interval join, one shuffle after the two window passes.
+    *
+    * Increase = `last − first + Σ resets` where a reset contributes the
+    * pre-drop value (PromQL's monotonicity repair), summed over
+    * consecutive-sample pairs INSIDE the window (the first sample's delta
+    * from before the window is excluded, exactly as in Prometheus).
+    * Extrapolation, all int64: the window extends to each boundary when
+    * the margin is under 1.1× the average sample interval, else by half an
+    * interval — `durₓ < 1.1·avg` multiplied out to
+    * `10·durₓ·(n−1) < 11·sampled`, and the extended interval carried as
+    * `2(n−1)·ext` so the final micro-ops/sec rate is ONE floor division
+    * over non-negative int64 terms (Spark `div` == DuckDB `//` there).
+    * Bounds: increase ≤ events/series/day, 2(n−1)·ext ≤ 2·60·7200, so the
+    * ·10⁶ numerator stays < 2⁶³ with ~10³ headroom at any SF. */
+  def p34_prom_rate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perMin = events(s, dir)
+      .groupBy($"event_type",
+        expr("unix_micros(cast(date_trunc('minute', ts) as timestamp)) div 1000000")
+          .as("sec"))
+      .agg(count(lit(1)).as("cnt"))
+    promRate(perMin).orderBy($"event_type", $"t_end")
+  }
+
+  /** The extrapolated-rate core of [[p34_prom_rate]] over a generic
+    * (event_type, sec, cnt) per-minute sample frame — factored out so the
+    * hand-computed Prometheus micro-cases (extrapolation branches, counter
+    * reset) pin the formula in MetricsUnitSpec independent of the fixture. */
+  private[queries] def promRate(perMin: DataFrame): DataFrame = {
+    import perMin.sparkSession.implicits._
+    val dayW = Window.partitionBy($"event_type", expr("sec div 86400"))
+      .orderBy($"sec")
+    val seriesW = Window.partitionBy($"event_type").orderBy($"sec")
+    val samples = perMin
+      .withColumn("v", sum($"cnt").over(dayW))
+      .withColumn("prev_v", lag($"v", 1).over(seriesW))
+      .withColumn("corr",
+        when($"prev_v".isNotNull && $"v" < $"prev_v", $"prev_v").otherwise(lit(0L)))
+      .withColumn("t_end", expr(
+        "sec - sec % 3600 + (CASE WHEN sec % 3600 = 0 THEN 0 ELSE 3600 END)"))
+    samples.groupBy($"event_type", $"t_end")
+      .agg(count(lit(1)).as("n"),
+        min(struct($"sec", $"v")).as("first"),
+        max(struct($"sec", $"v")).as("last"),
+        // struct min by the unique sec = the window's first sample; its
+        // reset delta crosses the window boundary and must not count
+        (sum($"corr") - min(struct($"sec", $"corr")).getField("corr")).as("corr_in"))
+      .filter($"n" >= 2) // PromQL: a 1-sample range yields an empty vector
+      .select($"event_type", $"t_end", $"n".as("n_samples"),
+        ($"last".getField("v") - $"first".getField("v") + $"corr_in").as("increase"),
+        $"first".getField("sec").as("first_sec"),
+        $"last".getField("sec").as("last_sec"))
+      .withColumn("rate_upm", expr(
+        """increase * (2 * (n_samples - 1) * (last_sec - first_sec)
+          |  + (CASE WHEN 10 * (first_sec - (t_end - 3600)) * (n_samples - 1)
+          |            < 11 * (last_sec - first_sec)
+          |     THEN 2 * (n_samples - 1) * (first_sec - (t_end - 3600))
+          |     ELSE last_sec - first_sec END)
+          |  + (CASE WHEN 10 * (t_end - last_sec) * (n_samples - 1)
+          |            < 11 * (last_sec - first_sec)
+          |     THEN 2 * (n_samples - 1) * (t_end - last_sec)
+          |     ELSE last_sec - first_sec END)) * 1000000
+          | div ((last_sec - first_sec) * 2 * (n_samples - 1) * 3600)"""
+          .stripMargin))
+      .select($"event_type", $"t_end", $"n_samples", $"increase", $"rate_upm")
+  }
+
+  /** P35 — PromQL `histogram_fraction(0, x, ...)`: the fraction of
+    * observations at or below a threshold ESTIMATED from the stored bucket
+    * counts alone (linear interpolation inside the straddling bucket) —
+    * the CDF companion to the P4 `histogram_quantile` Aggregator, and the
+    * SLO primitive ("what share of requests beat 75 ms"). Values are
+    * bucketized at the [[buckets]] bounds in exact cents; the estimate is
+    *   (cum_below·(hi−lo) + in_bucket·(x−lo)) · 10⁶ div (total·(hi−lo))
+    * — one floor division over non-negative int64 (cum ≤ 10⁶ events ·
+    * 5 000 · 10⁶ ≪ 2⁶³). Each row also carries the TRUE fraction from the
+    * raw values (`true_frac_ppm`), so the driver artifact shows the
+    * interpolation error the bucket representation costs — on this
+    * uniform-ish value distribution the two track within ~1%. One
+    * map-side-combined aggregation per (series, hour); conditional sums,
+    * no second pass over the bucket rows. */
+  def p35_histogram_fraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = round($"value" * 100).cast("long")
+    events(s, dir)
+      .select($"event_type", date_trunc("hour", $"ts").as("hour_start"),
+        cents.as("vc"))
+      .groupBy($"event_type", $"hour_start")
+      .agg(count(lit(1)).as("total"),
+        sum(when($"vc" <= 5000L, 1L).otherwise(0L)).as("cum_le_50"),
+        sum(when($"vc" > 5000L && $"vc" <= 10000L, 1L).otherwise(0L)).as("cnt_50_100"),
+        sum(when($"vc" <= 7500L, 1L).otherwise(0L)).as("true_le_75"))
+      .withColumn("est_frac_ppm", expr(
+        "(cum_le_50 * 5000 + cnt_50_100 * 2500) * 1000000 div (total * 5000)"))
+      .withColumn("true_frac_ppm", expr("true_le_75 * 1000000 div total"))
+      .select($"event_type", $"hour_start", $"total", $"cum_le_50",
+        $"cnt_50_100", $"est_frac_ppm", $"true_frac_ppm")
+      .orderBy($"event_type", $"hour_start")
+  }
+
   /** W2 — latest-image-wins per key over the event stream (the CDC apply
     * ranking, run_test.sh:41-43): last event per user. */
   def w2_latest_by_key(s: SparkSession, dir: String): DataFrame = {
@@ -1409,6 +1519,8 @@ object MetricsOps {
     "p31_relabel_merge" -> p31_relabel_merge _,
     "p32_stream_outer" -> p32_stream_outer _,
     "p33_time_weighted" -> p33_time_weighted _,
+    "p34_prom_rate" -> p34_prom_rate _,
+    "p35_histogram_fraction" -> p35_histogram_fraction _,
     "w2_latest_by_key" -> w2_latest_by_key _,
     "w5_tombstone" -> w5_tombstone _,
   )
@@ -2110,6 +2222,64 @@ object MetricsOps {
         |    THEN CAST(coalesce(sum(v_cents * dt), 0) AS BIGINT) // (max(t) - min(t))
         |    ELSE -1 END AS twa_cents
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p34_prom_rate" ->
+      """WITH pm AS (
+        |  SELECT event_type, epoch_us(date_trunc('minute', ts)) // 1000000 AS sec,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, sec, CAST(sum(cnt) OVER (
+        |      PARTITION BY event_type, sec // 86400 ORDER BY sec) AS BIGINT) AS v
+        |  FROM pm),
+        |lagd AS (
+        |  SELECT event_type, sec, v,
+        |    lag(v) OVER (PARTITION BY event_type ORDER BY sec) AS prev_v,
+        |    sec - sec % 3600
+        |      + (CASE WHEN sec % 3600 = 0 THEN 0 ELSE 3600 END) AS t_end
+        |  FROM cum),
+        |c AS (
+        |  SELECT event_type, sec, v, t_end,
+        |    CASE WHEN prev_v IS NOT NULL AND v < prev_v
+        |      THEN prev_v ELSE 0 END AS corr
+        |  FROM lagd),
+        |g AS (
+        |  SELECT event_type, t_end, count(*) AS n_samples,
+        |    arg_min(v, sec) AS first_v, arg_max(v, sec) AS last_v,
+        |    min(sec) AS first_sec, max(sec) AS last_sec,
+        |    CAST(sum(corr) - arg_min(corr, sec) AS BIGINT) AS corr_in
+        |  FROM c GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT event_type, t_end, n_samples,
+        |  CAST(last_v - first_v + corr_in AS BIGINT) AS increase,
+        |  CAST((last_v - first_v + corr_in)
+        |    * (2 * (n_samples - 1) * (last_sec - first_sec)
+        |      + (CASE WHEN 10 * (first_sec - (t_end - 3600)) * (n_samples - 1)
+        |                < 11 * (last_sec - first_sec)
+        |         THEN 2 * (n_samples - 1) * (first_sec - (t_end - 3600))
+        |         ELSE last_sec - first_sec END)
+        |      + (CASE WHEN 10 * (t_end - last_sec) * (n_samples - 1)
+        |                < 11 * (last_sec - first_sec)
+        |         THEN 2 * (n_samples - 1) * (t_end - last_sec)
+        |         ELSE last_sec - first_sec END)) * 1000000
+        |    // ((last_sec - first_sec) * 2 * (n_samples - 1) * 3600)
+        |    AS BIGINT) AS rate_upm
+        |FROM g ORDER BY event_type, t_end""".stripMargin,
+    "p35_histogram_fraction" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, hour_start, count(*) AS total,
+        |    CAST(sum(CASE WHEN vc <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS cum_le_50,
+        |    CAST(sum(CASE WHEN vc > 5000 AND vc <= 10000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cnt_50_100,
+        |    CAST(sum(CASE WHEN vc <= 7500 THEN 1 ELSE 0 END) AS BIGINT) AS true_le_75
+        |  FROM b GROUP BY 1, 2)
+        |SELECT event_type, hour_start, total, cum_le_50, cnt_50_100,
+        |  (cum_le_50 * 5000 + cnt_50_100 * 2500) * 1000000
+        |    // (total * 5000) AS est_frac_ppm,
+        |  true_le_75 * 1000000 // total AS true_frac_ppm
+        |FROM g ORDER BY event_type, hour_start""".stripMargin,
     "w2_latest_by_key" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
