@@ -1085,4 +1085,73 @@ object Dedup {
       .filter(levenshtein(col("s_a"), col("s_b")) === 1)
       .select("id_a", "id_b")
   }
+
+  /** X2g — WINNOWING document fingerprints (Schleimer–Wilkerson–Aiken, the
+    * MOSS algorithm): hash every character k-gram, slide a window of `w`
+    * consecutive hashes, and keep each window's MINIMUM — the selection
+    * rule that guarantees any shared substring of length ≥ w + k − 1 leaves
+    * at least one IDENTICAL fingerprint in both documents (position-robust,
+    * unlike fixed-stride sampling) while keeping expected density ≈ 2/(w+1).
+    * This is the local-selection complement of [[contentDefinedChunks]]
+    * (boundaries follow content there, representatives follow content
+    * here). Tie rule: every position achieving the window minimum is
+    * selected (the tie-inclusive variant — deterministic on any engine,
+    * where "rightmost minimum" would need a second tie-break pass); the
+    * fingerprint SET per doc is the distinct selected hashes either way.
+    *
+    * Hash family: the md5-60-bit portable form ([[minhashLshPairsPortable]]
+    * lineage), so selection replays exactly in the oracle. Scale: one
+    * explode (L−k+1 rows per doc), one (id, pos) window sort — the same
+    * single-shuffle shape as the shingle pipelines; per-doc stats come off
+    * the window pass, never a doc×doc join. Returns per-doc
+    * (doc_id, n_grams, n_windows, n_selected, n_fingerprints, density_ppm)
+    * with density relative to full windows; docs shorter than k chars have
+    * no k-gram and are excluded by construction. */
+  /** The selected (doc_id, pos, h, n_grams) fingerprint rows of
+    * [[winnowFingerprints]] — exposed so the guarantee properties (shared
+    * substring ⇒ shared fingerprint; selection-gap ≤ w) are testable on the
+    * actual selection, not just its census.
+    *
+    * Selection = the union over all full windows of each window's minimum
+    * (tie-inclusive: every position achieving a window's min is selected —
+    * the selected HASH set per window is identical to rightmost-min SWA
+    * winnowing, only tied positions differ). Computed windowed, not
+    * quadratic: pass 1 gives `wmin(e)` = min hash of the window ENDING at
+    * position e; position p is a minimum of SOME window containing it iff
+    * `max(wmin(e) for e in [p, p+w−1])` equals `h(p)` — wmin(e) ≤ h(p) for
+    * every window containing p, so equality at the max IS existence.
+    * Both passes share one (doc_id, pos) sort. */
+  private[graft] def winnowSelected(df: DataFrame, textCol: String,
+                                    idCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
+    val grams = df.filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        (length(col(textCol)) - (k - 1)).cast("long").as("n_grams"))
+      .withColumn("pos", explode(expr(s"sequence(1, length(__t) - ${k - 1}, 1)")))
+      .withColumn("h",
+        conv(substring(md5(expr(s"substring(__t, pos, $k)")), 1, 15), 16, 10)
+          .cast("bigint"))
+      .drop("__t")
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val back = ord.rowsBetween(-(w - 1), 0)
+    val fwd = ord.rowsBetween(0, w - 1)
+    grams
+      .withColumn("wmin",
+        when(col("pos") >= w, min(col("h")).over(back))) // null on partial windows
+      .withColumn("sel_max", max(col("wmin")).over(fwd)) // max ignores nulls
+      .filter(col("h") === col("sel_max"))
+      .drop("wmin", "sel_max")
+  }
+
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    winnowSelected(df, textCol, idCol, k, w)
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_grams")).as("n_grams"),
+        (min(col("n_grams")) - (w - 1)).as("n_windows"),
+        count(lit(1)).as("n_selected"),
+        countDistinct(col("h")).as("n_fingerprints"))
+      .withColumn("density_ppm",
+        expr("n_fingerprints * 1000000 div n_windows"))
+  }
 }

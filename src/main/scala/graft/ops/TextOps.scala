@@ -199,6 +199,66 @@ object TextOps {
     aggregate(split(text, " "), lit(0L),
       (acc, w) => acc * 31L + xxhash64(w) % 1000003L)
 
+  /** Character trigrams of `textCol`, one row per position (1-based) —
+    * the feature extractor shared by the trained language-ID pipeline.
+    * Docs shorter than 3 chars yield nothing; the explicit `, 1` step keeps
+    * `sequence` from silently counting DOWN on an empty range. */
+  private def charTrigrams(df: DataFrame, textCol: String): DataFrame =
+    df.filter(length(col(textCol)) >= 3)
+      .withColumn("i", explode(expr(s"sequence(1, length($textCol) - 2, 1)")))
+      .withColumn("g", expr(s"substring($textCol, i, 3)"))
+
+  /** TRAINED language-ID, profile side (Cavnar–Trenkle n-gram text
+    * categorization): the `topM` most frequent character trigrams per
+    * language from a LABELED training slice, rank-weighted
+    * `weight = topM + 1 − rank` (count-desc, trigram-asc tie-break, so the
+    * profile is deterministic on any engine). Unlike [[langIdArr]]'s fixed
+    * marker lists, the profiles are DATA — retraining on a new corpus or
+    * language set is just re-running this aggregation. Scale: the profile
+    * table is |langs| × topM rows (broadcastable forever); training is two
+    * map-side-combined aggregations over the exploded trigrams. */
+  def langProfiles(train: DataFrame, textCol: String, langCol: String,
+                   topM: Int = 60): DataFrame = {
+    val counts = charTrigrams(train, textCol)
+      .groupBy(col(langCol).as("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("c").desc, col("g").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topM)
+      .select(col("lang"), col("g"),
+        (lit(topM + 1) - col("rank")).cast("long").as("weight"))
+  }
+
+  /** TRAINED language-ID, serving side: score = Σ tf(doc, g) · weight(lang,
+    * g) over the document's trigrams, predicted = argmax (score desc, lang
+    * asc — a doc sharing no profile trigram scores 0 everywhere and falls
+    * to the first language code, deterministically). Integer end to end, so
+    * the whole pipeline — profile ranks, scores, argmax — replays exactly
+    * in the oracle. Scale: profiles broadcast; the only wide exchange is
+    * the per-(doc, trigram) tf count; the langs-per-doc grid is |docs| ×
+    * |langs| rows of ids. Returns (doc_id, predicted, score). */
+  def langClassify(docs: DataFrame, profiles: DataFrame, textCol: String,
+                   idCol: String): DataFrame = {
+    val tf = charTrigrams(docs, textCol)
+      .groupBy(col(idCol).as("doc_id"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+    val prof = profiles.select(col("lang").as("cand_lang"), col("g"), col("weight"))
+    val scores = tf.join(broadcast(prof), Seq("g"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(col("tf") * col("weight")).as("score"))
+    val langs = profiles.select(col("lang").as("cand_lang")).distinct()
+    val grid = docs.select(col(idCol).as("doc_id")).crossJoin(broadcast(langs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang").asc)
+    grid.join(scores, Seq("doc_id", "cand_lang"), "left")
+      .na.fill(0L, Seq("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("predicted"), col("score"))
+  }
+
   /** Overlapping word-window chunking — the embedding/RAG prep step: split
     * each document into `chunkSize`-word windows advancing by
     * `chunkSize - overlap`, so consecutive chunks share `overlap` words of

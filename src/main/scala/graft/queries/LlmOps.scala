@@ -1058,6 +1058,19 @@ object LlmOps {
           .as("savings_ppm"))
   }
 
+  /** X2g — winnowing fingerprint census ([[Dedup.winnowFingerprints]], the
+    * MOSS selection rule): per-doc selected-fingerprint stats with density
+    * relative to full windows. The winnowing guarantee (any shared
+    * substring ≥ w+k−1 chars leaves an identical fingerprint in both docs)
+    * and the density bound are property-pinned in DedupSpec; this entry
+    * certifies the selection pipeline itself — k-gram md5 hashes, window
+    * minima, tie-inclusive selection, distinct census — cross-engine. */
+  def x2_winnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.winnowFingerprints(documents(s, dir), "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** X4j — out-of-vocabulary rate: per-doc fraction of tokens outside the
     * corpus top-100 vocabulary, in exact integer parts-per-million — the
     * rare-word / gibberish quality signal that length and stopword ratios
@@ -1212,6 +1225,32 @@ object LlmOps {
         TextOps.crossEntropyArr($"words", $"model", $"model_total")
           .as("cross_entropy"))
       .orderBy($"doc_id")
+  }
+
+  /** X4s — TRAINED language-ID ([[TextOps.langProfiles]] /
+    * [[TextOps.langClassify]], the Cavnar–Trenkle character-trigram
+    * pipeline): profiles from the labeled 4/5 training slice
+    * (`doc_id % 5 ≠ 0`), the held-out fifth classified, and the CONFUSION
+    * census (true lang × predicted, doc count + summed score) emitted — the
+    * production shape for "what did the classifier do to this corpus".
+    * Everything — profile ranks, scores, argmax — is integer, so DuckDB
+    * replays the trained pipeline end to end, not just the counts. Honest
+    * regime note (the x3_ann_lsh pattern): this corpus's lang labels are
+    * distributionally indistinguishable (same vocabulary per label), so the
+    * confusion matrix here certifies MECHANICS on structureless worst-case
+    * data; TextOpsSpec pins perfect accuracy where the labels actually
+    * carry character-level structure. */
+  def x4_lang_profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val profiles = TextOps.langProfiles(
+      docs.filter($"doc_id" % 5 =!= 0), "text", "lang")
+    val test = docs.filter($"doc_id" % 5 === 0)
+    TextOps.langClassify(test, profiles, "text", "doc_id")
+      .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"), sum($"score").as("sum_score"))
+      .orderBy($"lang", $"predicted")
   }
 
   /** X4l — tf-idf keyword extraction: each document's top-3 terms by
@@ -1758,6 +1797,7 @@ object LlmOps {
     "x9_triangles" -> x9_triangles _,
     "x4_entropy" -> x4_entropy _,
     "x4_perplexity" -> x4_perplexity _,
+    "x4_lang_profile" -> x4_lang_profile _,
     "x4_keywords" -> x4_keywords _,
     "x4_repetition" -> x4_repetition _,
     "x4_pii" -> x4_pii _,
@@ -1773,6 +1813,7 @@ object LlmOps {
     "x1_dedup_incremental" -> x1_dedup_incremental _,
     "x9_semantic_clusters" -> x9_semantic_clusters _,
     "x2_cdc_chunks" -> x2_cdc_chunks _,
+    "x2_winnow" -> x2_winnow _,
     "x2_chunk_stats" -> x2_chunk_stats _,
     "x4_oov_rate" -> x4_oov_rate _,
     "x2_containment" -> x2_containment _,
@@ -2596,6 +2637,44 @@ object LlmOps {
         |  CAST(agg.n_model_hits AS BIGINT) AS n_model_hits,
         |  round(agg.ce + 0.0, 4) AS cross_entropy
         |FROM w JOIN agg ON w.doc_id = agg.doc_id ORDER BY w.doc_id""".stripMargin,
+    "x4_lang_profile" ->
+      """WITH tg AS (
+        |  SELECT d.doc_id, d.lang, substr(d.text, CAST(i AS INTEGER), 3) AS g
+        |  FROM documents d,
+        |    unnest(generate_series(1, length(d.text) - 2)) AS t(i)
+        |  WHERE length(d.text) >= 3),
+        |prof AS (
+        |  SELECT lang AS cand_lang, g, CAST(61 - rank AS BIGINT) AS weight
+        |  FROM (
+        |    SELECT lang, g,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, g ASC) AS rank
+        |    FROM tg WHERE doc_id % 5 <> 0 GROUP BY lang, g)
+        |  WHERE rank <= 60),
+        |tf AS (
+        |  SELECT doc_id, g, count(*) AS tf FROM tg
+        |  WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |scores AS (
+        |  SELECT t.doc_id, p.cand_lang,
+        |    CAST(sum(t.tf * p.weight) AS BIGINT) AS score
+        |  FROM tf t JOIN prof p USING (g) GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, d.lang, l.cand_lang
+        |  FROM documents d, (SELECT DISTINCT cand_lang FROM prof) l
+        |  WHERE d.doc_id % 5 = 0),
+        |filled AS (
+        |  SELECT g.doc_id, g.lang, g.cand_lang,
+        |    CAST(coalesce(s.score, 0) AS BIGINT) AS score
+        |  FROM grid g LEFT JOIN scores s
+        |    ON s.doc_id = g.doc_id AND s.cand_lang = g.cand_lang),
+        |pred AS (
+        |  SELECT doc_id, lang, cand_lang AS predicted, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand_lang ASC) AS rn
+        |  FROM filled)
+        |SELECT lang, predicted, count(*) AS n_docs,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x4_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, w,
@@ -2815,6 +2894,32 @@ object LlmOps {
     // identical cut rule: base-257 code-point polynomial gram hash % 61, cut
     // only when a full next chunk fits; lead() closes each chunk at the next
     // start
+    "x2_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15))
+        |      AS BIGINT) AS h,
+        |    CAST(length(text) - 7 AS BIGINT) AS n_grams
+        |  FROM documents, unnest(generate_series(1, length(text) - 7)) AS t(i)
+        |  WHERE length(text) >= 11),
+        |m AS (
+        |  SELECT doc_id, pos, h, n_grams,
+        |    CASE WHEN pos >= 4 THEN min(h) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |    END AS wmin
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, pos, h, n_grams,
+        |    max(wmin) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_max
+        |  FROM m)
+        |SELECT doc_id, min(n_grams) AS n_grams,
+        |  min(n_grams) - 3 AS n_windows,
+        |  count(*) AS n_selected,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_fingerprints,
+        |  count(DISTINCT h) * 1000000 // (min(n_grams) - 3) AS density_ppm
+        |FROM s WHERE h = sel_max
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x2_cdc_chunks" -> (chunksCte +
       """
         |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5

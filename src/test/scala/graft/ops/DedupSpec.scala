@@ -339,4 +339,53 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === ((5L, 2L, 600000L))) // 3 of 5 novel
     assert(!got.contains(4L))
   }
+
+  test("winnowing: a shared substring >= w+k-1 chars always leaves a shared " +
+      "fingerprint; unrelated docs don't collide") {
+    import spark.implicits._
+    // docs 1 and 2 share the 16-char run "quartz sphinx jk" embedded at
+    // DIFFERENT offsets (position-robustness is the point of winnowing);
+    // doc 3 has a disjoint character inventory. k=8, w=4 -> guarantee
+    // threshold w+k-1 = 11 chars.
+    val docs = Seq(
+      (1L, "aaaa quartz sphinx jk bbbb cccc dddd"),
+      (2L, "eeeeeeeeeeee ffff quartz sphinx jk gggg"),
+      (3L, "0123456789 0123456789 0123456789"))
+      .toDF("doc_id", "text")
+    val sel = Dedup.winnowSelected(docs, "text", "doc_id", k = 8, w = 4)
+      .select($"doc_id", $"h").as[(Long, Long)].collect()
+    val byDoc = sel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "shared 16-char substring left no shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
+  }
+
+  test("winnowing: every window selects (gap between selected positions " +
+      "<= w) and the census matches the selection") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "pack my box with five dozen liquor jugs and some more text"))
+      .toDF("doc_id", "text")
+    val sel = Dedup.winnowSelected(docs, "text", "doc_id", k = 8, w = 4)
+      .select($"doc_id", $"pos").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    sel.foreach { case (id, poss) =>
+      assert(poss.head <= 4, s"doc $id: first full window left unselected")
+      poss.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= 4,
+          s"doc $id: selection gap ${b - a} > w between pos $a and $b")
+        case _ => ()
+      }
+    }
+    val census = Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .select($"doc_id", $"n_selected", $"n_fingerprints", $"density_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    sel.foreach { case (id, poss) =>
+      assert(census(id)._2 === poss.size.toLong)
+      assert(census(id)._3 <= census(id)._2) // distinct <= selected
+      assert(census(id)._4 > 0L && census(id)._4 <= 1000000L)
+    }
+  }
 }

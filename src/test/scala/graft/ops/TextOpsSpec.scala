@@ -221,6 +221,36 @@ class TextOpsSpec extends SparkSpec {
     // while Jaccard of the same pair is 3/19 = 0.158 — under any dedup cut
   }
 
+  test("trained language-ID: perfect on labels that carry character " +
+      "structure; profiles are deterministic and bounded") {
+    // three synthetic languages with DISJOINT character inventories, mild
+    // per-doc variation via rotation — the regime the classifier is FOR
+    // (the driver entry's corpus is the structureless worst case; see
+    // x4_lang_profile's scaladoc)
+    val vocab = Map(
+      "aa" -> Seq("abba", "bacca", "cabad"),
+      "bb" -> Seq("deeff", "effgd", "gedfe"),
+      "cc" -> Seq("hiijk", "jkkhi", "kihjj"))
+    val docs = (0 until 60).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      val ws = vocab(lang)
+      val text = (0 until 8).map(j => ws((i + j) % 3)).mkString(" ")
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val test = docs.filter($"doc_id" % 5 === 0)
+    val profiles = TextOps.langProfiles(train, "text", "lang", topM = 20)
+    // bounded: at most topM rows per language, weights in [1, topM]
+    val perLang = profiles.groupBy("lang").count().as[(String, Long)].collect()
+    assert(perLang.forall(_._2 <= 20) && perLang.length === 3)
+    assert(profiles.filter($"weight" < 1 || $"weight" > 20).count() === 0)
+    val pred = TextOps.langClassify(test, profiles, "text", "doc_id")
+      .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+    assert(pred.count() === test.count()) // exactly one prediction per doc
+    val wrong = pred.filter($"predicted" =!= $"lang").count()
+    assert(wrong === 0L, s"$wrong misclassified docs on disjoint-vocabulary languages")
+  }
+
   test("heavyHitters: exact on a skewed corpus, candidates stay bounded") {
     // 2 true heavy tokens (1/3 of the stream each) + a 97-token uniform
     // tail, spread over 8 partitions
