@@ -304,8 +304,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "2100").toDouble
     val (solo, small) = names.partition(n =>
       streamEntries(n) || prior.get(n).exists(_ > isolateCutoff))
+    // isolated (streaming/heavy) entries run FIRST: their numbers carry the
+    // most signal and the machine is freshest before ~200 batched entries
+    // have churned page cache and JIT state (r14: tail-position isolated
+    // forks measured up to 2x their calm-state times)
     val groups: Seq[Seq[String]] =
-      small.grouped(batchSize).toSeq ++ solo.map(Seq(_))
+      solo.map(Seq(_)) ++ small.grouped(batchSize).toSeq
     System.err.println(f"[bench] plan: ${small.size} entries in " +
       f"${small.grouped(batchSize).size} batches of <=$batchSize + " +
       f"${solo.size} isolated forks; budget $budgetS%.0f s")

@@ -1124,14 +1124,20 @@ object Dedup {
   private[graft] def winnowSelected(df: DataFrame, textCol: String,
                                     idCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
+    // per-gram extraction indexes a ONE-TIME char array (O(k) per gram) —
+    // `substring(text, pos, k)` would rescan the UTF-8 bytes from the
+    // string head at every position, O(len) per gram = O(len²) per doc,
+    // measured as the pipeline's single biggest cost (WinnowScratch);
+    // the hash stays the md5 15-hex-char PREFIX as a string — hex is
+    // order-isomorphic to its numeric value, so window min/max select the
+    // same positions and a `conv` per gram buys nothing
     val grams = df.filter(length(col(textCol)) >= k + w - 1)
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      .select(col(idCol).as("doc_id"), split(col(textCol), "").as("__c"),
         (length(col(textCol)) - (k - 1)).cast("long").as("n_grams"))
-      .withColumn("pos", explode(expr(s"sequence(1, length(__t) - ${k - 1}, 1)")))
+      .withColumn("pos", explode(expr(s"sequence(1, size(__c) - ${k - 1}, 1)")))
       .withColumn("h",
-        conv(substring(md5(expr(s"substring(__t, pos, $k)")), 1, 15), 16, 10)
-          .cast("bigint"))
-      .drop("__t")
+        substring(md5(array_join(slice(col("__c"), col("pos"), lit(k)), "")), 1, 15))
+      .drop("__c")
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val back = ord.rowsBetween(-(w - 1), 0)
     val fwd = ord.rowsBetween(0, w - 1)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.cdc.{CanalJson, CdcApply}
+import graft.cdc.{CanalJson, CdcApply, DebeziumJson}
 import graft.tables.Tables
 
 /** Canal-json CDC pipeline exposed as named queries over the embedded
@@ -468,6 +468,7 @@ object CdcQueries {
     wireLatestState(s, dir)
     dedupStreamFeed(s, dir)
     compositeWireEvents(s, dir)
+    debeziumOrderEvents(s, dir)
     ()
   }
 
@@ -592,6 +593,85 @@ object CdcQueries {
     val del = raw(base.filter($"id" % 7 === 0), "DELETE", $"final_status", 2)
     CanalJson.events(
       ins.unionByName(upd).unionByName(del).unionByName(upd)) // redelivery
+  }
+
+  /** The Debezium-JSON wire feed ([[graft.cdc.DebeziumJson]]) over an
+    * orders slice (every 5th key) — the cross-format twin of
+    * [[wireOrderEvents]]: initial image as `c` for even ids and snapshot
+    * `r` for odd ids (both must normalize to insert), `u` with the FULL
+    * before image (delivered twice — at-least-once), `d` for ids %9 with
+    * the image on `before` and `after = null` (the Debezium delete shape),
+    * one Kafka log-compaction tombstone (null value) per delete, and one
+    * malformed line. Pure function of the orders table, run-level cached. */
+  private def debeziumOrderEvents(s: SparkSession, dir: String): DataFrame =
+      cachedFixture(s, dir, "wire-debezium", "v1") {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey".as("id"), $"o_orderstatus".as("final_status"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val nullImg = lit(null).cast("map<string,string>")
+    def img(status: Column) =
+      map(lit("id"), $"id".cast("string"), lit("status"), status)
+    def line(op: Column, before: Column, after: Column, esOff: Int) =
+      to_json(struct(
+        before.as("before"), after.as("after"),
+        struct(lit("testdb").as("db"), lit("orders").as("table"),
+          (lit(1704067200000L) + $"id" * 3 + esOff).as("ts_ms")).as("source"),
+        op.as("op"),
+        // connector processing time trails the commit time; events must
+        // rank on source.ts_ms, not this
+        (lit(1704067200500L) + $"id" * 3 + esOff).as("ts_ms")))
+    def raw(df: DataFrame, v: Column, esOff: Int) = df.select(
+      v.as("value"), lit(0).as("partition"),
+      ($"id" * 3 + esOff).cast("bigint").as("offset"))
+    val ins = raw(base, line(when($"id" % 2 === 0, "c").otherwise("r"),
+      nullImg, img(lit("pending")), 0), 0)
+    val upd = raw(base, line(lit("u"), img(lit("pending")),
+      img($"final_status"), 1), 1)
+    val dels = base.filter($"id" % 9 === 0)
+    val del = raw(dels, line(lit("d"), img($"final_status"), nullImg, 2), 2)
+    val tomb = dels.select(lit(null).cast("string").as("value"),
+      lit(1).as("partition"), ($"id" * 3 + 2).cast("bigint").as("offset"))
+    val junk = s.range(1).select(lit("not-json{{{").as("value"),
+      lit(1).as("partition"), lit(0L).as("offset"))
+    ins.unionByName(upd).unionByName(del)
+      .unionByName(upd) // at-least-once redelivery under the same coordinate
+      .unionByName(tomb).unionByName(junk)
+  }
+
+  /** S2' — Debezium-JSON materialization: the SAME apply primitive
+    * ([[CdcApply.materialize]] — delivery dedup, latest-by-pk, tombstone
+    * drop) running unchanged on the other major open CDC envelope, which is
+    * the whole point of normalizing wire formats at the source stage. The
+    * `c`/`r` split, the before-image delete shape, the redelivered update,
+    * and the source-vs-connector timestamp precedence all have to come out
+    * right for the surviving state to match the orders arithmetic. */
+  def cdc_dbz_materialize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcApply.materialize(DebeziumJson.events(debeziumOrderEvents(s, dir)))
+      .select($"pk".cast("bigint").as("id"),
+        element_at($"data", "status").as("status"),
+        $"operation", $"op", unix_millis($"timestamp").as("es_ms"))
+      .orderBy($"id")
+  }
+
+  /** S2'' — Debezium routing census: every delivery classified — the four
+    * op chars on the valid path (updates counted twice: the census sees
+    * DELIVERIES, upstream of the idempotency dedup) plus the dead-letter
+    * reasons, with Kafka log-compaction tombstones (null values — a
+    * contract message, not an error) classified apart from parse errors.
+    * One parse materialization feeds both branches (the maintainCounts
+    * localCheckpoint rule). */
+  def cdc_dbz_routing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = DebeziumJson.parse(debeziumOrderEvents(s, dir))
+      .localCheckpoint(false)
+    val valid = DebeziumJson.flatten(parsed).select($"operation".as("kind"))
+    val bad = DebeziumJson.invalid(parsed).select($"reason".as("kind"))
+    valid.unionByName(bad)
+      .groupBy($"kind").agg(count(lit(1)).as("n"))
+      .orderBy($"kind")
   }
 
   /** W2'' — COMPOSITE-key materialization driven by the envelope's own
@@ -1102,6 +1182,8 @@ object CdcQueries {
     "cdc_wire_parse" -> cdc_wire_parse _,
     "cdc_wire_latest" -> cdc_wire_latest _,
     "cdc_wire_composite" -> cdc_wire_composite _,
+    "cdc_dbz_materialize" -> cdc_dbz_materialize _,
+    "cdc_dbz_routing" -> cdc_dbz_routing _,
     "cdc_dedup_stream" -> cdc_dedup_stream _,
     "cdc_store_pruned" -> cdc_store_pruned _,
     "cdc_wire_asof" -> cdc_wire_asof _,
@@ -1275,6 +1357,25 @@ object CdcQueries {
         |    CASE WHEN lno >= 4 THEN 1 ELSE 0 END AS es_ms
         |FROM k WHERE lno <> 7
         |ORDER BY order_id, line_no""".stripMargin,
+    "cdc_dbz_materialize" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+        |  'u' AS operation, 'update' AS op,
+        |  1704067200000 + o_orderkey * 3 + 1 AS es_ms
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey % 9 <> 0
+        |ORDER BY id""".stripMargin,
+    "cdc_dbz_routing" ->
+      """WITH s AS (
+        |  SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT kind, n FROM (
+        |  SELECT 'c' AS kind, count(*) AS n FROM s WHERE id % 2 = 0
+        |  UNION ALL SELECT 'r', count(*) FROM s WHERE id % 2 = 1
+        |  UNION ALL SELECT 'u', 2 * count(*) FROM s
+        |  UNION ALL SELECT 'd', count(*) FROM s WHERE id % 9 = 0
+        |  UNION ALL SELECT 'compaction_tombstone', count(*) FROM s
+        |    WHERE id % 9 = 0
+        |  UNION ALL SELECT 'parse_error', CAST(1 AS BIGINT))
+        |WHERE n > 0 ORDER BY kind""".stripMargin,
     // effectively-once census: the redelivered UPDATEs must count ONCE —
     // every column derives from the orders key arithmetic (dense key
     // d = id // 40, es = 1704067200000 + 3d + opOffset)

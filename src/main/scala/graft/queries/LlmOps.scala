@@ -2897,8 +2897,7 @@ object LlmOps {
     "x2_winnow" ->
       """WITH g AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15))
-        |      AS BIGINT) AS h,
+        |    substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15) AS h,
         |    CAST(length(text) - 7 AS BIGINT) AS n_grams
         |  FROM documents, unnest(generate_series(1, length(text) - 7)) AS t(i)
         |  WHERE length(text) >= 11),

@@ -353,7 +353,7 @@ class DedupSpec extends SparkSpec {
       (3L, "0123456789 0123456789 0123456789"))
       .toDF("doc_id", "text")
     val sel = Dedup.winnowSelected(docs, "text", "doc_id", k = 8, w = 4)
-      .select($"doc_id", $"h").as[(Long, Long)].collect()
+      .select($"doc_id", $"h").as[(Long, String)].collect()
     val byDoc = sel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
       "shared 16-char substring left no shared fingerprint")
