@@ -1243,8 +1243,12 @@ object LlmOps {
   def x4_lang_profile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
+    // |langs| x 60 rows; materialized once — langClassify reads it twice
+    // (score join + the language grid) and re-running the training agg for
+    // the second read would double the corpus work (the maintainCounts
+    // localCheckpoint rule)
     val profiles = TextOps.langProfiles(
-      docs.filter($"doc_id" % 5 =!= 0), "text", "lang")
+      docs.filter($"doc_id" % 5 =!= 0), "text", "lang").localCheckpoint(false)
     val test = docs.filter($"doc_id" % 5 === 0)
     TextOps.langClassify(test, profiles, "text", "doc_id")
       .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
