@@ -425,6 +425,52 @@ object CdcQueries {
       .orderBy($"id")
   }
 
+  /** S6' — multiline log reassembly ([[graft.streaming.LogShipping
+    * .reassembleMultiline]]): a deterministic log feed from the events
+    * table — every event emits one start line, and error events trail
+    * `event_id % 3 + 1` stack-frame continuation lines — reassembled by
+    * the filebeat `match: after` rule. Any off-by-one in the prefix-sum
+    * event id, a dropped frame, or a wrong join order changes `n_lines` or
+    * the message bytes and hash-mismatches; DuckDB rebuilds every message
+    * independently with `string_agg ORDER BY` over a generated frame
+    * series. */
+  def s6_multiline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.LogShipping
+    val e = Tables.events(s, dir).select(
+      $"event_type".as("container"),
+      expr("unix_micros(cast(ts as timestamp))").as("ts"),
+      $"event_id")
+    val starts = e.select($"container", $"ts",
+      ($"event_id" * 10).as("line_no"),
+      concat(when($"container" === "error", "ERROR").otherwise("INFO"),
+        lit(" ["), $"container", lit("] event id="), $"event_id").as("log"))
+    val frames = e.filter($"container" === "error")
+      .withColumn("f", explode(sequence(lit(1L), $"event_id" % 3 + 1, lit(1L))))
+      .select($"container", $"ts", ($"event_id" * 10 + $"f").as("line_no"),
+        concat(lit("  at frame_"), $"f", lit("(ev"), $"event_id", lit(")"))
+          .as("log"))
+    LogShipping.reassembleMultiline(starts.unionByName(frames),
+        isStart = !col("log").startsWith("  at "))
+      .orderBy($"container", $"evt")
+  }
+
+  /** W8-over-Debezium — grouped-count maintenance ([[CdcApply
+    * .maintainCounts]]) running unchanged on the [[debeziumOrderEvents]]
+    * feed: the cross-format certification that FULL before images (Debezium
+    * ships the whole row in `old`, canal-json only the changed cells)
+    * flow through the same delta algebra — +pending at insert cancels
+    * −pending at the update's old image, deletes retire the final status,
+    * the redelivered update dedups on logical identity, and the `pending`
+    * group vanishes under cnt ≠ 0. DuckDB recomputes from the orders
+    * arithmetic. */
+  def cdc_dbz_count_maintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CdcApply.maintainCounts(
+        DebeziumJson.events(debeziumOrderEvents(s, dir)), "status")
+      .orderBy($"status")
+  }
+
   /** T1/T3/T4/T5/T7 — oracle-checked wire-format roundtrip: build canal-json
     * envelopes deterministically FROM the orders parquet table (one multi-row
     * UPDATE per customer, `old[i]` markers derived from `data[i]`'s key), run
@@ -1184,6 +1230,8 @@ object CdcQueries {
     "cdc_wire_composite" -> cdc_wire_composite _,
     "cdc_dbz_materialize" -> cdc_dbz_materialize _,
     "cdc_dbz_routing" -> cdc_dbz_routing _,
+    "cdc_dbz_count_maintain" -> cdc_dbz_count_maintain _,
+    "s6_multiline" -> s6_multiline _,
     "cdc_dedup_stream" -> cdc_dedup_stream _,
     "cdc_store_pruned" -> cdc_store_pruned _,
     "cdc_wire_asof" -> cdc_wire_asof _,
@@ -1376,6 +1424,29 @@ object CdcQueries {
         |    WHERE id % 9 = 0
         |  UNION ALL SELECT 'parse_error', CAST(1 AS BIGINT))
         |WHERE n > 0 ORDER BY kind""".stripMargin,
+    "cdc_dbz_count_maintain" ->
+      """SELECT o_orderstatus AS status, count(*) AS cnt
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 9 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s6_multiline" ->
+      """WITH e AS (
+        |  SELECT event_type AS container, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'error'
+        |      THEN event_id % 3 + 1 ELSE 0 END AS nf
+        |  FROM events),
+        |o AS (
+        |  SELECT *, row_number() OVER (PARTITION BY container
+        |    ORDER BY event_id) AS evt
+        |  FROM e)
+        |SELECT container, CAST(evt AS BIGINT) AS evt, us AS first_ts,
+        |  CAST(nf + 1 AS BIGINT) AS n_lines,
+        |  (CASE WHEN container = 'error' THEN 'ERROR' ELSE 'INFO' END
+        |    || ' [' || container || '] event id=' || event_id)
+        |  || coalesce(chr(10) || (
+        |      SELECT string_agg('  at frame_' || j || '(ev' || event_id || ')',
+        |        chr(10) ORDER BY j)
+        |      FROM unnest(generate_series(1, nf)) AS t(j)), '') AS message
+        |FROM o ORDER BY container, evt""".stripMargin,
     // effectively-once census: the redelivered UPDATEs must count ONCE —
     // every column derives from the orders key arithmetic (dense key
     // d = id // 40, es = 1704067200000 + 3d + opOffset)

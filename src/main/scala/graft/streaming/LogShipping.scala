@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -57,5 +57,37 @@ object LogShipping {
   def fixtureRaw(s: SparkSession): DataFrame = {
     import s.implicits._
     fixtureLines.toDF("value")
+  }
+
+  /** S6' — MULTILINE log reassembly (filebeat `multiline.negate/match:
+    * after` semantics): a continuation line (one that does NOT match the
+    * event-start predicate — stack-trace frames, wrapped messages) folds
+    * into the preceding start line's event. Without this, every Java/Node
+    * stack frame indexes as its own "event" and error counting is garbage —
+    * the single most common log-pipeline bug.
+    *
+    * Input contract: (container, ts, line_no, log) where `line_no` is the
+    * within-container physical order (a file offset / Kafka coordinate in
+    * production). Event id = running count of start lines per container
+    * (one prefix-sum window), then one grouped fold rebuilds each event:
+    * first_ts, line count, and the message joined in line order
+    * (`array_sort` over (line_no, log) structs — deterministic on any
+    * engine). Orphan continuations before the first start line are dropped,
+    * as filebeat does. Scale: one shuffle on the container key; real
+    * deployments key by (host, file) so the prefix sum never sees a global
+    * order — the fixture's 5 containers are the worst-case skew, not the
+    * design point. */
+  def reassembleMultiline(lines: DataFrame, isStart: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("container")).orderBy(col("line_no"))
+    lines
+      .withColumn("evt", sum(when(isStart, 1L).otherwise(0L)).over(w))
+      .filter(col("evt") > 0)
+      .groupBy(col("container"), col("evt"))
+      .agg(min(col("ts")).as("first_ts"),
+        count(lit(1)).as("n_lines"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("log")))),
+          s => s.getField("log")), "\n").as("message"))
   }
 }
