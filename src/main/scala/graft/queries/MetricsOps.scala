@@ -350,6 +350,60 @@ object MetricsOps {
       .orderBy($"bucket_start", $"event_type")
   }
 
+  /** P36 — PromQL `holt_winters` (double exponential smoothing), the REAL
+    * two-parameter form WITH the trend term — [[p20_smooth]] is the
+    * level-only EWMA and says so; this runs Prometheus' holtWinters
+    * recursion (promql/functions.go) with sf = tf = 1/2 over each series'
+    * trailing 12 buckets, EXACTLY: scaling the state by 4 per step turns
+    *   s_t = (x_t + s_{t−1} + b_{t−1})/2,  b_t = (s_t − s_{t−1} + b_{t−1})/2
+    * into pure int64 —
+    *   S_i = 2·x·4^(i−1) + 2·S' + 2·B',   B_i = x·4^(i−1) − S' + 3·B'
+    * with the trend seeded from the first difference INSIDE the first fold
+    * step (st.p = 0 marks "unseeded"). The smoothed level can go NEGATIVE
+    * mid-oscillation, so the final ppm division is written as a FLOOR
+    * division — `(n − pmod(n, d)) div d` — because Spark `div` truncates
+    * toward zero and only floor matches DuckDB `//` on negatives.
+    * PromQL's 2-sample minimum drops each series' head bucket. Bounds: 12
+    * steps ⇒ scale 4^11 ≈ 4.2e6; |S| is raise_error-guarded at 9e12 so a
+    * 1000× count scale-up fails loudly instead of wrapping. The oracle
+    * replays the recursion as 11 unrolled lateral-alias steps. */
+  def p36_holt_winters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    holtWinters(events(s, dir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("bucket_start"), $"event_type", $"cnt"))
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  /** The scaled-integer holt-winters core over a generic (bucket_start,
+    * event_type, cnt) frame — factored so MetricsUnitSpec can pin the
+    * trend and negative-level cases against hand-run Prometheus values. */
+  private[queries] def holtWinters(bucketed: DataFrame): DataFrame = {
+    import bucketed.sparkSession.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"bucket_start").rowsBetween(-11, Window.currentRow)
+    bucketed
+      .withColumn("arr", collect_list($"cnt").over(w))
+      .filter(size($"arr") >= 2)
+      .withColumn("st", expr(
+        """aggregate(
+          |  slice(arr, 2, size(arr) - 1),
+          |  named_struct('s', element_at(arr, 1), 'b', CAST(0 AS BIGINT),
+          |               'p', CAST(0 AS BIGINT)),
+          |  (st, x0) -> named_struct(
+          |    's', 2 * x0 * greatest(st.p, CAST(1 AS BIGINT)) + 2 * st.s
+          |       + 2 * (CASE WHEN st.p = 0 THEN x0 - st.s ELSE st.b END),
+          |    'b', x0 * greatest(st.p, CAST(1 AS BIGINT)) - st.s
+          |       + 3 * (CASE WHEN st.p = 0 THEN x0 - st.s ELSE st.b END),
+          |    'p', greatest(st.p, CAST(1 AS BIGINT)) * 4))""".stripMargin))
+      .select($"bucket_start", $"event_type", $"cnt",
+        expr("""CASE WHEN abs(st.s) > 9000000000000 THEN
+               |  raise_error('p36_holt_winters: |S| past the int64 ppm headroom (9e12); shrink the window or rescale the counts')
+               |ELSE (st.s * 1000000 - pmod(st.s * 1000000, st.p)) div st.p
+               |END""".stripMargin).as("smooth_ppm"))
+  }
+
   /** P21 — 3σ traffic-anomaly detection per series, INTEGER-EXACT: flag
     * every minute whose event count sits more than three standard
     * deviations above its series' mean over the observed window. The usual
@@ -1521,9 +1575,56 @@ object MetricsOps {
     "p33_time_weighted" -> p33_time_weighted _,
     "p34_prom_rate" -> p34_prom_rate _,
     "p35_histogram_fraction" -> p35_histogram_fraction _,
+    "p36_holt_winters" -> p36_holt_winters _,
     "w2_latest_by_key" -> w2_latest_by_key _,
     "w5_tombstone" -> w5_tombstone _,
   )
+
+  /** The p36 recursion unrolled for the oracle: 11 lateral-alias steps over
+    * the window elements c2..c12 (a trailing window is contiguous, so NULL
+    * elements occur only past the window length and each step's CASE just
+    * carries the state through; the per-step scale 4^(i−1) is therefore a
+    * static constant). Generated, not hand-written — the step algebra must
+    * match [[holtWinters]]' fold term for term. */
+  private val p36OracleSql: String = {
+    val cols = (1 to 12).map(i => s"arr[$i] AS c$i").mkString(", ")
+    // one CTE per step, NOT lateral aliases in one SELECT: DuckDB binds a
+    // lateral alias by substituting its whole expression at every
+    // reference, so a chained recursion expands exponentially (the first
+    // form OOM'd the binder); a CTE chain makes each state a real column
+    val steps = (2 to 12).map { i =>
+      val pPrev = 1L << (2 * (i - 2))
+      val pNew = 1L << (2 * (i - 1))
+      val beff = if (i == 2) "(c2 - s1)" else s"b${i - 1}"
+      s"""r$i AS (
+         |  SELECT *,
+         |    CASE WHEN c$i IS NULL THEN s${i - 1}
+         |      ELSE 2*c$i*$pPrev + 2*s${i - 1} + 2*$beff END AS s$i,
+         |    CASE WHEN c$i IS NULL THEN b${i - 1}
+         |      ELSE c$i*$pPrev - s${i - 1} + 3*$beff END AS b$i,
+         |    CASE WHEN c$i IS NULL THEN p${i - 1}
+         |      ELSE CAST($pNew AS BIGINT) END AS p$i
+         |  FROM r${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+       |    event_type, count(*) AS cnt
+       |  FROM events GROUP BY bucket_start, event_type),
+       |f AS (
+       |  SELECT bucket_start, event_type, cnt,
+       |    list(cnt) OVER (PARTITION BY event_type ORDER BY bucket_start
+       |                    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS arr
+       |  FROM b),
+       |r1 AS (
+       |  SELECT bucket_start, event_type, cnt, len(arr) AS n, $cols,
+       |    CAST(arr[1] AS BIGINT) AS s1, CAST(0 AS BIGINT) AS b1,
+       |    CAST(1 AS BIGINT) AS p1
+       |  FROM f),
+       |$steps
+       |SELECT bucket_start, event_type, cnt,
+       |  (s12 * 1000000) // p12 AS smooth_ppm
+       |FROM r12 WHERE n >= 2 ORDER BY bucket_start, event_type""".stripMargin
+  }
 
   private val bucketCase: String = {
     val whens = buckets.map(b => s"WHEN value <= $b THEN '${"%.1f".format(b)}'").mkString(" ")
@@ -2222,6 +2323,7 @@ object MetricsOps {
         |    THEN CAST(coalesce(sum(v_cents * dt), 0) AS BIGINT) // (max(t) - min(t))
         |    ELSE -1 END AS twa_cents
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p36_holt_winters" -> p36OracleSql,
     "p34_prom_rate" ->
       """WITH pm AS (
         |  SELECT event_type, epoch_us(date_trunc('minute', ts)) // 1000000 AS sec,

@@ -43,6 +43,29 @@ class MetricsUnitSpec extends SparkSpec {
       ("k", 86400L, 2L, 1L, 555L)))
   }
 
+  test("p36 core: double exponential smoothing matches hand-run Prometheus " +
+      "holtWinters, including a NEGATIVE smoothed level") {
+    // hand recursion (sf=tf=1/2): series [2,4,6] — s1=x2=4, b=2;
+    // s2=(6+4+2)/2=6 (the trend term tracks a ramp exactly, where the
+    // level-only EWMA of p20_smooth would lag). series [1000,0,0] —
+    // s1=0, b=-1000; s2=(0+0-1000)/2=-500: the level goes NEGATIVE, which
+    // is exactly the case the floor-division form exists for.
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00")
+    val bucketed = Seq(
+      ("ramp", ts(0), 2L), ("ramp", ts(1), 4L), ("ramp", ts(2), 6L),
+      ("drop", ts(0), 1000L), ("drop", ts(1), 0L), ("drop", ts(2), 0L))
+      .toDF("event_type", "bucket_start", "cnt")
+    val out = MetricsOps.holtWinters(bucketed)
+      .select($"event_type", $"bucket_start", $"smooth_ppm")
+      .as[(String, java.sql.Timestamp, Long)].collect()
+      .map(r => (r._1, r._2.toString.take(16), r._3)).toSet
+    assert(out === Set(
+      ("ramp", "2024-01-01 00:01", 4000000L),  // s1 = x2 = 4
+      ("ramp", "2024-01-01 00:02", 6000000L),  // trend-exact on the ramp
+      ("drop", "2024-01-01 00:01", 0L),        // s1 = x2 = 0
+      ("drop", "2024-01-01 00:02", -500000000L))) // negative level, floored
+  }
+
   test("p34 core: single-sample windows yield no row (PromQL empty vector)") {
     val samples = Seq(("k", 600L, 5L), ("k", 7200L, 3L))
       .toDF("event_type", "sec", "cnt")
