@@ -404,6 +404,54 @@ object MetricsOps {
                |END""".stripMargin).as("smooth_ppm"))
   }
 
+  /** P37 — Alertmanager-layer grouping + INHIBITION over evaluated alerts:
+    * the notification stage above the P7/P8/P28 evaluators — the reference's
+    * alerts.yml feeds exactly this layer in a real deployment. Two alert
+    * rules evaluate per (series, hour), both as exact integer comparisons
+    * (`cnt·nh > 2·tot` ⇔ count above 2× its series' hourly mean → severity
+    * critical; `sumv·nh > totv` on exact value cents → warning); an
+    * inhibit rule (source critical, target warning, `equal: [series,
+    * hour]` — the Alertmanager inhibit_rules contract) suppresses the
+    * warning where a critical already fired on the same labels, and
+    * notifications group by series into 6-hour buckets (group_by +
+    * group_interval), emitting fired / inhibited / notified counts and the
+    * group's alert span. A broken inhibition join (the classic bug: equal-
+    * labels matching degenerating to severity-only) changes `n_inhibited`
+    * and hash-mismatches. One hourly aggregation materialized once (stats
+    * + both rules read it), stats broadcast, alerts unioned map-side. */
+  def p37_alert_inhibit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round($"value" * 100).cast("long")).as("sumv"))
+      .localCheckpoint(false)
+    val stats = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("nh"), sum($"cnt").as("tot"),
+        sum($"sumv").as("totv"))
+    val j = hourly.join(broadcast(stats), Seq("event_type"))
+    val crit = j.filter($"cnt" * $"nh" > $"tot" * 2)
+      .select($"event_type", $"hour", lit("critical").as("severity"),
+        lit(0L).as("inhibited"))
+    val warn = j.filter($"sumv" * $"nh" > $"totv")
+      .select($"event_type", $"hour")
+      .join(crit.select($"event_type", $"hour", lit(1L).as("inh")),
+        Seq("event_type", "hour"), "left")
+      .select($"event_type", $"hour", lit("warning").as("severity"),
+        coalesce($"inh", lit(0L)).as("inhibited"))
+    crit.unionByName(warn)
+      .withColumn("hs", expr("unix_micros(cast(hour as timestamp)) div 1000000"))
+      .withColumn("group_start", expr("hs div 21600 * 21600"))
+      .groupBy($"event_type", $"group_start")
+      .agg(
+        sum(when($"severity" === "critical", 1L).otherwise(0L)).as("n_critical"),
+        sum(when($"severity" === "warning", 1L).otherwise(0L)).as("n_warning"),
+        sum($"inhibited").as("n_inhibited"),
+        (count(lit(1)) - sum($"inhibited")).as("n_notified"),
+        min($"hs").as("first_alert_s"), max($"hs").as("last_alert_s"))
+      .orderBy($"event_type", $"group_start")
+  }
+
   /** P21 — 3σ traffic-anomaly detection per series, INTEGER-EXACT: flag
     * every minute whose event count sits more than three standard
     * deviations above its series' mean over the observed window. The usual
@@ -1576,6 +1624,7 @@ object MetricsOps {
     "p34_prom_rate" -> p34_prom_rate _,
     "p35_histogram_fraction" -> p35_histogram_fraction _,
     "p36_holt_winters" -> p36_holt_winters _,
+    "p37_alert_inhibit" -> p37_alert_inhibit _,
     "w2_latest_by_key" -> w2_latest_by_key _,
     "w5_tombstone" -> w5_tombstone _,
   )
@@ -2324,6 +2373,41 @@ object MetricsOps {
         |    ELSE -1 END AS twa_cents
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "p36_holt_winters" -> p36OracleSql,
+    "p37_alert_inhibit" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sumv
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS nh, CAST(sum(cnt) AS BIGINT) AS tot,
+        |    CAST(sum(sumv) AS BIGINT) AS totv
+        |  FROM h GROUP BY 1),
+        |j AS (SELECT h.*, st.nh, st.tot, st.totv
+        |      FROM h JOIN st USING (event_type)),
+        |crit AS (SELECT event_type, hour FROM j WHERE cnt * nh > tot * 2),
+        |warn AS (SELECT event_type, hour FROM j WHERE sumv * nh > totv),
+        |alerts AS (
+        |  SELECT event_type, hour, 'critical' AS severity,
+        |    CAST(0 AS BIGINT) AS inhibited
+        |  FROM crit
+        |  UNION ALL
+        |  SELECT w.event_type, w.hour, 'warning',
+        |    CAST(CASE WHEN c.hour IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM warn w LEFT JOIN crit c
+        |    ON c.event_type = w.event_type AND c.hour = w.hour),
+        |g AS (
+        |  SELECT event_type, epoch_us(hour) // 1000000 AS hs,
+        |    severity, inhibited
+        |  FROM alerts)
+        |SELECT event_type, hs // 21600 * 21600 AS group_start,
+        |  CAST(sum(CASE WHEN severity = 'critical' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_critical,
+        |  CAST(sum(CASE WHEN severity = 'warning' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_warning,
+        |  CAST(sum(inhibited) AS BIGINT) AS n_inhibited,
+        |  CAST(count(*) - sum(inhibited) AS BIGINT) AS n_notified,
+        |  min(hs) AS first_alert_s, max(hs) AS last_alert_s
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p34_prom_rate" ->
       """WITH pm AS (
         |  SELECT event_type, epoch_us(date_trunc('minute', ts)) // 1000000 AS sec,
