@@ -1124,20 +1124,32 @@ object Dedup {
   private[graft] def winnowSelected(df: DataFrame, textCol: String,
                                     idCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
-    // per-gram extraction indexes a ONE-TIME char array (O(k) per gram) —
-    // `substring(text, pos, k)` would rescan the UTF-8 bytes from the
-    // string head at every position, O(len) per gram = O(len²) per doc,
-    // measured as the pipeline's single biggest cost (WinnowScratch);
-    // the hash stays the md5 15-hex-char PREFIX as a string — hex is
+    // Gram extraction = substring + md5 in ONE codegen'd generate+project
+    // stage. Three shapes were measured at sf0.1 (WinnowScratch + solo
+    // forks) and this one wins:
+    //   - this form: the explode and the hash projection fuse inside
+    //     whole-stage codegen, so the doc text is never copied per gram
+    //     row and downstream rows are narrow (doc_id, pos, h). substring
+    //     rescans UTF-8 from the head (O(len) per gram), acceptable while
+    //     docs are ≲ a few KB — revisit with a byte-offset Expression if a
+    //     corpus of 100 KB documents shows up;
+    //   - a one-time per-doc char ARRAY carried through the explode: O(k)
+    //     random access, but the ~10 KB array is copied into every gram
+    //     row's UnsafeRow — GC storms, 43 s cold runs;
+    //   - hashing inside a `transform` lambda over the char array (narrow
+    //     rows AND O(k) access): higher-order lambdas don't participate in
+    //     whole-stage codegen, and the interpreted per-element path was
+    //     ~2× slower than this form.
+    // The hash is the md5 15-hex-char PREFIX as a string — hex is
     // order-isomorphic to its numeric value, so window min/max select the
-    // same positions and a `conv` per gram buys nothing
+    // same positions and a per-gram `conv` buys nothing.
     val grams = df.filter(length(col(textCol)) >= k + w - 1)
-      .select(col(idCol).as("doc_id"), split(col(textCol), "").as("__c"),
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
         (length(col(textCol)) - (k - 1)).cast("long").as("n_grams"))
-      .withColumn("pos", explode(expr(s"sequence(1, size(__c) - ${k - 1}, 1)")))
+      .withColumn("pos", explode(expr(s"sequence(1, length(__t) - ${k - 1}, 1)")))
       .withColumn("h",
-        substring(md5(array_join(slice(col("__c"), col("pos"), lit(k)), "")), 1, 15))
-      .drop("__c")
+        substring(md5(expr(s"substring(__t, pos, $k)")), 1, 15))
+      .drop("__t")
     val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val back = ord.rowsBetween(-(w - 1), 0)
     val fwd = ord.rowsBetween(0, w - 1)
