@@ -133,6 +133,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected posexplode generator:\n$p")
   }
 
+  test("x2 winnowing: one doc-keyed exchange feeds both window passes; " +
+      "gram hashing fuses with the explode, no text in post-shuffle rows") {
+    val p = plan(graft.ops.Dedup.winnowFingerprints(
+      graft.tables.Tables.documents(spark, dir), "text", "doc_id"))
+    // the two rowsBetween windows and the aggregation all ride the single
+    // hashpartitioning(doc_id) exchange (+ the final orderBy is the
+    // entry's, not the operator's)
+    val nEx = p.linesIterator.count(
+      _.dropWhile(!_.isLetter).startsWith("Exchange"))
+    assert(nEx == 1, s"expected exactly one shuffle, got $nEx:\n$p")
+    assert(p.contains("Generate"), s"expected the gram explode:\n$p")
+    // narrow post-shuffle rows: the md5 projection runs BEFORE the
+    // exchange, so neither the text nor a char array crosses the wire
+    val exIdx = p.indexOf("Exchange")
+    assert(!p.substring(0, exIdx).contains("Scan parquet"),
+      s"scan must sit under the hash projection, not above the exchange")
+  }
+
+  test("x4 trained language-ID: profiles broadcast into the scoring join " +
+      "and the language grid") {
+    val p = plan(graft.queries.LlmOps.x4_lang_profile(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"profiles/grid must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian expected against the bounded profile table:\n$p")
+  }
+
+  test("p34 prom rate: the range selector is a plain group-by (no interval " +
+      "join) riding the window passes' partitioning") {
+    val p = plan(graft.queries.MetricsOps.p34_prom_rate(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"range selection must never be a theta join:\n$p")
+    assert(p.contains("Window"), s"expected the cumulative/lag windows:\n$p")
+  }
+
+  test("cdc debezium: each envelope parses once behind the generator " +
+      "barrier (the canal rule)") {
+    val p = plan(graft.cdc.DebeziumJson.events(
+      graft.cdc.CanalJson.fixtureRaw(spark)))
+    assert(p.sliding("from_json".length).count(_ == "from_json") <= 1,
+      s"from_json must appear once, not re-parsed per predicate:\n$p")
+    assert(p.contains("Generate"), s"expected the explode(array()) barrier:\n$p")
+  }
+
   test("x4 oov rate: the top-k vocabulary broadcasts into the token join") {
     val p = plan(LlmOps.x4_oov_rate(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
