@@ -153,6 +153,16 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       graft.queries.FixtureCache.clearReport()
+      // OPT-IN batch hygiene (SPARK_GRAFT_GC_BETWEEN=1): collect a
+      // batch-mate's garbage before the next entry's timed runs. A/B at
+      // sf0.1: it fixed the small entries (m1/m2 0.83/0.92 -> 0.25/0.36 s)
+      // but the BOARD median drifted +12% in the same run — System.gc()
+      // under G1 is a full STW collection that resets the adaptive region
+      // sizing the following timed run then pays to rebuild. Off by
+      // default; the isolate set handles the GC-sensitive heavy entries
+      // instead.
+      if (names.size > 1 &&
+          sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")) System.gc()
       val (t1, ok1) = runOnce(name, fn)
       if (!ok1) Timing(name, t1, t1, failed = true, runs = Seq(t1))
       else if (singleRun) {
@@ -295,7 +305,11 @@ object Bench {
     val streamEntries = Set(
       "cdc_health_counts", "cdc_health_surface", "cdc_dedup_stream",
       "p27_journey_ordered", "p28_alert_stream", "p29_stream_correlate",
-      "p32_stream_outer")
+      "p32_stream_outer",
+      // not streaming, but GC-sensitive: 1.4M-gram window passes measure
+      // 4.5 s in a private fork and degrade progressively (7-20 s) late in
+      // a shared JVM — isolate deterministically, not only via its prior
+      "x2_winnow")
     val isolateCutoff =
       sys.env.getOrElse("SPARK_GRAFT_ISOLATE_CUTOFF_S", "4").toDouble
     val batchSize =
