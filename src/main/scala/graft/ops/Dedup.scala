@@ -1105,8 +1105,11 @@ object Dedup {
     * single-shuffle shape as the shingle pipelines; per-doc stats come off
     * the window pass, never a doc×doc join. Returns per-doc
     * (doc_id, n_grams, n_windows, n_selected, n_fingerprints, density_ppm)
-    * with density relative to full windows; docs shorter than k chars have
-    * no k-gram and are excluded by construction. */
+    * with density relative to full windows; docs shorter than w + k − 1
+    * chars have no FULL window of k-gram hashes and are excluded (the
+    * `length ≥ k + w − 1` filter below — note this also drops docs with
+    * k ≤ len < w + k − 1, which do have k-grams but nothing to winnow;
+    * the oracle applies the same ≥ w + k − 1 cutoff). */
   /** The selected (doc_id, pos, h, n_grams) fingerprint rows of
     * [[winnowFingerprints]] — exposed so the guarantee properties (shared
     * substring ⇒ shared fingerprint; selection-gap ≤ w) are testable on the

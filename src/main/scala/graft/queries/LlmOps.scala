@@ -519,9 +519,13 @@ object LlmOps {
         Similarity.lshTopK(cq, cc, k = 5, dim = 64), cq, cc, k = 5)
       .select(($"query_id" - 2000L).as("query_id"),
         $"recall_pm".as("clustered_recall_pm")).distinct()
-    iso.join(broadcast(cRecall), Seq("query_id"))
+    // LEFT join + coalesce-to-0: withRecallPm only emits query_ids present
+    // in the approx output, so a clustered probe whose LSH lookup returned
+    // zero candidates must surface as recall 0 on its isotropic rows, not
+    // silently drop them from the artifact (round-14 advice)
+    iso.join(broadcast(cRecall), Seq("query_id"), "left")
       .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm",
-        $"clustered_recall_pm")
+        coalesce($"clustered_recall_pm", lit(0L)).as("clustered_recall_pm"))
       .orderBy($"query_id", $"rank")
   }
 

@@ -1463,14 +1463,24 @@ object MetricsOps {
     * pre-drop value (PromQL's monotonicity repair), summed over
     * consecutive-sample pairs INSIDE the window (the first sample's delta
     * from before the window is excluded, exactly as in Prometheus).
-    * Extrapolation, all int64: the window extends to each boundary when
-    * the margin is under 1.1× the average sample interval, else by half an
-    * interval — `durₓ < 1.1·avg` multiplied out to
-    * `10·durₓ·(n−1) < 11·sampled`, and the extended interval carried as
-    * `2(n−1)·ext` so the final micro-ops/sec rate is ONE floor division
-    * over non-negative int64 terms (Spark `div` == DuckDB `//` there).
-    * Bounds: increase ≤ events/series/day, 2(n−1)·ext ≤ 2·60·7200, so the
-    * ·10⁶ numerator stays < 2⁶³ with ~10³ headroom at any SF. */
+    * Extrapolation, all int64: the start margin is first capped at the
+    * COUNTER ZERO POINT — Prometheus assumes a counter cannot predate the
+    * instant it would have read zero at the observed slope, so
+    * `durStart ← min(durStart, sampled·first_v / increase)` (functions.go
+    * `durationToZero`; applies when increase > 0) — then each boundary
+    * extends fully when the (capped) margin is under 1.1× the average
+    * sample interval, else by half an interval. The rational capped margin
+    * never materializes: its threshold test `sampled·first_v/increase <
+    * 1.1·sampled/(n−1)` cancels to `10·first_v·(n−1) < 11·increase`, the
+    * uncapped test multiplies out to `10·durₓ·(n−1) < 11·sampled`, and the
+    * extended interval is carried scaled by `2(n−1)·increase` (the capped
+    * start term becomes the integer `2(n−1)·sampled·first_v`) so the final
+    * micro-ops/sec rate is still ONE floor division over non-negative
+    * int64 terms (Spark `div` == DuckDB `//` there). Bounds: the capped
+    * start term only fires when it is ≤ the uncapped `2(n−1)·durStart·
+    * increase`, so every term is ≤ 3·increase·2(n−1)·sampled ≤
+    * increase·2.6e6 and the ·10⁶ numerator stays < 2⁶³ with ~10³ headroom
+    * at any SF, exactly the pre-clamp margin. */
   def p34_prom_rate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perMin = events(s, dir)
@@ -1507,18 +1517,28 @@ object MetricsOps {
       .filter($"n" >= 2) // PromQL: a 1-sample range yields an empty vector
       .select($"event_type", $"t_end", $"n".as("n_samples"),
         ($"last".getField("v") - $"first".getField("v") + $"corr_in").as("increase"),
+        $"first".getField("v").as("first_v"),
         $"first".getField("sec").as("first_sec"),
         $"last".getField("sec").as("last_sec"))
+      // every term below is the boundary extension scaled by
+      // 2(n−1)·increase; the zero-point-capped start branch is the only
+      // one where the `increase` factor is replaced by `first_v` terms
       .withColumn("rate_upm", expr(
-        """increase * (2 * (n_samples - 1) * (last_sec - first_sec)
-          |  + (CASE WHEN 10 * (first_sec - (t_end - 3600)) * (n_samples - 1)
+        """(increase * 2 * (n_samples - 1) * (last_sec - first_sec)
+          |  + (CASE WHEN increase > 0
+          |            AND (last_sec - first_sec) * first_v
+          |              < (first_sec - (t_end - 3600)) * increase
+          |     THEN CASE WHEN 10 * first_v * (n_samples - 1) < 11 * increase
+          |          THEN 2 * (n_samples - 1) * (last_sec - first_sec) * first_v
+          |          ELSE increase * (last_sec - first_sec) END
+          |     WHEN 10 * (first_sec - (t_end - 3600)) * (n_samples - 1)
           |            < 11 * (last_sec - first_sec)
-          |     THEN 2 * (n_samples - 1) * (first_sec - (t_end - 3600))
-          |     ELSE last_sec - first_sec END)
+          |     THEN increase * 2 * (n_samples - 1) * (first_sec - (t_end - 3600))
+          |     ELSE increase * (last_sec - first_sec) END)
           |  + (CASE WHEN 10 * (t_end - last_sec) * (n_samples - 1)
           |            < 11 * (last_sec - first_sec)
-          |     THEN 2 * (n_samples - 1) * (t_end - last_sec)
-          |     ELSE last_sec - first_sec END)) * 1000000
+          |     THEN increase * 2 * (n_samples - 1) * (t_end - last_sec)
+          |     ELSE increase * (last_sec - first_sec) END)) * 1000000
           | div ((last_sec - first_sec) * 2 * (n_samples - 1) * 3600)"""
           .stripMargin))
       .select($"event_type", $"t_end", $"n_samples", $"increase", $"rate_upm")
@@ -2433,22 +2453,28 @@ object MetricsOps {
         |    arg_min(v, sec) AS first_v, arg_max(v, sec) AS last_v,
         |    min(sec) AS first_sec, max(sec) AS last_sec,
         |    CAST(sum(corr) - arg_min(corr, sec) AS BIGINT) AS corr_in
-        |  FROM c GROUP BY 1, 2 HAVING count(*) >= 2)
+        |  FROM c GROUP BY 1, 2 HAVING count(*) >= 2),
+        |i AS (SELECT *, last_v - first_v + corr_in AS inc FROM g)
         |SELECT event_type, t_end, n_samples,
-        |  CAST(last_v - first_v + corr_in AS BIGINT) AS increase,
-        |  CAST((last_v - first_v + corr_in)
-        |    * (2 * (n_samples - 1) * (last_sec - first_sec)
-        |      + (CASE WHEN 10 * (first_sec - (t_end - 3600)) * (n_samples - 1)
+        |  CAST(inc AS BIGINT) AS increase,
+        |  CAST((inc * 2 * (n_samples - 1) * (last_sec - first_sec)
+        |      + (CASE WHEN inc > 0
+        |                AND (last_sec - first_sec) * first_v
+        |                  < (first_sec - (t_end - 3600)) * inc
+        |         THEN CASE WHEN 10 * first_v * (n_samples - 1) < 11 * inc
+        |              THEN 2 * (n_samples - 1) * (last_sec - first_sec) * first_v
+        |              ELSE inc * (last_sec - first_sec) END
+        |         WHEN 10 * (first_sec - (t_end - 3600)) * (n_samples - 1)
         |                < 11 * (last_sec - first_sec)
-        |         THEN 2 * (n_samples - 1) * (first_sec - (t_end - 3600))
-        |         ELSE last_sec - first_sec END)
+        |         THEN inc * 2 * (n_samples - 1) * (first_sec - (t_end - 3600))
+        |         ELSE inc * (last_sec - first_sec) END)
         |      + (CASE WHEN 10 * (t_end - last_sec) * (n_samples - 1)
         |                < 11 * (last_sec - first_sec)
-        |         THEN 2 * (n_samples - 1) * (t_end - last_sec)
-        |         ELSE last_sec - first_sec END)) * 1000000
+        |         THEN inc * 2 * (n_samples - 1) * (t_end - last_sec)
+        |         ELSE inc * (last_sec - first_sec) END)) * 1000000
         |    // ((last_sec - first_sec) * 2 * (n_samples - 1) * 3600)
         |    AS BIGINT) AS rate_upm
-        |FROM g ORDER BY event_type, t_end""".stripMargin,
+        |FROM i ORDER BY event_type, t_end""".stripMargin,
     "p35_histogram_fraction" ->
       """WITH b AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour_start,

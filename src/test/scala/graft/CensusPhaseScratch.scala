@@ -32,14 +32,19 @@ object CensusPhaseScratch {
       }
     }
     spark.streams.addListener(listener)
-    // interleaved A/B: even runs = disk /tmp checkpoints (default), odd
-    // runs = tmpfs /dev/shm checkpoints — per-batch WAL + state-delta I/O
-    // is the suspected fixed cost
+    // interleaved A/B: even runs = tmpfs /dev/shm checkpoints, odd runs =
+    // disk /tmp checkpoints (default) — per-batch WAL + state-delta I/O is
+    // the suspected fixed cost. Each shm run gets a FRESH uuid-suffixed
+    // checkpoint base (named streaming queries reuse the same checkpoint
+    // subdir, so a reused base would make run 2 attempt checkpoint
+    // recovery from run 1's state — MemoryStream recovery fails or skews
+    // the measurement), and the dir is deleted after the run.
     (1 to n).foreach { i =>
       val shm = i % 2 == 0
+      val shmBase =
+        s"/dev/shm/graft-census-scratch-${java.util.UUID.randomUUID()}"
       if (shm)
-        spark.conf.set("spark.sql.streaming.checkpointLocation",
-          s"/dev/shm/graft-census-scratch")
+        spark.conf.set("spark.sql.streaming.checkpointLocation", shmBase)
       else spark.conf.unset("spark.sql.streaming.checkpointLocation")
       batches = 0; triggerMs = 0; addBatchMs = 0; planMs = 0
       val t0 = System.nanoTime()
@@ -50,6 +55,10 @@ object CensusPhaseScratch {
       println(f"run $i (${if (shm) "shm " else "disk"}): $sec%6.2f s  rows=$rows  microBatches=$batches " +
         f"triggerMs=$triggerMs addBatchMs=$addBatchMs planMs=$planMs " +
         f"nonTrigger=${sec - triggerMs / 1000.0}%6.2f s")
+      if (shm) {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(shmBase)).deleteRecursively()
+      }
     }
     spark.streams.removeListener(listener)
     spark.stop()

@@ -66,6 +66,27 @@ class MetricsUnitSpec extends SparkSpec {
       ("drop", "2024-01-01 00:02", -500000000L))) // negative level, floored
   }
 
+  test("p34 core: the counter zero-point clamp caps start extrapolation " +
+      "at the instant the counter would have read zero") {
+    // Window (0, 3600], samples (600 s, v=1), (1200 s, v=101): increase =
+    // 100, sampled = 600 s, durationToZero = 600·1/100 = 6 s < durStart =
+    // 600 s -> clamp. 6 < threshold 660 -> extend start by 6 only (the
+    // un-clamped formula would extend by the full 600 and report 104166);
+    // end margin 2400 >= 660 -> avg/2 = 300. rate = 100·(600+6+300)/600
+    // over 3600 s = 41944.4 upm, floored. Second shape: (800 s, v=12),
+    // (1400 s, v=22): durationToZero = 600·12/10 = 720 < durStart = 800
+    // -> clamp, but 720 >= threshold 660 -> avg/2 = 300 anyway; end 2200
+    // >= 660 -> 300. rate = 10·(600+300+300)/600 over 3600 s = 5555.5 upm.
+    val samples = Seq(("a", 600L, 1L), ("a", 1200L, 100L),
+        ("b", 800L, 12L), ("b", 1400L, 10L))
+      .toDF("event_type", "sec", "cnt")
+    val out = MetricsOps.promRate(samples)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("a", 3600L, 2L, 100L, 41944L),
+      ("b", 3600L, 2L, 10L, 5555L)))
+  }
+
   test("p34 core: single-sample windows yield no row (PromQL empty vector)") {
     val samples = Seq(("k", 600L, 5L), ("k", 7200L, 3L))
       .toDF("event_type", "sec", "cnt")
