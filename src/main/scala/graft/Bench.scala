@@ -27,7 +27,12 @@ import scala.jdk.CollectionConverters._
   * times only the query), and an entry missing from a batch child's output
   * (child crash, or a genuine query failure) is retried once in a private
   * fork before being recorded as failed — a batch-mate's OOM can't take
-  * innocent entries down with it.
+  * innocent entries down with it. A batched entry whose number comes back
+  * DRIFTED (warm > 1.5× the committed prior, or monotonically degrading
+  * runs — the shared-JVM GC-interaction signature round 14 measured on
+  * cdc_join_maintain, [3.60, 7.87, 16.59] s on unchanged code) is
+  * re-measured in a private fork in the same run; the detail records both
+  * numbers (`batch_warm` + the clean fork's `warm`).
   *
   * Budget telemetry: the parent logs cumulative wall clock after every fork
   * so an overrun is visible in the driver log BEFORE the kill; past 60% of
@@ -63,7 +68,8 @@ object Bench {
                                   runs: Seq[Double] = Nil,
                                   cacheHit: Option[Boolean] = None,
                                   prior: Option[Double] = None,
-                                  tiebreak: Option[String] = None)
+                                  tiebreak: Option[String] = None,
+                                  batchWarm: Option[Double] = None)
 
   /** Prior-round warm seconds per query, parsed from the COMMITTED
     * BENCH_DETAIL.json — `git show HEAD:` first, so a second bench run in
@@ -296,6 +302,15 @@ object Bench {
     * from a batch child are retried once in a private fork. Logs cumulative
     * wall clock after every fork and downgrades to single-run mode past 60%
     * of the wall-clock budget. */
+  /** Headroom telemetry captured by [[runForked]] for the detail header
+    * (round-14 verdict #5): r13 died at the driver's wall clock with zero
+    * warning; the header now records how much margin the run had left so
+    * the judge/driver can watch it shrink as the board grows. */
+  private final case class RunStats(wallS: Double, budgetS: Double,
+                                    nIsolated: Int, nBatched: Int,
+                                    nDriftRetries: Int)
+  private var runStats: Option[RunStats] = None
+
   private def runForked(names: Seq[String],
                         prior: Map[String, Double]): Seq[Timing] = {
     // Entries that start Structured Streaming queries (MemoryStream census
@@ -331,9 +346,44 @@ object Bench {
     var singleRun = false
     val buf = scala.collection.mutable.ArrayBuffer.empty[Timing]
     var done = 0
+    // Shared-batch drift defense (round-14 verdict #1): a batched entry can
+    // come back polluted by its JVM-mates — r14 recorded cdc_join_maintain
+    // runs [3.60, 7.87, 16.59] (monotone degradation, unchanged code) and
+    // x2_minhash_lsh [5.10, 2.23, 1.70] vs a 1.06 s prior. Either signature
+    // triggers ONE private-fork re-measure in the SAME run; the detail
+    // artifact records both numbers (`warm` = the cleaner min, `batch_warm`
+    // = the shared-JVM one) so drift is adjudicable from the artifact.
+    // Capped (default 8 retries/run, ~11 s fork cost each) and suppressed
+    // once the budget degrades the run to single-run mode.
+    val driftRetryCap =
+      sys.env.getOrElse("SPARK_GRAFT_DRIFT_RETRIES", "8").toInt
+    var driftRetries = 0
+    def drifted(t: Timing): Boolean = {
+      val vsPrior = t.prior.exists(p => t.warm > p * 1.5) && t.warm > 0.5
+      val monotone = t.runs.size >= 3 &&
+        t.runs.sliding(2).forall(p => p(1) > p(0))
+      vsPrior || monotone
+    }
     groups.foreach { g =>
       val first = forkGroup(g, prior, singleRun)
-      val (missing, ok) = first.partition(_.failed)
+      val (missing, ok0) = first.partition(_.failed)
+      val ok = ok0.map { t =>
+        if (g.size > 1 && drifted(t) && !singleRun &&
+            driftRetries < driftRetryCap) {
+          driftRetries += 1
+          System.err.println(f"[bench] ${t.name} batch warm ${t.warm}%.3f s " +
+            s"looks drifted (prior ${t.prior.getOrElse(-1.0)}, runs " +
+            s"${t.runs.mkString("[", ",", "]")}); re-measuring in a private fork")
+          forkGroup(Seq(t.name), prior, singleRun).headOption match {
+            case Some(solo) if !solo.failed =>
+              val clean = if (solo.warm <= t.warm) solo else t
+              clean.copy(batchWarm = Some(t.warm),
+                tiebreak = Some((clean.tiebreak.toSeq :+ "batch_drift")
+                  .mkString("+")))
+            case _ => t // solo fork died: keep the batch measurement
+          }
+        } else t
+      }
       buf ++= ok
       // retry pass: a batch-mate's crash or a transient failure must not
       // condemn an entry without giving it a clean private JVM once
@@ -352,6 +402,8 @@ object Bench {
           f"$budgetS%.0f s - remaining forks switch to single-run mode")
       }
     }
+    runStats = Some(RunStats((System.nanoTime() - t0) / 1e9, budgetS,
+      solo.size, small.size, driftRetries))
     // restore the caller's name order so the artifact stays diff-stable
     val byName = buf.map(t => t.name -> t).toMap
     names.map(byName)
@@ -374,14 +426,20 @@ object Bench {
       val taken = if (t.runs.isEmpty) ""
         else s""", "run_taken": ${t.runs.indexOf(t.runs.min) + 1}"""
       val tb = t.tiebreak.map(r => s""", "tiebreak": "$r"""").getOrElse("")
+      // the polluted shared-JVM number an in-run drift retry replaced; the
+      // warm/cold/runs fields then describe the clean private fork
+      val bw = t.batchWarm.map(b => f""", "batch_warm": $b%.3f""").getOrElse("")
       if (t.failed)
         f"""  "${t.name}": {"failed": true, "elapsed": ${t.warm}%.3f, "runs": $runs}"""
       else
-        f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs$taken$tb$cache$prior}"""
+        f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs$taken$tb$bw$cache$prior}"""
     }
+    val header = runStats.map(s =>
+      f""" "wall_s": ${s.wallS}%.1f, "budget_s": ${s.budgetS}%.0f, "headroom_s": ${s.budgetS - s.wallS}%.1f, "n_isolated": ${s.nIsolated}, "n_batched": ${s.nBatched}, "n_drift_retries": ${s.nDriftRetries},
+         |""".stripMargin).getOrElse("")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         | "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork, the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); past 60%% of the wall budget remaining entries run once (tiebreak: single_run); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
+         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork, the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift; the shared-JVM number it replaced is kept as batch_warm); past 60%% of the wall budget remaining entries run once (tiebreak: single_run); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}
