@@ -57,6 +57,28 @@ import scala.jdk.CollectionConverters._
   * the full operator, while still avoiding any collect-to-driver cost. */
 object Bench {
 
+  /** Entries whose BUILDERS start Structured Streaming queries (MemoryStream
+    * census feeds, the health pipeline's file-source sink): state-store
+    * maintenance threads and listener-bus traffic outlive stop(), so these
+    * keep a private JVM regardless of their prior warm time. Shared with
+    * PlanAuditSpec, which skips them (their returned census frame is a tiny
+    * local/parquet read; the interesting plans are the micro-batch ones,
+    * pinned in StreamingSpec) so the audit doesn't re-run the stream drains
+    * RegistrationSpec already pays for. */
+  private[graft] val streamEntries: Set[String] = Set(
+    "cdc_health_counts", "cdc_health_surface", "cdc_dedup_stream",
+    "p27_journey_ordered", "p28_alert_stream", "p29_stream_correlate",
+    "p32_stream_outer",
+    // not streaming, but GC-sensitive: 1.4M-gram window passes measure
+    // 4.5 s in a private fork and degrade progressively (7-20 s) late in
+    // a shared JVM — isolate deterministically, not only via its prior
+    "x2_winnow")
+
+  /** [[streamEntries]] minus the batch-but-GC-sensitive members — the set
+    * whose builders genuinely run streams (PlanAuditSpec's skip list). */
+  private[graft] val streamBuilderEntries: Set[String] =
+    streamEntries - "x2_winnow"
+
   /** One measurement: cold = first (fork-fresh) run, warm = steady-state
     * plan cost (min of first and second run; see [[runInline]]). A query
     * that THROWS is carried with `failed = true` — its elapsed time is a
@@ -313,18 +335,7 @@ object Bench {
 
   private def runForked(names: Seq[String],
                         prior: Map[String, Double]): Seq[Timing] = {
-    // Entries that start Structured Streaming queries (MemoryStream census
-    // feeds, the health pipeline's file-source sink): state-store
-    // maintenance threads and listener-bus traffic outlive stop(), so these
-    // keep a private JVM regardless of their prior warm time.
-    val streamEntries = Set(
-      "cdc_health_counts", "cdc_health_surface", "cdc_dedup_stream",
-      "p27_journey_ordered", "p28_alert_stream", "p29_stream_correlate",
-      "p32_stream_outer",
-      // not streaming, but GC-sensitive: 1.4M-gram window passes measure
-      // 4.5 s in a private fork and degrade progressively (7-20 s) late in
-      // a shared JVM — isolate deterministically, not only via its prior
-      "x2_winnow")
+    val streamEntries = Bench.streamEntries
     val isolateCutoff =
       sys.env.getOrElse("SPARK_GRAFT_ISOLATE_CUTOFF_S", "4").toDouble
     val batchSize =
