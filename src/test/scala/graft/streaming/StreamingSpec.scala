@@ -605,6 +605,56 @@ class StreamingSpec extends SparkSpec {
       s"line 1 tombstoned, line 2 updated — got $state")
   }
 
+  test("Debezium streaming twin: the normalized feed drives the SAME " +
+      "materialize sink incrementally, matching the batch apply") {
+    // "Switch the source stage, keep the pipeline" (DebeziumJson.scala:8-14)
+    // certified under micro-batches, not just batch (round-14 verdict #4):
+    // DebeziumJson.events over a MemoryStream feeds the UNCHANGED
+    // CdcPipeline.materializeSink — create + snapshot-read in batch 1 with
+    // an update; batch 2 redelivers the SAME update (same content-derived
+    // coordinate — delivery dedup must hold across the batch boundary),
+    // deletes via the Debezium before-image tombstone, and ships a
+    // malformed line the source stage must drop. The surviving store must
+    // equal the batch materializeEnvelopeKeyed over the identical feed.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.cdc.{CdcApply, DebeziumJson}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dbz_mat").toString
+    def dz(op: String, id: Int, before: String, after: String, es: Long) = {
+      def img(st: String) =
+        if (st == null) "null" else s"""{"id":"$id","status":"$st"}"""
+      s"""{"before":${img(before)},"after":${img(after)},"source":{"db":"testdb","table":"orders","ts_ms":$es},"op":"$op","ts_ms":${es + 500}}"""
+    }
+    val b1 = Seq(
+      dz("c", 1, null, "pending", 1704067201000L),
+      dz("r", 2, null, "pending", 1704067202000L),
+      dz("u", 1, "pending", "completed", 1704067203000L))
+    val b2 = Seq(
+      dz("u", 1, "pending", "completed", 1704067203000L), // redelivery
+      dz("d", 2, "pending", null, 1704067204000L),        // before-image tombstone
+      "not-json{{{")
+    val mem = MemoryStream[String]
+    val raw = mem.toDF()
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+    val q = CdcPipeline.materializeSink(DebeziumJson.events(raw),
+      s"$tmp/state", s"$tmp/ckpt", nBuckets = 4).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$tmp/state")
+      .select($"pk", element_at($"data", "status"), $"op",
+        unix_millis($"timestamp"))
+      .as[(String, String, String, Long)].collect().toSet
+    val batchRaw = (b1 ++ b2).toDF("value")
+      .withColumn("partition", lit(0)).withColumn("offset", xxhash64($"value"))
+    val batch = CdcApply.materializeEnvelopeKeyed(DebeziumJson.events(batchRaw))
+      .select($"pk", element_at($"data", "status"), $"op",
+        unix_millis($"timestamp"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(streamed === batch)
+    // id 2 tombstoned, id 1 survives with the update's image + commit time
+    assert(streamed === Set(("1", "completed", "update", 1704067203000L)))
+  }
+
   test("M4 error route: poison row is counted and skipped, the sink keeps running") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_poison").toString
