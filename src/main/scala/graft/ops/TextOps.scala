@@ -259,6 +259,55 @@ object TextOps {
       .select(col("doc_id"), col("cand_lang").as("predicted"), col("score"))
   }
 
+  /** TRAINED binary document classifier (nearest-class-mean with
+    * per-feature midpoint votes — a trained decision-stump ensemble): from
+    * a LABELED training slice learn each class's per-feature mean, then
+    * classify a document by voting each feature toward the class whose
+    * mean is on the same side of the two means' midpoint, majority wins.
+    * This is the integer-exact sibling of a linear discriminant: the model
+    * IS data (two rows of per-feature sums + counts), and because every
+    * comparison is cross-multiplied — `f` vs the midpoint becomes
+    * `2·f·n_p·n_n` vs `s_p·n_n + s_n·n_p`, the direction test
+    * `mean_p < mean_n` becomes `s_p·n_n < s_n·n_p` — the trained pipeline
+    * replays exactly in any engine with int64 (bounds: f ≤ ~3e3 permille/
+    * char features, n ≤ corpus size, so the products stay < 2⁶³ through a
+    * 1000× scale-up). Tie rules, deterministic on any engine: a feature
+    * whose class means are EQUAL votes negative (it learned nothing), a
+    * document exactly ON a midpoint votes negative, and a vote TIE (even
+    * feature count) predicts negative — the conservative keep-side for a
+    * quality filter.
+    *
+    * Scale: the model is ONE broadcast row regardless of corpus size;
+    * scoring is a per-row projection, no shuffle beyond what feature
+    * extraction itself needs. Returns test + (votes_pos, predicted). */
+  def meanMidpointClassify(train: DataFrame, test: DataFrame,
+                           features: Seq[String], labelCol: String,
+                           posLabel: String, negLabel: String): DataFrame = {
+    val isPos = col(labelCol) === posLabel
+    val stats = train.agg(
+      sum(when(isPos, 1L).otherwise(0L)).as("n_p"),
+      (sum(when(isPos, 0L).otherwise(1L)).as("n_n") +:
+        features.flatMap(f => Seq(
+          sum(when(isPos, col(f)).otherwise(0L)).as(s"s_p_$f"),
+          sum(when(isPos, lit(0L)).otherwise(col(f))).as(s"s_n_$f")))): _*)
+    val votes = features.map { f =>
+      val (fv, sp, sn) = (col(f), col(s"s_p_$f"), col(s"s_n_$f"))
+      // vote positive iff f sits strictly on the positive mean's side of
+      // the midpoint; equal means or exact midpoint -> negative
+      when(sp * col("n_n") < sn * col("n_p"),
+        (fv * 2 * col("n_p") * col("n_n")) < (sp * col("n_n") + sn * col("n_p")))
+        .when(sp * col("n_n") > sn * col("n_p"),
+          (fv * 2 * col("n_p") * col("n_n")) > (sp * col("n_n") + sn * col("n_p")))
+        .otherwise(lit(false))
+    }.map(v => when(v, 1L).otherwise(0L)).reduce(_ + _)
+    test.crossJoin(broadcast(stats))
+      .withColumn("votes_pos", votes)
+      .withColumn("predicted",
+        when(col("votes_pos") * 2 > features.size, posLabel).otherwise(negLabel))
+      .drop((Seq("n_p", "n_n") ++
+        features.flatMap(f => Seq(s"s_p_$f", s"s_n_$f"))): _*)
+  }
+
   /** Overlapping word-window chunking — the embedding/RAG prep step: split
     * each document into `chunkSize`-word windows advancing by
     * `chunkSize - overlap`, so consecutive chunks share `overlap` words of

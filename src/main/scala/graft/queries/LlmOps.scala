@@ -1261,6 +1261,59 @@ object LlmOps {
       .orderBy($"lang", $"predicted")
   }
 
+  /** X4t — TRAINED document-quality classifier
+    * ([[TextOps.meanMidpointClassify]] — the trained floor a real 100 TB
+    * curation run uses where x10_pipeline applies a hand-set threshold):
+    * low-quality docs are INJECTED deterministically (the x4_pii pattern —
+    * odd doc_ids become template spam: the doc's first 8 words repeated to
+    * its original word count, at least 4× so short docs are corrupted too
+    * and the labels stay SEPARABLE, the looped-boilerplate shape
+    * [[x4_repetition]] exists to catch), so the labels are real structure,
+    * not a function the model could only memorize. Features per doc —
+    * distinct-word permille, top-word-dominance permille, repeated-3-gram
+    * permille — are integer; the model is trained on the 4/5 slice
+    * (`doc_id % 5 ≠ 0`),
+    * the held-out fifth is scored, and the CONFUSION census (label ×
+    * predicted, doc count + summed spam votes) is the artifact. Integer
+    * end to end, so DuckDB replays the trained pipeline — corruption,
+    * features, class means, midpoint votes, argmax — not just the counts.
+    * Scale: one word-level shuffle for the top-word count (the x4_keywords
+    * posture); the model is one broadcast row forever. Accuracy floor on
+    * these separable labels is spec-pinned in TextOpsSpec. */
+  def x4_quality_clf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir).select($"doc_id", $"text",
+      split($"text", " ").as("w"))
+    val q = docs.select($"doc_id",
+      when($"doc_id" % 2 === 1,
+        concat_ws(" ", flatten(array_repeat(slice($"w", 1, 8),
+          greatest((size($"w") / 8).cast("int"), lit(4))))))
+        .otherwise($"text").as("qtext"),
+      when($"doc_id" % 2 === 1, "spam").otherwise("clean").as("label"))
+    val qw = q.withColumn("qw", split($"qtext", " "))
+    val top = qw.select($"doc_id", explode($"qw").as("wd"))
+      .groupBy($"doc_id", $"wd").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("topc"))
+    // materialized once: the train and test slices would otherwise diverge
+    // the canonical subtree (pushed %5 filters) and compute the word-level
+    // shuffle twice (the maintainCounts localCheckpoint rule)
+    val feats = qw.join(top, Seq("doc_id"))
+      .withColumn("sh", TextOps.shinglesAll($"qw", 3))
+      .select($"doc_id", $"label",
+        expr("size(array_distinct(qw)) * 1000L div size(qw)").as("f_distinct"),
+        expr("topc * 1000 div size(qw)").as("f_top"),
+        expr("(size(sh) - size(array_distinct(sh))) * 1000L" +
+          " div greatest(size(sh), 1)").as("f_rep3"))
+      .localCheckpoint(false)
+    val fcols = Seq("f_distinct", "f_top", "f_rep3")
+    TextOps.meanMidpointClassify(
+        feats.filter($"doc_id" % 5 =!= 0), feats.filter($"doc_id" % 5 === 0),
+        fcols, "label", posLabel = "spam", negLabel = "clean")
+      .groupBy($"label", $"predicted")
+      .agg(count(lit(1)).as("n_docs"), sum($"votes_pos").as("sum_votes_spam"))
+      .orderBy($"label", $"predicted")
+  }
+
   /** X4l — tf-idf keyword extraction: each document's top-3 terms by
     * tf·ln(N/df) — the classic topical-fingerprint op (tag generation,
     * cluster labeling, near-dup triage). Corpus stats arrive as a
@@ -1806,6 +1859,7 @@ object LlmOps {
     "x4_entropy" -> x4_entropy _,
     "x4_perplexity" -> x4_perplexity _,
     "x4_lang_profile" -> x4_lang_profile _,
+    "x4_quality_clf" -> x4_quality_clf _,
     "x4_keywords" -> x4_keywords _,
     "x4_repetition" -> x4_repetition _,
     "x4_pii" -> x4_pii _,
@@ -2683,6 +2737,71 @@ object LlmOps {
         |SELECT lang, predicted, count(*) AS n_docs,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the trained pipeline replayed end to end: spam injection, integer
+    // features, class-mean sums from the 4/5 train slice, cross-multiplied
+    // midpoint votes on the held-out fifth, majority argmax, confusion
+    "x4_quality_clf" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN array_to_string(
+        |      flatten(list_transform(range(greatest(len(w) // 8, 4)),
+        |        i -> w[1:8])), ' ')
+        |    ELSE text END AS qtext,
+        |    CASE WHEN doc_id % 2 = 1 THEN 'spam' ELSE 'clean' END AS label
+        |  FROM w),
+        |qw AS (SELECT doc_id, label, qtext,
+        |  string_split(qtext, ' ') AS qw FROM q),
+        |top AS (
+        |  SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, wd, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(qtext, ' ')) AS wd FROM q)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |shd AS (SELECT *, CASE WHEN len(qw) >= 3 THEN list_transform(
+        |    generate_series(1, len(qw) - 2), i -> array_to_string(qw[i:i+2], ' '))
+        |  ELSE [] END AS sh FROM qw),
+        |f AS (
+        |  SELECT shd.doc_id, label,
+        |    CAST(len(list_distinct(qw)) * 1000 // len(qw) AS BIGINT) AS f_distinct,
+        |    CAST(topc * 1000 // len(qw) AS BIGINT) AS f_top,
+        |    CAST((len(sh) - len(list_distinct(sh))) * 1000
+        |      // greatest(len(sh), 1) AS BIGINT) AS f_rep3
+        |  FROM shd JOIN top USING (doc_id)),
+        |stats AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN label = 'spam' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |    CAST(sum(CASE WHEN label = 'spam' THEN 0 ELSE 1 END) AS BIGINT) AS n_n,
+        |    CAST(sum(CASE WHEN label = 'spam' THEN f_distinct ELSE 0 END) AS BIGINT) AS sp_distinct,
+        |    CAST(sum(CASE WHEN label = 'spam' THEN 0 ELSE f_distinct END) AS BIGINT) AS sn_distinct,
+        |    CAST(sum(CASE WHEN label = 'spam' THEN f_top ELSE 0 END) AS BIGINT) AS sp_top,
+        |    CAST(sum(CASE WHEN label = 'spam' THEN 0 ELSE f_top END) AS BIGINT) AS sn_top,
+        |    CAST(sum(CASE WHEN label = 'spam' THEN f_rep3 ELSE 0 END) AS BIGINT) AS sp_rep3,
+        |    CAST(sum(CASE WHEN label = 'spam' THEN 0 ELSE f_rep3 END) AS BIGINT) AS sn_rep3
+        |  FROM f WHERE doc_id % 5 <> 0),
+        |v AS (
+        |  SELECT label,
+        |    (CASE WHEN sp_distinct * n_n < sn_distinct * n_p
+        |       THEN (CASE WHEN 2 * f_distinct * n_p * n_n < sp_distinct * n_n + sn_distinct * n_p THEN 1 ELSE 0 END)
+        |     WHEN sp_distinct * n_n > sn_distinct * n_p
+        |       THEN (CASE WHEN 2 * f_distinct * n_p * n_n > sp_distinct * n_n + sn_distinct * n_p THEN 1 ELSE 0 END)
+        |     ELSE 0 END
+        |   + CASE WHEN sp_top * n_n < sn_top * n_p
+        |       THEN (CASE WHEN 2 * f_top * n_p * n_n < sp_top * n_n + sn_top * n_p THEN 1 ELSE 0 END)
+        |     WHEN sp_top * n_n > sn_top * n_p
+        |       THEN (CASE WHEN 2 * f_top * n_p * n_n > sp_top * n_n + sn_top * n_p THEN 1 ELSE 0 END)
+        |     ELSE 0 END
+        |   + CASE WHEN sp_rep3 * n_n < sn_rep3 * n_p
+        |       THEN (CASE WHEN 2 * f_rep3 * n_p * n_n < sp_rep3 * n_n + sn_rep3 * n_p THEN 1 ELSE 0 END)
+        |     WHEN sp_rep3 * n_n > sn_rep3 * n_p
+        |       THEN (CASE WHEN 2 * f_rep3 * n_p * n_n > sp_rep3 * n_n + sn_rep3 * n_p THEN 1 ELSE 0 END)
+        |     ELSE 0 END) AS votes_pos
+        |  FROM f, stats WHERE doc_id % 5 = 0)
+        |SELECT label,
+        |  CASE WHEN votes_pos * 2 > 3 THEN 'spam' ELSE 'clean' END AS predicted,
+        |  count(*) AS n_docs, CAST(sum(votes_pos) AS BIGINT) AS sum_votes_spam
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x4_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, w,

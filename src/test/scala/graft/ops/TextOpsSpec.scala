@@ -339,6 +339,44 @@ class TextOpsSpec extends SparkSpec {
     // counts need not be monotone across rounds; rule equality above is the gate
   }
 
+  test("meanMidpointClassify: trained directions, midpoint/equal-mean/vote " +
+      "ties all deterministic toward the negative class") {
+    // train: pos class mean f1=10, f2=100; neg mean f1=20, f2=50 —
+    // f1 votes pos BELOW midpoint 15, f2 votes pos ABOVE midpoint 75;
+    // f3 has EQUAL class means (learned nothing -> always negative vote)
+    val train = Seq(
+      ("p", 8L, 90L, 7L), ("p", 12L, 110L, 7L),
+      ("n", 18L, 40L, 5L), ("n", 22L, 60L, 9L))
+      .toDF("label", "f1", "f2", "f3")
+    val test = Seq(
+      (1L, 10L, 100L, 0L), // both informative features pos -> pos (2 of 3)
+      (2L, 20L, 50L, 0L),  // both neg -> neg
+      (3L, 10L, 50L, 0L),  // split 1-1 + f3 neg -> neg (majority not reached)
+      (4L, 15L, 100L, 0L)) // f1 exactly ON the midpoint -> negative vote -> 1-2 neg
+      .toDF("id", "f1", "f2", "f3")
+    val got = TextOps.meanMidpointClassify(train, test,
+        Seq("f1", "f2", "f3"), "label", posLabel = "p", negLabel = "n")
+      .select($"id", $"votes_pos", $"predicted")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, "p"), (2L, 0L, "n"), (3L, 1L, "n"),
+      (4L, 1L, "n")))
+  }
+
+  test("x4_quality_clf: held-out accuracy floor on the separable injected " +
+      "labels (the trained-quality-floor contract)") {
+    val conf = graft.queries.LlmOps.x4_quality_clf(spark, "/root/testdata/sf0.001")
+      .select($"label", $"predicted", $"n_docs")
+      .as[(String, String, Long)].collect()
+    val total = conf.map(_._3).sum
+    val correct = conf.filter(c => c._1 == c._2).map(_._3).sum
+    assert(total > 0)
+    // separable-by-construction labels (template spam vs the original doc):
+    // the trained midpoint-vote model must clear 95% held-out accuracy
+    assert(correct * 100 >= total * 95,
+      s"held-out accuracy ${correct}/$total below the 95% floor: " +
+        conf.mkString(", "))
+  }
+
   test("bpeApply with TRAINED rules equals a driver-side greedy tokenize") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val rules = TextOps.bpeMerges(docs, "text", numMerges = 6)
