@@ -914,9 +914,18 @@ object MetricsOps {
       .withWatermark("err_ts", "0 seconds")
     val opDf = opM.toDS().toDF("op_key", "op_id", "op_ts")
       .withWatermark("op_ts", "0 seconds")
-    // noDataBatches = true: null-extended rows ride the EVICTION batch the
-    // watermark advance schedules after the horizon tick — the p28 rule
-    val prevConf = CensusConf.narrow(s, noDataBatches = true)
+    // Eviction choreography (round-15 trim, interleaved A/B in one session,
+    // identical hashes): the default drives the null-extension batch with an
+    // EXPLICIT second sentinel tick instead of leaving it to the scheduler's
+    // no-data batches — noDataBatches=true costs one useless no-data batch
+    // after EACH watermark advance (~1 micro-batch of stream-stream join
+    // machinery each, the entry's dominant cost), while the explicit tick
+    // pays exactly one: batch 3 runs under the watermark committed at the
+    // end of batch 2 (past the horizon), so every real error's state is
+    // evicted — and null-extended — deterministically inside it.
+    // `graft.p32.evict=nodata` keeps the old scheduler-driven path.
+    val tickEvict = s.conf.getOption("graft.p32.evict").forall(_ == "tick")
+    val prevConf = CensusConf.narrow(s, noDataBatches = !tickEvict)
     try {
       val q = CdcPipeline.intervalCorrelate(errDf, opDf,
           leftKey = "err_key", rightKey = "op_key",
@@ -946,6 +955,14 @@ object MetricsOps {
             KeyedEvent(r._1, r._2, usToTs(r._3))) ++ tail
           if (ops.nonEmpty) opM.addData(ops.toIndexedSeq: _*)
           if (errs.nonEmpty) errM.addData(errs.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        if (tickEvict) {
+          // batch 3 — the eviction batch: any sentinel data works (filtered
+          // from the census by key); what matters is that a batch RUNS under
+          // the post-horizon watermark batch 2 committed
+          val tick2 = KeyedEvent(-1L, -2L, usToTs(horizon + 3600L * 1000000L))
+          opM.addData(tick2); errM.addData(tick2)
           q.processAllAvailable()
         }
         // eviction can commit after processAllAvailable returns (the p28

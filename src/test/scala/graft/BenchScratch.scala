@@ -43,8 +43,13 @@ object BenchScratch {
     // p28's event-time staleness TIMEOUT fires in the no-data batch after
     // the horizon tick advances the watermark — disabling no-data batches
     // would deadlock its drain loop, so only the partition axis applies
-    val variants = if (name.contains("p28")) all.filterNot(_._1.contains("noData"))
-                   else all
+    val variants =
+      if (name.contains("p28")) all.filterNot(_._1.contains("noData"))
+      else if (name.contains("p32"))
+        // round-15: sentinel-tick eviction batch vs scheduler no-data batches
+        Seq("evict-tick" -> Map("graft.p32.evict" -> "tick"),
+          "evict-nodata" -> Map("graft.p32.evict" -> "nodata"))
+      else all
 
     // warmup once, then interleave 3 rounds of every variant
     run("warmup", Map.empty)
