@@ -68,16 +68,17 @@ object Bench {
   private[graft] val streamEntries: Set[String] = Set(
     "cdc_health_counts", "cdc_health_surface", "cdc_dedup_stream",
     "p27_journey_ordered", "p28_alert_stream", "p29_stream_correlate",
-    "p32_stream_outer",
-    // not streaming, but GC-sensitive: 1.4M-gram window passes measure
-    // 4.5 s in a private fork and degrade progressively (7-20 s) late in
-    // a shared JVM — isolate deterministically, not only via its prior
-    "x2_winnow")
+    "p32_stream_outer")
+  // x2_winnow left the static-isolate set in round 15: the per-doc
+  // WinnowSelect Expression removed the 1.4M-gram window passes whose GC
+  // interaction degraded it in shared JVMs (r14: 4.5 s solo, 7-20 s
+  // batched); at ~1.2 s it batches fine, the prior-warm cutoff still
+  // isolates it while its committed prior is stale, and the batch-drift
+  // retry defends the first shared-batch round either way.
 
-  /** [[streamEntries]] minus the batch-but-GC-sensitive members — the set
-    * whose builders genuinely run streams (PlanAuditSpec's skip list). */
-  private[graft] val streamBuilderEntries: Set[String] =
-    streamEntries - "x2_winnow"
+  /** The subset whose builders genuinely run streams (PlanAuditSpec's skip
+    * list — identical to [[streamEntries]] since x2_winnow left the set). */
+  private[graft] val streamBuilderEntries: Set[String] = streamEntries
 
   /** One measurement: cold = first (fork-fresh) run, warm = steady-state
     * plan cost (min of first and second run; see [[runInline]]). A query

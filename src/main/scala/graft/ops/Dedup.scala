@@ -1118,24 +1118,59 @@ object Dedup {
     * Selection = the union over all full windows of each window's minimum
     * (tie-inclusive: every position achieving a window's min is selected —
     * the selected HASH set per window is identical to rightmost-min SWA
-    * winnowing, only tied positions differ). Computed windowed, not
-    * quadratic: pass 1 gives `wmin(e)` = min hash of the window ENDING at
-    * position e; position p is a minimum of SOME window containing it iff
+    * winnowing, only tied positions differ).
+    *
+    * Default physical form (round 15): the codegen
+    * [[graft.functions.WinnowSelect]] Expression computes the whole
+    * selection per document from the UTF-8 bytes — O(len·k) with no
+    * per-gram substring head-rescan (the scale cliff the round-14 note at
+    * the gram-extraction comment documented for ≥100 KB docs) and NO gram
+    * shuffle at all: only the ~2/(w+1)-density selected rows are ever
+    * exploded, and the census aggregation is the single exchange left.
+    * `graft.winnow.impl=window` keeps the previous SQL formulation
+    * ([[winnowSelectedWindowed]]) — equality between the two is
+    * property-pinned in DedupSpec on the corpus, 100 KB long docs, and
+    * multi-byte UTF-8. */
+  private[graft] def winnowSelected(df: DataFrame, textCol: String,
+                                    idCol: String, k: Int, w: Int): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.winnow.impl").contains("window"))
+      winnowSelectedWindowed(df, textCol, idCol, k, w)
+    else {
+      require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
+      df.filter(length(col(textCol)) >= k + w - 1)
+        .select(col(idCol).as("doc_id"),
+          (length(col(textCol)) - (k - 1)).cast("long").as("n_grams"),
+          explode(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.WinnowSelect(
+              org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+              k, w))).as("s"))
+        .select(col("doc_id"), col("n_grams"),
+          col("s.pos").as("pos"), col("s.h").as("h"))
+    }
+
+  /** The SQL-window formulation [[winnowSelected]] shipped with through
+    * round 14 (now the `graft.winnow.impl=window` fallback and the
+    * cross-validation twin): explode every gram, then two window passes —
+    * pass 1 gives `wmin(e)` = min hash of the window ENDING at position e;
+    * position p is a minimum of SOME window containing it iff
     * `max(wmin(e) for e in [p, p+w−1])` equals `h(p)` — wmin(e) ≤ h(p) for
     * every window containing p, so equality at the max IS existence.
     * Both passes share one (doc_id, pos) sort. */
-  private[graft] def winnowSelected(df: DataFrame, textCol: String,
-                                    idCol: String, k: Int, w: Int): DataFrame = {
+  private[graft] def winnowSelectedWindowed(df: DataFrame, textCol: String,
+                                            idCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
     // Gram extraction = substring + md5 in ONE codegen'd generate+project
-    // stage. Three shapes were measured at sf0.1 (WinnowScratch + solo
-    // forks) and this one wins:
+    // stage. Three shapes were measured at sf0.1 in round 14 (WinnowScratch
+    // + solo forks) and this one won them; round 15's per-doc
+    // WinnowSelect Expression (the byte-offset escape hatch this comment
+    // used to defer) then beat it 2.8x interleaved (1.2 vs 3.4 s median,
+    // identical hashes) and is now the default — this SQL form remains as
+    // the cross-validation twin. The round-14 ranking, kept for the record:
     //   - this form: the explode and the hash projection fuse inside
     //     whole-stage codegen, so the doc text is never copied per gram
     //     row and downstream rows are narrow (doc_id, pos, h). substring
     //     rescans UTF-8 from the head (O(len) per gram), acceptable while
-    //     docs are ≲ a few KB — revisit with a byte-offset Expression if a
-    //     corpus of 100 KB documents shows up;
+    //     docs are ≲ a few KB;
     //   - a one-time per-doc char ARRAY carried through the explode: O(k)
     //     random access, but the ~10 KB array is copied into every gram
     //     row's UnsafeRow — GC storms, 43 s cold runs;

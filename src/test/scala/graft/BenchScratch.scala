@@ -49,6 +49,10 @@ object BenchScratch {
         // round-15: sentinel-tick eviction batch vs scheduler no-data batches
         Seq("evict-tick" -> Map("graft.p32.evict" -> "tick"),
           "evict-nodata" -> Map("graft.p32.evict" -> "nodata"))
+      else if (name.contains("winnow"))
+        // round-15: per-doc codegen byte-offset selection vs windowed SQL
+        Seq("expr" -> Map("graft.winnow.impl" -> "expr"),
+          "window" -> Map("graft.winnow.impl" -> "window"))
       else all
 
     // warmup once, then interleave 3 rounds of every variant

@@ -361,6 +361,44 @@ class DedupSpec extends SparkSpec {
     assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
   }
 
+  test("winnowing: the codegen byte-offset Expression selects EXACTLY the " +
+      "windowed-SQL set — corpus, 100KB long docs, multi-byte UTF-8") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowSelected(df, "text", "doc_id", k = 8, w = 4)
+        .select($"doc_id", $"pos".cast("long"), $"h", $"n_grams")
+        .as[(Long, Long, String, Long)].collect().toSet
+    def both(df: org.apache.spark.sql.DataFrame) = {
+      val expr = rows(df)
+      spark.conf.set("graft.winnow.impl", "window")
+      try assert(expr === rows(df),
+        "Expression and windowed-SQL selections diverge")
+      finally spark.conf.unset("graft.winnow.impl")
+      expr
+    }
+    // the real corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(both(corpus).nonEmpty)
+    // 100 KB docs — the scale regime the byte-offset walk exists for (the
+    // windowed form's substring head-rescan is O(len) per gram here)
+    val long = spark.range(2).select($"id".as("doc_id"),
+      concat_ws(" ", flatten(array_repeat(
+        split(concat(lit("alpha bravo charlie delta echo foxtrot golf "),
+          $"id"), " "), 2000))).as("text"))
+    val longSel = both(long)
+    assert(longSel.nonEmpty &&
+      longSel.groupBy(_._1).forall(_._2.size > 1000))
+    // multi-byte UTF-8: char positions != byte offsets — certifies the
+    // char-boundary walk (k-grams must align to chars, not bytes)
+    val utf8 = Seq(
+      (1L, "žluťoučký kůň úpěl ďábelské ódy žluťoučký kůň úpěl"),
+      (2L, "日本語のテキストで文字とバイトが違う場合の検証です"),
+      (3L, "mixed ascii および マルチバイト text in one doc here"))
+      .toDF("doc_id", "text")
+    val utf8Sel = both(utf8)
+    assert(utf8Sel.map(_._1) === Set(1L, 2L, 3L))
+  }
+
   test("winnowing: every window selects (gap between selected positions " +
       "<= w) and the census matches the selection") {
     import spark.implicits._

@@ -133,22 +133,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected posexplode generator:\n$p")
   }
 
-  test("x2 winnowing: one doc-keyed exchange feeds both window passes; " +
-      "gram hashing fuses with the explode, no text in post-shuffle rows") {
+  test("x2 winnowing: per-doc codegen selection — NO gram shuffle or window " +
+      "sort; only the census aggregation exchanges (selected rows only)") {
     val p = plan(graft.ops.Dedup.winnowFingerprints(
       graft.tables.Tables.documents(spark, dir), "text", "doc_id"))
-    // the two rowsBetween windows and the aggregation all ride the single
-    // hashpartitioning(doc_id) exchange (+ the final orderBy is the
-    // entry's, not the operator's)
+    // the WinnowSelect Expression computes the whole MOSS selection inside
+    // the scan stage; the explode emits only the ~2/(w+1)-density selected
+    // rows, and the exchanges left are the census agg's two rounds
+    // (countDistinct = partial-by-(doc,h) then by-doc)
     val nEx = p.linesIterator.count(
       _.dropWhile(!_.isLetter).startsWith("Exchange"))
-    assert(nEx == 1, s"expected exactly one shuffle, got $nEx:\n$p")
-    assert(p.contains("Generate"), s"expected the gram explode:\n$p")
-    // narrow post-shuffle rows: the md5 projection runs BEFORE the
-    // exchange, so neither the text nor a char array crosses the wire
+    assert(nEx <= 2, s"expected at most the census agg's two exchanges, got $nEx:\n$p")
+    assert(!p.contains("Window"),
+      s"the windowed-SQL selection leaked back in (graft.winnow.impl?):\n$p")
+    assert(p.contains("Generate"), s"expected the selected-rows explode:\n$p")
+    assert(p.contains("winnow_select"), s"expected the WinnowSelect node:\n$p")
+    // narrow post-shuffle rows: selection runs BEFORE the exchange, so
+    // neither the text nor the gram rows cross the wire
     val exIdx = p.indexOf("Exchange")
     assert(!p.substring(0, exIdx).contains("Scan parquet"),
-      s"scan must sit under the hash projection, not above the exchange")
+      s"scan must sit under the selection, not above the exchange")
   }
 
   test("x4 trained language-ID: profiles broadcast into the scoring join " +
