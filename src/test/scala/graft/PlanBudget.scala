@@ -52,14 +52,21 @@ object PlanBudget {
         .groupBy(identity).values.map(_.size).maxOption.getOrElse(0))
   }
 
-  /** Build every auditable entry on sf0.001 and count its plan shape. */
+  /** Build every auditable entry on sf0.001 and count its plan shape.
+    * Clears the session's cached-relation registry first: Spark substitutes
+    * InMemoryRelation into any later plan whose subtree matches a cached
+    * frame (CdcApplySpec caches the exact frame cdc_materialize builds),
+    * which changes the exchange count with suite ORDER — the audit must
+    * always count the from-source plan the driver and a fresh session see. */
   def audit(spark: SparkSession,
-            dir: String = "/root/testdata/sf0.001"): Map[String, Counts] =
+            dir: String = "/root/testdata/sf0.001"): Map[String, Counts] = {
+    spark.catalog.clearCache()
     SparkEntry.queries.toSeq
       .filterNot { case (name, _) => Bench.streamBuilderEntries(name) }
       .map { case (name, fn) =>
         name -> counts(fn(spark, dir).queryExecution.executedPlan.toString)
       }.toMap
+  }
 
   def write(path: String, m: Map[String, Counts]): Unit = {
     val rows = m.toSeq.sortBy(_._1).map { case (n, c) =>
