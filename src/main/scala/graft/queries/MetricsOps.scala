@@ -696,10 +696,16 @@ object MetricsOps {
     val tag = java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
     val sMem = MemoryStream[Alerts.MetricPoint]
     val tMem = MemoryStream[Alerts.MetricPoint]
-    // noDataBatches = true: the event-time staleness timeout fires in the
-    // no-data batch after the horizon tick advances the watermark —
-    // disabling it would deadlock the drain loop below
-    val prevConf = CensusConf.narrow(s, noDataBatches = true)
+    // Timeout-batch choreography (the p32 round-15 trim applied to the
+    // flatMapGroupsWithState timeout): event-time timeouts fire in ANY
+    // batch whose watermark passed the deadline, so the default drives the
+    // STALE batch with an explicit second sentinel instead of leaving it to
+    // the scheduler's no-data batches — which also fire one useless no-data
+    // batch after the half-0 watermark advance. `graft.p28.evict=nodata`
+    // keeps the scheduler-driven path. The sustained query has no watermark
+    // (NoTimeout) and is unaffected either way.
+    val tickEvict = s.conf.getOption("graft.p28.evict").forall(_ == "tick")
+    val prevConf = CensusConf.narrow(s, noDataBatches = !tickEvict)
     try {
       val sq = Alerts.sustainedThreshold(sMem.toDS(), threshold = 1.0,
           forDurationMs = forDurationMs)
@@ -741,10 +747,20 @@ object MetricsOps {
           tMem.addData(tick)
           tq.processAllAvailable()
         }
-        // the timeout batch is TRIGGERED by the tick batch's watermark
-        // advance and can commit after processAllAvailable returns — drain
-        // until every real key's STALE landed (the runHealthPipeline
-        // deadline pattern: fail loudly, never proceed on a partial sink)
+        if (tickEvict) {
+          // the timeout batch, run explicitly: it executes under the
+          // post-horizon watermark the tick batch committed, so every real
+          // key's deadline has passed and STALE fires inside it
+          tMem.addData(Alerts.MetricPoint("__tick",
+            new java.sql.Timestamp(horizon + 86400000L), 0.0))
+          tq.processAllAvailable()
+        }
+        // with scheduler-driven eviction the timeout batch is TRIGGERED by
+        // the tick batch's watermark advance and can commit after
+        // processAllAvailable returns — drain until every real key's STALE
+        // landed (the runHealthPipeline deadline pattern: fail loudly,
+        // never proceed on a partial sink); under tick eviction this is a
+        // cheap pass-through safety net
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         def staleKeys() = s.table(s"p28t_$tag")
           .filter($"key" =!= "__tick").select($"key").distinct().count()

@@ -40,11 +40,11 @@ object BenchScratch {
         "graft.census.shuffle" -> "1",
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
-    // p28's event-time staleness TIMEOUT fires in the no-data batch after
-    // the horizon tick advances the watermark — disabling no-data batches
-    // would deadlock its drain loop, so only the partition axis applies
     val variants =
-      if (name.contains("p28")) all.filterNot(_._1.contains("noData"))
+      if (name.contains("p28"))
+        // round-15: explicit sentinel timeout batch vs scheduler no-data
+        Seq("evict-tick" -> Map("graft.p28.evict" -> "tick"),
+          "evict-nodata" -> Map("graft.p28.evict" -> "nodata"))
       else if (name.contains("p32"))
         // round-15: sentinel-tick eviction batch vs scheduler no-data batches
         Seq("evict-tick" -> Map("graft.p32.evict" -> "tick"),
