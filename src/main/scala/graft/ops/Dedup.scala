@@ -1165,7 +1165,11 @@ object Dedup {
     // WinnowSelect Expression (the byte-offset escape hatch this comment
     // used to defer) then beat it 2.8x interleaved (1.2 vs 3.4 s median,
     // identical hashes) and is now the default — this SQL form remains as
-    // the cross-validation twin. The round-14 ranking, kept for the record:
+    // the cross-validation twin. On the long-doc regime the gap is
+    // asymptotic, not constant: 200 docs × ~100 KB measure ~0.5 s (expr)
+    // vs 156-217 s (this form) in the same session — WinnowScratch — the
+    // O(len²) substring head-rescan plus the 20M-gram shuffle vs one
+    // O(len·k) byte pass. The round-14 ranking, kept for the record:
     //   - this form: the explode and the hash projection fuse inside
     //     whole-stage codegen, so the doc text is never copied per gram
     //     row and downstream rows are narrow (doc_id, pos, h). substring

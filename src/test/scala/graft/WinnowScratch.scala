@@ -33,6 +33,26 @@ object WinnowScratch {
           .cast("bigint").as("h")) }
       t("full-winnow") { graft.ops.Dedup.winnowFingerprints(docs, "text", "doc_id") }
     }
+    // Long-doc regime (the asymptotic case the round-15 WinnowSelect
+    // Expression exists for): 200 docs × ~100 KB — the windowed-SQL form
+    // pays O(len) substring head-rescans per gram (O(len²) per doc) plus a
+    // 20M-gram-row shuffle; the Expression walks bytes once per doc.
+    val long = spark.range(200).select(col("id").as("doc_id"),
+      concat_ws(" ", flatten(array_repeat(
+        split(concat(lit("alpha bravo charlie delta echo foxtrot golf "),
+          col("id")), " "), 2000))).as("text")).localCheckpoint()
+    println(s"--- long-doc regime: 200 docs x ~${long.select(
+      avg(length(col("text")))).head.getDouble(0).toLong} chars")
+    (1 to 3).foreach { r =>
+      def run(label: String, impl: String): Unit = {
+        spark.conf.set("graft.winnow.impl", impl)
+        try t(s"$label r$r") {
+          graft.ops.Dedup.winnowFingerprints(long, "text", "doc_id") }
+        finally spark.conf.unset("graft.winnow.impl")
+      }
+      run("long-expr", "expr")
+      run("long-window", "window")
+    }
     spark.stop()
   }
 }
