@@ -393,10 +393,11 @@ class DedupSpec extends SparkSpec {
     val utf8 = Seq(
       (1L, "žluťoučký kůň úpěl ďábelské ódy žluťoučký kůň úpěl"),
       (2L, "日本語のテキストで文字とバイトが違う場合の検証です"),
-      (3L, "mixed ascii および マルチバイト text in one doc here"))
+      (3L, "mixed ascii および マルチバイト text in one doc here"),
+      (4L, "emoji 🎄 four-byte 🚀 code points 🎄 count as one char 🚀 each"))
       .toDF("doc_id", "text")
     val utf8Sel = both(utf8)
-    assert(utf8Sel.map(_._1) === Set(1L, 2L, 3L))
+    assert(utf8Sel.map(_._1) === Set(1L, 2L, 3L, 4L))
   }
 
   test("winnowing: every window selects (gap between selected positions " +
