@@ -92,7 +92,8 @@ object Bench {
                                   cacheHit: Option[Boolean] = None,
                                   prior: Option[Double] = None,
                                   tiebreak: Option[String] = None,
-                                  batchWarm: Option[Double] = None)
+                                  batchWarm: Option[Double] = None,
+                                  soloWarm: Option[Double] = None)
 
   /** Prior-round warm seconds per query, parsed from the COMMITTED
     * BENCH_DETAIL.json — `git show HEAD:` first, so a second bench run in
@@ -320,11 +321,6 @@ object Bench {
     }
   }
 
-  /** Tiered forked execution: batches of small entries first, then the
-    * isolated (streaming / heavy) entries one fork each; entries missing
-    * from a batch child are retried once in a private fork. Logs cumulative
-    * wall clock after every fork and downgrades to single-run mode past 60%
-    * of the wall-clock budget. */
   /** Headroom telemetry captured by [[runForked]] for the detail header
     * (round-14 verdict #5): r13 died at the driver's wall clock with zero
     * warning; the header now records how much margin the run had left so
@@ -334,6 +330,12 @@ object Bench {
                                     nDriftRetries: Int)
   private var runStats: Option[RunStats] = None
 
+  /** Tiered forked execution: isolated (streaming / heavy) entries one fork
+    * each FIRST (freshest machine state), then the shared-fork batches of
+    * small entries; entries missing from a batch child are retried once in
+    * a private fork, and batched entries whose numbers look drifted are
+    * re-measured in one. Logs cumulative wall clock after every fork and
+    * downgrades to single-run mode past 60% of the wall-clock budget. */
   private def runForked(names: Seq[String],
                         prior: Map[String, Double]): Seq[Timing] = {
     val streamEntries = Bench.streamEntries
@@ -387,10 +389,18 @@ object Bench {
             s"looks drifted (prior ${t.prior.getOrElse(-1.0)}, runs " +
             s"${t.runs.mkString("[", ",", "]")}); re-measuring in a private fork")
           forkGroup(Seq(t.name), prior, singleRun).headOption match {
+            case Some(solo) if !solo.failed && solo.warm <= t.warm =>
+              // adopt the clean fork; the polluted number rides as batch_warm
+              solo.copy(batchWarm = Some(t.warm),
+                tiebreak = Some((solo.tiebreak.toSeq :+ "batch_drift")
+                  .mkString("+")))
             case Some(solo) if !solo.failed =>
-              val clean = if (solo.warm <= t.warm) solo else t
-              clean.copy(batchWarm = Some(t.warm),
-                tiebreak = Some((clean.tiebreak.toSeq :+ "batch_drift")
+              // the private fork CONFIRMED the batch number (came back
+              // slower): keep the batch measurement, record the solo
+              // evidence instead of discarding it — warm/cold/runs still
+              // describe the batch here, so no batch_warm is stamped
+              t.copy(soloWarm = Some(solo.warm),
+                tiebreak = Some((t.tiebreak.toSeq :+ "batch_drift_confirmed")
                   .mkString("+")))
             case _ => t // solo fork died: keep the batch measurement
           }
@@ -438,9 +448,12 @@ object Bench {
       val taken = if (t.runs.isEmpty) ""
         else s""", "run_taken": ${t.runs.indexOf(t.runs.min) + 1}"""
       val tb = t.tiebreak.map(r => s""", "tiebreak": "$r"""").getOrElse("")
-      // the polluted shared-JVM number an in-run drift retry replaced; the
-      // warm/cold/runs fields then describe the clean private fork
-      val bw = t.batchWarm.map(b => f""", "batch_warm": $b%.3f""").getOrElse("")
+      // batch_warm = the polluted shared-JVM number an in-run drift retry
+      // replaced (warm/cold/runs then describe the clean private fork);
+      // solo_warm = the private fork's number when the retry CONFIRMED the
+      // batch measurement instead (warm/cold/runs stay the batch numbers)
+      val bw = t.batchWarm.map(b => f""", "batch_warm": $b%.3f""").getOrElse("") +
+        t.soloWarm.map(v => f""", "solo_warm": $v%.3f""").getOrElse("")
       if (t.failed)
         f"""  "${t.name}": {"failed": true, "elapsed": ${t.warm}%.3f, "runs": $runs}"""
       else
@@ -451,7 +464,7 @@ object Bench {
          |""".stripMargin).getOrElse("")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork, the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift; the shared-JVM number it replaced is kept as batch_warm); past 60%% of the wall budget remaining entries run once (tiebreak: single_run); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
+         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork, the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift when the clean fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); past 60%% of the wall budget remaining entries run once (tiebreak: single_run); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}

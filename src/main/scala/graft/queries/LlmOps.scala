@@ -457,6 +457,23 @@ object LlmOps {
     a.join(broadcast(recall), Seq("query_id"))
   }
 
+  /** Every probe id present in the float-ANN artifact even when its
+    * approximate lookup returned ZERO candidates (an empty LSH
+    * bucket-union is structurally possible): such a query surfaces as one
+    * sentinel row — rank −1, neighbor −1, sim 0, recall_pm 0 — instead of
+    * silently vanishing and overstating the measured recall evidence
+    * (round-15 review: the round-14 fix covered only the clustered
+    * annotation side). */
+  private def withQuerySpine(queries: DataFrame, rows: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("query_id"))
+      // rows = |queries|·k annotated candidates (bounded, checkpointed) —
+      // broadcast-build it or the left outer spine join plans a
+      // SortMergeJoin with two exchanges (the PlanAuditSpec gate caught
+      // exactly this on the first cut)
+      .join(broadcast(rows), Seq("query_id"), "left")
+      .na.fill(Map("rank" -> -1, "neighbor_id" -> -1L,
+        "sim" -> 0.0, "recall_pm" -> 0L))
+
   /** Deterministic CLUSTERED embedding corpus DERIVED from the real
     * embeddings table (no synthesized values — every member is a fixed
     * linear mix of two corpus vectors): 20 clusters × 25 members, member
@@ -509,8 +526,8 @@ object LlmOps {
     import s.implicits._
     val emb = embeddings(s, dir)
     val queries = emb.filter($"vec_id" < 20)
-    val iso = withRecallPm(s, dir, "x3-gt-q20-k5",
-        Similarity.lshTopK(queries, emb, k = 5, dim = 64), queries, emb, k = 5)
+    val iso = withQuerySpine(queries, withRecallPm(s, dir, "x3-gt-q20-k5",
+        Similarity.lshTopK(queries, emb, k = 5, dim = 64), queries, emb, k = 5))
     val cc = clusteredEmbeddings(s, dir)
     val cq = clusteredQueries(s, dir)
     // cluster c's probe annotates the isotropic rows of query_id c — same
@@ -553,8 +570,8 @@ object LlmOps {
     import s.implicits._
     val emb = embeddings(s, dir)
     val queries = emb.filter($"vec_id" < 20)
-    withRecallPm(s, dir, "x3-gt-q20-k5",
-        Similarity.ivfTopK(queries, emb, k = 5, dim = 64), queries, emb, k = 5)
+    withQuerySpine(queries, withRecallPm(s, dir, "x3-gt-q20-k5",
+        Similarity.ivfTopK(queries, emb, k = 5, dim = 64), queries, emb, k = 5))
       .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm")
       .orderBy($"query_id", $"rank")
   }
@@ -604,9 +621,9 @@ object LlmOps {
     // serving economics. The full train+encode mechanics stay live-measured
     // and oracle-certified by the integer twin (x3_ann_pq_int).
     val books = Similarity.trainPqCodebooks(emb, dim = 64, m = 16, ksub = 16)
-    withRecallPm(s, dir, "x3-gt-q20-k5",
+    withQuerySpine(queries, withRecallPm(s, dir, "x3-gt-q20-k5",
         Similarity.pqTopKFromCodes(queries, emb, cachedPqCodes(s, dir, books),
-          books, k = 5, rerank = 25), queries, emb, k = 5)
+          books, k = 5, rerank = 25), queries, emb, k = 5))
       .select($"query_id", $"rank", $"neighbor_id", $"sim", $"recall_pm")
       .orderBy($"query_id", $"rank")
   }

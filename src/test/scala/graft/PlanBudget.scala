@@ -92,7 +92,10 @@ object PlanBudget {
   * INTENTIONAL plan change so the commit's budget diff documents it. */
 object PlanBudgetWrite {
   def main(args: Array[String]): Unit = {
-    val spark = EngineSession.builder("local[8]", 8).getOrCreate()
+    // SAME session shape as the PlanAuditSpec gate (SparkSpec: local[4],
+    // 4 shuffle partitions) — if a plan shape ever becomes conf-sensitive,
+    // the regeneration tool and the gate must never disagree
+    val spark = EngineSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val actual = PlanBudget.audit(spark)
     val prior =

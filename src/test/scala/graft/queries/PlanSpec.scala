@@ -148,11 +148,16 @@ class PlanSpec extends SparkSpec {
       s"the windowed-SQL selection leaked back in (graft.winnow.impl?):\n$p")
     assert(p.contains("Generate"), s"expected the selected-rows explode:\n$p")
     assert(p.contains("winnow_select"), s"expected the WinnowSelect node:\n$p")
-    // narrow post-shuffle rows: selection runs BEFORE the exchange, so
-    // neither the text nor the gram rows cross the wire
-    val exIdx = p.indexOf("Exchange")
-    assert(!p.substring(0, exIdx).contains("Scan parquet"),
-      s"scan must sit under the selection, not above the exchange")
+    // narrow post-shuffle rows: selection runs BEFORE the first SHUFFLE
+    // exchange (anchor on node-name lines, not raw indexOf — a
+    // Reused/BroadcastExchange or a zero-exchange future plan must not
+    // derail the diagnostic), so neither text nor gram rows cross the wire
+    val lines = p.linesIterator.toSeq
+    val exLine = lines.indexWhere(
+      _.dropWhile(!_.isLetter).startsWith("Exchange"))
+    if (exLine >= 0)
+      assert(!lines.take(exLine).exists(_.contains("Scan parquet")),
+        s"scan must sit under the selection, not above the exchange:\n$p")
   }
 
   test("x4 trained language-ID: profiles broadcast into the scoring join " +
