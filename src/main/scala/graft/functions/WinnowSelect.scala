@@ -20,9 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * over a (doc, pos) sort — a doc-keyed SHUFFLE of every gram row, plus an
   * O(len) per-gram `substring` head-rescan (UTF-8 has no random char
   * access). This node walks the byte array once to index char starts, then
-  * hashes each gram from its byte offsets directly — O(len·k) total work,
-  * no rescan, no gram shuffle; the downstream census aggregation is the
-  * only exchange left. Selection semantics are IDENTICAL to the windowed
+  * hashes each gram from its byte offsets directly — O(len·k) hashing plus
+  * O(len·w) window marking per doc, no rescan, no gram shuffle; the
+  * downstream census aggregation is the only exchange left. Selection semantics are IDENTICAL to the windowed
   * form (equality property-pinned in DedupSpec on the corpus, 100 KB
   * long-doc fixtures, and multi-byte UTF-8): a position is selected iff
   * some full window containing it has `h(pos)` as its minimum, every tied

@@ -34,7 +34,11 @@ object CensusPhaseScratch {
     spark.streams.addListener(listener)
     // interleaved A/B: even runs = tmpfs /dev/shm checkpoints, odd runs =
     // disk /tmp checkpoints (default) — per-batch WAL + state-delta I/O is
-    // the suspected fixed cost. Each shm run gets a FRESH uuid-suffixed
+    // the suspected fixed cost. NOTE: entries that call CensusConf.narrow
+    // inside their builder set their OWN per-run /dev/shm checkpoint since
+    // round 14, overriding this toggle — for those, both arms measure
+    // tmpfs and the A/B axis is phase telemetry only. Each shm run gets a
+    // FRESH uuid-suffixed
     // checkpoint base (named streaming queries reuse the same checkpoint
     // subdir, so a reused base would make run 2 attempt checkpoint
     // recovery from run 1's state — MemoryStream recovery fails or skews
