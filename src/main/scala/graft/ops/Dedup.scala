@@ -398,25 +398,47 @@ object Dedup {
         }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
+  /** The [[graft.functions.SimHashBits]] per-row signature — default since
+    * round 15: the whole vote loop runs inside one codegen'd projection, so
+    * the word rows never exist and the per-doc vote aggregation's shuffle
+    * disappears (the [[graft.functions.WinnowSelect]] lesson applied to the
+    * other per-document-local sketch). `graft.simhash.impl=agg` keeps the
+    * exploded-word aggregate twin; equality between the two is
+    * property-pinned in DedupSpec for both hash families. */
+  private def simhashExprFrame(df: DataFrame, textCol: String, idCol: String,
+                               nBits: Int, md5: Boolean): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    df.select(col(idCol).as("id"),
+      column(graft.functions.SimHashBits(
+        expression(split(col(textCol), " ")), nBits, md5)).as("sh"))
+  }
+
+  private def useAggSimhash(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("graft.simhash.impl").contains("agg")
+
   /** SimHash frame (id, sh) over 64 xxhash64-derived bits. Identical vote
     * semantics to [[simhash]] (duplicates counted, empty text = one
     * empty-string word). */
   def simhashFrame(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    simhashFromWordHashFrame(
-      df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
-        .select(col("id"), xxhash64(col("w")).as("h")),
-      64)
+    if (useAggSimhash(df))
+      simhashFromWordHashFrame(
+        df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+          .select(col("id"), xxhash64(col("w")).as("h")),
+        64)
+    else simhashExprFrame(df, textCol, idCol, 64, md5 = false)
 
   /** PORTABLE SimHash twin: 60 bits from `int(md5(word)[0:15 hex])` — every
     * step (word hash, bit votes, bit assembly) is reproducible in ANSI-ish
     * SQL, so the signature pipeline is oracle-checkable end-to-end, exactly
     * like [[minhashLshPairsPortable]] vs the xxhash64 fast twin. */
   def simhashFramePortable(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    simhashFromWordHashFrame(
-      df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
-        .select(col("id"),
-          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("bigint").as("h")),
-      60)
+    if (useAggSimhash(df))
+      simhashFromWordHashFrame(
+        df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+          .select(col("id"),
+            conv(substring(md5(col("w")), 1, 15), 16, 10).cast("bigint").as("h")),
+        60)
+    else simhashExprFrame(df, textCol, idCol, 60, md5 = true)
 
   /** SimHash near-dup candidates: by pigeonhole, Hamming(a,b) ≤ k guarantees
     * at least one of (k+1) bit-blocks is equal — join per block, then verify

@@ -53,6 +53,10 @@ object BenchScratch {
         // round-15: per-doc codegen byte-offset selection vs windowed SQL
         Seq("expr" -> Map("graft.winnow.impl" -> "expr"),
           "window" -> Map("graft.winnow.impl" -> "window"))
+      else if (name.contains("simhash"))
+        // round-15: per-row codegen signature vs exploded-word aggregate
+        Seq("expr" -> Map("graft.simhash.impl" -> "expr"),
+          "agg" -> Map("graft.simhash.impl" -> "agg"))
       else all
 
     // warmup once, then interleave 3 rounds of every variant

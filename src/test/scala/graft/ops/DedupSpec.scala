@@ -84,6 +84,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => a == 5L || b == 5L })
   }
 
+  test("simhash: the per-row codegen signature equals the exploded-word " +
+      "aggregate twin for BOTH hash families on the corpus") {
+    import org.apache.spark.sql.DataFrame
+    def sigs(f: DataFrame => DataFrame, corpus: DataFrame) = {
+      val expr = f(corpus).as[(Long, Long)].collect().toMap
+      spark.conf.set("graft.simhash.impl", "agg")
+      try assert(expr === f(corpus).as[(Long, Long)].collect().toMap,
+        "SimHashBits and the aggregate formulation diverge")
+      finally spark.conf.unset("graft.simhash.impl")
+      expr
+    }
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val xx = sigs(Dedup.simhashFrame(_, "text", "doc_id"), corpus)
+    val md = sigs(Dedup.simhashFramePortable(_, "text", "doc_id"), corpus)
+    assert(xx.nonEmpty && md.nonEmpty)
+    md.values.foreach(sh => assert(sh >= 0 && sh < (1L << 60)))
+    // the hand corpus exercises empty-ish and duplicate-word vote paths too
+    sigs(Dedup.simhashFrame(_, "text", "doc_id"), docs)
+    sigs(Dedup.simhashFramePortable(_, "text", "doc_id"), docs)
+  }
+
   test("minhash LSH recall vs exact ground truth on the real corpus") {
     // the xxhash64 sketch twin is rows-only in the driver gate; its quality
     // gate lives here: banding (8×2) catches s >= 0.5 pairs with
