@@ -366,21 +366,18 @@ object Dedup {
         coalesce(col("nb"), lit(0L)).as("n_batch_matches"))
   }
 
-  /** 64 sign-of-vote bits from a materialized word-hash array column.
-    * Each vote is one `aggregate` pass over the (already computed) array —
-    * callers MUST bind `wordHashes` to a real column, never an inline
-    * `transform(split(...))` tree, or every vote recomputes the hashing. */
-  private def simhashFromHashes(wordHashes: Column): Column =
-    (0 until 64).map { bit =>
-      val vote = aggregate(wordHashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
   /** 64-bit SimHash over words: per-word xxhash64; each of the 64 bit
-    * positions votes +1/-1 by that bit; final bit = sign of the vote sum. */
-  def simhash(textCol: Column): Column =
-    simhashFromHashes(transform(split(textCol, " "), w => xxhash64(w)))
+    * positions votes +1/-1 by that bit; final bit = sign of the vote sum.
+    * Routed through the codegen [[graft.functions.SimHashBits]] since
+    * round 15 — the previous 64-×-`aggregate`-lambda Column formulation
+    * was interpreted per element AND (its own doc's warning notwithstanding)
+    * re-ran the word hashing once per bit when handed an inline
+    * `transform(split(...))` tree, as this very function did. */
+  def simhash(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(graft.functions.SimHashBits(
+      expression(split(textCol, " ")), 64, md5 = false))
+  }
 
   /** SimHash assembly from word-level (id, h) hash rows: one codegen'd
     * partial/final agg of `nBits` ±1 vote sums, then bit assembly — instead
