@@ -53,7 +53,35 @@ object GraftExtensions {
       (children: Seq[Expression]) => VectorL2Squared(children(0), children(1))),
     (FunctionIdentifier("vector_l2"),
       new ExpressionInfo(classOf[VectorL2Squared].getName, "vector_l2"),
-      (children: Seq[Expression]) => Sqrt(VectorL2Squared(children(0), children(1)))))
+      (children: Seq[Expression]) => Sqrt(VectorL2Squared(children(0), children(1)))),
+    // the round-15 per-document sketch expressions, for SQL-only users:
+    // simhash64(words) / simhash60_md5(words) over a split word array,
+    // winnow_select(text, k, w) returning the selected (pos, h) structs
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash64"),
+      (children: Seq[Expression]) =>
+        graft.functions.SimHashBits(children(0), 64, md5 = false)),
+    (FunctionIdentifier("simhash60_md5"),
+      new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash60_md5"),
+      (children: Seq[Expression]) =>
+        graft.functions.SimHashBits(children(0), 60, md5 = true)),
+    (FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[graft.functions.WinnowSelect].getName, "winnow_select"),
+      (children: Seq[Expression]) => graft.functions.WinnowSelect(children(0),
+        k = foldToInt(children(1), "winnow_select k"),
+        w = foldToInt(children(2), "winnow_select w"))))
+
+  /** SQL literals for the static k/w parameters (the expression hashes and
+    * windows are sized at plan time, so only foldable ints are accepted). */
+  private def foldToInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
 
   /** The text-quality stack for SQL-only users, as Spark 4 SQL-body UDFs
     * (`CREATE FUNCTION ... RETURN <expr>`). NOT the expression-registry

@@ -81,6 +81,35 @@ class VectorExpressionSpec extends SparkSpec {
     assert(cos === ((1.0, 5.0)))
   }
 
+  test("round-15 sketch expressions registered as SQL functions: simhash " +
+      "families match the Column route; winnow_select replays the selection") {
+    graft.GraftExtensions.register(spark)
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("sketch_probe")
+    val (sqlXx, sqlMd) = spark.sql(
+      "SELECT simhash64(split(text, ' ')), simhash60_md5(split(text, ' ')) " +
+        "FROM sketch_probe").as[(Long, Long)].head()
+    val viaCol = graft.ops.Dedup.simhashFrame(df, "text", "doc_id")
+      .as[(Long, Long)].head()._2
+    val viaColMd = graft.ops.Dedup.simhashFramePortable(df, "text", "doc_id")
+      .as[(Long, Long)].head()._2
+    assert(sqlXx === viaCol && sqlMd === viaColMd)
+    assert(sqlMd >= 0 && sqlMd < (1L << 60))
+    val sqlWinnow = spark.sql(
+      "SELECT s.pos, s.h FROM sketch_probe " +
+        "LATERAL VIEW explode(winnow_select(text, 8, 4)) t AS s")
+      .as[(Int, String)].collect().toSet
+    val viaColW = graft.ops.Dedup.winnowSelected(df, "text", "doc_id", 8, 4)
+      .select($"pos", $"h").as[(Int, String)].collect().toSet
+    assert(sqlWinnow === viaColW && sqlWinnow.nonEmpty)
+    // non-literal k rejected at registration-time fold
+    intercept[Exception] {
+      spark.sql("SELECT winnow_select(text, doc_id, 4) FROM sketch_probe")
+        .collect()
+    }
+  }
+
   test("rejects non-numeric-array inputs at analysis time") {
     val df = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
     intercept[Exception] { df.select(VF.dot($"a", $"b")).collect() }
