@@ -374,7 +374,12 @@ object Bench {
     var driftRetries = 0
     def drifted(t: Timing): Boolean = {
       val vsPrior = t.prior.exists(p => t.warm > p * 1.5) && t.warm > 0.5
-      val monotone = t.runs.size >= 3 &&
+      // the monotone branch carries the same 0.5 s absolute floor as
+      // vsPrior PLUS a relative-spread floor (last run > 1.2x the first):
+      // a fast entry's tiny monotone jitter ([0.10, 0.11, 0.12]) must not
+      // spend an ~11 s private-fork retry out of the drift budget
+      val monotone = t.runs.size >= 3 && t.warm > 0.5 &&
+        t.runs.last > t.runs.head * 1.2 &&
         t.runs.sliding(2).forall(p => p(1) > p(0))
       vsPrior || monotone
     }

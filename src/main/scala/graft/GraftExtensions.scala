@@ -37,49 +37,65 @@ object GraftExtensions {
     * DataFrame routes plan identical (codegen'd) trees. */
   private def norm(a: Expression): Expression = Sqrt(VectorDotProduct(a, a))
 
+  /** Arity guard for every registered builder: a wrong argument count
+    * surfaces as a clean AnalysisException-wrapped message instead of an
+    * IndexOutOfBoundsException from `children(i)`. */
+  private def arity(name: String, n: Int, children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${children.length}")
+    children
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_dot"),
-      (children: Seq[Expression]) => VectorDotProduct(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        val c = arity("vector_dot", 2, children); VectorDotProduct(c(0), c(1)) }),
     (FunctionIdentifier("vector_cosine"),
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_cosine"),
-      (children: Seq[Expression]) => Divide(VectorDotProduct(children(0), children(1)),
-        Multiply(norm(children(0)), norm(children(1))))),
+      (children: Seq[Expression]) => {
+        val c = arity("vector_cosine", 2, children)
+        Divide(VectorDotProduct(c(0), c(1)), Multiply(norm(c(0)), norm(c(1)))) }),
     (FunctionIdentifier("vector_norm"),
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_norm"),
-      (children: Seq[Expression]) => norm(children(0))),
+      (children: Seq[Expression]) => norm(arity("vector_norm", 1, children)(0))),
     (FunctionIdentifier("vector_l2sq"),
       new ExpressionInfo(classOf[VectorL2Squared].getName, "vector_l2sq"),
-      (children: Seq[Expression]) => VectorL2Squared(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        val c = arity("vector_l2sq", 2, children); VectorL2Squared(c(0), c(1)) }),
     (FunctionIdentifier("vector_l2"),
       new ExpressionInfo(classOf[VectorL2Squared].getName, "vector_l2"),
-      (children: Seq[Expression]) => Sqrt(VectorL2Squared(children(0), children(1)))),
+      (children: Seq[Expression]) => {
+        val c = arity("vector_l2", 2, children); Sqrt(VectorL2Squared(c(0), c(1))) }),
     // the round-15 per-document sketch expressions, for SQL-only users:
     // simhash64(words) / simhash60_md5(words) over a split word array,
     // winnow_select(text, k, w) returning the selected (pos, h) structs
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash64"),
-      (children: Seq[Expression]) =>
-        graft.functions.SimHashBits(children(0), 64, md5 = false)),
+      (children: Seq[Expression]) => graft.functions.SimHashBits(
+        arity("simhash64", 1, children)(0), 64, md5 = false)),
     (FunctionIdentifier("simhash60_md5"),
       new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash60_md5"),
-      (children: Seq[Expression]) =>
-        graft.functions.SimHashBits(children(0), 60, md5 = true)),
+      (children: Seq[Expression]) => graft.functions.SimHashBits(
+        arity("simhash60_md5", 1, children)(0), 60, md5 = true)),
     (FunctionIdentifier("winnow_select"),
       new ExpressionInfo(classOf[graft.functions.WinnowSelect].getName, "winnow_select"),
-      (children: Seq[Expression]) => graft.functions.WinnowSelect(children(0),
-        k = foldToInt(children(1), "winnow_select k"),
-        w = foldToInt(children(2), "winnow_select w"))))
+      (children: Seq[Expression]) => {
+        val c = arity("winnow_select", 3, children)
+        graft.functions.WinnowSelect(c(0),
+          k = foldToInt(c(1), "winnow_select k"),
+          w = foldToInt(c(2), "winnow_select w")) }))
 
   /** SQL literals for the static k/w parameters (the expression hashes and
-    * windows are sized at plan time, so only foldable ints are accepted). */
+    * windows are sized at plan time, so only foldable ints are accepted;
+    * out-of-int-range longs are rejected rather than silently wrapped). */
   private def foldToInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")
     e.eval(null) match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
       case other => throw new IllegalArgumentException(
-        s"$what must be an integer literal, got $other")
+        s"$what must be an int-range integer literal, got $other")
     }
   }
 

@@ -24,7 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     replays in SQL ([[graft.ops.Dedup.simhashFramePortable]]).
   *
   * Vote semantics unchanged: duplicates counted, a tie (vote sum 0) leaves
-  * the bit unset, null array elements are not expected (split() output).
+  * the bit unset. Null array ELEMENTS (reachable through the SQL-registered
+  * `simhash64`/`simhash60_md5` on user-built arrays, not from split()
+  * output) are skipped — they contribute no votes, exactly as a null
+  * `xxhash64(w)`/`md5(w)` drops out of the aggregate twin's vote sums.
   * Codegen emits a direct static call, keeping the projection inside
   * whole-stage codegen. */
 case class SimHashBits(child: Expression, nBits: Int, md5: Boolean)
@@ -61,23 +64,26 @@ object SimHashBits {
     val n = words.numElements()
     var i = 0
     while (i < n) {
-      val w = words.getUTF8String(i)
-      val h =
-        if (md5) {
-          digest.reset()
-          val d = digest.digest(w.getBytes)
-          // first 15 hex chars == the top 60 bits of the first 8 bytes
-          // (16 hex chars) shifted right by one nibble — bit-for-bit
-          // conv(substring(md5(w), 1, 15), 16, 10)
-          var v = 0L
-          var j = 0
-          while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-          v >>> 4
-        } else XXH64.hashUTF8String(w, 42L)
-      var b = 0
-      while (b < nBits) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      // null elements contribute no votes (see the class doc)
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        val h =
+          if (md5) {
+            digest.reset()
+            val d = digest.digest(w.getBytes)
+            // first 15 hex chars == the top 60 bits of the first 8 bytes
+            // (16 hex chars) shifted right by one nibble — bit-for-bit
+            // conv(substring(md5(w), 1, 15), 16, 10)
+            var v = 0L
+            var j = 0
+            while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+            v >>> 4
+          } else XXH64.hashUTF8String(w, 42L)
+        var b = 0
+        while (b < nBits) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

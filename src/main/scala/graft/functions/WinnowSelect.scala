@@ -86,21 +86,23 @@ object WinnowSelect {
     val nGrams = nChars - (k - 1)
     if (nChars < k + w - 1) return new GenericArrayData(Array.empty[Any])
     // md5 15-hex-char prefix per gram, hashed straight from byte offsets
+    // and carried as its 60-bit NUMERIC value (top 60 of the digest's
+    // first 64 bits — the 15-hex prefix's lexicographic order IS its
+    // numeric order, so long comparison replaces String.compareTo and the
+    // hot loop allocates nothing per gram; only the ~2/(w+1) selected
+    // survivors get hex-formatted at the end). Same prefix→long
+    // conversion as [[SimHashBits.signature]]'s md5 family.
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hashes = new Array[String](nGrams)
+    val digestBuf = new Array[Byte](16)
+    val hashes = new Array[Long](nGrams)
     var g = 0
     while (g < nGrams) {
-      md.reset()
       md.update(bytes, offs(g), offs(g + k) - offs(g))
-      val d = md.digest()
-      val hex = new Array[Char](15)
+      md.digest(digestBuf, 0, 16) // fills the buffer and resets the digest
+      var v = 0L
       var j = 0
-      while (j < 15) {
-        val b = d(j >> 1) & 0xff
-        hex(j) = hexDigits(if ((j & 1) == 0) b >> 4 else b & 0xf)
-        j += 1
-      }
-      hashes(g) = new String(hex)
+      while (j < 8) { v = (v << 8) | (digestBuf(j) & 0xffL); j += 1 }
+      hashes(g) = v >>> 4
       g += 1
     }
     // tie-inclusive sliding-window minimum: mark every position achieving
@@ -112,7 +114,7 @@ object WinnowSelect {
       var m = hashes(s)
       var i = s + 1
       while (i < s + w) {
-        if (hashes(i).compareTo(m) < 0) m = hashes(i)
+        if (hashes(i) < m) m = hashes(i)
         i += 1
       }
       i = s
@@ -130,7 +132,14 @@ object WinnowSelect {
     p = 0
     while (p < nGrams) {
       if (selected(p)) {
-        out(o) = InternalRow(p + 1, UTF8String.fromString(hashes(p)))
+        val v = hashes(p)
+        val hex = new Array[Char](15)
+        var j = 0
+        while (j < 15) {
+          hex(j) = hexDigits(((v >>> ((14 - j) << 2)) & 0xfL).toInt)
+          j += 1
+        }
+        out(o) = InternalRow(p + 1, UTF8String.fromString(new String(hex)))
         o += 1
       }
       p += 1

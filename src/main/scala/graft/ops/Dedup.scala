@@ -1149,7 +1149,17 @@ object Dedup {
     * `graft.winnow.impl=window` keeps the previous SQL formulation
     * ([[winnowSelectedWindowed]]) — equality between the two is
     * property-pinned in DedupSpec on the corpus, 100 KB long docs, and
-    * multi-byte UTF-8. */
+    * multi-byte UTF-8.
+    *
+    * Round 16 made the Expression's hot loop allocation-free (60-bit long
+    * per gram instead of a 15-char String, long window minima, hex-format
+    * only the selected survivors). Measured result: a NULL — interleaved
+    * static-call timing on 200 × 100 KB docs (WinnowScratch) gave 3.2-3.4 s
+    * for both the long and the String loop; the md5 hashing (~6M grams/s
+    * single-threaded) dominates and the per-gram String was JIT/GC noise.
+    * The long form is kept anyway: zero garbage under concurrent executor
+    * threads, and it reuses [[graft.functions.SimHashBits]]'s prefix→long
+    * conversion. Value identity re-pinned (WinnowProps, DedupSpec). */
   private[graft] def winnowSelected(df: DataFrame, textCol: String,
                                     idCol: String, k: Int, w: Int): DataFrame =
     if (df.sparkSession.conf.getOption("graft.winnow.impl").contains("window"))

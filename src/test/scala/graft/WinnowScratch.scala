@@ -53,6 +53,81 @@ object WinnowScratch {
       run("long-expr", "expr")
       run("long-window", "window")
     }
+    // Round-16 refactor A/B, driver-free (pure static-call timing on the
+    // same 200 × 100 KB strings, interleaved): the shipped long-carrying
+    // select vs a test-local copy of the round-15 String-carrying loop
+    // (per-gram 15-char String alloc + String.compareTo window minima).
+    val texts = long.select(col("text")).collect()
+      .map(r => org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+    def tStatic(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    (1 to 3).foreach { r =>
+      tStatic(s"static-long r$r") {
+        texts.foreach(t => graft.functions.WinnowSelect.select(t, 8, 4)) }
+      tStatic(s"static-string r$r") {
+        texts.foreach(t => WinnowScratch.selectOldString(t, 8, 4)) }
+    }
     spark.stop()
+  }
+
+  /** The round-15 String-carrying selection, kept ONLY as the A/B baseline
+    * for the allocation-free refactor (not used by any production path). */
+  def selectOldString(str: org.apache.spark.unsafe.types.UTF8String,
+                      k: Int, w: Int): Int = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val hexDigits = "0123456789abcdef".toCharArray
+    val bytes = str.getBytes
+    val len = bytes.length
+    var nChars = 0
+    val offs = new Array[Int](len + 1)
+    var bi = 0
+    while (bi < len) {
+      offs(nChars) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      nChars += 1
+    }
+    offs(nChars) = len
+    val nGrams = nChars - (k - 1)
+    if (nChars < k + w - 1) return 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(bytes, offs(g), offs(g + k) - offs(g))
+      val d = md.digest()
+      val hex = new Array[Char](15)
+      var j = 0
+      while (j < 15) {
+        val b = d(j >> 1) & 0xff
+        hex(j) = hexDigits(if ((j & 1) == 0) b >> 4 else b & 0xf)
+        j += 1
+      }
+      hashes(g) = new String(hex)
+      g += 1
+    }
+    val selected = new Array[Boolean](nGrams)
+    var s = 0
+    while (s + w <= nGrams) {
+      var m = hashes(s)
+      var i = s + 1
+      while (i < s + w) {
+        if (hashes(i).compareTo(m) < 0) m = hashes(i)
+        i += 1
+      }
+      i = s
+      while (i < s + w) {
+        if (hashes(i) == m) selected(i) = true
+        i += 1
+      }
+      s += 1
+    }
+    var n = 0
+    var p = 0
+    while (p < nGrams) { if (selected(p)) n += 1; p += 1 }
+    n
   }
 }

@@ -110,6 +110,39 @@ class VectorExpressionSpec extends SparkSpec {
     }
   }
 
+  test("simhash null array elements are skipped, not an NPE (r15 advice)") {
+    graft.GraftExtensions.register(spark)
+    // user-built array with a null element — reachable only through the SQL
+    // surface (split() never emits nulls); must equal the null-free signature
+    val (withNull, without) = spark.sql(
+      "SELECT simhash64(array('alpha', CAST(NULL AS STRING), 'beta')) AS a, " +
+        "simhash64(array('alpha', 'beta')) AS b").as[(Long, Long)].head()
+    assert(withNull === without)
+    val (mdNull, mdPlain) = spark.sql(
+      "SELECT simhash60_md5(array(CAST(NULL AS STRING), 'gamma')) AS a, " +
+        "simhash60_md5(array('gamma')) AS b").as[(Long, Long)].head()
+    assert(mdNull === mdPlain)
+  }
+
+  test("wrong arity and out-of-int-range literals fail cleanly (r15 advice)") {
+    graft.GraftExtensions.register(spark)
+    // arity errors carry the function name, not an IndexOutOfBoundsException
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT winnow_select('abc', 8)").collect()
+    }
+    assert(e1.getMessage.contains("winnow_select") &&
+      e1.getMessage.contains("3 argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT vector_dot(array(1.0d))").collect()
+    }
+    assert(e2.getMessage.contains("vector_dot"), e2.getMessage)
+    // a Long literal outside Int range must be rejected, not wrapped
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT winnow_select('abc', 4294967298, 4)").collect()
+    }
+    assert(e3.getMessage.contains("int-range"), e3.getMessage)
+  }
+
   test("rejects non-numeric-array inputs at analysis time") {
     val df = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
     intercept[Exception] { df.select(VF.dot($"a", $"b")).collect() }
