@@ -43,6 +43,10 @@ object TextOps {
   /** Fraction of words that are stopwords (a fluency proxy). */
   def stopwordRatio(text: Column): Column = stopwordRatioArr(split(text, " "))
 
+  /** Stopword hit count — the exact integer numerator of
+    * [[stopwordRatioArr]], for census entries that stay in int64. */
+  def stopwordCountArr(words: Column): Column = markerHitsArr(words, stopwords)
+
   /** Composite quality score in [0,1]: length in a healthy band, some
     * stopwords present, words not degenerate. Deterministic arithmetic only.
     * Composed from the ALREADY-ROUNDED stopword ratio so the oracle SQL can

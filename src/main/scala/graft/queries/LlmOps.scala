@@ -1092,6 +1092,58 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic ≥100 KB long-document fixture (round-15 verdict #2): 25
+    * synthetic long docs that BOTH engines rebuild identically from the raw
+    * corpus — bucket `doc_id % 25`, concatenate the bucket's texts in
+    * doc_id order, append one space, repeat ×22, trim the trailing run —
+    * 102-159 KB per doc at sf0.01, ~1.3 MB at sf0.1. Served run-level from
+    * the [[FixtureCache]] on the Spark side; the DuckDB oracle rebuilds it
+    * as a `string_agg(... ORDER BY doc_id)` CTE, so every long-doc entry
+    * stays hash-checked end to end. */
+  private[queries] def longDocs(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "longdocs", "1") {
+      import s.implicits._
+      documents(s, dir)
+        .select(($"doc_id" % 25).as("bucket"), $"doc_id".as("i"), $"text".as("t"))
+        .groupBy($"bucket")
+        .agg(rtrim(repeat(concat(array_join(transform(
+            array_sort(collect_list(struct($"i", $"t"))),
+            e => e.getField("t")), " "), lit(" ")), 22)).as("text"))
+        .select($"bucket".as("doc_id"), $"text")
+    }
+
+  /** X2g' — the winnowing census of [[x2_winnow]] over the ≥100 KB
+    * [[longDocs]] regime — the asymptotic case the
+    * [[graft.functions.WinnowSelect]] Expression exists for (the windowed
+    * SQL twin is O(len²) per doc here: 0.5 vs 156-217 s on this shape,
+    * WinnowScratch). The md5 selection replays in the oracle regardless of
+    * document length; the oracle sidesteps ITS own long-string cliff by
+    * hashing grams inside 4 KB overlapping segments (50× over the naive
+    * lateral unnest, value-identical). */
+  def x2_winnow_long(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.winnowFingerprints(longDocs(s, dir), "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** X4s — the x4 quality stack over the ≥100 KB [[longDocs]] regime:
+    * char/word/token-estimate/stopword censuses (exact int64) plus the
+    * canonical sha256 fingerprint per long doc — certifying the text-op
+    * combinators on documents 3 orders of magnitude longer than the corpus
+    * rows the rest of the x4 board measures. */
+  def x4_long_quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    longDocs(s, dir)
+      .select($"doc_id", $"text", split($"text", " ").as("words"))
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        TextOps.wordCountArr($"words").cast("long").as("n_words"),
+        TextOps.tokenEstimate($"text").cast("long").as("n_tokens_est"),
+        TextOps.stopwordCountArr($"words").cast("long").as("n_stopwords"),
+        TextOps.fingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
   /** X4j — out-of-vocabulary rate: per-doc fraction of tokens outside the
     * corpus top-100 vocabulary, in exact integer parts-per-million — the
     * rare-word / gibberish quality signal that length and stopword ratios
@@ -1893,6 +1945,8 @@ object LlmOps {
     "x9_semantic_clusters" -> x9_semantic_clusters _,
     "x2_cdc_chunks" -> x2_cdc_chunks _,
     "x2_winnow" -> x2_winnow _,
+    "x2_winnow_long" -> x2_winnow_long _,
+    "x4_long_quality" -> x4_long_quality _,
     "x2_chunk_stats" -> x2_chunk_stats _,
     "x4_oov_rate" -> x4_oov_rate _,
     "x2_containment" -> x2_containment _,
@@ -3063,6 +3117,50 @@ object LlmOps {
         |  count(DISTINCT h) * 1000000 // (min(n_grams) - 3) AS density_ppm
         |FROM s WHERE h = sel_max
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the long-doc fixture CTE both long-regime oracles share: identical to
+    // LlmOps.longDocs (bucket % 25, doc_id-ordered concat, ×22 repeat, rtrim)
+    // — see x2_winnow_long's scaladoc for the 4 KB-segment hashing trick
+    "x2_winnow_long" -> (longDocsCte +
+      """,
+        |seg AS (
+        |  SELECT doc_id, CAST(s.i AS BIGINT) AS seg,
+        |    substr(text, CAST((s.i - 1) * 4096 + 1 AS INTEGER), 4103) AS chunk,
+        |    CAST(length(text) - 7 AS BIGINT) AS n_grams
+        |  FROM ld, unnest(generate_series(1, (length(text) + 4095) // 4096)) AS s(i)
+        |  WHERE length(text) >= 11),
+        |g AS (
+        |  SELECT doc_id, (seg - 1) * 4096 + CAST(t.i AS BIGINT) AS pos,
+        |    substr(md5(substr(chunk, CAST(t.i AS INTEGER), 8)), 1, 15) AS h, n_grams
+        |  FROM seg, unnest(generate_series(1, least(4096, length(chunk) - 7))) AS t(i)
+        |  WHERE length(chunk) >= 8),
+        |m AS (
+        |  SELECT doc_id, pos, h, n_grams,
+        |    CASE WHEN pos >= 4 THEN min(h) OVER (PARTITION BY doc_id
+        |      ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |    END AS wmin
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, pos, h, n_grams,
+        |    max(wmin) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_max
+        |  FROM m)
+        |SELECT doc_id, min(n_grams) AS n_grams,
+        |  min(n_grams) - 3 AS n_windows,
+        |  count(*) AS n_selected,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_fingerprints,
+        |  count(DISTINCT h) * 1000000 // (min(n_grams) - 3) AS density_ppm
+        |FROM s WHERE h = sel_max
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "x4_long_quality" -> (longDocsCte +
+      """
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens_est,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS n_stopwords,
+        |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM ld ORDER BY doc_id""".stripMargin),
     "x2_cdc_chunks" -> (chunksCte +
       """
         |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5
@@ -3189,6 +3287,15 @@ object LlmOps {
 
   /** Shared CTE rebuilding [[Dedup.contentDefinedChunks]]'s cut points and
     * chunk slices in DuckDB, ending in a `chunks` relation. */
+  /** DuckDB rebuild of [[longDocs]] — must stay term-for-term equivalent to
+    * the Spark-side fixture generator (bucket, order, separator, repeat,
+    * trim). */
+  private lazy val longDocsCte: String =
+    """WITH ld AS (
+      |  SELECT CAST(doc_id % 25 AS BIGINT) AS doc_id,
+      |    rtrim(repeat(string_agg(text, ' ' ORDER BY doc_id) || ' ', 22)) AS text
+      |  FROM documents GROUP BY doc_id % 25)""".stripMargin
+
   private lazy val chunksCte: String =
     """WITH pos AS (
       |  SELECT doc_id, text,
