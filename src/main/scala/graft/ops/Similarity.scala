@@ -688,8 +688,10 @@ object Similarity {
     * Two deliberate substitutions make that possible: (1) coarse centroids
     * are the first `nLists` corpus vectors BY ID with zero Lloyd
     * iterations (k-means|| seeding's "pick seeds, refine later" with the
-    * refinement dropped — training on a fixed sample is not expressible in
-    * the oracle's SQL, seed selection is); (2) all distances are integer
+    * refinement dropped — float training on a sample is not expressible in
+    * the oracle's SQL, seed selection is; the INTEGER Lloyd loop IS, and
+    * [[trainIvfCentroidsInt]] + [[ivfServeInt]] certify exactly that
+    * trained path since round 16); (2) all distances are integer
     * squared-L2 over [[milliCodes]]. The production path keeps the trained
     * float centroids ([[ivfTopK]], recall-bounded spec); this twin pins
     * the MECHANICS — a wrong probe cut, a candidate leaking across lists,
@@ -734,6 +736,118 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("list_id"),
         d2Milli(col("q_mv"), col("c_mv")).as("d2m"))
       .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
+  /** Expose the exact milli-unit quantization for callers building integer
+    * vector frames (the trained-IVF clustered fixture). */
+  def milliQuantize(emb: Column): Column = milliCodes(emb)
+
+  /** Exact int64 floor division `s div c` for a possibly-negative sum: the
+    * pmod subtraction makes the numerator divisible by `c`, so truncating
+    * and flooring division agree — the SAME expression replays in DuckDB as
+    * `(s - ((s % c) + c) % c) // c`, engine-independent for negative sums
+    * (plain `div`/`//` truncate toward zero and would disagree with a
+    * flooring engine on them). */
+  private def floorDiv(s: Column, c: Column): Column =
+    ((s - pmod(s, c)) / c).cast("bigint")
+
+  /** One exact-integer Lloyd round over milli-code vectors: assign every
+    * corpus vector to its nearest current centroid (int64 milli-L2², ties
+    * to the lowest cid), then move each centroid to the FLOOR-DIV
+    * element-wise mean of its assigned vectors — integer in, integer out,
+    * so a chain of rounds replays verbatim as chained SQL CTEs (the
+    * x4_bpe_train unrolled-rounds oracle pattern). A list that captured no
+    * vectors keeps its previous centroid (left join + coalesce — the
+    * standard empty-cluster rule, and the oracle replays it).
+    *
+    * Scale shape: the assignment is a broadcast nested-loop against
+    * `nLists` rows; the centroid update is ONE map-side-combined shuffle of
+    * (list, dim) partial sums — `nLists × dim` groups regardless of corpus
+    * size. */
+  private def lloydRoundInt(m: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2c").asc, col("cid").asc)
+    val assigned = m.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("mv"), col("cid"),
+        d2Milli(col("mv"), col("cv")).as("d2c"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("cid"), col("mv"))
+    val sums = assigned
+      .select(col("cid"), posexplode(col("mv")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .select(col("cid"), col("dim"), floorDiv(col("s"), col("c")).as("cv_d"))
+    val moved = sums.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv_d")))),
+        e => e.getField("cv_d")).as("cv_new"))
+    cents.join(moved, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("cv_new"), col("cv")).as("cv"))
+  }
+
+  /** TRAINED integer IVF coarse centroids: seed with the first `nLists`
+    * corpus vectors BY ID (the [[ivfTopKIntCertified]] substitution), then
+    * run `rounds` exact-integer Lloyd rounds ([[lloydRoundInt]]). Input and
+    * output frames carry milli-code vectors (`vec_id`/`cid`, `mv`/`cv`) —
+    * the whole training loop is int64, so the oracle unrolls the same
+    * rounds as chained CTEs and replays the TRAINED model bit-for-bit,
+    * closing the one gap the seed-centroid twin documented ("training on a
+    * fixed sample is not expressible in the oracle's SQL" — it is, when
+    * the arithmetic is integer and the round count is fixed). */
+  def trainIvfCentroidsInt(m: DataFrame, nLists: Int, rounds: Int): DataFrame = {
+    val seed = m.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("cid"), col("mv").as("cv"))
+    (1 to rounds).foldLeft(seed)((c, _) => lloydRoundInt(m, c))
+  }
+
+  /** CERTIFIED-INTEGER IVF serve over PRE-QUANTIZED milli-code frames with
+    * caller-supplied centroids — the [[ivfTopKIntCertified]] mechanics
+    * (coarse assignment, nProbe probe selection, in-list scoring, ties and
+    * all) factored so the trained-centroid path ([[trainIvfCentroidsInt]])
+    * and the seed baseline run through the IDENTICAL serve. */
+  def ivfServeInt(queries: DataFrame, m: DataFrame, cents: DataFrame,
+                  k: Int, nProbe: Int): DataFrame = {
+    val cent = broadcast(cents)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2c").asc, col("cid").asc)
+    val assigned = m.crossJoin(cent)
+      .select(col("vec_id"), col("mv"), col("cid"),
+        d2Milli(col("mv"), col("cv")).as("d2c"))
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("mv").as("c_mv"),
+        col("cid").as("list_id"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2c").asc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("mv").as("q_mv"))
+      .crossJoin(cent)
+      .select(col("query_id"), col("q_mv"), col("cid"),
+        d2Milli(col("q_mv"), col("cv")).as("d2c"))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("q_mv"), col("cid").as("list_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2m").asc, col("neighbor_id").asc)
+    broadcast(probes).join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("list_id"),
+        d2Milli(col("q_mv"), col("c_mv")).as("d2m"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact top-k by integer milli-L2² over pre-quantized frames — the
+    * ground truth the trained-IVF recall is measured against (SQL-
+    * replayable, unlike the float cosine baseline). */
+  def bruteForceTopKInt(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("mv").as("q_mv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2m").asc, col("neighbor_id").asc)
+    corpus.select(col("vec_id").as("neighbor_id"), col("mv").as("c_mv"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        d2Milli(col("q_mv"), col("c_mv")).as("d2m"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 

@@ -673,6 +673,207 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Integer-mixed CLUSTERED corpus for the TRAINED-IVF entry: the
+    * [[clusteredEmbeddings]] geometry (20 clusters × 25 members; member
+    * `id` of cluster `c = id div 25` mixes its cluster's center vector and
+    * its own corpus vector 850:150) carried in exact milli-code int64 —
+    * per element `floor_div(850·a + 150·b, 1000)` — so BOTH engines
+    * rebuild the corpus, the Lloyd training AND the recall measurement
+    * from the raw parquet (the float fixture's 0.85f/0.15f arithmetic is
+    * not cross-engine replayable; this one is). */
+  private def clusteredMilliCorpus(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "x3-clustered-milli-corpus", "v1") {
+      val idx = s.range(500).select(col("id").as("vec_id"),
+        expr("id div 25").as("c"), col("id").as("mm"))
+      intMixMembers(s, dir, idx)
+    }
+
+  /** 20 held-out integer probes (ids 2000+q, cluster q's center mixed with
+    * corpus vector 499−q) — the [[clusteredQueries]] construction in
+    * milli-code space. */
+  private def clusteredMilliQueries(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "x3-clustered-milli-queries", "v1") {
+      val idx = s.range(20).select((col("id") + 2000L).as("vec_id"),
+        col("id").as("c"), (lit(499L) - col("id")).as("mm"))
+      intMixMembers(s, dir, idx)
+    }
+
+  private def intMixMembers(s: SparkSession, dir: String, idx: DataFrame): DataFrame = {
+    val m = embeddings(s, dir)
+      .select(col("vec_id"), Similarity.milliQuantize(col("embedding")).as("mv"))
+    val cents = m.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("c"), col("mv").as("cv"))
+    val mems = m.filter(col("vec_id") < 500)
+      .select(col("vec_id").as("mm"), col("mv").as("mmv"))
+    idx.join(broadcast(cents), Seq("c")).join(mems, Seq("mm"))
+      .select(col("vec_id"), zip_with(col("cv"), col("mmv"), (a, b) => {
+        val t = a * lit(850L) + b * lit(150L)
+        // exact floor division by 1000 (pmod makes the numerator divisible,
+        // so truncating and flooring engines agree on negative sums)
+        ((t - pmod(t, lit(1000L))) / lit(1000L)).cast("bigint")
+      }).as("mv"))
+  }
+
+  /** X3b''''''' — TRAINED integer IVF ([[Similarity.trainIvfCentroidsInt]] +
+    * [[Similarity.ivfServeInt]]): the one ANN stage the board's
+    * seed-centroid twins documented as "not expressible in the oracle's
+    * SQL" — Lloyd refinement — made oracle-replayable by keeping the WHOLE
+    * training loop in exact int64 (milli-code vectors, integer floor-div
+    * means, 2 fixed rounds unrolled as chained CTEs — the x4_bpe_train
+    * precedent). Runs on the integer-mixed clustered corpus
+    * ([[clusteredMilliCorpus]]), the regime where trained centroids earn
+    * IVF's deployment recall: seeds are the first 16 members BY ID — all
+    * of cluster 0, adversarially bad coverage — and two Lloyd rounds
+    * spread them across the clusters. Measured at sf0.01: TRAINED recall
+    * is a perfect 1000 per-mille for every probe; the seed baseline
+    * averages 970 with unlucky probes at 400 — cluster structure routes
+    * consistently even through degenerate seeds, so the Lloyd win is a
+    * per-query fact, which is what the spec pins. Every artifact row
+    * carries the TRAINED recall and the SEED-baseline recall vs the exact
+    * integer top-5 ([[Similarity.bruteForceTopKInt]]), both oracle-checked
+    * (trained ≥ seed per query, trained = 1000, ≥1 seed miss — pinned in
+    * SimilaritySpec). Probes absent
+    * from the serve output surface as sentinel rows (rank −1, recall 0)
+    * via the query-id spine, as everywhere on the x3 board. */
+  def x3_ann_ivf_trained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = clusteredMilliCorpus(s, dir)
+    val cq = clusteredMilliQueries(s, dir)
+    val seedCents = cc.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"mv".as("cv"))
+    // 16 rows after 2 Lloyd rounds; checkpoint so the serve's two centroid
+    // consumers (corpus assignment + probe selection) train once, not twice
+    val trainedCents = Similarity.trainIvfCentroidsInt(cc, nLists = 16, rounds = 2)
+      .localCheckpoint(true)
+    val trained = Similarity.ivfServeInt(cq, cc, trainedCents, k = 5, nProbe = 2)
+      .localCheckpoint(true)
+    val seeded = Similarity.ivfServeInt(cq, cc, seedCents, k = 5, nProbe = 2)
+    val gt = FixtureCache.cached(s, dir, "x3-gt-milli-q20-k5", "v1") {
+        Similarity.bruteForceTopKInt(cq, cc, k = 5)
+          .select($"query_id", $"neighbor_id")
+      }.select($"query_id", $"neighbor_id", lit(1L).as("in_exact"))
+    def recallOf(approx: DataFrame, name: String) =
+      approx.select("query_id", "neighbor_id")
+        .join(gt, Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg(expr("sum(coalesce(in_exact, 0)) * 1000 DIV 5").as(name))
+    cq.select($"vec_id".as("query_id"))
+      .join(broadcast(trained.join(broadcast(recallOf(trained, "recall_pm")),
+        Seq("query_id"))), Seq("query_id"), "left")
+      .join(broadcast(recallOf(seeded, "seed_recall_pm")), Seq("query_id"), "left")
+      .na.fill(Map("rank" -> -1, "neighbor_id" -> -1L, "list_id" -> -1L,
+        "d2m" -> -1L, "recall_pm" -> 0L, "seed_recall_pm" -> 0L))
+      .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m",
+        $"recall_pm", $"seed_recall_pm")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The [[x3_ann_ivf_trained]] oracle: milli quantization, the 850:150
+    * integer cluster mix, seed centroids, TWO Lloyd rounds unrolled as
+    * chained CTEs (assignment argmin → per-dim floor-div means → empty-list
+    * coalesce), the identical serve for the trained and seed centroids,
+    * the exact integer top-5 ground truth, per-query recall for both, and
+    * the sentinel spine — the trained model replays bit-for-bit. */
+  private def ivfTrainedOracleSql: String = {
+    // d2 between two milli-code lists, by 1-based index
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    // one Lloyd round: cIn -> c$r via assignment a$r + per-dim sums s$r
+    def round(r: Int, cIn: String) =
+      s"""a$r AS (
+         |  SELECT cid, mv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2c ASC, cid ASC) AS r
+         |    FROM (SELECT cc.vec_id, cc.mv, $cIn.cid,
+         |            ${d2("cc.mv", s"$cIn.cv")} AS d2c
+         |          FROM cc CROSS JOIN $cIn)) WHERE r = 1),
+         |s$r AS (
+         |  SELECT cid, d.i AS dim, sum(mv[d.i]) AS s, count(*) AS c
+         |  FROM a$r, unnest(generate_series(1, 64)) d(i)
+         |  GROUP BY cid, d.i),
+         |n$r AS (
+         |  SELECT cid, list((s - ((s % c) + c) % c) // c ORDER BY dim) AS cv
+         |  FROM s$r GROUP BY cid),
+         |c$r AS (
+         |  SELECT $cIn.cid, coalesce(n$r.cv, $cIn.cv) AS cv
+         |  FROM $cIn LEFT JOIN n$r USING (cid))""".stripMargin
+    // the ivfServeInt mechanics against centroid CTE `ct`, emitting rows
+    // named with prefix p
+    def serve(p: String, ct: String) =
+      s"""${p}assign AS (
+         |  SELECT vec_id AS neighbor_id, mv AS c_mv, cid AS list_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2c ASC, cid ASC) AS r
+         |    FROM (SELECT cc.vec_id, cc.mv, $ct.cid,
+         |            ${d2("cc.mv", s"$ct.cv")} AS d2c
+         |          FROM cc CROSS JOIN $ct)) WHERE r = 1),
+         |${p}probe AS (
+         |  SELECT vec_id AS query_id, mv AS q_mv, cid AS list_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2c ASC, cid ASC) AS r
+         |    FROM (SELECT cq.vec_id, cq.mv, $ct.cid,
+         |            ${d2("cq.mv", s"$ct.cv")} AS d2c
+         |          FROM cq CROSS JOIN $ct)) WHERE r <= 2),
+         |${p}rows AS (
+         |  SELECT query_id, neighbor_id, list_id, d2m,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2m ASC, neighbor_id ASC) AS rank FROM (
+         |    SELECT p.query_id, a.neighbor_id, a.list_id,
+         |      CAST(${d2("p.q_mv", "a.c_mv")} AS BIGINT) AS d2m
+         |    FROM ${p}probe p JOIN ${p}assign a USING (list_id)
+         |    WHERE p.query_id <> a.neighbor_id)),
+         |${p}top AS (SELECT * FROM ${p}rows WHERE rank <= 5),
+         |${p}recall AS (
+         |  SELECT t.query_id,
+         |    CAST(sum(CASE WHEN g.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |      * 1000 // 5 AS BIGINT) AS recall_pm
+         |  FROM ${p}top t LEFT JOIN gt g
+         |    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id)""".stripMargin
+    val mix =
+      "(850 * c.mv[i] + 150 * g.mv[i] " +
+        "- ((((850 * c.mv[i] + 150 * g.mv[i]) % 1000) + 1000) % 1000)) // 1000"
+    s"""WITH m0 AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |cc AS (
+       |  SELECT t.id AS vec_id,
+       |    list_transform(range(1, 65), i -> $mix) AS mv
+       |  FROM range(0, 500) t(id)
+       |  JOIN m0 c ON c.vec_id = t.id // 25
+       |  JOIN m0 g ON g.vec_id = t.id),
+       |cq AS (
+       |  SELECT 2000 + t.id AS vec_id,
+       |    list_transform(range(1, 65), i -> $mix) AS mv
+       |  FROM range(0, 20) t(id)
+       |  JOIN m0 c ON c.vec_id = t.id
+       |  JOIN m0 g ON g.vec_id = 499 - t.id),
+       |c0 AS (SELECT vec_id AS cid, mv AS cv FROM cc WHERE vec_id < 16),
+       |${round(1, "c0")},
+       |${round(2, "c1")},
+       |gt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT cq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY cq.vec_id
+       |        ORDER BY ${d2("cq.mv", "cc.mv")} ASC, cc.vec_id ASC) AS r
+       |    FROM cq CROSS JOIN cc WHERE cq.vec_id <> cc.vec_id) WHERE r <= 5),
+       |${serve("t_", "c2")},
+       |${serve("s_", "c0")}
+       |SELECT q.vec_id AS query_id,
+       |  coalesce(t.rank, -1) AS rank,
+       |  coalesce(t.neighbor_id, -1) AS neighbor_id,
+       |  coalesce(t.list_id, -1) AS list_id,
+       |  coalesce(t.d2m, -1) AS d2m,
+       |  coalesce(tr.recall_pm, 0) AS recall_pm,
+       |  coalesce(sr.recall_pm, 0) AS seed_recall_pm
+       |FROM cq q
+       |LEFT JOIN t_top t ON t.query_id = q.vec_id
+       |LEFT JOIN t_recall tr ON tr.query_id = q.vec_id
+       |LEFT JOIN s_recall sr ON sr.query_id = q.vec_id
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The [[x4_bpe_train]] oracle: the WHOLE training loop unrolled as 8
     * SQL rounds (the x9_kcore precedent) — per round, adjacent-pair counts
     * over the word-frequency table, the (cnt desc, a asc, b asc) argmax,
@@ -1902,6 +2103,7 @@ object LlmOps {
     "x3_ann_ivf_index" -> x3_ann_ivf_index _,
     "x3_ann_pq" -> x3_ann_pq _,
     "x3_ann_ivf_int" -> x3_ann_ivf_int _,
+    "x3_ann_ivf_trained" -> x3_ann_ivf_trained _,
     "x3_ann_pq_int" -> x3_ann_pq_int _,
     "x3_ann_lsh_int" -> x3_ann_lsh_int _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
@@ -2332,6 +2534,7 @@ object LlmOps {
         |SELECT query_id, rank, neighbor_id, list_id, d2m
         |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x3_ann_lsh_int" -> lshIntOracleSql,
+    "x3_ann_ivf_trained" -> ivfTrainedOracleSql,
     // the persisted-index serve replayed from raw embeddings: assignment to
     // the 16 seed centroids, 4-probe routing, in-list int64 scoring — the
     // parquet index materialization must be semantically invisible
