@@ -464,8 +464,21 @@ object LlmOps {
     * silently vanishing and overstating the measured recall evidence
     * (round-15 review: the round-14 fix covered only the clustered
     * annotation side). */
-  private def withQuerySpine(queries: DataFrame, rows: DataFrame): DataFrame =
-    queries.select(col("vec_id").as("query_id"))
+  private def withQuerySpine(queries: DataFrame, rows: DataFrame): DataFrame = {
+    // The ≤20-row spine is MATERIALIZED (one tiny eager job) before the
+    // outer join — round-16 fix for the round-15 sentinel regression: a
+    // spine that is a live selective parquet scan makes Spark's
+    // InjectRuntimeFilter build an 8 MB bloom_filter_agg subquery (+1
+    // exchange, + one full embeddings re-scan) just to pre-filter the
+    // ≤|queries|·k-row checkpointed rows RDD. Checkpointing hides the
+    // selective scan from the injection rule; semantics identical
+    // (`graft.x3.spine=scan` keeps the round-15 shape for A/B).
+    val spineBase = queries.select(col("vec_id").as("query_id"))
+    val spine =
+      if (queries.sparkSession.conf.getOption("graft.x3.spine").contains("scan"))
+        spineBase
+      else spineBase.localCheckpoint(true)
+    spine
       // rows = |queries|·k annotated candidates (bounded, checkpointed) —
       // broadcast-build it or the left outer spine join plans a
       // SortMergeJoin with two exchanges (the PlanAuditSpec gate caught
@@ -473,6 +486,7 @@ object LlmOps {
       .join(broadcast(rows), Seq("query_id"), "left")
       .na.fill(Map("rank" -> -1, "neighbor_id" -> -1L,
         "sim" -> 0.0, "recall_pm" -> 0L))
+  }
 
   /** Deterministic CLUSTERED embedding corpus DERIVED from the real
     * embeddings table (no synthesized values — every member is a fixed

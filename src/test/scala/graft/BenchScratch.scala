@@ -49,6 +49,11 @@ object BenchScratch {
         // round-15: sentinel-tick eviction batch vs scheduler no-data batches
         Seq("evict-tick" -> Map("graft.p32.evict" -> "tick"),
           "evict-nodata" -> Map("graft.p32.evict" -> "nodata"))
+      else if (name.contains("x3_ann"))
+        // round-16: materialized sentinel spine (no bloom subquery) vs the
+        // round-15 live-scan spine
+        Seq("spine-ckpt" -> Map("graft.x3.spine" -> "ckpt"),
+          "spine-scan" -> Map("graft.x3.spine" -> "scan"))
       else if (name.contains("winnow"))
         // round-15: per-doc codegen byte-offset selection vs windowed SQL
         Seq("expr" -> Map("graft.winnow.impl" -> "expr"),
