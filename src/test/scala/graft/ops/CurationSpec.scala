@@ -177,4 +177,72 @@ class CurationSpec extends SparkSpec {
       .as[(Double, Double)].collect()
     assert(pris.forall { case (p1, p2) => p2 < p1 })
   }
+
+  test("incremental curation core: cluster merge retracts the losing " +
+    "canonical, exact gates fire, and the patched census equals the batch " +
+    "stages on the merged corpus (crafted micro-fixture)") {
+    // quality-passing text (stopword ratio 0.9 -> score 0.6) distinct per i;
+    // fail(i) scores 0.01
+    def t(i: Int) = s"the a of and to in is w$i the a"
+    def fail(i: Int) = s"zzz$i"
+    val standing = Seq(
+      (0L, "en", t(0)), (1L, "en", t(1)), (2L, "en", t(2)), (3L, "en", t(3)))
+    // delta exercises every path: 10 bridges the two standing clusters
+    // (merge -> rep 2 retracted, 10 itself non-canonical), 11 is a sha dup
+    // of standing 3 (exact gate), 12 is fresh and kept, 13 is fresh but
+    // quality-failing (kept by dedup, no census contribution), 14/15 are a
+    // batch-internal sha dup (min id 14 wins)
+    val delta = Seq(
+      (10L, "en", t(10)), (11L, "en", t(3)), (12L, "en", t(12)),
+      (13L, "en", fail(13)), (14L, "en", t(14)), (15L, "en", t(14)))
+    val standingDf = standing.toDF("doc_id", "lang", "text")
+    val deltaDf = delta.toDF("doc_id", "lang", "text")
+    val standingPairs = Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    // touching pairs include (3, 11) whose delta endpoint is exact-DROPPED —
+    // the core must ignore it, as the batch pipeline never sees it
+    val touching = Seq((0L, 10L), (2L, 10L), (3L, 11L)).toDF("id_a", "id_b")
+
+    // standing state, built with the same stages the fixtures use
+    val digests = standingDf.select(sha2($"text", 256).as("sha")).distinct()
+    val reps = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L)).toDF("doc_id", "rep")
+    val kept = standingDf
+      .join(reps.filter($"rep" === $"doc_id").select($"doc_id"), Seq("doc_id"))
+      .filter(TextOps.qualityScore($"text") >= 0.5)
+      .select($"doc_id", $"lang", Curation.splitAssign($"doc_id").as("split"),
+        TextOps.wordCount($"text").cast("long").as("n_words"))
+    val census = kept.groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("total_words"))
+
+    val incremental = CurationQueries.incrementalCensusCore(
+        digests, reps, kept, census, touching, deltaDf)
+      .as[(String, String, Long, Long)].collect().toSet
+
+    // the batch stages on the merged corpus (exact window -> CC over the
+    // survivor-restricted pair graph -> anti-join -> quality -> census)
+    val merged = standingDf.unionByName(deltaDf)
+    val survivors = merged
+      .withColumn("__keep",
+        min($"doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2($"text", 256))))
+      .filter($"doc_id" === $"__keep").drop("__keep")
+    val sIds = survivors.select($"doc_id")
+    val mergedPairs = standingPairs.unionByName(touching)
+      .join(sIds.select($"doc_id".as("id_a")), Seq("id_a"), "left_semi")
+      .join(sIds.select($"doc_id".as("id_b")), Seq("id_b"), "left_semi")
+    val clusters = Dedup.connectedComponents(mergedPairs)
+    val batch = survivors
+      .join(clusters.filter($"id" =!= $"cluster_id").select($"id".as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .filter(TextOps.qualityScore($"text") >= 0.5)
+      .select($"lang", Curation.splitAssign($"doc_id").as("split"),
+        TextOps.wordCount($"text").cast("long").as("n_words"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("total_words"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(incremental === batch)
+    // the retraction actually happened: standing rep 2's group lost a doc
+    // (kept docs after the increment are exactly {0, 12, 14})
+    val totalDocs = incremental.toSeq.map(_._3).sum
+    assert(totalDocs === 3L, s"expected 3 kept quality docs, got $totalDocs")
+  }
 }
