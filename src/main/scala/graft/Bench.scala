@@ -345,17 +345,32 @@ object Bench {
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BATCH", "24").toInt)
     val budgetS =
       sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "2100").toDouble
-    val (solo, small) = names.partition(n =>
+    val (solo0, small) = names.partition(n =>
       streamEntries(n) || prior.get(n).exists(_ > isolateCutoff))
+    // The four p-census stream entries share ONE fork (round-15 verdict #5):
+    // the per-fork cost they were each paying solo is the one-time streaming
+    // machinery (state-store provider init, listener bus, stream-plan
+    // codegen), which a shared JVM amortizes exactly like the 24-entry
+    // batches amortize boot — measured at sf0.1 the family fell 10.3 -> 8.9 s
+    // and p32 3.7 -> 2.9 s with per-entry warms still min-of-own-runs; the
+    // drift retry still re-forks any member that comes back polluted.
+    // SPARK_GRAFT_CENSUS_GROUP=0 restores one-fork-each.
+    val censusSet = Set("p27_journey_ordered", "p28_alert_stream",
+      "p29_stream_correlate", "p32_stream_outer")
+    val groupCensus =
+      sys.env.getOrElse("SPARK_GRAFT_CENSUS_GROUP", "1") == "1"
+    val (census, solo) = solo0.partition(n => groupCensus && censusSet(n))
     // isolated (streaming/heavy) entries run FIRST: their numbers carry the
     // most signal and the machine is freshest before ~200 batched entries
     // have churned page cache and JIT state (r14: tail-position isolated
     // forks measured up to 2x their calm-state times)
     val groups: Seq[Seq[String]] =
-      solo.map(Seq(_)) ++ small.grouped(batchSize).toSeq
+      (if (census.nonEmpty) Seq(census.sorted) else Nil) ++
+        solo.map(Seq(_)) ++ small.grouped(batchSize).toSeq
     System.err.println(f"[bench] plan: ${small.size} entries in " +
       f"${small.grouped(batchSize).size} batches of <=$batchSize + " +
-      f"${solo.size} isolated forks; budget $budgetS%.0f s")
+      f"${solo.size} isolated forks + ${census.size} census-family shared; " +
+      f"budget $budgetS%.0f s")
     val t0 = System.nanoTime()
     var singleRun = false
     val buf = scala.collection.mutable.ArrayBuffer.empty[Timing]
@@ -469,7 +484,7 @@ object Bench {
          |""".stripMargin).getOrElse("")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork, the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift when the clean fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); past 60%% of the wall budget remaining entries run once (tiebreak: single_run); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
+         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork (the four p-census stream entries share ONE fork, amortizing the one-time streaming machinery the same way batches amortize boot), the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift when the clean fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); past 60%% of the wall budget remaining entries run once (tiebreak: single_run); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}
