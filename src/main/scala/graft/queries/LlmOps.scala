@@ -1309,17 +1309,24 @@ object LlmOps {
 
   /** Deterministic ≥100 KB long-document fixture (round-15 verdict #2): 25
     * synthetic long docs that BOTH engines rebuild identically from the raw
-    * corpus — bucket `doc_id % 25`, concatenate the bucket's texts in
-    * doc_id order, append one space, repeat ×22, trim the trailing run —
-    * 102-159 KB per doc at sf0.01, ~1.3 MB at sf0.1. Served run-level from
-    * the [[FixtureCache]] on the Spark side; the DuckDB oracle rebuilds it
-    * as a `string_agg(... ORDER BY doc_id)` CTE, so every long-doc entry
-    * stays hash-checked end to end. */
+    * corpus — bucket `doc_id % 25`, concatenate the bucket's 20 LOWEST-ID
+    * texts in doc_id order, append one space, repeat ×22, trim the
+    * trailing run — 102-159 KB per doc at EVERY scale (the 20-doc cap
+    * keeps the fixture the ≥100 KB evidence regime instead of growing
+    * ~1.3 MB/doc at sf0.1, where the first cut benched 9.3 s; at sf0.01
+    * the cap is the whole bucket, so the committed oracle hashes are
+    * unchanged). Served run-level from the [[FixtureCache]] on the Spark
+    * side; the DuckDB oracle rebuilds it as a rank-capped
+    * `string_agg(... ORDER BY doc_id)` CTE, so every long-doc entry stays
+    * hash-checked end to end. */
   private[queries] def longDocs(s: SparkSession, dir: String): DataFrame =
-    FixtureCache.cached(s, dir, "longdocs", "1") {
+    FixtureCache.cached(s, dir, "longdocs", "2") {
       import s.implicits._
       documents(s, dir)
         .select(($"doc_id" % 25).as("bucket"), $"doc_id".as("i"), $"text".as("t"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"bucket").orderBy($"i")))
+        .filter($"rn" <= 20)
         .groupBy($"bucket")
         .agg(rtrim(repeat(concat(array_join(transform(
             array_sort(collect_list(struct($"i", $"t"))),
@@ -3509,9 +3516,13 @@ object LlmOps {
     * trim). */
   private lazy val longDocsCte: String =
     """WITH ld AS (
-      |  SELECT CAST(doc_id % 25 AS BIGINT) AS doc_id,
+      |  SELECT CAST(bucket AS BIGINT) AS doc_id,
       |    rtrim(repeat(string_agg(text, ' ' ORDER BY doc_id) || ' ', 22)) AS text
-      |  FROM documents GROUP BY doc_id % 25)""".stripMargin
+      |  FROM (
+      |    SELECT doc_id % 25 AS bucket, doc_id, text,
+      |      row_number() OVER (PARTITION BY doc_id % 25 ORDER BY doc_id) AS rn
+      |    FROM documents)
+      |  WHERE rn <= 20 GROUP BY bucket)""".stripMargin
 
   private lazy val chunksCte: String =
     """WITH pos AS (
