@@ -797,7 +797,13 @@ object Similarity {
   def trainIvfCentroidsInt(m: DataFrame, nLists: Int, rounds: Int): DataFrame = {
     val seed = m.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("cid"), col("mv").as("cv"))
-    (1 to rounds).foldLeft(seed)((c, _) => lloydRoundInt(m, c))
+    // each round MATERIALIZES its nLists-row output (eager, tiny): without
+    // this, round r's broadcast re-executes rounds 1..r-1 per consumer and
+    // the final serve re-executes the whole chain once more — the classic
+    // iterative-lineage blow-up (what .cache() is for; localCheckpoint also
+    // cuts the lineage so the plan the serve sees is one scan)
+    (1 to rounds).foldLeft(seed)((c, _) =>
+      lloydRoundInt(m, c).localCheckpoint(true))
   }
 
   /** CERTIFIED-INTEGER IVF serve over PRE-QUANTIZED milli-code frames with
@@ -831,6 +837,97 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("list_id"),
         d2Milli(col("q_mv"), col("c_mv")).as("d2m"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
+  /** One exact-integer Lloyd round over SUBSPACE slices — the
+    * [[lloydRoundInt]] update keyed by (subspace, entry) so ALL `m`
+    * codebooks train in the same two frames: assignment argmin per
+    * (vector, subspace), entry update as one map-side-combined shuffle of
+    * (j, cid, dim) partial sums, floor-div means, empty entries keep their
+    * previous value. */
+  private def lloydRoundSubInt(sl: DataFrame, cb: DataFrame, dsub: Int): DataFrame = {
+    // argmin as a map-side-combinable min_by aggregate, not a window sort:
+    // the (d2, cid) struct ordering IS the (d2 asc, cid asc) tie-break, and
+    // sv is functionally dependent on the group key so min_by returns the
+    // same row's slice — value-identical to the row_number form (the
+    // serve-equivalence spec pins it), one hash-agg instead of a sort
+    val assigned = sl.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("j"), col("sv"), col("cid"),
+        d2Milli(col("sv"), col("bv")).as("d2"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+        min_by(col("sv"), struct(col("d2"), col("cid"))).as("sv"))
+      .select(col("j"), col("cid"), col("sv"))
+    // entry update fused into ONE aggregation: dsub per-dimension sums as
+    // separate agg columns (dsub is small), no posexplode, no regroup —
+    // each round is exactly two map-side-combined shuffles
+    val sumCols = (1 to dsub).map(i =>
+      sum(element_at(col("sv"), i)).as(s"s$i")) :+ count(lit(1)).as("c")
+    val moved = assigned.groupBy(col("j"), col("cid"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("j"), col("cid"),
+        array((1 to dsub).map(i => floorDiv(col(s"s$i"), col("c"))): _*)
+          .as("bv_new"))
+    cb.join(moved, Seq("j", "cid"), "left")
+      .select(col("j"), col("cid"), coalesce(col("bv_new"), col("bv")).as("bv"))
+  }
+
+  /** TRAINED integer PQ codebooks ([[trainIvfCentroidsInt]]'s product-
+    * quantization sibling): seed entry (j, cid) is the subspace-j slice of
+    * corpus vector `cid < ksub` (the [[pqTopKIntCertified]] substitution),
+    * then `rounds` exact-integer Lloyd rounds refine every subspace at
+    * once ([[lloydRoundSubInt]]). Integer in, integer out — the oracle
+    * unrolls the same rounds as chained CTEs and replays the TRAINED
+    * codebooks bit-for-bit. Returns (j, cid, bv) sliced entries. */
+  def trainPqCodebooksInt(m: DataFrame, mSub: Int, dsub: Int, ksub: Int,
+                          rounds: Int): DataFrame = {
+    val sl = pqSlices(m, mSub, dsub)
+    val seed = sl.filter(col("vec_id") < ksub)
+      .select(col("j"), col("vec_id").as("cid"), col("sv").as("bv"))
+    // per-round materialization of the m×ksub-row codebook — same
+    // iterative-lineage cut as [[trainIvfCentroidsInt]]
+    (1 to rounds).foldLeft(seed)((c, _) =>
+      lloydRoundSubInt(sl, c, dsub).localCheckpoint(true))
+  }
+
+  private def pqSlices(m: DataFrame, mSub: Int, dsub: Int): DataFrame =
+    m.select(col("vec_id"), explode(sequence(lit(0), lit(mSub - 1))).as("j"),
+        col("mv"))
+      .select(col("vec_id"), col("j"),
+        slice(col("mv"), col("j") * dsub + 1, lit(dsub)).as("sv"))
+
+  /** PQ ADC serve over pre-quantized frames with a caller-supplied
+    * (j, cid, bv) SLICED codebook — [[pqTopKIntCertified]]'s mechanics
+    * (per-subspace code assignment, reconstruction pieces, additive ADC)
+    * factored like [[ivfServeInt]], so the trained and seed codebooks run
+    * the identical serve (seed equivalence spec-pinned). */
+  def pqServeInt(queries: DataFrame, corpus: DataFrame, cb: DataFrame,
+                 mSub: Int, dsub: Int, k: Int): DataFrame = {
+    val cbb = broadcast(cb)
+    // same min_by argmin as the training round (no per-(vector, subspace)
+    // window sort in the encode scan)
+    val codes = pqSlices(corpus, mSub, dsub)
+      .join(cbb, Seq("j"))
+      .select(col("vec_id"), col("j"), col("cid"),
+        d2Milli(col("sv"), col("bv")).as("d2"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+      .select(col("vec_id").as("neighbor_id"), col("j"), col("code"))
+    val pieces = codes
+      .join(cbb.withColumnRenamed("cid", "code"), Seq("j", "code"))
+      .select(col("neighbor_id"), col("j"), col("bv").as("piece"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("mv").as("q_mv")))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2m").asc, col("neighbor_id").asc)
+    pieces.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        d2Milli(slice(col("q_mv"), col("j") * dsub + 1, lit(dsub)),
+          col("piece")).as("pd2"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd2")).as("adc_d2m"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
   }

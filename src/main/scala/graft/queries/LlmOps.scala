@@ -755,12 +755,15 @@ object LlmOps {
     val cq = clusteredMilliQueries(s, dir)
     val seedCents = cc.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"mv".as("cv"))
-    // 16 rows after 2 Lloyd rounds; checkpoint so the serve's two centroid
-    // consumers (corpus assignment + probe selection) train once, not twice
-    val trainedCents = Similarity.trainIvfCentroidsInt(cc, nLists = 16, rounds = 2)
-      .localCheckpoint(true)
+    // trained centroids are the INGEST artifact (pure function of the
+    // corpus), persisted run-level like the PQ codebooks — and NO
+    // mid-entry checkpoints: the ops are integer with total tie-breaks, so
+    // the two serves stay subtrees of ONE action and schedule concurrently
+    // (see x3_ann_pq_trained's note)
+    val trainedCents = FixtureCache.cached(s, dir, "x3-ivf-trained-cents-n16r2", "v1") {
+      Similarity.trainIvfCentroidsInt(cc, nLists = 16, rounds = 2)
+    }
     val trained = Similarity.ivfServeInt(cq, cc, trainedCents, k = 5, nProbe = 2)
-      .localCheckpoint(true)
     val seeded = Similarity.ivfServeInt(cq, cc, seedCents, k = 5, nProbe = 2)
     val gt = FixtureCache.cached(s, dir, "x3-gt-milli-q20-k5", "v1") {
         Similarity.bruteForceTopKInt(cq, cc, k = 5)
@@ -780,6 +783,164 @@ object LlmOps {
       .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m",
         $"recall_pm", $"seed_recall_pm")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** X3b'''''''' — TRAINED integer PQ ([[Similarity.trainPqCodebooksInt]] +
+    * [[Similarity.pqServeInt]]): the product-quantization sibling of
+    * [[x3_ann_ivf_trained]] — per-subspace Lloyd refinement of the seed
+    * codebooks, all in exact int64 (m=16 subspaces × 4 dims, ksub=16
+    * entries, 2 rounds over the (j, cid)-keyed frames), unrolled as
+    * chained CTEs in the oracle so the TRAINED codebooks replay
+    * bit-for-bit. Where trained IVF's win is ROUTING on the clustered
+    * corpus, trained PQ's win is QUANTIZATION ERROR — so this entry runs
+    * on the REAL near-isotropic corpus, the regime where codebook quality
+    * is the whole game (on the tight-cluster corpus ADC ties swamp the
+    * signal; measured in PqTrainScratch). Pure-ADC recall (no exact
+    * re-rank — the float x3_ann_pq keeps that) with the seed baseline
+    * alongside: trained 300 vs seed 200 per-mille at sf0.01, the honest
+    * Lloyd-win evidence, avg-floor spec-pinned in SimilaritySpec. Query
+    * slice 100-119 keeps the int-twin query sets disjoint. */
+  def x3_ann_pq_trained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = embeddings(s, dir)
+      .select($"vec_id", Similarity.milliQuantize($"embedding").as("mv"))
+    val queries = m.filter($"vec_id" >= 100 && $"vec_id" < 120)
+    // bounded deterministic TRAINING SAMPLE (the float trainPqCodebooks'
+    // 512-vector-sample precedent): codebooks train on the first 500
+    // vectors by id, the serve encodes the WHOLE corpus — at sf0.01 the
+    // sample is the whole corpus, so the oracle hashes don't depend on it
+    val trainSample = m.filter($"vec_id" < 500)
+    val seedCb = Similarity.trainPqCodebooksInt(trainSample, mSub = 16,
+      dsub = 4, ksub = 16, rounds = 0)
+    // the trained codebook is the INGEST artifact (a pure function of the
+    // corpus — the cachedPqCodes precedent): persisted run-level, so the
+    // timed body is the two ADC serves + recall, the serving economics;
+    // the first build's cost stays visible as the cold run / cache_hit
+    // evidence, and the oracle replays the training from raw data anyway
+    val trainedCb = FixtureCache.cached(s, dir, "x3-pq-trained-cb-m16k16r2", "v1") {
+      Similarity.trainPqCodebooksInt(trainSample, mSub = 16, dsub = 4,
+        ksub = 16, rounds = 2)
+    }
+    // NO mid-entry checkpoints: every op below is integer with total
+    // tie-breaks, so double evaluation of a serve subtree is value-
+    // identical, and leaving both serves as subtrees of the ONE final
+    // action lets their stages schedule concurrently instead of
+    // serializing behind eager materialization barriers
+    val trained = Similarity.pqServeInt(queries, m, trainedCb, mSub = 16,
+      dsub = 4, k = 5)
+    val seeded = Similarity.pqServeInt(queries, m, seedCb, mSub = 16,
+      dsub = 4, k = 5)
+    val gt = FixtureCache.cached(s, dir, "x3-gt-int-q100-k5", "v1") {
+        Similarity.bruteForceTopKInt(queries, m, k = 5)
+          .select($"query_id", $"neighbor_id")
+      }.select($"query_id", $"neighbor_id", lit(1L).as("in_exact"))
+    def recallOf(approx: DataFrame, name: String) =
+      approx.select("query_id", "neighbor_id")
+        .join(gt, Seq("query_id", "neighbor_id"), "left")
+        .groupBy($"query_id")
+        .agg(expr("sum(coalesce(in_exact, 0)) * 1000 DIV 5").as(name))
+    queries.select($"vec_id".as("query_id"))
+      .join(broadcast(trained.join(broadcast(recallOf(trained, "recall_pm")),
+        Seq("query_id"))), Seq("query_id"), "left")
+      .join(broadcast(recallOf(seeded, "seed_recall_pm")), Seq("query_id"), "left")
+      .na.fill(Map("rank" -> -1, "neighbor_id" -> -1L,
+        "adc_d2m" -> -1L, "recall_pm" -> 0L, "seed_recall_pm" -> 0L))
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_d2m",
+        $"recall_pm", $"seed_recall_pm")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The [[x3_ann_pq_trained]] oracle: milli quantization, 16×4 subspace
+    * slicing, TWO per-subspace Lloyd rounds unrolled, the identical ADC
+    * serve for trained and seed codebooks, exact ground truth, per-query
+    * recall for both, sentinel spine. */
+  private def pqTrainedOracleSql: String = {
+    def d2sub(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 5), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def round(r: Int, cIn: String) =
+      s"""pa$r AS (
+         |  SELECT j, cid, sv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |      ORDER BY d2 ASC, cid ASC) AS r
+         |    FROM (SELECT sl.vec_id, sl.j, b.cid, sl.sv,
+         |            ${d2sub("sl.sv", "b.bv")} AS d2
+         |          FROM sl JOIN $cIn b USING (j)
+         |          WHERE sl.vec_id < 500)) WHERE r = 1),
+         |ps$r AS (
+         |  SELECT j, cid, d.i AS dim, sum(sv[d.i]) AS s, count(*) AS c
+         |  FROM pa$r, unnest(generate_series(1, 4)) d(i)
+         |  GROUP BY j, cid, d.i),
+         |pn$r AS (
+         |  SELECT j, cid, list((s - ((s % c) + c) % c) // c ORDER BY dim) AS bv
+         |  FROM ps$r GROUP BY j, cid),
+         |b$r AS (
+         |  SELECT b.j, b.cid, coalesce(n.bv, b.bv) AS bv
+         |  FROM $cIn b LEFT JOIN pn$r n USING (j, cid))""".stripMargin
+    def serve(p: String, cb: String) =
+      s"""${p}codes AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |      ORDER BY d2 ASC, cid ASC) AS r
+         |    FROM (SELECT sl.vec_id, sl.j, b.cid,
+         |            ${d2sub("sl.sv", "b.bv")} AS d2
+         |          FROM sl JOIN $cb b USING (j))) WHERE r = 1),
+         |${p}adc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(SUM(${d2sub("q.sv", "b.bv")}) AS BIGINT) AS adc_d2m
+         |  FROM ${p}codes c
+         |  JOIN $cb b ON b.j = c.j AND b.cid = c.cid
+         |  JOIN qsl q ON q.j = c.j
+         |  WHERE q.vec_id <> c.vec_id
+         |  GROUP BY q.vec_id, c.vec_id),
+         |${p}top AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_d2m ASC, neighbor_id ASC) AS rank
+         |    FROM ${p}adc) WHERE rank <= 5),
+         |${p}recall AS (
+         |  SELECT t.query_id,
+         |    CAST(sum(CASE WHEN g.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |      * 1000 // 5 AS BIGINT) AS recall_pm
+         |  FROM ${p}top t LEFT JOIN gt g
+         |    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |sl AS (
+       |  SELECT vec_id, s.j, mv[s.j * 4 + 1 : s.j * 4 + 4] AS sv
+       |  FROM m CROSS JOIN range(0, 16) s(j)),
+       |qsl AS (
+       |  SELECT vec_id, j, sv FROM sl
+       |  WHERE vec_id >= 100 AND vec_id < 120),
+       |b0 AS (SELECT j, vec_id AS cid, sv AS bv FROM sl WHERE vec_id < 16),
+       |${round(1, "b0")},
+       |${round(2, "b1")},
+       |gt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_sum(list_transform(range(1, 65),
+       |          i -> (q.mv[i] - c.mv[i]) * (q.mv[i] - c.mv[i]))) ASC,
+       |          c.vec_id ASC) AS r
+       |    FROM m q CROSS JOIN m c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 120
+       |      AND q.vec_id <> c.vec_id) WHERE r <= 5),
+       |${serve("t_", "b2")},
+       |${serve("s_", "b0")}
+       |SELECT q.vec_id AS query_id,
+       |  coalesce(t.rank, -1) AS rank,
+       |  coalesce(t.neighbor_id, -1) AS neighbor_id,
+       |  coalesce(t.adc_d2m, -1) AS adc_d2m,
+       |  coalesce(tr.recall_pm, 0) AS recall_pm,
+       |  coalesce(sr.recall_pm, 0) AS seed_recall_pm
+       |FROM m q
+       |LEFT JOIN t_top t ON t.query_id = q.vec_id
+       |LEFT JOIN t_recall tr ON tr.query_id = q.vec_id
+       |LEFT JOIN s_recall sr ON sr.query_id = q.vec_id
+       |WHERE q.vec_id >= 100 AND q.vec_id < 120
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** The [[x3_ann_ivf_trained]] oracle: milli quantization, the 850:150
@@ -2125,6 +2286,7 @@ object LlmOps {
     "x3_ann_pq" -> x3_ann_pq _,
     "x3_ann_ivf_int" -> x3_ann_ivf_int _,
     "x3_ann_ivf_trained" -> x3_ann_ivf_trained _,
+    "x3_ann_pq_trained" -> x3_ann_pq_trained _,
     "x3_ann_pq_int" -> x3_ann_pq_int _,
     "x3_ann_lsh_int" -> x3_ann_lsh_int _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
@@ -2556,6 +2718,7 @@ object LlmOps {
         |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x3_ann_lsh_int" -> lshIntOracleSql,
     "x3_ann_ivf_trained" -> ivfTrainedOracleSql,
+    "x3_ann_pq_trained" -> pqTrainedOracleSql,
     // the persisted-index serve replayed from raw embeddings: assignment to
     // the 16 seed centroids, 4-probe routing, in-list int64 scoring — the
     // parquet index materialization must be semantically invisible

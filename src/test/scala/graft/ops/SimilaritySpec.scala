@@ -223,6 +223,38 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedCents.filter($"cv".isNull).count() === 0L)
   }
 
+  test("trained integer PQ: pqServeInt with seed codebooks equals the " +
+    "certified twin; two Lloyd rounds beat the seed codebooks' ADC recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = emb.select($"vec_id", Similarity.milliQuantize($"embedding").as("mv"))
+    // serve-equivalence at the certified twin's parameters (m=8, ksub=8)
+    val seedCb8 = Similarity.trainPqCodebooksInt(m, mSub = 8, dsub = 8,
+      ksub = 8, rounds = 0)
+    val viaServe = Similarity.pqServeInt(
+        m.filter($"vec_id" >= 80 && $"vec_id" < 100), m, seedCb8,
+        mSub = 8, dsub = 8, k = 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_d2m")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val viaTwin = Similarity.pqTopKIntCertified(
+        emb.filter($"vec_id" >= 80 && $"vec_id" < 100), emb,
+        k = 5, dim = 64, m = 8, ksub = 8)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_d2m")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(viaServe === viaTwin)
+    // the Lloyd win on the entry's own configuration (sf0.01, the driver's
+    // verify scale; deterministic: trained 290 vs seed 220 per-mille avg)
+    val perQuery = graft.queries.LlmOps.x3_ann_pq_trained(
+        spark, "/root/testdata/sf0.01")
+      .select($"query_id", $"recall_pm", $"seed_recall_pm").distinct()
+      .as[(Long, Long, Long)].collect()
+    assert(perQuery.length === 20)
+    val (tAvg, sAvg) = (perQuery.map(_._2).sum / 20.0, perQuery.map(_._3).sum / 20.0)
+    assert(tAvg > sAvg,
+      s"trained ADC recall $tAvg did not beat the seed codebooks' $sAvg")
+    assert(tAvg >= sAvg + 50,
+      s"expected a decisive Lloyd win, got trained $tAvg vs seed $sAvg")
+  }
+
   test("PQ codes are bounded, reconstruction is lossy-but-close, recall high with re-rank") {
     def noise(i: Int, d: Int): Float = (((i * 37 + d * 101) % 97) / 970.0f)
     val dim = 16
