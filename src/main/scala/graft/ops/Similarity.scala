@@ -974,6 +974,33 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  /** Append a NEW vector batch to an existing integer IVF index against
+    * the index's FIXED centroids — the nightly vector-ingest path for the
+    * 100 TB serving layout: assignment touches only the batch (one
+    * broadcast nested-loop against the `nLists` centroid codes, argmin as
+    * a map-side-combinable min_by), and the write APPENDS files into the
+    * assigned list partitions; standing partition files are never
+    * rewritten (spec-pinned at the file level). With fixed centroids,
+    * append-then-serve is bit-identical to a full rebuild — the
+    * `x3_ann_ivf_append` entry certifies exactly that against the
+    * full-rebuild oracle. */
+  def appendIvfIndexInt(spark: org.apache.spark.sql.SparkSession,
+                        newBatch: DataFrame,
+                        cents: Array[(Long, Array[Long])], path: String): Unit = {
+    import spark.implicits._
+    val cent = broadcast(
+      cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv"))
+    newBatch.select(col("vec_id"), milliCodes(col("embedding")).as("mv"))
+      .crossJoin(cent)
+      .select(col("vec_id"), col("mv"), col("cid"),
+        d2Milli(col("mv"), col("cv")).as("d2c"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("mv"), struct(col("d2c"), col("cid"))).as("mv"),
+        min_by(col("cid"), struct(col("d2c"), col("cid"))).as("list"))
+      .select(col("vec_id"), col("mv"), col("list"))
+      .write.mode("append").partitionBy("list").parquet(path)
+  }
+
   /** Query the integer IVF index: probe selection against the broadcast
     * centroid codes, a partition-pruned read of exactly the probed lists
     * (the only driver step is collecting ≤ nLists probed ids), then exact

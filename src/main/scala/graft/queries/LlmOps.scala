@@ -614,6 +614,30 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3b''''' — the persisted-IVF APPEND path
+    * ([[Similarity.appendIvfIndexInt]]): write the standing index from the
+    * first 400 vectors, then ingest the rest as a NEW BATCH against the
+    * index's FIXED centroids — assignment touches only the batch, the
+    * write appends files into the assigned list partitions and never
+    * rewrites standing data (file-level immutability spec-pinned in
+    * SimilaritySpec). The nightly vector-ingest shape at 100 TB. With
+    * fixed centroids append-then-serve is bit-identical to a full
+    * rebuild, so the oracle is [[ivfIndexOracleSql]] — the full-rebuild
+    * SQL — verbatim. */
+  def x3_ann_ivf_append(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    deleteOnExit(idxDir)
+    val cents = Similarity.writeIvfIndexInt(emb.filter($"vec_id" < 400),
+      nLists = 16, path = idxDir)
+    Similarity.appendIvfIndexInt(s, emb.filter($"vec_id" >= 400), cents, idxDir)
+    Similarity.ivfTopKFromIndexInt(s, emb.filter($"vec_id" < 20), idxDir, cents,
+        k = 5, nProbe = 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** X3b''' — product-quantization approximate top-5 with ADC + exact
     * re-rank (rows-only; every row carries its query's measured
     * `recall_pm` vs the exact top-5, and ScalaTest pins the ≥ 0.8 bound).
@@ -2287,6 +2311,7 @@ object LlmOps {
     "x3_ann_ivf_int" -> x3_ann_ivf_int _,
     "x3_ann_ivf_trained" -> x3_ann_ivf_trained _,
     "x3_ann_pq_trained" -> x3_ann_pq_trained _,
+    "x3_ann_ivf_append" -> x3_ann_ivf_append _,
     "x3_ann_pq_int" -> x3_ann_pq_int _,
     "x3_ann_lsh_int" -> x3_ann_lsh_int _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
@@ -2722,43 +2747,11 @@ object LlmOps {
     // the persisted-index serve replayed from raw embeddings: assignment to
     // the 16 seed centroids, 4-probe routing, in-list int64 scoring — the
     // parquet index materialization must be semantically invisible
-    "x3_ann_ivf_index" ->
-      """WITH m AS (
-        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-        |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS mv
-        |  FROM embeddings),
-        |cent AS (SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 16),
-        |assigned AS (
-        |  SELECT vec_id AS neighbor_id, mv AS c_mv, cid AS list_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY d2c ASC, cid ASC) AS r
-        |    FROM (SELECT m.vec_id, m.mv, cent.cid,
-        |            list_sum(list_transform(range(1, 65),
-        |              i -> (m.mv[i] - cent.cv[i]) * (m.mv[i] - cent.cv[i]))) AS d2c
-        |          FROM m CROSS JOIN cent))
-        |  WHERE r = 1),
-        |probes AS (
-        |  SELECT query_id, q_mv, list_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY d2c ASC, cid ASC) AS r
-        |    FROM (SELECT m.vec_id AS query_id, m.mv AS q_mv, cent.cid AS list_id,
-        |            cent.cid,
-        |            list_sum(list_transform(range(1, 65),
-        |              i -> (m.mv[i] - cent.cv[i]) * (m.mv[i] - cent.cv[i]))) AS d2c
-        |          FROM m CROSS JOIN cent
-        |          WHERE m.vec_id < 20))
-        |  WHERE r <= 4),
-        |cand AS (
-        |  SELECT p.query_id, a.neighbor_id, a.list_id,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      i -> (p.q_mv[i] - a.c_mv[i]) * (p.q_mv[i] - a.c_mv[i]))) AS BIGINT) AS d2m
-        |  FROM probes p JOIN assigned a USING (list_id)
-        |  WHERE p.query_id <> a.neighbor_id),
-        |fin AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY d2m ASC, neighbor_id ASC) AS rank FROM cand)
-        |SELECT query_id, rank, neighbor_id, CAST(list_id AS BIGINT) AS list_id, d2m
-        |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "x3_ann_ivf_index" -> ivfIndexOracleSql,
+    // the APPEND path must land the identical serve as a full rebuild
+    // (fixed centroids make assignment order-independent) — its oracle is
+    // the full-rebuild SQL verbatim
+    "x3_ann_ivf_append" -> ivfIndexOracleSql,
     "x3_ann_pq_int" ->
       """WITH m AS (
         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
@@ -3674,6 +3667,49 @@ object LlmOps {
 
   /** Shared CTE rebuilding [[Dedup.contentDefinedChunks]]'s cut points and
     * chunk slices in DuckDB, ending in a `chunks` relation. */
+  /** The persisted-index serve replayed from raw embeddings — shared by
+    * `x3_ann_ivf_index` (full rebuild) and `x3_ann_ivf_append` (standing
+    * write + fixed-centroid batch append), which must land IDENTICAL
+    * results: assignment to the 16 seed centroids, 4-probe routing,
+    * in-list int64 scoring. */
+  private lazy val ivfIndexOracleSql: String =
+    """WITH m AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS mv
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, mv AS cv FROM m WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, mv AS c_mv, cid AS list_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d2c ASC, cid ASC) AS r
+      |    FROM (SELECT m.vec_id, m.mv, cent.cid,
+      |            list_sum(list_transform(range(1, 65),
+      |              i -> (m.mv[i] - cent.cv[i]) * (m.mv[i] - cent.cv[i]))) AS d2c
+      |          FROM m CROSS JOIN cent))
+      |  WHERE r = 1),
+      |probes AS (
+      |  SELECT query_id, q_mv, list_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY d2c ASC, cid ASC) AS r
+      |    FROM (SELECT m.vec_id AS query_id, m.mv AS q_mv, cent.cid AS list_id,
+      |            cent.cid,
+      |            list_sum(list_transform(range(1, 65),
+      |              i -> (m.mv[i] - cent.cv[i]) * (m.mv[i] - cent.cv[i]))) AS d2c
+      |          FROM m CROSS JOIN cent
+      |          WHERE m.vec_id < 20))
+      |  WHERE r <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.neighbor_id, a.list_id,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> (p.q_mv[i] - a.c_mv[i]) * (p.q_mv[i] - a.c_mv[i]))) AS BIGINT) AS d2m
+      |  FROM probes p JOIN assigned a USING (list_id)
+      |  WHERE p.query_id <> a.neighbor_id),
+      |fin AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY d2m ASC, neighbor_id ASC) AS rank FROM cand)
+      |SELECT query_id, rank, neighbor_id, CAST(list_id AS BIGINT) AS list_id, d2m
+      |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB rebuild of [[longDocs]] — must stay term-for-term equivalent to
     * the Spark-side fixture generator (bucket, order, separator, repeat,
     * trim). */

@@ -223,6 +223,50 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedCents.filter($"cv".isNull).count() === 0L)
   }
 
+  test("IVF index append: fixed-centroid batch ingest equals the full " +
+    "rebuild and never rewrites standing partition files") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def files(dir: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.size(p)).toMap
+      finally st.close()
+    }
+    val incDir = java.nio.file.Files.createTempDirectory("ivf_app_inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf_app_full").toString
+    try {
+      val cents = Similarity.writeIvfIndexInt(emb.filter($"vec_id" < 400),
+        nLists = 16, path = incDir)
+      val standingFiles = files(incDir)
+      Similarity.appendIvfIndexInt(spark, emb.filter($"vec_id" >= 400),
+        cents, incDir)
+      val afterFiles = files(incDir)
+      // every standing file survives byte-for-byte in place; the append
+      // only ADDED files
+      standingFiles.foreach { case (f, size) =>
+        assert(afterFiles.get(f).contains(size),
+          s"standing index file $f was rewritten by the append")
+      }
+      assert(afterFiles.size > standingFiles.size)
+      // and the served result is bit-identical to a full rebuild
+      val centsFull = Similarity.writeIvfIndexInt(emb, nLists = 16, path = fullDir)
+      assert(cents.map(_._1).toSeq === centsFull.map(_._1).toSeq)
+      def serve(dir: String, c: Array[(Long, Array[Long])]) =
+        Similarity.ivfTopKFromIndexInt(spark, emb.filter($"vec_id" < 20),
+            dir, c, k = 5, nProbe = 4)
+          .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
+          .as[(Long, Int, Long, Long, Long)].collect().toSet
+      assert(serve(incDir, cents) === serve(fullDir, centsFull))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(incDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fullDir))
+    }
+  }
+
   test("trained integer PQ: pqServeInt with seed codebooks equals the " +
     "certified twin; two Lloyd rounds beat the seed codebooks' ADC recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
