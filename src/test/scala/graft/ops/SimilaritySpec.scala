@@ -223,6 +223,23 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedCents.filter($"cv".isNull).count() === 0L)
   }
 
+  test("integer Lloyd trainers are partitioning-invariant (int sums " +
+    "commute, floor-div means exact) — the trained model is a pure " +
+    "function of the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = emb.select($"vec_id", Similarity.milliQuantize($"embedding").as("mv"))
+    def centsOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.trainIvfCentroidsInt(df, nLists = 16, rounds = 2)
+        .select($"cid", $"cv").as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(centsOf(m) === centsOf(m.repartition(7)))
+    def booksOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.trainPqCodebooksInt(df, mSub = 16, dsub = 4, ksub = 16,
+          rounds = 2)
+        .select($"j", $"cid", $"bv").as[(Int, Long, Seq[Long])]
+        .collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(booksOf(m) === booksOf(m.repartition(7)))
+  }
+
   test("IVF index append: fixed-centroid batch ingest equals the full " +
     "rebuild and never rewrites standing partition files") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
