@@ -974,6 +974,28 @@ object Similarity {
       .sortBy(_._1)
   }
 
+  /** Write an integer IVF index from PRE-QUANTIZED frames with
+    * caller-supplied centroids — [[writeIvfIndexInt]]'s layout (milli
+    * codes in a `list`-partitioned parquet) with the coarse quantizer a
+    * parameter, so the TRAINED centroids ([[trainIvfCentroidsInt]]) drive
+    * the persisted layout too, not just the in-memory serve. Returns the
+    * centroid codes as bounded driver-side metadata (`nLists` rows). */
+  def writeIvfIndexIntWith(m: DataFrame, cents: DataFrame,
+                           path: String): Array[(Long, Array[Long])] = {
+    val cent = broadcast(cents)
+    m.crossJoin(cent)
+      .select(col("vec_id"), col("mv"), col("cid"),
+        d2Milli(col("mv"), col("cv")).as("d2c"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("mv"), struct(col("d2c"), col("cid"))).as("mv"),
+        min_by(col("cid"), struct(col("d2c"), col("cid"))).as("list"))
+      .select(col("vec_id"), col("mv"), col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+    cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+  }
+
   /** Append a NEW vector batch to an existing integer IVF index against
     * the index's FIXED centroids — the nightly vector-ingest path for the
     * 100 TB serving layout: assignment touches only the batch (one
@@ -1011,14 +1033,25 @@ object Similarity {
   def ivfTopKFromIndexInt(spark: org.apache.spark.sql.SparkSession,
                           queries: DataFrame, indexPath: String,
                           cents: Array[(Long, Array[Long])], k: Int,
-                          nProbe: Int): DataFrame = {
+                          nProbe: Int): DataFrame =
+    ivfTopKFromIndexIntPre(spark,
+      queries.select(col("vec_id"), milliCodes(col("embedding")).as("mv")),
+      indexPath, cents, k, nProbe)
+
+  /** [[ivfTopKFromIndexInt]] over a PRE-QUANTIZED query frame
+    * (`vec_id`, `mv`) — the form the trained-centroid index entry feeds
+    * with the integer-mixed clustered probes. */
+  def ivfTopKFromIndexIntPre(spark: org.apache.spark.sql.SparkSession,
+                             queries: DataFrame, indexPath: String,
+                             cents: Array[(Long, Array[Long])], k: Int,
+                             nProbe: Int): DataFrame = {
     import spark.implicits._
     val cent = broadcast(
       cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("d2c").asc, col("cid").asc)
     val probes = queries
-      .select(col("vec_id").as("query_id"), milliCodes(col("embedding")).as("q_mv"))
+      .select(col("vec_id").as("query_id"), col("mv").as("q_mv"))
       .crossJoin(cent)
       .select(col("query_id"), col("q_mv"), col("cid"),
         d2Milli(col("q_mv"), col("cv")).as("d2c"))

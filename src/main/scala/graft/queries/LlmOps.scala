@@ -967,13 +967,41 @@ object LlmOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** X3b''''''''' — the TRAINED centroids driving the PERSISTED index
+    * ([[Similarity.writeIvfIndexIntWith]] + [[ivfTopKFromIndexIntPre]]):
+    * the round's pieces composed into the full deployment shape — Lloyd-
+    * trained coarse quantizer → `list`-partitioned parquet index →
+    * partition-pruned probe serve — all int64, oracle = the trained-serve
+    * CTEs replayed from raw embeddings (the index materialization must be
+    * semantically invisible, exactly the x3_ann_ivf_index discipline).
+    * Serve rows are identical to [[x3_ann_ivf_trained]]'s (minus the
+    * recall evidence, which the in-memory twin carries); the pruned scan
+    * is plan-asserted in SimilaritySpec. */
+  def x3_ann_ivf_trained_index(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = clusteredMilliCorpus(s, dir)
+    val cq = clusteredMilliQueries(s, dir)
+    val trainedCents = FixtureCache.cached(s, dir, "x3-ivf-trained-cents-n16r2", "v1") {
+      Similarity.trainIvfCentroidsInt(cc, nLists = 16, rounds = 2)
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_tr_idx").toString
+    deleteOnExit(idxDir)
+    val cents = Similarity.writeIvfIndexIntWith(cc, trainedCents, idxDir)
+    Similarity.ivfTopKFromIndexIntPre(s, cq, idxDir, cents, k = 5, nProbe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** The [[x3_ann_ivf_trained]] oracle: milli quantization, the 850:150
     * integer cluster mix, seed centroids, TWO Lloyd rounds unrolled as
     * chained CTEs (assignment argmin → per-dim floor-div means → empty-list
     * coalesce), the identical serve for the trained and seed centroids,
     * the exact integer top-5 ground truth, per-query recall for both, and
-    * the sentinel spine — the trained model replays bit-for-bit. */
-  private def ivfTrainedOracleSql: String = {
+    * the sentinel spine — the trained model replays bit-for-bit.
+    * `servingOnly = true` emits the `x3_ann_ivf_trained_index` variant:
+    * the same trained centroids driving the persisted-index serve, no
+    * recall evidence (the in-memory twin carries it). */
+  private def ivfTrainedOracle(servingOnly: Boolean): String = {
     // d2 between two milli-code lists, by 1-based index
     def d2(a: String, b: String) =
       s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
@@ -998,7 +1026,7 @@ object LlmOps {
          |  FROM $cIn LEFT JOIN n$r USING (cid))""".stripMargin
     // the ivfServeInt mechanics against centroid CTE `ct`, emitting rows
     // named with prefix p
-    def serve(p: String, ct: String) =
+    def serve(p: String, ct: String, withRecall: Boolean = true) =
       s"""${p}assign AS (
          |  SELECT vec_id AS neighbor_id, mv AS c_mv, cid AS list_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1021,14 +1049,16 @@ object LlmOps {
          |      CAST(${d2("p.q_mv", "a.c_mv")} AS BIGINT) AS d2m
          |    FROM ${p}probe p JOIN ${p}assign a USING (list_id)
          |    WHERE p.query_id <> a.neighbor_id)),
-         |${p}top AS (SELECT * FROM ${p}rows WHERE rank <= 5),
-         |${p}recall AS (
-         |  SELECT t.query_id,
-         |    CAST(sum(CASE WHEN g.neighbor_id IS NULL THEN 0 ELSE 1 END)
-         |      * 1000 // 5 AS BIGINT) AS recall_pm
-         |  FROM ${p}top t LEFT JOIN gt g
-         |    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
-         |  GROUP BY t.query_id)""".stripMargin
+         |${p}top AS (SELECT * FROM ${p}rows WHERE rank <= 5)""".stripMargin +
+        (if (!withRecall) "" else
+          s""",
+             |${p}recall AS (
+             |  SELECT t.query_id,
+             |    CAST(sum(CASE WHEN g.neighbor_id IS NULL THEN 0 ELSE 1 END)
+             |      * 1000 // 5 AS BIGINT) AS recall_pm
+             |  FROM ${p}top t LEFT JOIN gt g
+             |    ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id
+             |  GROUP BY t.query_id)""".stripMargin)
     val mix =
       "(850 * c.mv[i] + 150 * g.mv[i] " +
         "- ((((850 * c.mv[i] + 150 * g.mv[i]) % 1000) + 1000) % 1000)) // 1000"
@@ -1050,27 +1080,34 @@ object LlmOps {
        |  JOIN m0 g ON g.vec_id = 499 - t.id),
        |c0 AS (SELECT vec_id AS cid, mv AS cv FROM cc WHERE vec_id < 16),
        |${round(1, "c0")},
-       |${round(2, "c1")},
-       |gt AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT cq.vec_id AS query_id, cc.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY cq.vec_id
-       |        ORDER BY ${d2("cq.mv", "cc.mv")} ASC, cc.vec_id ASC) AS r
-       |    FROM cq CROSS JOIN cc WHERE cq.vec_id <> cc.vec_id) WHERE r <= 5),
-       |${serve("t_", "c2")},
-       |${serve("s_", "c0")}
-       |SELECT q.vec_id AS query_id,
-       |  coalesce(t.rank, -1) AS rank,
-       |  coalesce(t.neighbor_id, -1) AS neighbor_id,
-       |  coalesce(t.list_id, -1) AS list_id,
-       |  coalesce(t.d2m, -1) AS d2m,
-       |  coalesce(tr.recall_pm, 0) AS recall_pm,
-       |  coalesce(sr.recall_pm, 0) AS seed_recall_pm
-       |FROM cq q
-       |LEFT JOIN t_top t ON t.query_id = q.vec_id
-       |LEFT JOIN t_recall tr ON tr.query_id = q.vec_id
-       |LEFT JOIN s_recall sr ON sr.query_id = q.vec_id
-       |ORDER BY query_id, rank""".stripMargin
+       |${round(2, "c1")},""".stripMargin +
+      (if (servingOnly)
+        s"""
+           |${serve("t_", "c2", withRecall = false)}
+           |SELECT query_id, rank, neighbor_id, list_id, d2m
+           |FROM t_top ORDER BY query_id, rank""".stripMargin
+      else
+        s"""
+           |gt AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT cq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY cq.vec_id
+           |        ORDER BY ${d2("cq.mv", "cc.mv")} ASC, cc.vec_id ASC) AS r
+           |    FROM cq CROSS JOIN cc WHERE cq.vec_id <> cc.vec_id) WHERE r <= 5),
+           |${serve("t_", "c2")},
+           |${serve("s_", "c0")}
+           |SELECT q.vec_id AS query_id,
+           |  coalesce(t.rank, -1) AS rank,
+           |  coalesce(t.neighbor_id, -1) AS neighbor_id,
+           |  coalesce(t.list_id, -1) AS list_id,
+           |  coalesce(t.d2m, -1) AS d2m,
+           |  coalesce(tr.recall_pm, 0) AS recall_pm,
+           |  coalesce(sr.recall_pm, 0) AS seed_recall_pm
+           |FROM cq q
+           |LEFT JOIN t_top t ON t.query_id = q.vec_id
+           |LEFT JOIN t_recall tr ON tr.query_id = q.vec_id
+           |LEFT JOIN s_recall sr ON sr.query_id = q.vec_id
+           |ORDER BY query_id, rank""".stripMargin)
   }
 
   /** The [[x4_bpe_train]] oracle: the WHOLE training loop unrolled as 8
@@ -2312,6 +2349,7 @@ object LlmOps {
     "x3_ann_ivf_trained" -> x3_ann_ivf_trained _,
     "x3_ann_pq_trained" -> x3_ann_pq_trained _,
     "x3_ann_ivf_append" -> x3_ann_ivf_append _,
+    "x3_ann_ivf_trained_index" -> x3_ann_ivf_trained_index _,
     "x3_ann_pq_int" -> x3_ann_pq_int _,
     "x3_ann_lsh_int" -> x3_ann_lsh_int _,
     "x3_cosine_neardup" -> x3_cosine_neardup _,
@@ -2742,7 +2780,8 @@ object LlmOps {
         |SELECT query_id, rank, neighbor_id, list_id, d2m
         |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x3_ann_lsh_int" -> lshIntOracleSql,
-    "x3_ann_ivf_trained" -> ivfTrainedOracleSql,
+    "x3_ann_ivf_trained" -> ivfTrainedOracle(servingOnly = false),
+    "x3_ann_ivf_trained_index" -> ivfTrainedOracle(servingOnly = true),
     "x3_ann_pq_trained" -> pqTrainedOracleSql,
     // the persisted-index serve replayed from raw embeddings: assignment to
     // the 16 seed centroids, 4-probe routing, in-list int64 scoring — the

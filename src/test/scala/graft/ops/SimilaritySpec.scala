@@ -223,6 +223,22 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedCents.filter($"cv".isNull).count() === 0L)
   }
 
+  test("trained-centroid persisted index: the serve prunes on the list " +
+    "partition and equals the in-memory trained serve") {
+    val dir = "/root/testdata/sf0.001"
+    val entry = graft.queries.LlmOps.x3_ann_ivf_trained_index(spark, dir)
+    val plan = entry.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+      s"expected non-empty partition filter on `list`, got:\n$plan")
+    val viaIndex = entry
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val viaMemory = graft.queries.LlmOps.x3_ann_ivf_trained(spark, dir)
+      .filter($"rank" =!= -1)
+      .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(viaIndex === viaMemory)
+  }
+
   test("integer Lloyd trainers are partitioning-invariant (int sums " +
     "commute, floor-div means exact) — the trained model is a pure " +
     "function of the corpus") {
