@@ -327,7 +327,7 @@ object Bench {
     * the judge/driver can watch it shrink as the board grows. */
   private final case class RunStats(wallS: Double, budgetS: Double,
                                     nIsolated: Int, nBatched: Int,
-                                    nDriftRetries: Int)
+                                    nCensusShared: Int, nDriftRetries: Int)
   private var runStats: Option[RunStats] = None
 
   /** Tiered forked execution: isolated (streaming / heavy) entries one fork
@@ -354,9 +354,11 @@ object Bench {
     // batches amortize boot — measured at sf0.1 the family fell 10.3 -> 8.9 s
     // and p32 3.7 -> 2.9 s with per-entry warms still min-of-own-runs; the
     // drift retry still re-forks any member that comes back polluted.
-    // SPARK_GRAFT_CENSUS_GROUP=0 restores one-fork-each.
-    val censusSet = Set("p27_journey_ordered", "p28_alert_stream",
-      "p29_stream_correlate", "p32_stream_outer")
+    // SPARK_GRAFT_CENSUS_GROUP=0 restores one-fork-each. Derived from
+    // streamEntries (the p-prefixed members ARE the census family) so a
+    // renamed or added census entry can't silently fall back to a private
+    // fork.
+    val censusSet = Bench.streamEntries.filter(_.startsWith("p"))
     val groupCensus =
       sys.env.getOrElse("SPARK_GRAFT_CENSUS_GROUP", "1") == "1"
     val (census, solo) = solo0.partition(n => groupCensus && censusSet(n))
@@ -445,7 +447,7 @@ object Bench {
       }
     }
     runStats = Some(RunStats((System.nanoTime() - t0) / 1e9, budgetS,
-      solo.size, small.size, driftRetries))
+      solo.size, small.size, census.size, driftRetries))
     // restore the caller's name order so the artifact stays diff-stable
     val byName = buf.map(t => t.name -> t).toMap
     names.map(byName)
@@ -480,7 +482,7 @@ object Bench {
         f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs$taken$tb$bw$cache$prior}"""
     }
     val header = runStats.map(s =>
-      f""" "wall_s": ${s.wallS}%.1f, "budget_s": ${s.budgetS}%.0f, "headroom_s": ${s.budgetS - s.wallS}%.1f, "n_isolated": ${s.nIsolated}, "n_batched": ${s.nBatched}, "n_drift_retries": ${s.nDriftRetries},
+      f""" "wall_s": ${s.wallS}%.1f, "budget_s": ${s.budgetS}%.0f, "headroom_s": ${s.budgetS - s.wallS}%.1f, "n_isolated": ${s.nIsolated}, "n_batched": ${s.nBatched}, "n_census_shared": ${s.nCensusShared}, "n_drift_retries": ${s.nDriftRetries},
          |""".stripMargin).getOrElse("")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
@@ -528,15 +530,22 @@ object Bench {
         n.startsWith("s5_"))
     val llmFixtureConsumers = Set("x9_dup_clusters", "x9_dup_clusters_star",
       "x9_triangles", "x9_kcore", "x9_keepers", "x10_pipeline",
+      "x10_pipeline_incremental",
       "x2_minhash_lsh", "x2_simhash", "x2_minhash_md5", "x2_ngram_jaccard",
       "x2_containment", "x2_tf_cosine", "x1_dup_ngram", "x1_novelty",
       "x1_dup_spans", "x1_span_removal",
-      "x3_ann_lsh", "x3_ann_ivf", "x3_ann_pq")
+      "x3_ann_lsh", "x3_ann_ivf", "x3_ann_pq",
+      "x3_ann_ivf_trained", "x3_ann_ivf_trained_index", "x3_ann_pq_trained",
+      "x2_winnow_long", "x4_long_quality")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
       names.exists(llmFixtureConsumers)
     val touchesMetricsFixtures =
       names.contains("p28_alert_stream") || names.contains("p29_stream_correlate")
-    if (!inline && (touchesCdcFixtures || touchesLshIndex || touchesMetricsFixtures)) {
+    // the incremental curation pipeline's standing state (digests, reps,
+    // kept attrs, census) is persisted nightly input, not timed work
+    val touchesCurationState = names.contains("x10_pipeline_incremental")
+    if (!inline && (touchesCdcFixtures || touchesLshIndex ||
+        touchesMetricsFixtures || touchesCurationState)) {
       // Populate the run-level fixture caches BEFORE any timed child forks,
       // so the first cdc query measures the parse operator (not the one-time
       // generate→to_json→parquet cache build — round-8 verdict #3) and the
@@ -548,6 +557,8 @@ object Bench {
         if (touchesCdcFixtures) graft.queries.CdcQueries.prewarmFixtures(pw, sfDir)
         if (touchesLshIndex) graft.queries.LlmOps.prewarmFixtures(pw, sfDir)
         if (touchesMetricsFixtures) graft.queries.MetricsOps.prewarmFixtures(pw, sfDir)
+        if (touchesCurationState)
+          graft.queries.CurationQueries.prewarmFixtures(pw, sfDir)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fixture prewarm failed: ${e.getMessage}")
       }

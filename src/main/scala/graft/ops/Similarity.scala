@@ -749,7 +749,7 @@ object Similarity {
     * `(s - ((s % c) + c) % c) // c`, engine-independent for negative sums
     * (plain `div`/`//` truncate toward zero and would disagree with a
     * flooring engine on them). */
-  private def floorDiv(s: Column, c: Column): Column =
+  private[graft] def floorDiv(s: Column, c: Column): Column =
     ((s - pmod(s, c)) / c).cast("bigint")
 
   /** One exact-integer Lloyd round over milli-code vectors: assign every

@@ -373,6 +373,14 @@ object CurationQueries {
       .orderBy($"lang", $"split")
   }
 
+  /** Populate the incremental pipeline's standing-state fixtures before a
+    * timed bench child forks (the [[LlmOps.prewarmFixtures]] discipline):
+    * the persisted nightly state is the entry's INPUT, not its work. */
+  def prewarmFixtures(s: SparkSession, dir: String): Unit = {
+    x10StandingState(s, dir)
+    ()
+  }
+
   /** X10' — the INCREMENTAL end-to-end curation pipeline
     * ([[incrementalCensus]]): the new-batch slice (ids past the 4/5 cut)
     * driven against the persisted standing state in one increment. The

@@ -744,12 +744,10 @@ object LlmOps {
     val mems = m.filter(col("vec_id") < 500)
       .select(col("vec_id").as("mm"), col("mv").as("mmv"))
     idx.join(broadcast(cents), Seq("c")).join(mems, Seq("mm"))
-      .select(col("vec_id"), zip_with(col("cv"), col("mmv"), (a, b) => {
-        val t = a * lit(850L) + b * lit(150L)
-        // exact floor division by 1000 (pmod makes the numerator divisible,
-        // so truncating and flooring engines agree on negative sums)
-        ((t - pmod(t, lit(1000L))) / lit(1000L)).cast("bigint")
-      }).as("mv"))
+      .select(col("vec_id"), zip_with(col("cv"), col("mmv"), (a, b) =>
+        // exact engine-agnostic floor division — see Similarity.floorDiv
+        Similarity.floorDiv(a * lit(850L) + b * lit(150L), lit(1000L))
+      ).as("mv"))
   }
 
   /** X3b''''''' — TRAINED integer IVF ([[Similarity.trainIvfCentroidsInt]] +
@@ -784,30 +782,56 @@ object LlmOps {
     // mid-entry checkpoints: the ops are integer with total tie-breaks, so
     // the two serves stay subtrees of ONE action and schedule concurrently
     // (see x3_ann_pq_trained's note)
-    val trainedCents = FixtureCache.cached(s, dir, "x3-ivf-trained-cents-n16r2", "v1") {
-      Similarity.trainIvfCentroidsInt(cc, nLists = 16, rounds = 2)
-    }
+    val trainedCents = cachedTrainedIvfCents(s, dir)
     val trained = Similarity.ivfServeInt(cq, cc, trainedCents, k = 5, nProbe = 2)
     val seeded = Similarity.ivfServeInt(cq, cc, seedCents, k = 5, nProbe = 2)
-    val gt = FixtureCache.cached(s, dir, "x3-gt-milli-q20-k5", "v1") {
-        Similarity.bruteForceTopKInt(cq, cc, k = 5)
-          .select($"query_id", $"neighbor_id")
-      }.select($"query_id", $"neighbor_id", lit(1L).as("in_exact"))
+    annotatedTrainedRows(cq, trained, seeded, cachedGtMilli(s, dir),
+      Seq($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m",
+        $"recall_pm", $"seed_recall_pm"),
+      Map("rank" -> -1, "neighbor_id" -> -1L, "list_id" -> -1L,
+        "d2m" -> -1L, "recall_pm" -> 0L, "seed_recall_pm" -> 0L))
+  }
+
+  /** Shared spine/recall assembly for the trained-vs-seed ANN entries:
+    * per-query recall of both serves vs the exact integer ground truth,
+    * the trained rows annotated with both columns, and every probe kept
+    * via the sentinel spine. */
+  private def annotatedTrainedRows(queries: DataFrame, trained: DataFrame,
+                                   seeded: DataFrame, gtPairs: DataFrame,
+                                   outCols: Seq[org.apache.spark.sql.Column],
+                                   fills: Map[String, Any]): DataFrame = {
+    val gt = gtPairs.select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("in_exact"))
     def recallOf(approx: DataFrame, name: String) =
       approx.select("query_id", "neighbor_id")
         .join(gt, Seq("query_id", "neighbor_id"), "left")
-        .groupBy($"query_id")
+        .groupBy(col("query_id"))
         .agg(expr("sum(coalesce(in_exact, 0)) * 1000 DIV 5").as(name))
-    cq.select($"vec_id".as("query_id"))
+    queries.select(col("vec_id").as("query_id"))
       .join(broadcast(trained.join(broadcast(recallOf(trained, "recall_pm")),
         Seq("query_id"))), Seq("query_id"), "left")
       .join(broadcast(recallOf(seeded, "seed_recall_pm")), Seq("query_id"), "left")
-      .na.fill(Map("rank" -> -1, "neighbor_id" -> -1L, "list_id" -> -1L,
-        "d2m" -> -1L, "recall_pm" -> 0L, "seed_recall_pm" -> 0L))
-      .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m",
-        $"recall_pm", $"seed_recall_pm")
-      .orderBy($"query_id", $"rank")
+      .na.fill(fills)
+      .select(outCols: _*)
+      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Exact integer top-5 ground truth for the clustered-milli probes —
+    * shared by the trained IVF entry and the prewarm. */
+  private def cachedGtMilli(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "x3-gt-milli-q20-k5", "v1") {
+      Similarity.bruteForceTopKInt(clusteredMilliQueries(s, dir),
+          clusteredMilliCorpus(s, dir), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+
+  /** The trained integer IVF centroids as the run-level ingest artifact —
+    * shared by both trained-IVF entries and the prewarm. */
+  private def cachedTrainedIvfCents(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "x3-ivf-trained-cents-n16r2", "v1") {
+      Similarity.trainIvfCentroidsInt(clusteredMilliCorpus(s, dir),
+        nLists = 16, rounds = 2)
+    }
 
   /** X3b'''''''' — TRAINED integer PQ ([[Similarity.trainPqCodebooksInt]] +
     * [[Similarity.pqServeInt]]): the product-quantization sibling of
@@ -840,39 +864,45 @@ object LlmOps {
     // corpus — the cachedPqCodes precedent): persisted run-level, so the
     // timed body is the two ADC serves + recall, the serving economics;
     // the first build's cost stays visible as the cold run / cache_hit
-    // evidence, and the oracle replays the training from raw data anyway
-    val trainedCb = FixtureCache.cached(s, dir, "x3-pq-trained-cb-m16k16r2", "v1") {
-      Similarity.trainPqCodebooksInt(trainSample, mSub = 16, dsub = 4,
-        ksub = 16, rounds = 2)
-    }
+    // evidence, and the oracle replays the training from raw data anyway.
     // NO mid-entry checkpoints: every op below is integer with total
     // tie-breaks, so double evaluation of a serve subtree is value-
     // identical, and leaving both serves as subtrees of the ONE final
     // action lets their stages schedule concurrently instead of
     // serializing behind eager materialization barriers
-    val trained = Similarity.pqServeInt(queries, m, trainedCb, mSub = 16,
-      dsub = 4, k = 5)
+    val trained = Similarity.pqServeInt(queries, m, cachedTrainedPqCb(s, dir),
+      mSub = 16, dsub = 4, k = 5)
     val seeded = Similarity.pqServeInt(queries, m, seedCb, mSub = 16,
       dsub = 4, k = 5)
-    val gt = FixtureCache.cached(s, dir, "x3-gt-int-q100-k5", "v1") {
-        Similarity.bruteForceTopKInt(queries, m, k = 5)
-          .select($"query_id", $"neighbor_id")
-      }.select($"query_id", $"neighbor_id", lit(1L).as("in_exact"))
-    def recallOf(approx: DataFrame, name: String) =
-      approx.select("query_id", "neighbor_id")
-        .join(gt, Seq("query_id", "neighbor_id"), "left")
-        .groupBy($"query_id")
-        .agg(expr("sum(coalesce(in_exact, 0)) * 1000 DIV 5").as(name))
-    queries.select($"vec_id".as("query_id"))
-      .join(broadcast(trained.join(broadcast(recallOf(trained, "recall_pm")),
-        Seq("query_id"))), Seq("query_id"), "left")
-      .join(broadcast(recallOf(seeded, "seed_recall_pm")), Seq("query_id"), "left")
-      .na.fill(Map("rank" -> -1, "neighbor_id" -> -1L,
+    annotatedTrainedRows(queries, trained, seeded, cachedGtInt100(s, dir),
+      Seq($"query_id", $"rank", $"neighbor_id", $"adc_d2m",
+        $"recall_pm", $"seed_recall_pm"),
+      Map("rank" -> -1, "neighbor_id" -> -1L,
         "adc_d2m" -> -1L, "recall_pm" -> 0L, "seed_recall_pm" -> 0L))
-      .select($"query_id", $"rank", $"neighbor_id", $"adc_d2m",
-        $"recall_pm", $"seed_recall_pm")
-      .orderBy($"query_id", $"rank")
   }
+
+  /** The trained integer PQ codebooks as the run-level ingest artifact —
+    * shared by the trained-PQ entry and the prewarm. Training sample =
+    * the first 500 corpus vectors (see [[x3_ann_pq_trained]]). */
+  private def cachedTrainedPqCb(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "x3-pq-trained-cb-m16k16r2", "v1") {
+      Similarity.trainPqCodebooksInt(
+        embeddings(s, dir)
+          .select(col("vec_id"), Similarity.milliQuantize(col("embedding")).as("mv"))
+          .filter(col("vec_id") < 500),
+        mSub = 16, dsub = 4, ksub = 16, rounds = 2)
+    }
+
+  /** Exact integer top-5 ground truth for query slice 100-119 on the real
+    * corpus — shared by the trained-PQ entry and the prewarm. */
+  private def cachedGtInt100(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "x3-gt-int-q100-k5", "v1") {
+      val m = embeddings(s, dir)
+        .select(col("vec_id"), Similarity.milliQuantize(col("embedding")).as("mv"))
+      Similarity.bruteForceTopKInt(
+          m.filter(col("vec_id") >= 100 && col("vec_id") < 120), m, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
 
   /** The [[x3_ann_pq_trained]] oracle: milli quantization, 16×4 subspace
     * slicing, TWO per-subspace Lloyd rounds unrolled, the identical ADC
@@ -981,9 +1011,7 @@ object LlmOps {
     import s.implicits._
     val cc = clusteredMilliCorpus(s, dir)
     val cq = clusteredMilliQueries(s, dir)
-    val trainedCents = FixtureCache.cached(s, dir, "x3-ivf-trained-cents-n16r2", "v1") {
-      Similarity.trainIvfCentroidsInt(cc, nLists = 16, rounds = 2)
-    }
+    val trainedCents = cachedTrainedIvfCents(s, dir)
     val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_tr_idx").toString
     deleteOnExit(idxDir)
     val cents = Similarity.writeIvfIndexIntWith(cc, trainedCents, idxDir)
@@ -2101,6 +2129,17 @@ object LlmOps {
     // the PQ encoded corpus (x3_ann_pq serving input)
     cachedPqCodes(s, dir,
       Similarity.trainPqCodebooks(embeddings(s, dir), dim = 64, m = 16, ksub = 16))
+    // round-16 trained-ANN fixtures: the integer clustered corpus/probes,
+    // exact integer ground truths, and the trained models (ingest
+    // artifacts — the timed entries measure the SERVES)
+    clusteredMilliCorpus(s, dir)
+    clusteredMilliQueries(s, dir)
+    cachedGtMilli(s, dir)
+    cachedGtInt100(s, dir)
+    cachedTrainedIvfCents(s, dir)
+    cachedTrainedPqCb(s, dir)
+    // the >=100 KB long-document fixture (x2_winnow_long / x4_long_quality)
+    longDocs(s, dir)
     ()
   }
 
@@ -3704,8 +3743,6 @@ object LlmOps {
         |FROM agg, tot WHERE fg_count >= 3 ORDER BY term""".stripMargin),
   )
 
-  /** Shared CTE rebuilding [[Dedup.contentDefinedChunks]]'s cut points and
-    * chunk slices in DuckDB, ending in a `chunks` relation. */
   /** The persisted-index serve replayed from raw embeddings — shared by
     * `x3_ann_ivf_index` (full rebuild) and `x3_ann_ivf_append` (standing
     * write + fixed-centroid batch append), which must land IDENTICAL
@@ -3762,6 +3799,8 @@ object LlmOps {
       |    FROM documents)
       |  WHERE rn <= 20 GROUP BY bucket)""".stripMargin
 
+  /** Shared CTE rebuilding [[Dedup.contentDefinedChunks]]'s cut points and
+    * chunk slices in DuckDB, ending in a `chunks` relation. */
   private lazy val chunksCte: String =
     """WITH pos AS (
       |  SELECT doc_id, text,
