@@ -536,7 +536,7 @@ object Bench {
       "x1_dup_spans", "x1_span_removal",
       "x3_ann_lsh", "x3_ann_ivf", "x3_ann_pq",
       "x3_ann_ivf_trained", "x3_ann_ivf_trained_index", "x3_ann_pq_trained",
-      "x2_winnow_long", "x4_long_quality")
+      "x2_winnow_long", "x4_long_quality", "x4_cms_shingles")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
       names.exists(llmFixtureConsumers)
     val touchesMetricsFixtures =

@@ -1616,6 +1616,51 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X4t — count-min sketch word-frequency estimates
+    * ([[graft.ops.Sketch]]): the streaming-counter sketch real pipelines
+    * keep where an exact census would be key-cardinality-sized — here with
+    * the PORTABLE md5 hash family, so bucketing, the 4×256 counter table,
+    * and the min-over-rows estimates all replay in the oracle and the
+    * sketch is hash-checked end to end (the xxhash sketches get rows-only;
+    * this one doesn't have to). Probes are the exact top-20 words; each
+    * row carries the exact count, the estimate, and the integer overcount
+    * — `est ≥ exact` is CMS's structural one-sided-error guarantee,
+    * re-derived by the oracle and spec-pinned. Keys are 3-word SHINGLES
+    * (~16k distinct at sf0.01 vs the synthetic corpus's 31-word
+    * vocabulary), so the 4×256 table genuinely collides and the emitted
+    * overcounts are real evidence, not vacuous zeros. The synthetic
+    * corpus's near-FLAT frequency distribution is CMS's worst case for
+    * relative error (every "heavy hitter" is barely above the noise
+    * floor), so the honest artifact shows small absolute overcounts on
+    * every probe (avg ~3.5 on exact counts of 6 at depth 4 × width 4096 —
+    * a 16k-cell table regardless of corpus size). */
+  def x4_cms_shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the tokenized occurrence stream is the persisted ingest artifact
+    // (pipelines shingle once, not per consumer) — run-level FixtureCache
+    // like the distinct-shingle tables the x2 family reads
+    val keys = cachedShingleOccurrences(s, dir)
+    val counters = graft.ops.Sketch.cmsCounters(keys, "k", depth = 4, width = 4096)
+    val exact = keys.groupBy($"k").agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact.orderBy($"exact_cnt".desc, $"k".asc).limit(20)
+    val est = graft.ops.Sketch.cmsEstimate(counters, probes.select($"k"),
+      "k", depth = 4, width = 4096)
+    probes.join(est, Seq("k"))
+      .select($"k".as("shingle"), $"exact_cnt", $"est_cnt",
+        ($"est_cnt" - $"exact_cnt").as("overcount"),
+        expr("(est_cnt - exact_cnt) * 1000000 DIV exact_cnt").as("overcount_ppm"))
+      .orderBy($"shingle")
+  }
+
+  /** All 3-shingle OCCURRENCES (duplicates kept — the multiplicity stream
+    * frequency sketches count), persisted run-level like the
+    * distinct-shingle tables. */
+  private def cachedShingleOccurrences(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "shingle-occurrences-3", "v1") {
+      documents(s, dir)
+        .select(explode(TextOps.shinglesAll(split(col("text"), " "), 3)).as("k"))
+    }
+
   /** X4j — out-of-vocabulary rate: per-doc fraction of tokens outside the
     * corpus top-100 vocabulary, in exact integer parts-per-million — the
     * rare-word / gibberish quality signal that length and stopword ratios
@@ -2140,6 +2185,8 @@ object LlmOps {
     cachedTrainedPqCb(s, dir)
     // the >=100 KB long-document fixture (x2_winnow_long / x4_long_quality)
     longDocs(s, dir)
+    // the 3-shingle occurrence stream (x4_cms_shingles)
+    cachedShingleOccurrences(s, dir)
     ()
   }
 
@@ -2436,6 +2483,7 @@ object LlmOps {
     "x4_long_quality" -> x4_long_quality _,
     "x2_chunk_stats" -> x2_chunk_stats _,
     "x4_oov_rate" -> x4_oov_rate _,
+    "x4_cms_shingles" -> x4_cms_shingles _,
     "x2_containment" -> x2_containment _,
     "x2_tf_cosine" -> x2_tf_cosine _,
     "x2_lsh_incremental" -> x2_lsh_incremental _,
@@ -3578,6 +3626,40 @@ object LlmOps {
     // the long-doc fixture CTE both long-regime oracles share: identical to
     // LlmOps.longDocs (bucket % 25, doc_id-ordered concat, ×22 repeat, rtrim)
     // — see x2_winnow_long's scaladoc for the 4 KB-segment hashing trick
+    // portable md5 hash family: the sketch construction AND the estimates
+    // replay exactly (the x2_minhash_md5 '0x'||substr(md5) idiom)
+    "x4_cms_shingles" ->
+      """WITH words AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents),
+        |occ AS (
+        |  SELECT unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS k
+        |  FROM words),
+        |buckets AS (
+        |  SELECT r.r,
+        |    CAST(('0x' || substr(md5(r.r || '|' || k), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM occ, range(0, 4) r(r)),
+        |counters AS (SELECT r, b, count(*) AS cnt FROM buckets GROUP BY r, b),
+        |exact AS (SELECT k, count(*) AS exact_cnt FROM occ GROUP BY k),
+        |probes AS (
+        |  SELECT k, exact_cnt FROM exact
+        |  ORDER BY exact_cnt DESC, k ASC LIMIT 20),
+        |lookups AS (
+        |  SELECT p.k, r.r,
+        |    CAST(('0x' || substr(md5(r.r || '|' || p.k), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM probes p, range(0, 4) r(r)),
+        |est AS (
+        |  SELECT l.k, min(coalesce(c.cnt, 0)) AS est_cnt
+        |  FROM lookups l LEFT JOIN counters c ON c.r = l.r AND c.b = l.b
+        |  GROUP BY l.k)
+        |SELECT p.k AS shingle, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+        |  CAST(e.est_cnt AS BIGINT) AS est_cnt,
+        |  CAST(e.est_cnt - p.exact_cnt AS BIGINT) AS overcount,
+        |  CAST((e.est_cnt - p.exact_cnt) * 1000000 // p.exact_cnt AS BIGINT)
+        |    AS overcount_ppm
+        |FROM probes p JOIN est e ON e.k = p.k
+        |ORDER BY shingle""".stripMargin,
     "x2_winnow_long" -> (longDocsCte +
       """,
         |seg AS (
