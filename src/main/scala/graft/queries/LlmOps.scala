@@ -1619,7 +1619,7 @@ object LlmOps {
   /** X4t — count-min sketch word-frequency estimates
     * ([[graft.ops.Sketch]]): the streaming-counter sketch real pipelines
     * keep where an exact census would be key-cardinality-sized — here with
-    * the PORTABLE md5 hash family, so bucketing, the 4×256 counter table,
+    * the PORTABLE md5 hash family, so bucketing, the 4×4096 counter table,
     * and the min-over-rows estimates all replay in the oracle and the
     * sketch is hash-checked end to end (the xxhash sketches get rows-only;
     * this one doesn't have to). Probes are the exact top-20 words; each
@@ -1627,7 +1627,7 @@ object LlmOps {
     * — `est ≥ exact` is CMS's structural one-sided-error guarantee,
     * re-derived by the oracle and spec-pinned. Keys are 3-word SHINGLES
     * (~16k distinct at sf0.01 vs the synthetic corpus's 31-word
-    * vocabulary), so the 4×256 table genuinely collides and the emitted
+    * vocabulary), so the 4×4096 table genuinely collides and the emitted
     * overcounts are real evidence, not vacuous zeros. The synthetic
     * corpus's near-FLAT frequency distribution is CMS's worst case for
     * relative error (every "heavy hitter" is barely above the noise
