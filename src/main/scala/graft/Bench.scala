@@ -80,6 +80,17 @@ object Bench {
     * list — identical to [[streamEntries]] since x2_winnow left the set). */
   private[graft] val streamBuilderEntries: Set[String] = streamEntries
 
+  /** The census FAMILY — the stream entries that share one bench fork
+    * (round-15 verdict #5). An EXPLICIT named set, not a name-prefix
+    * filter over [[streamEntries]]: a future p-prefixed stream entry that
+    * is NOT part of the census family must keep its private fork instead
+    * of being silently pulled into the shared JVM (round-16 ADVICE). */
+  private[graft] val censusFamily: Set[String] = Set(
+    "p27_journey_ordered", "p28_alert_stream", "p29_stream_correlate",
+    "p32_stream_outer")
+  require(censusFamily.subsetOf(streamEntries),
+    "censusFamily must be a subset of streamEntries")
+
   /** One measurement: cold = first (fork-fresh) run, warm = steady-state
     * plan cost (min of first and second run; see [[runInline]]). A query
     * that THROWS is carried with `failed = true` — its elapsed time is a
@@ -354,11 +365,10 @@ object Bench {
     // batches amortize boot — measured at sf0.1 the family fell 10.3 -> 8.9 s
     // and p32 3.7 -> 2.9 s with per-entry warms still min-of-own-runs; the
     // drift retry still re-forks any member that comes back polluted.
-    // SPARK_GRAFT_CENSUS_GROUP=0 restores one-fork-each. Derived from
-    // streamEntries (the p-prefixed members ARE the census family) so a
-    // renamed or added census entry can't silently fall back to a private
-    // fork.
-    val censusSet = Bench.streamEntries.filter(_.startsWith("p"))
+    // SPARK_GRAFT_CENSUS_GROUP=0 restores one-fork-each. The family is the
+    // EXPLICIT [[censusFamily]] set (asserted a subset of streamEntries) —
+    // see its doc for why a name-prefix filter was retired.
+    val censusSet = Bench.censusFamily
     val groupCensus =
       sys.env.getOrElse("SPARK_GRAFT_CENSUS_GROUP", "1") == "1"
     val (census, solo) = solo0.partition(n => groupCensus && censusSet(n))

@@ -748,9 +748,13 @@ object Similarity {
     * and flooring division agree — the SAME expression replays in DuckDB as
     * `(s - ((s % c) + c) % c) // c`, engine-independent for negative sums
     * (plain `div`/`//` truncate toward zero and would disagree with a
-    * flooring engine on them). */
+    * flooring engine on them). The division itself is SQL `div`
+    * (IntegralDivide — int64 end to end like the oracle's `//`), not
+    * float `/`: double division is exact only while |s| < 2^53, and this
+    * helper backs the public trainers, whose callers may bring larger
+    * sums than the current fixtures (round-16 ADVICE). */
   private[graft] def floorDiv(s: Column, c: Column): Column =
-    ((s - pmod(s, c)) / c).cast("bigint")
+    call_function("div", s - pmod(s, c), c)
 
   /** One exact-integer Lloyd round over milli-code vectors: assign every
     * corpus vector to its nearest current centroid (int64 milli-L2², ties
