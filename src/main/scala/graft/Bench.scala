@@ -38,7 +38,13 @@ import scala.jdk.CollectionConverters._
   * so an overrun is visible in the driver log BEFORE the kill; past 60% of
   * SPARK_GRAFT_BUDGET_S (default 2100 s) remaining children switch to
   * single-run mode (skip the warm rerun; warm = the one measured run,
-  * marked `tiebreak: "single_run"` in the detail artifact).
+  * marked `tiebreak: "single_run"` in the detail artifact). Round-16
+  * hardening: batches run in DESCENDING prior_warm order so the switch
+  * lands on the cheap fork-boot-dominated tail, a single run that exceeds
+  * 1.5x its committed prior still earns one rescue run
+  * (`single_run+gt_1.5x_prior`), and the detail header counts the
+  * degraded entries (`n_single_run`) so the artifact declares its own
+  * blind spots.
   *
   * Truncation posture: the driver captures a BOUNDED TAIL of process output
   * (~2 KB) and parses the JSON line out of it — at ~100 queries the full
@@ -207,9 +213,26 @@ object Bench {
       val (t1, ok1) = runOnce(name, fn)
       if (!ok1) Timing(name, t1, t1, failed = true, runs = Seq(t1))
       else if (singleRun) {
-        System.err.println(f"[bench] $name%-24s $t1%9.3f s  (single-run mode)")
-        Timing(name, t1, t1, runs = Seq(t1), prior = prior.get(name),
-          tiebreak = Some("single_run"))
+        val priorWarm = prior.get(name)
+        // Budget austerity must not record an obvious fork-boot artifact
+        // as warm (round-16 verdict #1b: 51 entries carried cold-as-warm
+        // while 610 s of budget sat unused): a single run that exceeds
+        // 1.5x the committed prior still earns ONE rescue run — spend the
+        // remaining budget on adjudication, not blanket austerity. Cheap
+        // entries (where the cold/warm gap is proportionally largest) are
+        // exactly the ones this fires for, and their rescue run is cheap.
+        if (priorWarm.exists(p => t1 > p * 1.5) && t1 <= warmCutoff) {
+          val (t2, ok2) = runOnce(name, fn)
+          val runs = if (ok2) Seq(t1, t2) else Seq(t1)
+          System.err.println(f"[bench] $name%-24s ${runs.min}%9.3f s  " +
+            f"(single-run mode, >1.5x prior ${priorWarm.get}%.3f s rescue)")
+          Timing(name, t1, runs.min, runs = runs, prior = priorWarm,
+            tiebreak = Some("single_run+gt_1.5x_prior"))
+        } else {
+          System.err.println(f"[bench] $name%-24s $t1%9.3f s  (single-run mode)")
+          Timing(name, t1, t1, runs = Seq(t1), prior = priorWarm,
+            tiebreak = Some("single_run"))
+        }
       } else {
         // Variance defense (round-8 verdict #2): a warm run that fails to
         // beat the cold run is the signature of a machine-state artifact
@@ -338,7 +361,8 @@ object Bench {
     * the judge/driver can watch it shrink as the board grows. */
   private final case class RunStats(wallS: Double, budgetS: Double,
                                     nIsolated: Int, nBatched: Int,
-                                    nCensusShared: Int, nDriftRetries: Int)
+                                    nCensusShared: Int, nDriftRetries: Int,
+                                    nSingleRun: Int)
   private var runStats: Option[RunStats] = None
 
   /** Tiered forked execution: isolated (streaming / heavy) entries one fork
@@ -376,9 +400,20 @@ object Bench {
     // most signal and the machine is freshest before ~200 batched entries
     // have churned page cache and JIT state (r14: tail-position isolated
     // forks measured up to 2x their calm-state times)
+    //
+    // Shared-fork batches are ordered by DESCENDING committed prior_warm
+    // (round-16 verdict #1a): if the 60%-budget single-run switch trips,
+    // it lands on the CHEAP fork-boot-dominated tail — which loses the
+    // least wall-clock under single-run and whose cold-as-warm artifact
+    // the >1.5x-prior rescue run (see runInline) then adjudicates —
+    // instead of starving expensive entries of their warm rerun. Entries
+    // with no committed prior (new this round) sort FIRST: they need the
+    // clean two-run regime most.
+    val smallOrdered = small.sortBy(n => -prior.getOrElse(n, Double.MaxValue))
+    val soloOrdered = solo.sortBy(n => -prior.getOrElse(n, Double.MaxValue))
     val groups: Seq[Seq[String]] =
       (if (census.nonEmpty) Seq(census.sorted) else Nil) ++
-        solo.map(Seq(_)) ++ small.grouped(batchSize).toSeq
+        soloOrdered.map(Seq(_)) ++ smallOrdered.grouped(batchSize).toSeq
     System.err.println(f"[bench] plan: ${small.size} entries in " +
       f"${small.grouped(batchSize).size} batches of <=$batchSize + " +
       f"${solo.size} isolated forks + ${census.size} census-family shared; " +
@@ -456,8 +491,13 @@ object Bench {
           f"$budgetS%.0f s - remaining forks switch to single-run mode")
       }
     }
+    // the artifact declares its own blind spots (round-16 verdict #1c):
+    // how many entries were measured in the degraded single-run regime
+    // (a rescued entry — single_run+gt_1.5x_prior — counts too: its warm
+    // is min-of-2 but still came from the austerity window)
+    val nSingleRun = buf.count(_.tiebreak.exists(_.contains("single_run")))
     runStats = Some(RunStats((System.nanoTime() - t0) / 1e9, budgetS,
-      solo.size, small.size, census.size, driftRetries))
+      solo.size, small.size, census.size, driftRetries, nSingleRun))
     // restore the caller's name order so the artifact stays diff-stable
     val byName = buf.map(t => t.name -> t).toMap
     names.map(byName)
@@ -492,11 +532,11 @@ object Bench {
         f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs$taken$tb$bw$cache$prior}"""
     }
     val header = runStats.map(s =>
-      f""" "wall_s": ${s.wallS}%.1f, "budget_s": ${s.budgetS}%.0f, "headroom_s": ${s.budgetS - s.wallS}%.1f, "n_isolated": ${s.nIsolated}, "n_batched": ${s.nBatched}, "n_census_shared": ${s.nCensusShared}, "n_drift_retries": ${s.nDriftRetries},
+      f""" "wall_s": ${s.wallS}%.1f, "budget_s": ${s.budgetS}%.0f, "headroom_s": ${s.budgetS - s.wallS}%.1f, "n_isolated": ${s.nIsolated}, "n_batched": ${s.nBatched}, "n_census_shared": ${s.nCensusShared}, "n_drift_retries": ${s.nDriftRetries}, "n_single_run": ${s.nSingleRun},
          |""".stripMargin).getOrElse("")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork (the four p-census stream entries share ONE fork, amortizing the one-time streaming machinery the same way batches amortize boot), the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift when the clean fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); past 60%% of the wall budget remaining entries run once (tiebreak: single_run); cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
+         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork (the four p-census stream entries share ONE fork, amortizing the one-time streaming machinery the same way batches amortize boot), the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift when the clean fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); batches are ordered by DESCENDING prior_warm (new entries first) so the budget switch lands on the cheap tail; past 60%% of the wall budget remaining entries run once (tiebreak: single_run; n_single_run in this header counts them), except that a single run exceeding 1.5x prior_warm earns one rescue run (tiebreak: single_run+gt_1.5x_prior, warm = min of the two) so austerity never records an obvious fork-boot artifact as warm; cache_hit = this run served every FixtureCache lookup from the persisted parquet; raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}
