@@ -164,6 +164,38 @@ object Bench {
       .groupBy("n_regionkey").count()
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Census-fork streaming prewarm (round-16 verdict #6): the shared
+    // census fork amortizes the one-time streaming machinery across the
+    // family, but whatever the batch prewarm above does NOT cover —
+    // micro-batch execution classes, state-store provider init, streaming
+    // codegen, the listener bus — used to land on whichever entry ran
+    // FIRST (p27, the family's alphabetical head, regressed 1.91→2.62 s
+    // when the shared fork landed). Drain a throwaway two-batch stateful
+    // MemoryStream before any timed entry so the one-time cost bills to
+    // the fork, not a member. Parent sets the env only for the census
+    // group; SPARK_GRAFT_STREAM_PREWARM=0 disables for A/B.
+    if (sys.env.get("SPARK_GRAFT_STREAM_PREWARM").contains("1")) {
+      try {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val ck = java.nio.file.Files.createTempDirectory("graft_prewarm_ck")
+        val ms = MemoryStream[Long]
+        ms.addData(1L, 2L, 3L)
+        val q = ms.toDF()
+          .groupBy((org.apache.spark.sql.functions.col("value") % 2).as("k"))
+          .count()
+          .writeStream.outputMode("complete").format("noop")
+          .option("checkpointLocation", ck.toString)
+          .start()
+        q.processAllAvailable()
+        ms.addData(4L, 5L)
+        q.processAllAvailable()
+        q.stop()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream prewarm failed: ${e.getMessage}")
+      }
+    }
     // In a freshly forked child the first execution of a query carries its
     // one-time costs — codegen compile, JIT warmup of the expression path,
     // library class-init (Jackson, regex) — which in the old shared-JVM bench
@@ -292,7 +324,8 @@ object Bench {
     * (child crash, or the query threw) comes back as a failed Timing; the
     * caller decides whether to retry it in a private fork. */
   private def forkGroup(group: Seq[String], prior: Map[String, Double],
-                        singleRun: Boolean): Seq[Timing] = {
+                        singleRun: Boolean,
+                        streamPrewarm: Boolean = false): Seq[Timing] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
@@ -302,6 +335,11 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_ONLY", group.mkString(","))
     pb.environment().put("SPARK_GRAFT_FORKED", "1")
     if (singleRun) pb.environment().put("SPARK_GRAFT_SINGLE_RUN", "1")
+    // the census fork (and a census member's private re-fork) drains a
+    // throwaway stream before timing, unless the caller A/Bs it off
+    if (streamPrewarm &&
+        !sys.env.get("SPARK_GRAFT_STREAM_PREWARM").contains("0"))
+      pb.environment().put("SPARK_GRAFT_STREAM_PREWARM", "1")
     // per-name prior map, `name=warm` pairs — a batch child needs each
     // member's own baseline for the >1.5x tie-break trigger
     val priorPairs = group.flatMap(n => prior.get(n).map(p => s"$n=$p"))
@@ -411,9 +449,12 @@ object Bench {
     // clean two-run regime most.
     val smallOrdered = small.sortBy(n => -prior.getOrElse(n, Double.MaxValue))
     val soloOrdered = solo.sortBy(n => -prior.getOrElse(n, Double.MaxValue))
-    val groups: Seq[Seq[String]] =
-      (if (census.nonEmpty) Seq(census.sorted) else Nil) ++
-        soloOrdered.map(Seq(_)) ++ smallOrdered.grouped(batchSize).toSeq
+    // second element: this group gets the streaming-machinery prewarm
+    // (the census family's shared fork — see runInline)
+    val groups: Seq[(Seq[String], Boolean)] =
+      (if (census.nonEmpty) Seq((census.sorted, true)) else Nil) ++
+        soloOrdered.map(n => (Seq(n), false)) ++
+        smallOrdered.grouped(batchSize).map((_, false)).toSeq
     System.err.println(f"[bench] plan: ${small.size} entries in " +
       f"${small.grouped(batchSize).size} batches of <=$batchSize + " +
       f"${solo.size} isolated forks + ${census.size} census-family shared; " +
@@ -445,8 +486,8 @@ object Bench {
         t.runs.sliding(2).forall(p => p(1) > p(0))
       vsPrior || monotone
     }
-    groups.foreach { g =>
-      val first = forkGroup(g, prior, singleRun)
+    groups.foreach { case (g, prewarm) =>
+      val first = forkGroup(g, prior, singleRun, prewarm)
       val (missing, ok0) = first.partition(_.failed)
       val ok = ok0.map { t =>
         if (g.size > 1 && drifted(t) && !singleRun &&
@@ -455,7 +496,7 @@ object Bench {
           System.err.println(f"[bench] ${t.name} batch warm ${t.warm}%.3f s " +
             s"looks drifted (prior ${t.prior.getOrElse(-1.0)}, runs " +
             s"${t.runs.mkString("[", ",", "]")}); re-measuring in a private fork")
-          forkGroup(Seq(t.name), prior, singleRun).headOption match {
+          forkGroup(Seq(t.name), prior, singleRun, prewarm).headOption match {
             case Some(solo) if !solo.failed && solo.warm <= t.warm =>
               // adopt the clean fork; the polluted number rides as batch_warm
               solo.copy(batchWarm = Some(t.warm),
@@ -479,7 +520,7 @@ object Bench {
       buf ++= (if (g.size > 1 && missing.nonEmpty) {
         System.err.println(s"[bench] retrying ${missing.size} missing " +
           s"entries individually: ${missing.map(_.name).mkString(",")}")
-        missing.flatMap(t => forkGroup(Seq(t.name), prior, singleRun))
+        missing.flatMap(t => forkGroup(Seq(t.name), prior, singleRun, prewarm))
       } else missing)
       done += g.size
       val wall = (System.nanoTime() - t0) / 1e9
