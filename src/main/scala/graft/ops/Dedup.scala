@@ -273,6 +273,89 @@ object Dedup {
                        rowsPerBand: Int = 2): DataFrame =
     portableBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand)
 
+  /** [[buildLshBandRows]] over a pre-materialized distinct shingle frame
+    * `(id, shingle)` — the [[shingleCounts]] sharing shape, for callers
+    * whose shingle index is itself a maintained artifact. */
+  def buildLshBandRowsFromShingles(sh: DataFrame, bands: Int = 8,
+                                   rowsPerBand: Int = 2): DataFrame =
+    portableBandRowsFromShingles(sh, bands, rowsPerBand)
+
+  /** Near-dup pairs TOUCHING a new batch, DISCOVERED from the standing
+    * corpus's persisted band index and then EXACTLY verified — the
+    * candidate-generation + verification shape of a nightly ingest whose
+    * pair input must be O(batch), never O(corpus):
+    *
+    *   1. band the batch ([[portableBandRows]] — only the batch is
+    *      hashed) and collide it against the standing band-index rows and
+    *      against itself: candidate pairs are exactly the band
+    *      collisions, the LSH contract;
+    *   2. verify every candidate by EXACT shingle Jaccard — the
+    *      [[ngramJaccardPairsFromShingles]] arithmetic verbatim (distinct
+    *      shingle rows, n_common / (|A|+|B|−n_common), same double
+    *      division) computed ONLY over candidate ids: standing shingle
+    *      rows come from the caller's maintained shingle artifact
+    *      semi-joined to candidate endpoints, batch rows from the batch.
+    *
+    * Verification makes discovered pairs exact (a colliding sub-threshold
+    * pair is rejected); what banding governs is RECALL — a true pair that
+    * never collides in any band is invisible, with miss probability
+    * (1 − J^rowsPerBand)^bands (the standard S-curve). At the default
+    * 8×2 family a J=0.9 near-duplicate is missed w.p. ~4·10⁻⁶; a pair at
+    * the verify threshold itself (J=0.3) w.p. ~0.47 — tune bands/rows to
+    * the operating point of the corpus's real duplicates, not the verify
+    * cut (dup families in practice sit far above it; the verify threshold
+    * is the conservative contract for what IS discovered).
+    *
+    * `corpusShingles` / `batchShingles` are distinct `(id, shingle)` rows
+    * ([[shingleCounts]] output shape) over DISJOINT id spaces. Returns
+    * `(id_a, id_b, jaccard)` with `id_a < id_b`, exactly the
+    * [[ngramJaccardPairsFromShingles]] row shape. */
+  def lshDiscoverVerifiedPairs(corpusBands: DataFrame,
+                               corpusShingles: DataFrame,
+                               batchShingles: DataFrame,
+                               bands: Int = 8, rowsPerBand: Int = 2,
+                               minJaccard: Double = 0.5): DataFrame = {
+    val batchBands = portableBandRowsFromShingles(batchShingles, bands,
+      rowsPerBand).localCheckpoint(false) // feeds the two collision joins
+    def side(df: DataFrame, as: String) =
+      df.select(col("band"), col("band_key"), col("id").as(as))
+    val vsCorpus = side(batchBands, "id_x")
+      .join(side(corpusBands, "id_y"), Seq("band", "band_key"))
+    val vsBatch = side(batchBands, "id_x")
+      .join(side(batchBands, "id_y"), Seq("band", "band_key"))
+      .filter(col("id_y") < col("id_x"))
+    val cand = vsCorpus.unionByName(vsBatch)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .dropDuplicates("id_a", "id_b") // multi-band collisions verify once
+      .localCheckpoint(false) // feeds the id restriction + the verify join
+    // exact verification over candidate ids only: the standing shingle
+    // artifact is touched through a semi-join on candidate endpoints, so
+    // verify work is ∝ Σ_candidates |shingles|, never ∝ |corpus|
+    val ids = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val sh = corpusShingles.select(col("id"), col("shingle"))
+      .join(ids, Seq("id"), "left_semi")
+      .unionByName(batchShingles.select(col("id"), col("shingle"))
+        .join(ids, Seq("id"), "left_semi"))
+      .select(col("id"), xxhash64(col("shingle")).as("shingle_h"))
+      .localCheckpoint(false) // sizes + both verify sides
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingle_h")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle_h")),
+        Seq("id_b", "shingle_h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Build (or rebuild) the persisted LSH band index for
     * [[lshIncrementalPortable]]: the [[portableBandRows]] signature+band
     * rows of the standing corpus, written as parquet at `indexDir`. */

@@ -231,10 +231,17 @@ object CurationQueries {
     * (standing exact-kept doc → its near-dup cluster canonical; self when
     * unclustered — the contraction map for incremental clustering), `kept`
     * ((doc_id, lang, split, n_words) of standing kept docs PASSING the
-    * quality floor — the retraction lookup), and `census` (the standing
-    * (lang, split) aggregate the increment patches). */
-  private def x10StandingState(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    * quality floor — the retraction lookup), `census` (the standing
+    * (lang, split) aggregate the increment patches), `bandIdx` (the LSH
+    * band index over standing exact-kept docs — the pair-DISCOVERY
+    * artifact, [[Dedup.buildLshBandRowsFromShingles]] at the x2 family's
+    * 8×2 parameters), and `shingleIdx` (the standing keepers' distinct
+    * 3-shingle rows — the exact-verification side of discovery). */
+  private final case class X10State(digests: DataFrame, reps: DataFrame,
+                                    kept: DataFrame, census: DataFrame,
+                                    bandIdx: DataFrame, shingleIdx: DataFrame)
+
+  private def x10StandingState(s: SparkSession, dir: String): X10State = {
     import s.implicits._
     def standingDocs =
       documents(s, dir).crossJoin(x10Threshold(s, dir))
@@ -267,7 +274,22 @@ object CurationQueries {
       kept.groupBy($"lang", $"split")
         .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("total_words"))
     }
-    (digests, reps, kept, census)
+    // keepers discipline (the lshIncrementalPortable contract: "append new
+    // keepers' band rows"): both discovery artifacts cover the standing
+    // EXACT-KEPT docs — pairs with exact-dropped standing endpoints are
+    // invisible to the batch pipeline too, so indexing them would be
+    // wasted bytes at 100 TB
+    lazy val keptShingles = Dedup.shingleCounts(
+        standingDocs.join(reps.select($"doc_id"), Seq("doc_id")),
+        "text", "doc_id", n = 3)
+      .select($"id", $"shingle")
+    val shingleIdx = FixtureCache.cached(s, dir, "x10-std-shingles-sh3", "v1") {
+      keptShingles
+    }
+    val bandIdx = FixtureCache.cached(s, dir, "x10-std-bands-sh3-b8-r2", "v1") {
+      Dedup.buildLshBandRowsFromShingles(keptShingles, bands = 8, rowsPerBand = 2)
+    }
+    X10State(digests, reps, kept, census, bandIdx, shingleIdx)
   }
 
   /** The incremental curation core: run ONE new batch of documents against
@@ -279,11 +301,19 @@ object CurationQueries {
     *      the standing digest set AND it is the min id of its sha within
     *      the batch (= min-id-per-digest over the merged corpus, because
     *      delta ids sit above standing ids);
-    *   2. incremental clustering — only pairs TOUCHING the delta are read
-    *      from the maintained pair graph; standing endpoints CONTRACT to
-    *      their cluster canonical, and connected components run on that
-    *      contracted graph (standing reps are their clusters' min ids, so
-    *      a contracted component's min id IS the merged cluster canonical);
+    *   2. incremental clustering — pairs TOUCHING the delta are
+    *      DISCOVERED, not read from any precomputed pair set: the batch's
+    *      band rows collide against the standing keepers' persisted LSH
+    *      band index (and against themselves), and every candidate is
+    *      exactly verified at the pipeline's Jaccard ≥ 0.3 contract
+    *      against the standing shingle artifact
+    *      ([[Dedup.lshDiscoverVerifiedPairs]] — the
+    *      `x2_lsh_incremental`-certified ingest shape, so the pair input
+    *      is itself O(batch), round-16 verdict #3); standing endpoints
+    *      CONTRACT to their cluster canonical, and connected components
+    *      run on that contracted graph (standing reps are their clusters'
+    *      min ids, so a contracted component's min id IS the merged
+    *      cluster canonical);
     *   3. retraction — a standing canonical whose merged component gained
     *      a smaller canonical is retracted from the census (the cluster-
     *      merge case batch pipelines recompute and incremental ones must
@@ -297,12 +327,23 @@ object CurationQueries {
   private[graft] def incrementalCensus(s: SparkSession, dir: String,
                                        delta: DataFrame): DataFrame = {
     import s.implicits._
-    val (digests, reps, kept, census) = x10StandingState(s, dir)
-    // pairs touching the delta (id_a < id_b, so id_b past the cut means
-    // "at least one delta endpoint")
-    val touching = LlmOps.cachedNearDupPairs(s, dir)
-      .crossJoin(x10Threshold(s, dir)).filter($"id_b" >= $"thr").drop("thr")
-    incrementalCensusCore(digests, reps, kept, census, touching, delta)
+    val st = x10StandingState(s, dir)
+    // pairs touching the delta, DISCOVERED from the persisted band index
+    // (band the batch → collide → exact-verify at the 0.3 contract): the
+    // plan never touches the full-corpus pair set — work ∝ |batch| +
+    // |collisions|. Recall note: at the 8×2 family a J=0.9 near-duplicate
+    // escapes discovery w.p. ~4e-6 (see lshDiscoverVerifiedPairs); the
+    // oracle (the batch SQL) re-derives pairs exactly, so the driver hash
+    // re-certifies the discovered set every round. Pairs among
+    // exact-DROPPED delta docs can be discovered here; the admissibility
+    // filter in the core drops them, same as the fixture path did.
+    val touching = Dedup.lshDiscoverVerifiedPairs(st.bandIdx, st.shingleIdx,
+        Dedup.shingleCounts(delta, "text", "doc_id", n = 3)
+          .select($"id", $"shingle"),
+        bands = 8, rowsPerBand = 2, minJaccard = 0.3)
+      .select($"id_a", $"id_b")
+    incrementalCensusCore(st.digests, st.reps, st.kept, st.census, touching,
+      delta)
   }
 
   /** The pure increment over explicit state frames — see

@@ -178,6 +178,70 @@ class CurationSpec extends SparkSpec {
     assert(pris.forall { case (p1, p2) => p2 < p1 })
   }
 
+  test("LSH pair discovery: band-collision candidates + exact verification " +
+    "recover exactly the exact-Jaccard pairs; sub-threshold collisions are " +
+    "rejected; work never touches non-candidate corpus docs") {
+    // corpus: 0/1 a near-dup family; 2 unrelated; batch: 10 near-dups 0,
+    // 11 near-dups 10 (batch-internal), 12 unrelated to everything
+    def nd(tag: String) =
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa $tag"
+    val corpus = Seq((0L, nd("x")), (1L, nd("y")),
+      (2L, "completely different words with no shared trigram at all here"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, nd("z")), (11L, nd("z") + " tail"),
+      (12L, "another unrelated document about entirely disjoint topics now"))
+      .toDF("doc_id", "text")
+    val corpusSh = Dedup.shingleCounts(corpus, "text", "doc_id", n = 3)
+      .select($"id", $"shingle")
+    val batchSh = Dedup.shingleCounts(batch, "text", "doc_id", n = 3)
+      .select($"id", $"shingle")
+    val bandIdx = Dedup.buildLshBandRowsFromShingles(corpusSh)
+    val got = Dedup.lshDiscoverVerifiedPairs(bandIdx, corpusSh, batchSh,
+        minJaccard = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // ground truth: exact Jaccard >= 0.3 over the merged corpus, restricted
+    // to pairs touching the batch
+    val exact = Dedup.ngramJaccardPairsFromShingles(
+        corpusSh.unionByName(batchSh), minJaccard = 0.3)
+      .filter($"id_b" >= 10L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === exact, s"discovered $got != exact $exact")
+    // the crafted family actually exercises both collision sides
+    assert(got.exists(p => p._1 < 10L), "no corpus-batch pair discovered")
+    assert(got.exists(p => p._1 >= 10L), "no batch-batch pair discovered")
+    // verification is the gate, not banding: loosening the verify threshold
+    // admits more collisions, so candidates DID include sub-0.3 pairs that
+    // the exact check rejected (10/11 share grams with 0/1 via the common
+    // prefix, but the 'tail' suffix dilutes some pairs under higher cuts)
+    val loose = Dedup.lshDiscoverVerifiedPairs(bandIdx, corpusSh, batchSh,
+        minJaccard = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(loose.subsetOf(got) && loose.size < got.size,
+      s"tightening the verify cut should shrink the set: $loose vs $got")
+  }
+
+  test("x10_pipeline_incremental plan discovers pairs instead of scanning " +
+    "the full-corpus pair fixture (round-16 verdict #3)") {
+    spark.catalog.clearCache()
+    // warm the standing-state fixtures so the builder serves parquet reads
+    CurationQueries.prewarmFixtures(spark, dir)
+    graft.queries.FixtureCache.clearReport()
+    val df = CurationQueries.x10_pipeline_incremental(spark, dir)
+    // neither the serving plan NOR any build-time lookup (the discovery
+    // subtrees are localCheckpoint'd, so their scans run at build time and
+    // would not show in the final plan string) touches the pair fixture
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("neardup-pairs"),
+      "incremental pipeline plan still scans the full-corpus pair fixture")
+    val looked = graft.queries.FixtureCache.lookupReport.keySet
+    assert(!looked.exists(_.contains("neardup-pairs")),
+      s"builder still consulted the pair fixture: $looked")
+    // and discovery DID read its own artifacts: the standing band index +
+    // the standing shingle rows
+    assert(looked.exists(_.contains("x10-std-bands")), s"no band-index read: $looked")
+    assert(looked.exists(_.contains("x10-std-shingles")), s"no shingle read: $looked")
+  }
+
   test("incremental curation core: cluster merge retracts the losing " +
     "canonical, exact gates fire, and the patched census equals the batch " +
     "stages on the merged corpus (crafted micro-fixture)") {
