@@ -1027,6 +1027,59 @@ object Similarity {
       .write.mode("append").partitionBy("list").parquet(path)
   }
 
+  /** Compact an integer IVF index after appends ([[appendIvfIndexInt]]'s
+    * maintenance sibling): nightly batch appends add one file per touched
+    * list partition, and at 100 TB that is the classic small-file
+    * pathology — a probed list's read cost becomes dominated by per-file
+    * open/footer overhead instead of bytes. Rewrite ONLY the list
+    * partitions whose data-file count exceeds `maxFilesPerList`
+    * (partition-pruned read of exactly those lists, hash-repartitioned on
+    * `list` so each rewritten partition lands as ONE file); partitions at
+    * or under the threshold keep their standing files byte-for-byte — the
+    * append path's file-level immutability holds wherever compaction has
+    * nothing to do. Rows are only moved, never changed, so
+    * compact-then-serve is bit-identical to the uncompacted index and the
+    * oracle stays the full-rebuild SQL (SimilaritySpec pins the file
+    * counts and the serve equivalence).
+    *
+    * Commit mechanics: the compacted lists are written to a staging dir,
+    * then swapped in per partition (delete standing data files, move the
+    * staged file in) — the same single-writer pipeline contract as the
+    * first index build and append; a production deployment would wrap the
+    * swap in a table format's atomic metadata commit (Iceberg/Delta), and
+    * this function is exactly its rewrite-data-files action. Returns the
+    * number of compacted partitions (bounded driver-side metadata — one
+    * FileSystem listing per list dir, ≤ nLists). */
+  def compactIvfIndexInt(spark: org.apache.spark.sql.SparkSession,
+                         path: String, maxFilesPerList: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path) = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val over = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
+      .filter(d => dataFiles(d.getPath).length > maxFilesPerList)
+      .map(_.getPath.getName.stripPrefix("list=").toLong)
+      .sorted
+    if (over.isEmpty) return 0
+    val staging = new Path(path + s".compact-staging-${ProcessHandle.current().pid()}")
+    // partition-pruned read of exactly the over-threshold lists; one
+    // shuffle task per list value -> one staged file per partition
+    spark.read.parquet(path)
+      .filter(col("list").isin(over.map(x => x: Any): _*))
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(staging.toString)
+    over.foreach { v =>
+      val dst = new Path(root, s"list=$v")
+      dataFiles(dst).foreach(f => fs.delete(f.getPath, false))
+      dataFiles(new Path(staging, s"list=$v"))
+        .foreach(f => fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+    }
+    fs.delete(staging, true)
+    over.length
+  }
+
   /** Query the integer IVF index: probe selection against the broadcast
     * centroid codes, a partition-pruned read of exactly the probed lists
     * (the only driver step is collecting ≤ nLists probed ids), then exact

@@ -638,6 +638,35 @@ object LlmOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** X3b'''''' — IVF index COMPACTION ([[Similarity.compactIvfIndexInt]]):
+    * the maintenance step the append path makes necessary — nightly
+    * batch appends add a file per touched list partition, the classic
+    * small-file pathology at 100 TB. Standing index from the first 400
+    * vectors, then TWO append batches (each adding files into list
+    * partitions), then compaction rewrites every list whose file count
+    * exceeds 1 into a single file — rows moved, never changed, so
+    * compact-then-serve is bit-identical to both the uncompacted index
+    * and a full rebuild, and the oracle is the rebuild SQL (the
+    * append-entry contract) over this entry's own query slice 20-40.
+    * File-count drop and serve equivalence are pinned in SimilaritySpec. */
+  def x3_ann_ivf_compact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embeddings(s, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    deleteOnExit(idxDir)
+    val cents = Similarity.writeIvfIndexInt(emb.filter($"vec_id" < 400),
+      nLists = 16, path = idxDir)
+    Similarity.appendIvfIndexInt(s,
+      emb.filter($"vec_id" >= 400 && $"vec_id" < 450), cents, idxDir)
+    Similarity.appendIvfIndexInt(s, emb.filter($"vec_id" >= 450), cents, idxDir)
+    Similarity.compactIvfIndexInt(s, idxDir, maxFilesPerList = 1)
+    Similarity.ivfTopKFromIndexInt(s,
+        emb.filter($"vec_id" >= 20 && $"vec_id" < 40), idxDir, cents,
+        k = 5, nProbe = 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** X3b''' — product-quantization approximate top-5 with ADC + exact
     * re-rank (rows-only; every row carries its query's measured
     * `recall_pm` vs the exact top-5, and ScalaTest pins the ≥ 0.8 bound).
@@ -2434,6 +2463,7 @@ object LlmOps {
     "x3_ann_ivf_int" -> x3_ann_ivf_int _,
     "x3_ann_ivf_trained" -> x3_ann_ivf_trained _,
     "x3_ann_pq_trained" -> x3_ann_pq_trained _,
+    "x3_ann_ivf_compact" -> x3_ann_ivf_compact _,
     "x3_ann_ivf_append" -> x3_ann_ivf_append _,
     "x3_ann_ivf_trained_index" -> x3_ann_ivf_trained_index _,
     "x3_ann_pq_int" -> x3_ann_pq_int _,
@@ -2878,6 +2908,9 @@ object LlmOps {
     // (fixed centroids make assignment order-independent) — its oracle is
     // the full-rebuild SQL verbatim
     "x3_ann_ivf_append" -> ivfIndexOracleSql,
+    // compaction only moves rows between files — its serve too must equal
+    // the full rebuild (own query slice 20-40)
+    "x3_ann_ivf_compact" -> ivfIndexOracleSqlFor(20, 40),
     "x3_ann_pq_int" ->
       """WITH m AS (
         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
@@ -3826,10 +3859,16 @@ object LlmOps {
   )
 
   /** The persisted-index serve replayed from raw embeddings — shared by
-    * `x3_ann_ivf_index` (full rebuild) and `x3_ann_ivf_append` (standing
-    * write + fixed-centroid batch append), which must land IDENTICAL
-    * results: assignment to the 16 seed centroids, 4-probe routing,
-    * in-list int64 scoring. */
+    * `x3_ann_ivf_index` (full rebuild), `x3_ann_ivf_append` (standing
+    * write + fixed-centroid batch append) and `x3_ann_ivf_compact`
+    * (append + small-file compaction), which must land IDENTICAL results
+    * on their query slices: assignment to the 16 seed centroids, 4-probe
+    * routing, in-list int64 scoring. Parameterized only by the query-id
+    * slice so each entry keeps its own disjoint probes. */
+  private def ivfIndexOracleSqlFor(qLo: Int, qHi: Int): String =
+    ivfIndexOracleSql.replace("m.vec_id < 20",
+      s"m.vec_id >= $qLo AND m.vec_id < $qHi")
+
   private lazy val ivfIndexOracleSql: String =
     """WITH m AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),

@@ -300,6 +300,70 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF index compaction: over-threshold lists collapse to one file, " +
+    "under-threshold lists keep their standing files byte-for-byte, and " +
+    "the serve is bit-identical to the uncompacted index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def filesPerList(dir: String): Map[String, Seq[(String, Long)]] = {
+      val root = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => root.relativize(p).getName(0).toString ->
+          (root.relativize(p).toString, java.nio.file.Files.size(p)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+      finally st.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cmp").toString
+    try {
+      val cents = Similarity.writeIvfIndexInt(emb.filter($"vec_id" < 400),
+        nLists = 16, path = dir)
+      Similarity.appendIvfIndexInt(spark,
+        emb.filter($"vec_id" >= 400 && $"vec_id" < 450), cents, dir)
+      Similarity.appendIvfIndexInt(spark, emb.filter($"vec_id" >= 450),
+        cents, dir)
+      val before = filesPerList(dir)
+      // the appends actually created the pathology this test compacts
+      assert(before.values.exists(_.size > 1), s"no multi-file list: $before")
+      val serveBefore = Similarity.ivfTopKFromIndexInt(spark,
+          emb.filter($"vec_id" >= 20 && $"vec_id" < 40), dir, cents,
+          k = 5, nProbe = 4)
+        .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+      // threshold 2: some lists are over (compacted to ONE file), single- or
+      // double-file lists stay untouched — both branches must be exercised
+      val maxFiles = 2
+      assert(before.values.exists(_.size > maxFiles) &&
+        before.values.exists(_.size <= maxFiles),
+        s"fixture must exercise both branches at threshold $maxFiles: $before")
+      val n = Similarity.compactIvfIndexInt(spark, dir, maxFilesPerList = maxFiles)
+      val after = filesPerList(dir)
+      assert(n === before.values.count(_.size > maxFiles))
+      before.foreach { case (list, fs) =>
+        if (fs.size > maxFiles)
+          assert(after(list).size === 1, s"$list not compacted: ${after(list)}")
+        else // untouched partitions keep their exact files (name + size)
+          assert(after(list) === fs, s"$list was rewritten: ${after(list)} vs $fs")
+      }
+      // no staging residue
+      assert(!new java.io.File(dir + "").getParentFile.listFiles()
+        .exists(_.getName.startsWith(new java.io.File(dir).getName + ".compact-staging")),
+        "compaction staging dir not cleaned up")
+      // rows only moved: the serve is bit-identical
+      val serveAfter = Similarity.ivfTopKFromIndexInt(spark,
+          emb.filter($"vec_id" >= 20 && $"vec_id" < 40), dir, cents,
+          k = 5, nProbe = 4)
+        .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
+        .as[(Long, Int, Long, Long, Long)].collect().toSet
+      assert(serveAfter === serveBefore)
+      // idempotent: a second compaction at the same threshold is a no-op
+      assert(Similarity.compactIvfIndexInt(spark, dir, maxFilesPerList = maxFiles) === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("trained integer PQ: pqServeInt with seed codebooks equals the " +
     "certified twin; two Lloyd rounds beat the seed codebooks' ADC recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
