@@ -50,10 +50,16 @@ object BenchScratch {
         Seq("evict-tick" -> Map("graft.p32.evict" -> "tick"),
           "evict-nodata" -> Map("graft.p32.evict" -> "nodata"))
       else if (name.contains("x3_ann"))
-        // round-16: materialized sentinel spine (no bloom subquery) vs the
-        // round-15 live-scan spine
-        Seq("spine-ckpt" -> Map("graft.x3.spine" -> "ckpt"),
-          "spine-scan" -> Map("graft.x3.spine" -> "scan"))
+        // round-17: ONE-pass spine+recall assembly (approx rows join once)
+        // vs the round-16 two-pass shape (recall join, then spine outer);
+        // crossed with the runtime bloom-filter injection on/off (the r16
+        // spine lesson suspected INSIDE the serves)
+        Seq("assembly-fold" -> Map("graft.x3.assembly" -> "fold"),
+          "assembly-twopass" -> Map("graft.x3.assembly" -> "twopass"),
+          "fold+no-bloom" -> Map("graft.x3.assembly" -> "fold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false"),
+          "twopass+no-bloom" -> Map("graft.x3.assembly" -> "twopass",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false"))
       else if (name.contains("winnow"))
         // round-15: per-doc codegen byte-offset selection vs windowed SQL
         Seq("expr" -> Map("graft.winnow.impl" -> "expr"),
