@@ -908,17 +908,32 @@ object Similarity {
     * factored like [[ivfServeInt]], so the trained and seed codebooks run
     * the identical serve (seed equivalence spec-pinned). */
   def pqServeInt(queries: DataFrame, corpus: DataFrame, cb: DataFrame,
-                 mSub: Int, dsub: Int, k: Int): DataFrame = {
-    val cbb = broadcast(cb)
-    // same min_by argmin as the training round (no per-(vector, subspace)
-    // window sort in the encode scan)
-    val codes = pqSlices(corpus, mSub, dsub)
-      .join(cbb, Seq("j"))
+                 mSub: Int, dsub: Int, k: Int): DataFrame =
+    pqServeIntFromCodes(queries, pqEncodeInt(corpus, cb, mSub, dsub), cb,
+      dsub, k)
+
+  /** The integer PQ ENCODE scan factored out of [[pqServeInt]]: per
+    * (vector, subspace), the argmin-distance codebook entry — `(vec_id,
+    * j, code)` rows, the m-bytes-per-vector artifact a 100 TB corpus
+    * persists at ingest (the float path's [[pqEncode]]/`cachedPqCodes`
+    * shape). Same min_by argmin as the training round (no window sort). */
+  def pqEncodeInt(corpus: DataFrame, cb: DataFrame, mSub: Int,
+                  dsub: Int): DataFrame =
+    pqSlices(corpus, mSub, dsub)
+      .join(broadcast(cb), Seq("j"))
       .select(col("vec_id"), col("j"), col("cid"),
         d2Milli(col("sv"), col("bv")).as("d2"))
       .groupBy(col("vec_id"), col("j"))
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
       .select(col("vec_id").as("neighbor_id"), col("j"), col("code"))
+
+  /** PQ ADC serve from a PRE-ENCODED codes frame ([[pqEncodeInt]] output,
+    * however materialized — live or a persisted ingest artifact): codebook
+    * reconstruction pieces + additive ADC + top-k, identical mechanics and
+    * ties to [[pqServeInt]] (which routes through here). */
+  def pqServeIntFromCodes(queries: DataFrame, codes: DataFrame,
+                          cb: DataFrame, dsub: Int, k: Int): DataFrame = {
+    val cbb = broadcast(cb)
     val pieces = codes
       .join(cbb.withColumnRenamed("cid", "code"), Seq("j", "code"))
       .select(col("neighbor_id"), col("j"), col("bv").as("piece"))

@@ -428,7 +428,16 @@ object CurationQueries {
     * oracle is the batch [[x10_pipeline]] SQL verbatim — the incremental
     * plan must land the IDENTICAL merged-corpus census, hash-checked
     * cross-engine; the same core is driven through a real foreachBatch
-    * micro-batch in StreamingSpec. */
+    * micro-batch in StreamingSpec.
+    *
+    * Bench note (round 17): the timed body now INCLUDES live pair
+    * discovery (shingle + band the batch, collide, exact-verify) that
+    * rounds ≤16 read from the prebuilt full-corpus pair fixture — expect
+    * the warm above its r16 prior by roughly the discovery cost (measured
+    * ~1.3× at sf0.1). That is the honest nightly-ingest economics: the
+    * batch pipeline's pair input hides a whole-corpus shingle self-join
+    * in its fixture; this entry's is ∝ |batch| and carries its own cost
+    * on its own clock. */
   def x10_pipeline_incremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val delta = documents(s, dir).crossJoin(x10Threshold(s, dir))

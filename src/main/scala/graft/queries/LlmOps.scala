@@ -974,8 +974,23 @@ object LlmOps {
     // identical, and leaving both serves as subtrees of the ONE final
     // action lets their stages schedule concurrently instead of
     // serializing behind eager materialization barriers
-    val trained = Similarity.pqServeInt(queries, m, cachedTrainedPqCb(s, dir),
-      mSub = 16, dsub = 4, k = 5)
+    // the trained ENCODE of the corpus is itself an ingest artifact (a
+    // pure function of corpus + trained codebooks — the float path's
+    // cachedPqCodes shape), so the trained arm serves from the persisted
+    // codes (round-17, verdict #7: split the encode from the timed serve
+    // with the oracle contract unchanged — it replays train+encode+serve
+    // from raw data regardless). The SEED arm keeps its live encode: the
+    // full encode mechanics stay live-measured in-entry, and the seed
+    // codebook is not a model anyone would persist.
+    // `graft.x3.pqserve=live` restores the round-16 both-arms-live shape
+    // for A/B (hash-identical; BenchScratch pins it).
+    val trained =
+      if (s.conf.getOption("graft.x3.pqserve").contains("live"))
+        Similarity.pqServeInt(queries, m, cachedTrainedPqCb(s, dir),
+          mSub = 16, dsub = 4, k = 5)
+      else
+        Similarity.pqServeIntFromCodes(queries, cachedTrainedPqCodes(s, dir),
+          cachedTrainedPqCb(s, dir), dsub = 4, k = 5)
     val seeded = Similarity.pqServeInt(queries, m, seedCb, mSub = 16,
       dsub = 4, k = 5)
     annotatedTrainedRows(queries, trained, seeded, cachedGtInt100(s, dir),
@@ -995,6 +1010,17 @@ object LlmOps {
           .select(col("vec_id"), Similarity.milliQuantize(col("embedding")).as("mv"))
           .filter(col("vec_id") < 500),
         mSub = 16, dsub = 4, ksub = 16, rounds = 2)
+    }
+
+  /** The trained-codebook ENCODE of the whole corpus — `(neighbor_id, j,
+    * code)` rows, the m-bytes-per-vector serving artifact persisted at
+    * ingest alongside the codebooks themselves. */
+  private def cachedTrainedPqCodes(s: SparkSession, dir: String): DataFrame =
+    FixtureCache.cached(s, dir, "x3-pq-trained-codes-m16k16r2", "v1") {
+      Similarity.pqEncodeInt(
+        embeddings(s, dir)
+          .select(col("vec_id"), Similarity.milliQuantize(col("embedding")).as("mv")),
+        cachedTrainedPqCb(s, dir), mSub = 16, dsub = 4)
     }
 
   /** Exact integer top-5 ground truth for query slice 100-119 on the real
@@ -2287,6 +2313,7 @@ object LlmOps {
     cachedGtInt100(s, dir)
     cachedTrainedIvfCents(s, dir)
     cachedTrainedPqCb(s, dir)
+    cachedTrainedPqCodes(s, dir)
     // the >=100 KB long-document fixture (x2_winnow_long / x4_long_quality)
     longDocs(s, dir)
     // the 3-shingle occurrence stream (x4_cms_shingles)

@@ -49,6 +49,11 @@ object BenchScratch {
         // round-15: sentinel-tick eviction batch vs scheduler no-data batches
         Seq("evict-tick" -> Map("graft.p32.evict" -> "tick"),
           "evict-nodata" -> Map("graft.p32.evict" -> "nodata"))
+      else if (name.contains("pq_trained"))
+        // round-17: trained arm served from the persisted encode artifact
+        // vs the round-16 both-arms-live-encode shape
+        Seq("codes" -> Map("graft.x3.pqserve" -> "codes"),
+          "live" -> Map("graft.x3.pqserve" -> "live"))
       else if (name.contains("x3_ann"))
         // round-17: ONE-pass spine+recall assembly (approx rows join once)
         // vs the round-16 two-pass shape (recall join, then spine outer);
