@@ -629,6 +629,7 @@ object Bench {
       "x3_ann_ivf_trained", "x3_ann_ivf_trained_index", "x3_ann_pq_trained",
       "x2_winnow_long", "x4_long_quality", "x4_cms_shingles")
     val touchesLshIndex = names.contains("x2_lsh_incremental") ||
+      names.contains("x2_lsh_ingest_cycle") ||
       names.exists(llmFixtureConsumers)
     val touchesMetricsFixtures =
       names.contains("p28_alert_stream") || names.contains("p29_stream_correlate")

@@ -367,6 +367,28 @@ object Dedup {
     ()
   }
 
+  /** MAINTAIN the persisted LSH band index across ingests: append the
+    * band rows of a batch's KEEPERS (the docs an ingest classified
+    * `keep`) so the NEXT ingest's corpus side includes them — the
+    * "append new keepers' band rows" half of the
+    * [[lshIncrementalPortable]] contract, which until round 17 was the
+    * caller's prose obligation with no operator behind it. Only the batch
+    * is hashed; the write APPENDS files and standing index files are
+    * never rewritten (the [[graft.ops.Similarity.appendIvfIndexInt]]
+    * discipline, spec-pinned in DedupSpec). Band rows are per-document
+    * independent, so append-then-classify is bit-identical to a full
+    * rebuild over corpus ∪ keepers — same single-writer pipeline contract
+    * as the first build. */
+  def appendLshBandIndex(batchKeepers: DataFrame, textCol: String,
+                         idCol: String, indexDir: String,
+                         shingleSize: Int = 3, bands: Int = 8,
+                         rowsPerBand: Int = 2): Unit = {
+    portableBandRows(batchKeepers, textCol, idCol, shingleSize, bands,
+        rowsPerBand)
+      .write.mode("append").parquet(indexDir)
+    ()
+  }
+
   /** INCREMENTAL near-dup ingest — X2's analog of [[exactIncremental]]:
     * classify each NEW document against the STANDING corpus's persisted
     * LSH band index and against earlier documents of its own batch,

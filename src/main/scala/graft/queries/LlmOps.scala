@@ -2335,6 +2335,33 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X2g' — the FULL two-night ingest CYCLE, closing the maintenance loop
+    * [[x2_lsh_incremental]] certifies one arc of: night 1's batch
+    * (doc_id % 10 = 0) classifies against the standing index, its KEEPERS'
+    * band rows join the index ([[Dedup.appendLshBandIndex]]'s semantics —
+    * here as a frame union so the timed body stays O(batch); the
+    * file-level append path is spec-pinned in DedupSpec), and night 2's
+    * batch (doc_id % 10 = 5) classifies against the MAINTAINED index — a
+    * night-2 near-dup of a night-1 keeper routes `near_dup_of_corpus`,
+    * the cross-ingest first-copy-wins continuity no single-batch entry
+    * can certify. Oracle replays both nights' signatures, collisions,
+    * agreement counts and the keeper set from raw text. */
+  def x2_lsh_ingest_cycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val corpusBands = cachedLshBandIndex(s, dir)
+    val b1 = docs.filter($"doc_id" % 10 === 0)
+    val keepers1 = b1.join(
+      Dedup.lshIngestClassify(corpusBands, b1, "text", "doc_id")
+        .filter($"status" === "keep").select($"doc_id"),
+      Seq("doc_id"))
+    val maintained = corpusBands.unionByName(
+      Dedup.buildLshBandRows(keepers1, "text", "doc_id"))
+    Dedup.lshIngestClassify(maintained, docs.filter($"doc_id" % 10 === 5),
+        "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** X3g — HYBRID retrieval with reciprocal-rank fusion (RRF), the
     * standard two-arm serving shape (Elasticsearch/Vespa "hybrid search"):
     * a lexical arm (BM25 against fixed query terms, [[TextOps.bm25]]) and a
@@ -2619,6 +2646,7 @@ object LlmOps {
     "x2_containment" -> x2_containment _,
     "x2_tf_cosine" -> x2_tf_cosine _,
     "x2_lsh_incremental" -> x2_lsh_incremental _,
+    "x2_lsh_ingest_cycle" -> x2_lsh_ingest_cycle _,
     "x4_bpe_train" -> x4_bpe_train _,
     "x4_bpe_apply" -> x4_bpe_apply _,
     "x3_hybrid_rrf" -> x3_hybrid_rrf _,
@@ -2765,6 +2793,92 @@ object LlmOps {
         |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_corpus_matches,
         |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_batch_matches
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN nc ON nc.id_a = d.doc_id
+        |LEFT JOIN nb ON nb.id_a = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // the two-night cycle: night 1's classification derives the keeper
+    // set, keepers join the corpus side, night 2 classifies against the
+    // maintained corpus — all from the same signature/band CTEs
+    "x2_lsh_ingest_cycle" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |sig AS (
+        |  SELECT doc_id, seed,
+        |    min(CAST(('0x' || substr(md5((seed // 2) || '|' || shingle),
+        |                             1 + 15 * (seed % 2), 15)) AS BIGINT)) AS h
+        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bandrows AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY doc_id, seed // 2),
+        |c1_cand_c AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 5 <> 0),
+        |c1_cand_b AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0 AND b.doc_id < a.doc_id),
+        |c1_agree_c AS (
+        |  SELECT c.id_a FROM c1_cand_c c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |c1_agree_b AS (
+        |  SELECT c.id_a FROM c1_cand_b c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |keepers1 AS (
+        |  SELECT d.doc_id
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |  WHERE NOT EXISTS (SELECT 1 FROM c1_agree_c a WHERE a.id_a = d.doc_id)
+        |    AND NOT EXISTS (SELECT 1 FROM c1_agree_b a WHERE a.id_a = d.doc_id)),
+        |corpus2 AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL SELECT doc_id FROM keepers1),
+        |c2_cand_c AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  JOIN corpus2 c2 ON c2.doc_id = b.doc_id
+        |  WHERE a.doc_id % 10 = 5),
+        |c2_cand_b AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id % 10 = 5 AND b.doc_id % 10 = 5 AND b.doc_id < a.doc_id),
+        |c2_agree_c AS (
+        |  SELECT c.id_a FROM c2_cand_c c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |c2_agree_b AS (
+        |  SELECT c.id_a FROM c2_cand_b c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |nc AS (SELECT id_a, count(*) AS n FROM c2_agree_c GROUP BY id_a),
+        |nb AS (SELECT id_a, count(*) AS n FROM c2_agree_b GROUP BY id_a)
+        |SELECT d.doc_id,
+        |  CASE WHEN coalesce(nc.n, 0) > 0 THEN 'near_dup_of_corpus'
+        |       WHEN coalesce(nb.n, 0) > 0 THEN 'near_dup_within_batch'
+        |       ELSE 'keep' END AS status,
+        |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_corpus_matches,
+        |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_batch_matches
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 5) d
         |LEFT JOIN nc ON nc.id_a = d.doc_id
         |LEFT JOIN nb ON nb.id_a = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,

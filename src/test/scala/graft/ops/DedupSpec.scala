@@ -345,6 +345,63 @@ class DedupSpec extends SparkSpec {
     assert(second === first)
   }
 
+  test("appendLshBandIndex: keepers' rows append without rewriting standing " +
+    "files, the maintained index equals a rebuild, and the next ingest sees " +
+    "night-1 keepers as corpus") {
+    def files(dir: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+      finally st.close()
+    }
+    val idx = java.nio.file.Files.createTempDirectory("lsh-idx-app-").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("lsh-idx-reb-").toString
+    try {
+      // corpus: docs 1-2; night 1: docs 3-4 (3/4 near-dup the corpus text →
+      // dropped); night-1 keeper: doc 5 (clean); night 2: doc 6 = doc 5's
+      // text → must route near_dup_of_corpus ONLY through the maintained
+      // index (the original corpus never saw doc 5's text)
+      val corpus = docs.filter($"doc_id" <= 2)
+      val b1 = docs.filter($"doc_id" > 2)
+      Dedup.buildLshBandIndex(corpus, "text", "doc_id", idx)
+      val standing = files(idx)
+      val c1 = Dedup.lshIngestClassify(spark.read.parquet(idx), b1,
+          "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(c1(5L) === "keep" && c1(3L) != "keep")
+      val keepers1 = b1.join(
+        Seq(5L).toDF("doc_id"), Seq("doc_id"))
+      Dedup.appendLshBandIndex(keepers1, "text", "doc_id", idx)
+      val after = files(idx)
+      // standing files byte-identical in place; the append only ADDED
+      standing.foreach { case (f, size) =>
+        assert(after.get(f).contains(size), s"standing file $f rewritten")
+      }
+      assert(after.size > standing.size)
+      // maintained rows == a rebuild over corpus ∪ keepers
+      Dedup.buildLshBandIndex(corpus.unionByName(keepers1), "text", "doc_id",
+        rebuilt)
+      def rows(d: String) = spark.read.parquet(d)
+        .select($"id", $"band", $"band_key").as[(Long, Int, String)]
+        .collect().toSet
+      assert(rows(idx) === rows(rebuilt))
+      // night 2: a dup of the night-1 keeper routes near_dup_of_corpus
+      val b2 = docs.filter($"doc_id" === 5L)
+        .select(lit(6L).as("doc_id"), $"text")
+      val c2 = Dedup.lshIngestClassify(spark.read.parquet(idx), b2,
+          "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(c2(6L) === "near_dup_of_corpus")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rebuilt))
+    }
+  }
+
   test("noveltyScores: first copy keeps full score, later copies lose theirs") {
     import spark.implicits._
     val docs = Seq(
