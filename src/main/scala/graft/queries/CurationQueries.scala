@@ -328,22 +328,27 @@ object CurationQueries {
                                        delta: DataFrame): DataFrame = {
     import s.implicits._
     val st = x10StandingState(s, dir)
-    // pairs touching the delta, DISCOVERED from the persisted band index
-    // (band the batch → collide → exact-verify at the 0.3 contract): the
-    // plan never touches the full-corpus pair set — work ∝ |batch| +
-    // |collisions|. Recall note: at the 8×2 family a J=0.9 near-duplicate
-    // escapes discovery w.p. ~4e-6 (see lshDiscoverVerifiedPairs); the
-    // oracle (the batch SQL) re-derives pairs exactly, so the driver hash
-    // re-certifies the discovered set every round. Pairs among
-    // exact-DROPPED delta docs can be discovered here; the admissibility
-    // filter in the core drops them, same as the fixture path did.
-    val touching = Dedup.lshDiscoverVerifiedPairs(st.bandIdx, st.shingleIdx,
+    incrementalCensusCore(st.digests, st.reps, st.kept, st.census,
+      discoverTouching(st, delta), delta)
+  }
+
+  /** Pairs touching the delta, DISCOVERED from the persisted band index
+    * (band the batch → collide → exact-verify at the 0.3 contract): the
+    * plan never touches the full-corpus pair set — work ∝ |batch| +
+    * |collisions|. Recall note: at the 8×2 family a J=0.9 near-duplicate
+    * escapes discovery w.p. ~4e-6 (see
+    * [[Dedup.lshDiscoverVerifiedPairs]]); the oracle (the batch SQL)
+    * re-derives pairs exactly, so the driver hash re-certifies the
+    * discovered set every round. Pairs among exact-DROPPED delta docs can
+    * be discovered here; the admissibility filter in the core drops them,
+    * same as the fixture path did. */
+  private def discoverTouching(st: X10State, delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Dedup.lshDiscoverVerifiedPairs(st.bandIdx, st.shingleIdx,
         Dedup.shingleCounts(delta, "text", "doc_id", n = 3)
-          .select($"id", $"shingle"),
+          .select(col("id"), col("shingle")),
         bands = 8, rowsPerBand = 2, minJaccard = 0.3)
-      .select($"id_a", $"id_b")
-    incrementalCensusCore(st.digests, st.reps, st.kept, st.census, touching,
-      delta)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** The pure increment over explicit state frames — see
@@ -351,10 +356,17 @@ object CurationQueries {
     * cluster-merge / retraction / exact-gate mechanics are pinned on a
     * crafted micro-fixture in CurationSpec, independent of whether the
     * corpus slice happens to exercise them. */
-  private[graft] def incrementalCensusCore(digests: DataFrame, reps: DataFrame,
-                                           kept: DataFrame, census: DataFrame,
+  /** Stages 1-2 of the increment, shared by the census patch and the
+    * state update: the exact-gated delta keepers and the merged-component
+    * relabel map from connected components over the CONTRACTED graph.
+    * Returns (deltaKeptExact, merged) where `merged` is `(id,
+    * cluster_id)` over contracted nodes (standing canonicals + delta
+    * ids) that appear in any admissible delta-touching pair. */
+  private[graft] def incrementalMergeState(digests: DataFrame,
+                                           reps: DataFrame,
                                            touching: DataFrame,
-                                           delta: DataFrame): DataFrame = {
+                                           delta: DataFrame)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
     val s = delta.sparkSession
     import s.implicits._
@@ -388,6 +400,18 @@ object CurationQueries {
     val merged = Dedup.connectedComponents(
       contractedPairs.select(least($"id_a", $"id_b").as("id_a"),
         greatest($"id_a", $"id_b").as("id_b")).distinct())
+    (deltaKeptExact, merged)
+  }
+
+  private[graft] def incrementalCensusCore(digests: DataFrame, reps: DataFrame,
+                                           kept: DataFrame, census: DataFrame,
+                                           touching: DataFrame,
+                                           delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = delta.sparkSession
+    import s.implicits._
+    val (deltaKeptExact, merged) =
+      incrementalMergeState(digests, reps, touching, delta)
     // 3. retractions: standing canonicals that lost their component's min
     val retractions = merged.filter($"id" =!= $"cluster_id")
       .join(kept.withColumnRenamed("doc_id", "id"), Seq("id"))
@@ -414,12 +438,58 @@ object CurationQueries {
       .orderBy($"lang", $"split")
   }
 
+  /** The UPDATED contraction map after the increment — what night N+1
+    * persists as its `reps` standing state, closing the chaining loop the
+    * census entry leaves open (a nightly build that can't emit its own
+    * next-night state isn't incremental, it's a one-shot): every standing
+    * exact-kept doc relabels through the merged-component map (its old
+    * canonical's component min — a broadcast-sized join against the
+    * touched-cluster relabel, never a recluster), and every delta keeper
+    * takes its component min or itself. Work beyond the O(|standing|)
+    * map-side relabel is ∝ |delta| + |touched clusters|. */
+  private[graft] def incrementalRepsCore(digests: DataFrame, reps: DataFrame,
+                                         touching: DataFrame,
+                                         delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = delta.sparkSession
+    import s.implicits._
+    val (deltaKeptExact, merged) =
+      incrementalMergeState(digests, reps, touching, delta)
+    val relabel = merged.select($"id", $"cluster_id")
+    val standingNew = reps
+      .join(relabel.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"rep").as("rep"))
+    val deltaNew = deltaKeptExact.select($"doc_id")
+      .join(relabel.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("rep"))
+    standingNew.unionByName(deltaNew).orderBy($"doc_id")
+  }
+
   /** Populate the incremental pipeline's standing-state fixtures before a
     * timed bench child forks (the [[LlmOps.prewarmFixtures]] discipline):
     * the persisted nightly state is the entry's INPUT, not its work. */
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
     x10StandingState(s, dir)
     ()
+  }
+
+  /** X10'' — the STATE-UPDATE half of the nightly increment
+    * ([[incrementalRepsCore]]): emit the updated exact-kept→canonical
+    * contraction map for the merged corpus, the artifact the next night's
+    * [[x10_pipeline_incremental]] reads as its `reps` input — cross-night
+    * chaining, the [[LlmOps.x2_lsh_ingest_cycle]] discipline applied to
+    * the cluster state. The oracle re-derives the full map from raw text
+    * (exact-dedup survivors → pair graph → connected components → min
+    * label per doc, self when unclustered), so the incremental relabel
+    * must land the IDENTICAL map the batch pipeline would recompute. */
+  def x10_state_reps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val delta = documents(s, dir).crossJoin(x10Threshold(s, dir))
+      .filter($"doc_id" >= $"thr").drop("thr")
+      .select($"doc_id", $"lang", $"text")
+    val st = x10StandingState(s, dir)
+    incrementalRepsCore(st.digests, st.reps, discoverTouching(st, delta),
+      delta)
   }
 
   /** X10' — the INCREMENTAL end-to-end curation pipeline
@@ -458,6 +528,7 @@ object CurationQueries {
     "x7_binpack_manifest" -> x7_binpack_manifest _,
     "x10_pipeline" -> x10_pipeline _,
     "x10_pipeline_incremental" -> x10_pipeline_incremental _,
+    "x10_state_reps" -> x10_state_reps _,
     "x7_temperature_mix" -> x7_temperature_mix _,
     "x7_weighted_sample" -> x7_weighted_sample _,
   )
@@ -612,9 +683,21 @@ object CurationQueries {
     "x10_pipeline_incremental" -> x10PipelineOracleSql,
     // the x1 + x9 + x4-quality + x7-split oracles composed end-to-end
     "x10_pipeline" -> x10PipelineOracleSql,
+    // the updated contraction map must equal the batch-recomputed one:
+    // same CTE prefix (survivors → pairs → CC walk), reps tail
+    "x10_state_reps" -> (x10OracleCtePrefix +
+      """,
+        |labels AS (SELECT id, min(label) AS rep FROM walk GROUP BY id)
+        |SELECT s.doc_id, coalesce(l.rep, s.doc_id) AS rep
+        |FROM survivors s LEFT JOIN labels l ON l.id = s.doc_id
+        |ORDER BY doc_id""".stripMargin),
   )
 
-  private lazy val x10PipelineOracleSql: String =
+  /** The batch pipeline's shared oracle CTE chain — exact-dedup survivors
+    * → shingle pair graph → connected-components walk — reused by the
+    * census tail ([[x10PipelineOracleSql]]) and the reps tail
+    * (`x10_state_reps`). */
+  private lazy val x10OracleCtePrefix: String =
       """WITH RECURSIVE survivors AS (
         |  SELECT * FROM (
         |    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
@@ -643,7 +726,10 @@ object CurationQueries {
         |walk(id, label) AS (
         |  SELECT id, id FROM nodes
         |  UNION
-        |  SELECT e.dst, w2.label FROM walk w2 JOIN edges e ON e.src = w2.id),
+        |  SELECT e.dst, w2.label FROM walk w2 JOIN edges e ON e.src = w2.id)""".stripMargin
+
+  private lazy val x10PipelineOracleSql: String = x10OracleCtePrefix +
+      """,
         |dropped AS (
         |  SELECT id FROM walk GROUP BY id HAVING id <> min(label)),
         |kept AS (

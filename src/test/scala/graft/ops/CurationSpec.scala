@@ -308,5 +308,23 @@ class CurationSpec extends SparkSpec {
     // (kept docs after the increment are exactly {0, 12, 14})
     val totalDocs = incremental.toSeq.map(_._3).sum
     assert(totalDocs === 3L, s"expected 3 kept quality docs, got $totalDocs")
+
+    // the STATE-UPDATE half on the same fixture: the updated contraction
+    // map equals the batch-recomputed one — cluster merge relabels the
+    // losing canonical's whole cluster (2, 3 -> 0), the bridging delta doc
+    // takes the merged canonical, fresh keepers map to themselves, and
+    // exact-dropped delta docs (11, 15) never appear
+    val newReps = CurationQueries.incrementalRepsCore(
+        digests, reps, touching, deltaDf)
+      .as[(Long, Long)].collect().toMap
+    val batchReps = survivors.select($"doc_id")
+      .join(clusters.select($"id".as("doc_id"), $"cluster_id"),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("rep"))
+      .as[(Long, Long)].collect().toMap
+    assert(newReps === batchReps)
+    assert(newReps(2L) === 0L && newReps(3L) === 0L && newReps(10L) === 0L)
+    assert(newReps(12L) === 12L && newReps(14L) === 14L)
+    assert(!newReps.contains(11L) && !newReps.contains(15L))
   }
 }
