@@ -188,10 +188,19 @@ object Bench {
           .writeStream.outputMode("complete").format("noop")
           .option("checkpointLocation", ck.toString)
           .start()
-        q.processAllAvailable()
-        ms.addData(4L, 5L)
-        q.processAllAvailable()
-        q.stop()
+        // stop() in a finally: a prewarm hiccup must not leave a live
+        // StreamingQuery (micro-batch thread, listener traffic) running
+        // through the fork's TIMED entries — the pollution this prewarm
+        // exists to prevent. The throwaway checkpoint dir goes with it.
+        try {
+          q.processAllAvailable()
+          ms.addData(4L, 5L)
+          q.processAllAvailable()
+        } finally {
+          try q.stop() catch { case _: Throwable => () }
+          org.apache.commons.io.FileUtils.deleteQuietly(ck.toFile)
+          ()
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stream prewarm failed: ${e.getMessage}")
       }
@@ -621,7 +630,7 @@ object Bench {
         n.startsWith("s5_"))
     val llmFixtureConsumers = Set("x9_dup_clusters", "x9_dup_clusters_star",
       "x9_triangles", "x9_kcore", "x9_keepers", "x10_pipeline",
-      "x10_pipeline_incremental",
+      "x10_pipeline_incremental", "x10_state_reps",
       "x2_minhash_lsh", "x2_simhash", "x2_minhash_md5", "x2_ngram_jaccard",
       "x2_containment", "x2_tf_cosine", "x1_dup_ngram", "x1_novelty",
       "x1_dup_spans", "x1_span_removal",
@@ -634,8 +643,11 @@ object Bench {
     val touchesMetricsFixtures =
       names.contains("p28_alert_stream") || names.contains("p29_stream_correlate")
     // the incremental curation pipeline's standing state (digests, reps,
-    // kept attrs, census) is persisted nightly input, not timed work
-    val touchesCurationState = names.contains("x10_pipeline_incremental")
+    // kept attrs, census, band/shingle indexes) is persisted nightly
+    // input, not timed work — both the census and the state-update entry
+    // read it
+    val touchesCurationState = names.contains("x10_pipeline_incremental") ||
+      names.contains("x10_state_reps")
     if (!inline && (touchesCdcFixtures || touchesLshIndex ||
         touchesMetricsFixtures || touchesCurationState)) {
       // Populate the run-level fixture caches BEFORE any timed child forks,

@@ -1058,13 +1058,19 @@ object Similarity {
     * counts and the serve equivalence).
     *
     * Commit mechanics: the compacted lists are written to a staging dir,
-    * then swapped in per partition (delete standing data files, move the
-    * staged file in) — the same single-writer pipeline contract as the
-    * first index build and append; a production deployment would wrap the
-    * swap in a table format's atomic metadata commit (Iceberg/Delta), and
-    * this function is exactly its rewrite-data-files action. Returns the
-    * number of compacted partitions (bounded driver-side metadata — one
-    * FileSystem listing per list dir, ≤ nLists). */
+    * then swapped in per partition — the staged file RENAMES IN FIRST and
+    * the displaced standing files delete after, so a crash mid-swap
+    * leaves that partition with DUPLICATE rows (detectable: vec_id counts
+    * exceed distinct; repair: delete the non-staged files, whose names
+    * the still-present staging dir identifies) rather than silently
+    * MISSING rows that a re-run's under-threshold file count would mask.
+    * The staging dir is only removed after every swap completes. Same
+    * single-writer pipeline contract as the first index build and append;
+    * a production deployment would wrap the swap in a table format's
+    * atomic metadata commit (Iceberg/Delta), and this function is exactly
+    * its rewrite-data-files action. Returns the number of compacted
+    * partitions (bounded driver-side metadata — one FileSystem listing
+    * per list dir, ≤ nLists). */
   def compactIvfIndexInt(spark: org.apache.spark.sql.SparkSession,
                          path: String, maxFilesPerList: Int): Int = {
     import org.apache.hadoop.fs.Path
@@ -1087,9 +1093,12 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list").parquet(staging.toString)
     over.foreach { v =>
       val dst = new Path(root, s"list=$v")
-      dataFiles(dst).foreach(f => fs.delete(f.getPath, false))
+      // standing files listed BEFORE the staged file moves in (UUID part-
+      // names never collide), then deleted — add-then-remove ordering
+      val displaced = dataFiles(dst)
       dataFiles(new Path(staging, s"list=$v"))
         .foreach(f => fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+      displaced.foreach(f => fs.delete(f.getPath, false))
     }
     fs.delete(staging, true)
     over.length

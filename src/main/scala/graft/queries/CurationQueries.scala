@@ -279,15 +279,17 @@ object CurationQueries {
     // EXACT-KEPT docs — pairs with exact-dropped standing endpoints are
     // invisible to the batch pipeline too, so indexing them would be
     // wasted bytes at 100 TB
-    lazy val keptShingles = Dedup.shingleCounts(
-        standingDocs.join(reps.select($"doc_id"), Seq("doc_id")),
-        "text", "doc_id", n = 3)
-      .select($"id", $"shingle")
     val shingleIdx = FixtureCache.cached(s, dir, "x10-std-shingles-sh3", "v1") {
-      keptShingles
+      Dedup.shingleCounts(
+          standingDocs.join(reps.select($"doc_id"), Seq("doc_id")),
+          "text", "doc_id", n = 3)
+        .select($"id", $"shingle")
     }
+    // built FROM the just-persisted shingle fixture (not a second live
+    // derivation of the standing shingles — round-17 review): one corpus
+    // shingle pass per cold cache build
     val bandIdx = FixtureCache.cached(s, dir, "x10-std-bands-sh3-b8-r2", "v1") {
-      Dedup.buildLshBandRowsFromShingles(keptShingles, bands = 8, rowsPerBand = 2)
+      Dedup.buildLshBandRowsFromShingles(shingleIdx, bands = 8, rowsPerBand = 2)
     }
     X10State(digests, reps, kept, census, bandIdx, shingleIdx)
   }

@@ -502,12 +502,8 @@ object LlmOps {
     // cost, and a nondeterministic tie could have scored recall against a
     // different evaluation than the rows it annotates)
     val a = approx.localCheckpoint(true)
-    val exact = cachedGt(s, dir, gtName, queries, corpus, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
-    val recall = a.select("query_id", "neighbor_id")
-      .join(exact, Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(expr(s"sum(coalesce(in_exact, 0)) * 1000 DIV $k").as("recall_pm"))
+    val recall = recallAggOf(a, cachedGt(s, dir, gtName, queries, corpus, k),
+      k, "recall_pm")
     a.join(broadcast(recall), Seq("query_id"))
   }
 
@@ -904,13 +900,10 @@ object LlmOps {
                                    seeded: DataFrame, gtPairs: DataFrame,
                                    outCols: Seq[org.apache.spark.sql.Column],
                                    fills: Map[String, Any]): DataFrame = {
-    val gt = gtPairs.select(col("query_id"), col("neighbor_id"),
-      lit(1L).as("in_exact"))
+    // one recall arithmetic for the whole file (round-17 review): both
+    // trained-ANN columns route through recallAggOf at the k=5 contract
     def recallOf(approx: DataFrame, name: String) =
-      approx.select("query_id", "neighbor_id")
-        .join(gt, Seq("query_id", "neighbor_id"), "left")
-        .groupBy(col("query_id"))
-        .agg(expr("sum(coalesce(in_exact, 0)) * 1000 DIV 5").as(name))
+      recallAggOf(approx, gtPairs, 5, name)
     queries.select(col("vec_id").as("query_id"))
       .join(broadcast(trained.join(broadcast(recallOf(trained, "recall_pm")),
         Seq("query_id"))), Seq("query_id"), "left")
