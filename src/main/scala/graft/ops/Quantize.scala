@@ -38,4 +38,48 @@ object Quantize {
     * where a float sum could drift by association order. */
   def maxAbsError(emb: Column, q: Column, scale: Column): Column =
     array_max(zip_with(emb, q, (x, qi) => abs(x - qi * scale)))
+
+  // ---- int4 BLOCK quantization (the weights/activations staple) --------
+  //
+  // Per fixed-size block: absmax scale, signed 4-bit codes in [-7, 7],
+  // round-half-up — the NF4/absmax-int4 family every LLM serving stack
+  // ships, here in EXACT int64 over milli codes so the whole
+  // quantize → reconstruct → error chain is engine-reproducible and
+  // DuckDB-oracle-checkable (the int8 path's float scale can't be): code
+  // = floorDiv(14·m + A, 2A) and reconstruction = floorDiv(2·c·A + 7, 14),
+  // both via the pmod floor-division identity (Similarity.floorDiv).
+  // Block-local absmax (not per-vector) is the point at 4 bits: one
+  // outlier element only poisons its own block's resolution. Storage: 4
+  // bits/element + one int scale per block — 8x smaller than float32 at
+  // blockSize 16 with the scale amortized.
+
+  /** Per-block absmax scales: `ceil(dim/blockSize)` int64 entries, 0 for
+    * an all-zero block (its codes quantize to 0 — no division). */
+  def int4BlockAbsMax(mv: Column, dim: Int, blockSize: Int): Column =
+    transform(sequence(lit(0), lit(dim / blockSize - 1)), b =>
+      array_max(transform(slice(mv, b * blockSize + 1, lit(blockSize)),
+        e => abs(e))))
+
+  /** Signed 4-bit codes, flattened back to `dim` entries: element i of
+    * block b is round-half-up(m·7/A_b) ∈ [-7, 7] — exact int64, clamp-free
+    * because |m| ≤ A_b bounds the ratio. */
+  def int4BlockCodes(mv: Column, amax: Column, dim: Int,
+                     blockSize: Int): Column =
+    flatten(transform(sequence(lit(0), lit(dim / blockSize - 1)), b => {
+      val a = element_at(amax, (b + 1).cast("int"))
+      transform(slice(mv, b * blockSize + 1, lit(blockSize)), m =>
+        when(a === 0L, lit(0L)).otherwise(
+          graft.ops.Similarity.floorDiv(m * 14L + a, a * 2L)))
+    }))
+
+  /** Integer milli reconstruction of the codes: round-half-up(c·A/7) per
+    * element — what a dequantizing scan computes, exact int64. */
+  def int4BlockRecon(codes: Column, amax: Column, dim: Int,
+                     blockSize: Int): Column =
+    flatten(transform(sequence(lit(0), lit(dim / blockSize - 1)), b => {
+      val a = element_at(amax, (b + 1).cast("int"))
+      transform(slice(codes, b * blockSize + 1, lit(blockSize)), c =>
+        when(a === 0L, lit(0L)).otherwise(
+          graft.ops.Similarity.floorDiv(c * a * 2L + 7L, lit(14L))))
+    }))
 }

@@ -1589,6 +1589,39 @@ object LlmOps {
       .orderBy($"vec_id")
   }
 
+  /** X3e' — int4 BLOCK quantization certificate
+    * ([[graft.ops.Quantize.int4BlockCodes]]): per vector, the exact
+    * integer fingerprint of its signed 4-bit codes (absmax scale per
+    * 16-element block — the NF4/absmax family every LLM serving stack
+    * ships), the block-scale sum, and the achieved max milli
+    * reconstruction error. Unlike the int8 path's float scale, the whole
+    * quantize → reconstruct → error chain here is EXACT int64 over milli
+    * codes (round-half-up as a floor-division identity), so the oracle
+    * replays it bit-for-bit. 4 bits/element + one int scale per block =
+    * 8× smaller than float32 on the wire; block-local absmax keeps an
+    * outlier's damage confined to its own block. */
+  def x3_quantize_int4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Quantize
+    val dim = 64; val bs = 16
+    embeddings(s, dir)
+      .select($"vec_id", Similarity.milliQuantize($"embedding").as("mv"))
+      .select($"vec_id", $"mv",
+        Quantize.int4BlockAbsMax($"mv", dim, bs).as("amax"))
+      .select($"vec_id", $"mv", $"amax",
+        Quantize.int4BlockCodes($"mv", $"amax", dim, bs).as("q"))
+      .select($"vec_id",
+        aggregate($"q", lit(0L), (acc, v) => acc + v).as("q_sum"),
+        aggregate($"q", lit(0L), (acc, v) => acc + v * v).as("q_sumsq"),
+        array_min($"q").as("q_min"),
+        array_max($"q").as("q_max"),
+        aggregate($"amax", lit(0L), (acc, v) => acc + v).as("scale_sum"),
+        array_max(zip_with($"mv",
+          Quantize.int4BlockRecon($"q", $"amax", dim, bs),
+          (m, r) => abs(m - r))).as("max_err_milli"))
+      .orderBy($"vec_id")
+  }
+
   /** X4d — BM25 relevance scoring against a fixed query-term set: tf / dl
     * per doc, df per term, corpus stats (N, avgdl) as one broadcast row.
     * The retrieval-scoring member of the text-analysis family. */
@@ -2607,6 +2640,7 @@ object LlmOps {
     "x4_vocab" -> x4_vocab _,
     "x4_heavy_hitters" -> x4_heavy_hitters _,
     "x3_quantize_int8" -> x3_quantize_int8 _,
+    "x3_quantize_int4" -> x3_quantize_int4 _,
     "x9_dup_clusters" -> x9_dup_clusters _,
     "x9_dup_clusters_star" -> x9_dup_clusters_star _,
     "x9_pagerank" -> x9_pagerank _,
@@ -3283,6 +3317,45 @@ object LlmOps {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 7
         |ORDER BY id_a, id_b""".stripMargin,
+    // the int4 block chain replayed element-wise (explode form — no nested
+    // lambdas): milli codes, per-(vec, block) absmax, round-half-up code
+    // and reconstruction via the pmod floor-division identity
+    "x3_quantize_int4" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS mv
+        |  FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, i, mv[i] AS m, CAST((i - 1) // 16 AS BIGINT) AS blk
+        |  FROM e, unnest(generate_series(1, 64)) t(i)),
+        |a AS (
+        |  SELECT vec_id, blk, max(abs(m)) AS amax FROM el GROUP BY vec_id, blk),
+        |c AS (
+        |  SELECT el.vec_id, el.i, el.m, a.amax,
+        |    CASE WHEN a.amax = 0 THEN 0
+        |         ELSE (el.m * 14 + a.amax
+        |               - (((el.m * 14 + a.amax) % (2 * a.amax)) + 2 * a.amax)
+        |                 % (2 * a.amax)) // (2 * a.amax) END AS q
+        |  FROM el JOIN a ON a.vec_id = el.vec_id AND a.blk = el.blk),
+        |r AS (
+        |  SELECT vec_id, i, m, amax, q,
+        |    CASE WHEN amax = 0 THEN 0
+        |         ELSE (q * amax * 2 + 7
+        |               - (((q * amax * 2 + 7) % 14) + 14) % 14) // 14 END AS rv
+        |  FROM c),
+        |scales AS (
+        |  SELECT vec_id, CAST(sum(amax) AS BIGINT) AS scale_sum
+        |  FROM a GROUP BY vec_id)
+        |SELECT r.vec_id,
+        |  CAST(sum(q) AS BIGINT) AS q_sum,
+        |  CAST(sum(q * q) AS BIGINT) AS q_sumsq,
+        |  CAST(min(q) AS BIGINT) AS q_min,
+        |  CAST(max(q) AS BIGINT) AS q_max,
+        |  CAST(max(s.scale_sum) AS BIGINT) AS scale_sum,
+        |  CAST(max(abs(m - rv)) AS BIGINT) AS max_err_milli
+        |FROM r JOIN scales s USING (vec_id)
+        |GROUP BY r.vec_id
+        |ORDER BY vec_id""".stripMargin,
     "x3_quantize_int8" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
