@@ -1262,4 +1262,70 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().toSet
     assert(out.toSet === batchCensus)
   }
+
+  test("streaming vector ingest: batches append into the persisted IVF " +
+    "index through a REAL foreachBatch, per-batch compaction bounds the " +
+    "file counts, and the final serve equals a full rebuild") {
+    // the vector-side twin of the x10 incremental-ingest protocol: the
+    // nightly appendIvfIndexInt + compactIvfIndexInt maintenance loop
+    // driven as foreachBatch rounds against fixed centroids
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf_stream_full").toString
+    try {
+      val cents = Similarity.writeIvfIndexInt(emb.filter($"vec_id" < 400),
+        nLists = 16, path = idxDir)
+      val rows = emb.filter($"vec_id" >= 400)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Seq[Float])].collect().toSeq
+      assert(rows.nonEmpty)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val maxFiles = 4
+      val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.localCheckpoint()
+            Similarity.appendIvfIndexInt(spark, b, cents, idxDir)
+            Similarity.compactIvfIndexInt(spark, idxDir,
+              maxFilesPerList = maxFiles)
+            ()
+          }
+          ()
+        }.start()
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      // per-batch compaction held the small-file pathology down
+      val perList = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir))
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .groupBy(p =>
+            java.nio.file.Paths.get(idxDir).relativize(p).getName(0).toString)
+          .view.mapValues(_.length).toMap
+        finally st.close()
+      }
+      assert(perList.values.forall(_ <= maxFiles),
+        s"compaction left over-threshold lists: $perList")
+      // ingest-then-maintain serves bit-identically to a full rebuild
+      val centsFull = Similarity.writeIvfIndexInt(emb, nLists = 16,
+        path = fullDir)
+      def serve(d: String, c: Array[(Long, Array[Long])]) =
+        Similarity.ivfTopKFromIndexInt(spark, emb.filter($"vec_id" < 20),
+            d, c, k = 5, nProbe = 4)
+          .select($"query_id", $"rank", $"neighbor_id", $"list_id", $"d2m")
+          .as[(Long, Int, Long, Long, Long)].collect().toSet
+      assert(serve(idxDir, cents) === serve(fullDir, centsFull))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fullDir))
+    }
+  }
 }
