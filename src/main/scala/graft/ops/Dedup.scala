@@ -309,7 +309,17 @@ object Dedup {
     * `corpusShingles` / `batchShingles` are distinct `(id, shingle)` rows
     * ([[shingleCounts]] output shape) over DISJOINT id spaces. Returns
     * `(id_a, id_b, jaccard)` with `id_a < id_b`, exactly the
-    * [[ngramJaccardPairsFromShingles]] row shape. */
+    * [[ngramJaccardPairsFromShingles]] row shape.
+    *
+    * 100 TB posture: the batch side is small — AQE broadcasts it into the
+    * collision join, so the standing index is never shuffled; what this
+    * formulation does pay is one full SCAN of the standing band index per
+    * ingest. At true 100 TB lay the persisted index out bucketed (or
+    * range-partitioned) BY band_key so the probe reads only the batch's
+    * colliding buckets — the [[graft.ops.Similarity.writeIvfIndexInt]]
+    * partition-pruning discipline applied to band keys; the collision,
+    * verification, and classification semantics above are unchanged by
+    * the layout. */
   def lshDiscoverVerifiedPairs(corpusBands: DataFrame,
                                corpusShingles: DataFrame,
                                batchShingles: DataFrame,
