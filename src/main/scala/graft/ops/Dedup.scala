@@ -325,7 +325,16 @@ object Dedup {
                                batchShingles: DataFrame,
                                bands: Int = 8, rowsPerBand: Int = 2,
                                minJaccard: Double = 0.5): DataFrame = {
-    val batchBands = portableBandRowsFromShingles(batchShingles, bands,
+    // the batch shingle tree (scan + explode + distinct) has two consumers
+    // (the band rows below and the verification side's union) and is LEFT
+    // UNMATERIALIZED on purpose: an interleaved A/B at sf0.1 measured the
+    // localCheckpoint-once variant equal-to-slower (5.1-6.5 vs 5.3-5.6 s
+    // on x10_state_reps, identical hashes) — serializing every shingle
+    // string through the block manager costs as much as re-running the
+    // cheap parallel tree, the same barrier-vs-reeval trade the float-ANN
+    // serves resolved the OTHER way (their trees are much heavier)
+    val bsh = batchShingles
+    val batchBands = portableBandRowsFromShingles(bsh, bands,
       rowsPerBand).localCheckpoint(false) // feeds the two collision joins
     def side(df: DataFrame, as: String) =
       df.select(col("band"), col("band_key"), col("id").as(as))
@@ -346,7 +355,7 @@ object Dedup {
       .union(cand.select(col("id_b").as("id"))).distinct()
     val sh = corpusShingles.select(col("id"), col("shingle"))
       .join(ids, Seq("id"), "left_semi")
-      .unionByName(batchShingles.select(col("id"), col("shingle"))
+      .unionByName(bsh.select(col("id"), col("shingle"))
         .join(ids, Seq("id"), "left_semi"))
       .select(col("id"), xxhash64(col("shingle")).as("shingle_h"))
       .localCheckpoint(false) // sizes + both verify sides
