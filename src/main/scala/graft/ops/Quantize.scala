@@ -53,33 +53,51 @@ object Quantize {
   // bits/element + one int scale per block — 8x smaller than float32 at
   // blockSize 16 with the scale amortized.
 
-  /** Per-block absmax scales: `ceil(dim/blockSize)` int64 entries, 0 for
-    * an all-zero block (its codes quantize to 0 — no division). */
-  def int4BlockAbsMax(mv: Column, dim: Int, blockSize: Int): Column =
+  /** Blocks must tile the vector exactly — `sequence(0, dim/blockSize-1)`
+    * FLOORS, so a non-dividing blockSize would silently drop the tail
+    * elements and hand `zip_with` consumers short arrays full of nulls
+    * (round-17 ADVICE). Rejecting loudly beats emitting a partial block:
+    * a ragged final block changes the storage contract (codes array no
+    * longer `dim` long ÷ uniform scale stride) that the oracle replays. */
+  private def requireTiling(dim: Int, blockSize: Int): Unit =
+    require(blockSize > 0 && dim % blockSize == 0,
+      s"int4 block quantization requires blockSize to divide dim exactly " +
+        s"(got dim=$dim, blockSize=$blockSize)")
+
+  /** Per-block absmax scales: `dim/blockSize` int64 entries (blockSize must
+    * divide dim — enforced), 0 for an all-zero block (its codes quantize to
+    * 0 — no division). */
+  def int4BlockAbsMax(mv: Column, dim: Int, blockSize: Int): Column = {
+    requireTiling(dim, blockSize)
     transform(sequence(lit(0), lit(dim / blockSize - 1)), b =>
       array_max(transform(slice(mv, b * blockSize + 1, lit(blockSize)),
         e => abs(e))))
+  }
 
   /** Signed 4-bit codes, flattened back to `dim` entries: element i of
     * block b is round-half-up(m·7/A_b) ∈ [-7, 7] — exact int64, clamp-free
     * because |m| ≤ A_b bounds the ratio. */
   def int4BlockCodes(mv: Column, amax: Column, dim: Int,
-                     blockSize: Int): Column =
+                     blockSize: Int): Column = {
+    requireTiling(dim, blockSize)
     flatten(transform(sequence(lit(0), lit(dim / blockSize - 1)), b => {
       val a = element_at(amax, (b + 1).cast("int"))
       transform(slice(mv, b * blockSize + 1, lit(blockSize)), m =>
         when(a === 0L, lit(0L)).otherwise(
           graft.ops.Similarity.floorDiv(m * 14L + a, a * 2L)))
     }))
+  }
 
   /** Integer milli reconstruction of the codes: round-half-up(c·A/7) per
     * element — what a dequantizing scan computes, exact int64. */
   def int4BlockRecon(codes: Column, amax: Column, dim: Int,
-                     blockSize: Int): Column =
+                     blockSize: Int): Column = {
+    requireTiling(dim, blockSize)
     flatten(transform(sequence(lit(0), lit(dim / blockSize - 1)), b => {
       val a = element_at(amax, (b + 1).cast("int"))
       transform(slice(codes, b * blockSize + 1, lit(blockSize)), c =>
         when(a === 0L, lit(0L)).otherwise(
           graft.ops.Similarity.floorDiv(c * a * 2L + 7L, lit(14L))))
     }))
+  }
 }

@@ -1094,10 +1094,20 @@ object Similarity {
     over.foreach { v =>
       val dst = new Path(root, s"list=$v")
       // standing files listed BEFORE the staged file moves in (UUID part-
-      // names never collide), then deleted — add-then-remove ordering
+      // names never collide), then deleted — add-then-remove ordering. A
+      // rename that reports failure ABORTS before any displaced delete:
+      // deleting after a silent rename failure would drop the partition's
+      // rows outright, which is strictly worse than the documented
+      // duplicate-rows crash mode (round-17 ADVICE).
       val displaced = dataFiles(dst)
-      dataFiles(new Path(staging, s"list=$v"))
-        .foreach(f => fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+      dataFiles(new Path(staging, s"list=$v")).foreach { f =>
+        val moved = new Path(dst, f.getPath.getName)
+        if (!fs.rename(f.getPath, moved))
+          throw new java.io.IOException(
+            s"compactIvfIndexInt: rename ${f.getPath} -> $moved failed; " +
+              "aborting with standing files intact (duplicate-rows repair " +
+              "mode: delete non-staged files named by the staging dir)")
+      }
       displaced.foreach(f => fs.delete(f.getPath, false))
     }
     fs.delete(staging, true)

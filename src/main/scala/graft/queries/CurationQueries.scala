@@ -219,7 +219,7 @@ object CurationQueries {
     * is the real ingest invariant (append-only id allocation) that makes
     * first-copy-wins dedup equal min-id-per-digest over the merged corpus.
     * One-row broadcast frame (the house shape for scalar thresholds). */
-  private def x10Threshold(s: SparkSession, dir: String): DataFrame =
+  private[graft] def x10Threshold(s: SparkSession, dir: String): DataFrame =
     broadcast(documents(s, dir)
       .agg(expr("((max(doc_id) + 1) * 4) div 5").as("thr")))
 
@@ -237,11 +237,11 @@ object CurationQueries {
     * artifact, [[Dedup.buildLshBandRowsFromShingles]] at the x2 family's
     * 8×2 parameters), and `shingleIdx` (the standing keepers' distinct
     * 3-shingle rows — the exact-verification side of discovery). */
-  private final case class X10State(digests: DataFrame, reps: DataFrame,
+  private[graft] final case class X10State(digests: DataFrame, reps: DataFrame,
                                     kept: DataFrame, census: DataFrame,
                                     bandIdx: DataFrame, shingleIdx: DataFrame)
 
-  private def x10StandingState(s: SparkSession, dir: String): X10State = {
+  private[graft] def x10StandingState(s: SparkSession, dir: String): X10State = {
     import s.implicits._
     def standingDocs =
       documents(s, dir).crossJoin(x10Threshold(s, dir))
@@ -344,7 +344,7 @@ object CurationQueries {
     * discovered set every round. Pairs among exact-DROPPED delta docs can
     * be discovered here; the admissibility filter in the core drops them,
     * same as the fixture path did. */
-  private def discoverTouching(st: X10State, delta: DataFrame): DataFrame = {
+  private[graft] def discoverTouching(st: X10State, delta: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     Dedup.lshDiscoverVerifiedPairs(st.bandIdx, st.shingleIdx,
         Dedup.shingleCounts(delta, "text", "doc_id", n = 3)

@@ -4147,9 +4147,17 @@ object LlmOps {
     * on their query slices: assignment to the 16 seed centroids, 4-probe
     * routing, in-list int64 scoring. Parameterized only by the query-id
     * slice so each entry keeps its own disjoint probes. */
-  private def ivfIndexOracleSqlFor(qLo: Int, qHi: Int): String =
-    ivfIndexOracleSql.replace("m.vec_id < 20",
+  private def ivfIndexOracleSqlFor(qLo: Int, qHi: Int): String = {
+    val out = ivfIndexOracleSql.replace("m.vec_id < 20",
       s"m.vec_id >= $qLo AND m.vec_id < $qHi")
+    // a future edit to the base oracle's probe-filter text must not turn
+    // this replace into a silent no-op that checks entries against the
+    // wrong query slice (round-17 ADVICE): fail loudly at registration
+    require(out != ivfIndexOracleSql,
+      "ivfIndexOracleSqlFor: probe-slice anchor 'm.vec_id < 20' not found " +
+        "in ivfIndexOracleSql — update the anchor together with the oracle")
+    out
+  }
 
   private lazy val ivfIndexOracleSql: String =
     """WITH m AS (

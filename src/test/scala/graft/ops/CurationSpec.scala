@@ -220,6 +220,34 @@ class CurationSpec extends SparkSpec {
       s"tightening the verify cut should shrink the set: $loose vs $got")
   }
 
+  test("x10 pair discovery recall on the LIVE fixture: the discovered set " +
+    "EQUALS the exact >=0.3 delta-touching pair set, so a band-recall miss " +
+    "fails HERE with a pointed message instead of surfacing downstream as " +
+    "an inscrutable census hash mismatch (round-17 ADVICE)") {
+    CurationQueries.prewarmFixtures(spark, dir)
+    val st = CurationQueries.x10StandingState(spark, dir)
+    val thr = CurationQueries.x10Threshold(spark, dir)
+      .as[Long].collect().head
+    val delta = docs.filter($"doc_id" >= thr).select($"doc_id", $"lang", $"text")
+    val got = CurationQueries.discoverTouching(st, delta)
+      .as[(Long, Long)].collect().toSet
+    // ground truth: exact Jaccard >= 0.3 over standing exact-kept shingles
+    // (discovery's corpus side) union the whole delta, restricted to pairs
+    // touching the delta (delta ids are the top slice, so id_b >= thr)
+    val deltaSh = Dedup.shingleCounts(delta, "text", "doc_id", n = 3)
+      .select($"id", $"shingle")
+    val exact = Dedup.ngramJaccardPairsFromShingles(
+        st.shingleIdx.unionByName(deltaSh), minJaccard = 0.3)
+      .filter($"id_b" >= thr)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === exact,
+      s"LSH band discovery diverged from the exact >=0.3 pair set on this " +
+        s"fixture — missed=${exact -- got} extra=${got -- exact}. A missed " +
+        "pair means the 8x2 band family's recall no longer covers the " +
+        "fixture's duplicate Jaccard range (miss prob (1-J^2)^8); fix the " +
+        "family or the fixture, do NOT chase the census hash downstream.")
+  }
+
   test("x10_pipeline_incremental plan discovers pairs instead of scanning " +
     "the full-corpus pair fixture (round-16 verdict #3)") {
     spark.catalog.clearCache()
