@@ -280,6 +280,58 @@ object Dedup {
                                    rowsPerBand: Int = 2): DataFrame =
     portableBandRowsFromShingles(sh, bands, rowsPerBand)
 
+  // ---- band-key-BUCKETED index layout (the 100 TB probe discipline) ----
+  //
+  // The standing band index is persisted PARTITIONED BY `bkb` =
+  // pmod(xxhash64(band, band_key), nBuckets): every probe first computes
+  // the BATCH's bucket set (bounded driver metadata, ≤ nBuckets ints) and
+  // reads only those directories — the
+  // [[graft.ops.Similarity.writeIvfIndexInt]] partition-pruning discipline
+  // applied to band keys, closing the last per-ingest O(corpus) scan in
+  // the nightly loop (round-17 verdict #1; until round 18 this layout was
+  // prose posture only). The bucket is a pure function of the collision
+  // join key (band, band_key), so every colliding row lives in a
+  // colliding bucket: pruning is a strict superset filter and the
+  // collision / verification / classification semantics are
+  // layout-invariant — a batch that happens to touch every bucket
+  // degenerates to the full scan, never to a wrong answer. Size nBuckets
+  // to the corpus/batch ratio: a probe reads ≈ min(1, |batch buckets| /
+  // nBuckets) of the index bytes.
+
+  /** Default bucket count for the persisted layout — small enough that the
+    * sf-test corpora still fill every directory, large enough to exercise
+    * real multi-directory pruning in the specs; a 100 TB deployment sizes
+    * this to its corpus/batch ratio. */
+  val LshIndexBuckets = 32
+
+  /** The bucket column: `pmod(xxhash64(band, band_key), nBuckets)`, cast
+    * int so the computed frame and the partition-directory read-back
+    * (which infers int32) stay identically typed. A layout artifact only —
+    * never part of any result. */
+  def lshBandBucket(band: Column, bandKey: Column, nBuckets: Int): Column =
+    pmod(xxhash64(band, bandKey), lit(nBuckets.toLong)).cast("int")
+
+  /** Band rows plus their `bkb` bucket — the frame the bucketed index
+    * persists (`partitionBy("bkb")`) and every bucketed probe consumes. */
+  def bucketedBandRows(bandRows: DataFrame,
+                       nBuckets: Int = LshIndexBuckets): DataFrame =
+    bandRows.withColumn("bkb",
+      lshBandBucket(col("band"), col("band_key"), nBuckets))
+
+  /** Prune a bucketed band-index frame to the buckets the BATCH can
+    * collide in: collect the batch's distinct bucket ids (bounded
+    * metadata, ≤ nBuckets ints) and filter with a literal IN — STATIC
+    * partition pruning over the persisted layout, visible as a non-empty
+    * `PartitionFilters` on the index scan (spec-pinned in DedupSpec). */
+  def pruneBandIndexToBatch(indexBucketed: DataFrame, batchBands: DataFrame,
+                            nBuckets: Int = LshIndexBuckets): DataFrame = {
+    val buckets = batchBands
+      .select(lshBandBucket(col("band"), col("band_key"), nBuckets).as("bkb"))
+      .distinct().collect().map(_.getInt(0)) // bounded: ≤ nBuckets ids
+    indexBucketed.filter(col("bkb").isin(buckets.map(x => x: Any): _*))
+      .drop("bkb")
+  }
+
   /** Near-dup pairs TOUCHING a new batch, DISCOVERED from the standing
     * corpus's persisted band index and then EXACTLY verified — the
     * candidate-generation + verification shape of a nightly ingest whose
@@ -312,30 +364,56 @@ object Dedup {
     * [[ngramJaccardPairsFromShingles]] row shape.
     *
     * 100 TB posture: the batch side is small — AQE broadcasts it into the
-    * collision join, so the standing index is never shuffled; what this
-    * formulation does pay is one full SCAN of the standing band index per
-    * ingest. At true 100 TB lay the persisted index out bucketed (or
-    * range-partitioned) BY band_key so the probe reads only the batch's
-    * colliding buckets — the [[graft.ops.Similarity.writeIvfIndexInt]]
-    * partition-pruning discipline applied to band keys; the collision,
-    * verification, and classification semantics above are unchanged by
-    * the layout. */
+    * collision join, so the standing index is never shuffled. This frame
+    * form pays one full SCAN of the standing band index per ingest; the
+    * bucketed twin [[lshDiscoverVerifiedPairsBucketed]] removes it by
+    * partition-pruning the persisted `bkb` layout to the batch's colliding
+    * buckets (identical discovered set — the bucket is a pure function of
+    * the collision key). */
   def lshDiscoverVerifiedPairs(corpusBands: DataFrame,
                                corpusShingles: DataFrame,
                                batchShingles: DataFrame,
                                bands: Int = 8, rowsPerBand: Int = 2,
                                minJaccard: Double = 0.5): DataFrame = {
-    // the batch shingle tree (scan + explode + distinct) has two consumers
-    // (the band rows below and the verification side's union) and is LEFT
-    // UNMATERIALIZED on purpose: an interleaved A/B at sf0.1 measured the
-    // localCheckpoint-once variant equal-to-slower (5.1-6.5 vs 5.3-5.6 s
-    // on x10_state_reps, identical hashes) — serializing every shingle
-    // string through the block manager costs as much as re-running the
-    // cheap parallel tree, the same barrier-vs-reeval trade the float-ANN
-    // serves resolved the OTHER way (their trees are much heavier)
-    val bsh = batchShingles
-    val batchBands = portableBandRowsFromShingles(bsh, bands,
+    val batchBands = portableBandRowsFromShingles(batchShingles, bands,
       rowsPerBand).localCheckpoint(false) // feeds the two collision joins
+    discoverVerifiedPairsCore(corpusBands, batchBands, corpusShingles,
+      batchShingles, minJaccard)
+  }
+
+  /** [[lshDiscoverVerifiedPairs]] against a BUCKETED persisted index frame
+    * (band rows carrying their `bkb` partition column): the standing index
+    * is read PARTITION-PRUNED to the batch's colliding buckets
+    * ([[pruneBandIndexToBatch]]) before the collision join — identical
+    * discovered set by construction, index bytes read ∝ batch buckets. */
+  def lshDiscoverVerifiedPairsBucketed(indexBucketed: DataFrame,
+                                       corpusShingles: DataFrame,
+                                       batchShingles: DataFrame,
+                                       bands: Int = 8, rowsPerBand: Int = 2,
+                                       minJaccard: Double = 0.5,
+                                       nBuckets: Int = LshIndexBuckets): DataFrame = {
+    val batchBands = portableBandRowsFromShingles(batchShingles, bands,
+      rowsPerBand).localCheckpoint(false) // collision joins + bucket collect
+    discoverVerifiedPairsCore(
+      pruneBandIndexToBatch(indexBucketed, batchBands, nBuckets),
+      batchBands, corpusShingles, batchShingles, minJaccard)
+  }
+
+  private def discoverVerifiedPairsCore(corpusBands: DataFrame,
+                                        batchBands: DataFrame,
+                                        corpusShingles: DataFrame,
+                                        batchShingles: DataFrame,
+                                        minJaccard: Double): DataFrame = {
+    // the batch shingle tree (scan + explode + distinct) has two consumers
+    // (the band rows the caller built and the verification side's union)
+    // and is LEFT UNMATERIALIZED on purpose: an interleaved A/B at sf0.1
+    // measured the localCheckpoint-once variant equal-to-slower (5.1-6.5
+    // vs 5.3-5.6 s on x10_state_reps, identical hashes) — serializing
+    // every shingle string through the block manager costs as much as
+    // re-running the cheap parallel tree, the same barrier-vs-reeval trade
+    // the float-ANN serves resolved the OTHER way (their trees are much
+    // heavier)
+    val bsh = batchShingles
     def side(df: DataFrame, as: String) =
       df.select(col("band"), col("band_key"), col("id").as(as))
     val vsCorpus = side(batchBands, "id_x")
@@ -377,12 +455,17 @@ object Dedup {
 
   /** Build (or rebuild) the persisted LSH band index for
     * [[lshIncrementalPortable]]: the [[portableBandRows]] signature+band
-    * rows of the standing corpus, written as parquet at `indexDir`. */
+    * rows of the standing corpus, written as parquet at `indexDir`
+    * PARTITIONED BY the `bkb` band-key bucket so later ingests probe it
+    * partition-pruned (the bucketed-layout discipline above). */
   def buildLshBandIndex(corpus: DataFrame, textCol: String, idCol: String,
                         indexDir: String, shingleSize: Int = 3,
-                        bands: Int = 8, rowsPerBand: Int = 2): Unit = {
-    portableBandRows(corpus, textCol, idCol, shingleSize, bands, rowsPerBand)
-      .write.mode("overwrite").parquet(indexDir)
+                        bands: Int = 8, rowsPerBand: Int = 2,
+                        nBuckets: Int = LshIndexBuckets): Unit = {
+    bucketedBandRows(
+        portableBandRows(corpus, textCol, idCol, shingleSize, bands,
+          rowsPerBand), nBuckets)
+      .write.mode("overwrite").partitionBy("bkb").parquet(indexDir)
     ()
   }
 
@@ -401,10 +484,12 @@ object Dedup {
   def appendLshBandIndex(batchKeepers: DataFrame, textCol: String,
                          idCol: String, indexDir: String,
                          shingleSize: Int = 3, bands: Int = 8,
-                         rowsPerBand: Int = 2): Unit = {
-    portableBandRows(batchKeepers, textCol, idCol, shingleSize, bands,
-        rowsPerBand)
-      .write.mode("append").parquet(indexDir)
+                         rowsPerBand: Int = 2,
+                         nBuckets: Int = LshIndexBuckets): Unit = {
+    bucketedBandRows(
+        portableBandRows(batchKeepers, textCol, idCol, shingleSize, bands,
+          rowsPerBand), nBuckets)
+      .write.mode("append").partitionBy("bkb").parquet(indexDir)
     ()
   }
 
@@ -449,8 +534,10 @@ object Dedup {
     if (!fs.exists(idxPath))
       buildLshBandIndex(corpus, textCol, idCol, indexDir,
         shingleSize, bands, rowsPerBand)
-    lshIngestClassify(spark.read.parquet(indexDir), batch, textCol, idCol,
-      shingleSize, bands, rowsPerBand, minAgree)
+    // probe the bucketed layout partition-pruned: only the batch's
+    // colliding bkb directories are read, never the whole standing index
+    lshIngestClassifyBucketed(spark.read.parquet(indexDir), batch, textCol,
+      idCol, shingleSize, bands, rowsPerBand, minAgree)
   }
 
   /** The ingest-classify core of [[lshIncrementalPortable]], taking the
@@ -461,9 +548,33 @@ object Dedup {
                         textCol: String, idCol: String,
                         shingleSize: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 2, minAgree: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
     val batchBands = portableBandRows(batch, textCol, idCol, shingleSize,
       bands, rowsPerBand).localCheckpoint(false) // feeds both match passes
+    ingestClassifyCore(corpusBands, batchBands, batch, idCol,
+      bands * rowsPerBand, minAgree)
+  }
+
+  /** [[lshIngestClassify]] against a BUCKETED persisted index frame (band
+    * rows carrying their `bkb` partition column): the standing index is
+    * read PARTITION-PRUNED to the batch's colliding buckets
+    * ([[pruneBandIndexToBatch]]) before the collision joins — identical
+    * classification by construction, index bytes read ∝ batch buckets. */
+  def lshIngestClassifyBucketed(indexBucketed: DataFrame, batch: DataFrame,
+                                textCol: String, idCol: String,
+                                shingleSize: Int = 3, bands: Int = 8,
+                                rowsPerBand: Int = 2, minAgree: Int = 4,
+                                nBuckets: Int = LshIndexBuckets): DataFrame = {
+    val batchBands = portableBandRows(batch, textCol, idCol, shingleSize,
+      bands, rowsPerBand).localCheckpoint(false) // match passes + buckets
+    ingestClassifyCore(
+      pruneBandIndexToBatch(indexBucketed, batchBands, nBuckets),
+      batchBands, batch, idCol, bands * rowsPerBand, minAgree)
+  }
+
+  private def ingestClassifyCore(corpusBands: DataFrame,
+                                 batchBands: DataFrame, batch: DataFrame,
+                                 idCol: String, numHashes: Int,
+                                 minAgree: Int): DataFrame = {
     val agree = (0 until numHashes).map(i =>
       when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1).otherwise(0))
       .reduce(_ + _)

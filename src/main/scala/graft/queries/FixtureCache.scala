@@ -44,7 +44,22 @@ private[graft] object FixtureCache {
   }
 
   def cached(s: SparkSession, dir: String, name: String,
-             version: String)(gen: => DataFrame): DataFrame = {
+             version: String)(gen: => DataFrame): DataFrame =
+    cachedImpl(s, dir, name, version, Nil)(gen)
+
+  /** [[cached]] with a PARTITIONED parquet layout (`partitionBy(partCols)`)
+    * — for fixtures that are themselves partition-pruned probe targets
+    * (the bucketed LSH band index). `gen` must already carry the partition
+    * columns so the no-cache bypass path serves the same schema; partition
+    * columns should be typed int to match directory read-back inference. */
+  def cachedPartitioned(s: SparkSession, dir: String, name: String,
+                        version: String, partCols: Seq[String])
+                       (gen: => DataFrame): DataFrame =
+    cachedImpl(s, dir, name, version, partCols)(gen)
+
+  private def cachedImpl(s: SparkSession, dir: String, name: String,
+                         version: String, partCols: Seq[String])
+                        (gen: => DataFrame): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_NO_FIXTURE_CACHE").contains("1")) gen
     else {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -59,7 +74,8 @@ private[graft] object FixtureCache {
           record(name, hit = false)
           val tmp = new java.io.File(root,
             s"${dst.getName}.tmp-${ProcessHandle.current().pid()}")
-          gen.write.mode("overwrite").parquet(tmp.getPath)
+          gen.write.mode("overwrite").partitionBy(partCols: _*)
+            .parquet(tmp.getPath)
           if (!ready && tmp.renameTo(dst)) dst
           else if (ready) { deleteRecursively(tmp); dst } // lost the race; equal copy
           else tmp            // rename failed with no winner visible: serve ours

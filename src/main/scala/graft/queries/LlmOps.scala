@@ -2236,9 +2236,13 @@ object LlmOps {
     * `version` covers pure algorithm changes only. */
   private def cachedLshBandIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    FixtureCache.cached(s, dir, "lsh-band-index-sh3-b8-r2-corpus-mod5ne0", "v1") {
-      Dedup.buildLshBandRows(documents(s, dir).filter($"doc_id" % 5 =!= 0),
-        "text", "doc_id", shingleSize = 3, bands = 8, rowsPerBand = 2)
+    // persisted PARTITIONED BY the band-key bucket (the round-18 layout):
+    // every ingest probe reads only its batch's colliding bkb directories
+    FixtureCache.cachedPartitioned(s, dir,
+        "lsh-band-index-sh3-b8-r2-bkb32-corpus-mod5ne0", "v1", Seq("bkb")) {
+      Dedup.bucketedBandRows(
+        Dedup.buildLshBandRows(documents(s, dir).filter($"doc_id" % 5 =!= 0),
+          "text", "doc_id", shingleSize = 3, bands = 8, rowsPerBand = 2))
     }
   }
 
@@ -2356,8 +2360,8 @@ object LlmOps {
     // and each call hashes ONLY the batch: the O(batch) ingest economics
     // the operator exists to demonstrate, measured as such.
     val corpusBands = cachedLshBandIndex(s, dir)
-    Dedup.lshIngestClassify(corpusBands, docs.filter($"doc_id" % 5 === 0),
-        "text", "doc_id")
+    Dedup.lshIngestClassifyBucketed(corpusBands,
+        docs.filter($"doc_id" % 5 === 0), "text", "doc_id")
       .orderBy($"doc_id")
   }
 
@@ -2378,13 +2382,17 @@ object LlmOps {
     val corpusBands = cachedLshBandIndex(s, dir)
     val b1 = docs.filter($"doc_id" % 10 === 0)
     val keepers1 = b1.join(
-      Dedup.lshIngestClassify(corpusBands, b1, "text", "doc_id")
+      Dedup.lshIngestClassifyBucketed(corpusBands, b1, "text", "doc_id")
         .filter($"status" === "keep").select($"doc_id"),
       Seq("doc_id"))
-    val maintained = corpusBands.unionByName(
-      Dedup.buildLshBandRows(keepers1, "text", "doc_id"))
-    Dedup.lshIngestClassify(maintained, docs.filter($"doc_id" % 10 === 5),
-        "text", "doc_id")
+    // maintained = persisted bucketed index ∪ night-1 keepers' band rows
+    // (bucketed the same way, so night 2's partition-pruning filter pushes
+    // through the union: pruned parquet read on the standing side, a plain
+    // rowwise filter on the small in-flight keeper side)
+    val maintained = corpusBands.unionByName(Dedup.bucketedBandRows(
+      Dedup.buildLshBandRows(keepers1, "text", "doc_id")))
+    Dedup.lshIngestClassifyBucketed(maintained,
+        docs.filter($"doc_id" % 10 === 5), "text", "doc_id")
       .orderBy($"doc_id")
   }
 

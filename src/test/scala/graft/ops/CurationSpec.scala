@@ -220,6 +220,26 @@ class CurationSpec extends SparkSpec {
       s"tightening the verify cut should shrink the set: $loose vs $got")
   }
 
+  test("x10 discovery probes the standing band index PARTITION-PRUNED by " +
+    "band-key bucket: the persisted fixture scan carries a non-empty " +
+    "PartitionFilters on bkb (round-17 verdict #1 — the last per-ingest " +
+    "O(corpus) scan in the nightly loop, now a pruned read)") {
+    CurationQueries.prewarmFixtures(spark, dir)
+    val st = CurationQueries.x10StandingState(spark, dir)
+    val thr = CurationQueries.x10Threshold(spark, dir).as[Long].collect().head
+    val delta = docs.filter($"doc_id" >= thr).select($"doc_id", $"lang", $"text")
+    // the probe discoverTouching builds: the batch's band rows prune the
+    // bucketed fixture read (the discovery subtree is localCheckpoint'd in
+    // the entry, so the pruning must be asserted on the probe frame itself)
+    val probe = Dedup.pruneBandIndexToBatch(st.bandIdx,
+      Dedup.buildLshBandRows(delta, "text", "doc_id"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bkb".r.findFirstIn(plan).isDefined,
+      s"expected non-empty partition filter on `bkb`, got:\n$plan")
+    assert(plan.contains("x10-std-bands"),
+      s"probe does not scan the persisted band-index fixture:\n$plan")
+  }
+
   test("x10 pair discovery recall on the LIVE fixture: the discovered set " +
     "EQUALS the exact >=0.3 delta-touching pair set, so a band-recall miss " +
     "fails HERE with a pointed message instead of surfacing downstream as " +

@@ -369,7 +369,7 @@ class DedupSpec extends SparkSpec {
       val b1 = docs.filter($"doc_id" > 2)
       Dedup.buildLshBandIndex(corpus, "text", "doc_id", idx)
       val standing = files(idx)
-      val c1 = Dedup.lshIngestClassify(spark.read.parquet(idx), b1,
+      val c1 = Dedup.lshIngestClassifyBucketed(spark.read.parquet(idx), b1,
           "text", "doc_id")
         .collect().map(r => (r.getLong(0), r.getString(1))).toMap
       assert(c1(5L) === "keep" && c1(3L) != "keep")
@@ -392,13 +392,70 @@ class DedupSpec extends SparkSpec {
       // night 2: a dup of the night-1 keeper routes near_dup_of_corpus
       val b2 = docs.filter($"doc_id" === 5L)
         .select(lit(6L).as("doc_id"), $"text")
-      val c2 = Dedup.lshIngestClassify(spark.read.parquet(idx), b2,
+      val c2 = Dedup.lshIngestClassifyBucketed(spark.read.parquet(idx), b2,
           "text", "doc_id")
         .collect().map(r => (r.getLong(0), r.getString(1))).toMap
       assert(c2(6L) === "near_dup_of_corpus")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rebuilt))
+    }
+  }
+
+  test("band-key-bucketed index probe: classify and discover read the " +
+    "persisted index PARTITION-PRUNED to the batch's buckets (non-empty " +
+    "PartitionFilters on bkb, strict directory subset) and land results " +
+    "identical to the full-scan frame form") {
+    val idx = java.nio.file.Files.createTempDirectory("lsh-idx-bkb-").toString
+    try {
+      // 60 distinct docs -> ~480 distinct (band, band_key) rows fill the 32
+      // bkb directories; the 1-doc batch touches at most 8 of them
+      val corpus = (1 to 60).map(i => (i.toLong,
+          s"corpus doc $i tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e " +
+            s"tok${i}f tok${i}g tok${i}h"))
+        .toDF("doc_id", "text")
+      Dedup.buildLshBandIndex(corpus, "text", "doc_id", idx)
+      val batch = Seq((100L,
+          "corpus doc 7 tok7a tok7b tok7c tok7d tok7e tok7f tok7g extra"))
+        .toDF("doc_id", "text")
+      val bucketDirs = new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bkb=")).length
+      assert(bucketDirs > 8,
+        s"corpus fills only $bucketDirs buckets — fixture too small to show pruning")
+      val batchBuckets = Dedup.bucketedBandRows(
+          Dedup.buildLshBandRows(batch, "text", "doc_id"))
+        .select($"bkb").distinct().count()
+      assert(batchBuckets <= 8 && batchBuckets < bucketDirs)
+      val idxDf = spark.read.parquet(idx)
+      // classify: pruned plan + equality with the full-scan frame form
+      val pruned = Dedup.lshIngestClassifyBucketed(idxDf, batch, "text", "doc_id")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*bkb".r.findFirstIn(plan).isDefined,
+        s"expected non-empty partition filter on `bkb`, got:\n$plan")
+      val full = Dedup.lshIngestClassify(idxDf.drop("bkb"), batch,
+        "text", "doc_id")
+      def asMap(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val prunedMap = asMap(pruned)
+      assert(prunedMap === asMap(full))
+      // over-pruning guard: the colliding corpus rows ARE in the pruned
+      // read — the batch's near-dup of doc 7 still routes to the corpus
+      assert(prunedMap(100L) === "near_dup_of_corpus", s"got $prunedMap")
+      // discovery twin: identical verified pair set, and it finds (7, 100)
+      val corpusSh = Dedup.shingleCounts(corpus, "text", "doc_id", n = 3)
+        .select($"id", $"shingle")
+      val batchSh = Dedup.shingleCounts(batch, "text", "doc_id", n = 3)
+        .select($"id", $"shingle")
+      val discPruned = Dedup.lshDiscoverVerifiedPairsBucketed(idxDf,
+          corpusSh, batchSh, minJaccard = 0.3)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val discFull = Dedup.lshDiscoverVerifiedPairs(idxDf.drop("bkb"),
+          corpusSh, batchSh, minJaccard = 0.3)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(discPruned === discFull && discPruned.contains((7L, 100L)),
+        s"pruned $discPruned vs full $discFull")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
     }
   }
 
