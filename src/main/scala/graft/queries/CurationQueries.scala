@@ -220,8 +220,14 @@ object CurationQueries {
     * first-copy-wins dedup equal min-id-per-digest over the merged corpus.
     * One-row broadcast frame (the house shape for scalar thresholds). */
   private[graft] def x10Threshold(s: SparkSession, dir: String): DataFrame =
+    x10ThresholdAt(s, dir, num = 4)
+
+  /** The generalized `num`/5-id cut — the two-night chain needs the 3/5
+    * line too (standing < 3/5, night 1 = [3/5, 4/5), night 2 ≥ 4/5). */
+  private[graft] def x10ThresholdAt(s: SparkSession, dir: String,
+                                    num: Int): DataFrame =
     broadcast(documents(s, dir)
-      .agg(expr("((max(doc_id) + 1) * 4) div 5").as("thr")))
+      .agg(expr(s"((max(doc_id) + 1) * $num) div 5").as("thr")))
 
   /** Persisted standing-curation state — what a nightly incremental build
     * keeps between runs, derived once from the standing slice (docs below
@@ -243,15 +249,23 @@ object CurationQueries {
                                     kept: DataFrame, census: DataFrame,
                                     bandIdx: DataFrame, shingleIdx: DataFrame)
 
-  private[graft] def x10StandingState(s: SparkSession, dir: String): X10State = {
+  private[graft] def x10StandingState(s: SparkSession, dir: String): X10State =
+    x10StandingStateAt(s, dir, num = 4)
+
+  /** [[x10StandingState]] at an arbitrary `num`/5 cut — the two-night
+    * chain's night-0 base is the 3/5 state. The historical 4/5 cut keeps
+    * its unsuffixed fixture names (cross-round cache continuity). */
+  private[graft] def x10StandingStateAt(s: SparkSession, dir: String,
+                                        num: Int): X10State = {
     import s.implicits._
+    val suf = if (num == 4) "" else s"-cut$num"
     def standingDocs =
-      documents(s, dir).crossJoin(x10Threshold(s, dir))
+      documents(s, dir).crossJoin(x10ThresholdAt(s, dir, num))
         .filter($"doc_id" < $"thr").drop("thr")
-    val digests = FixtureCache.cached(s, dir, "x10-std-digests", "v1") {
+    val digests = FixtureCache.cached(s, dir, s"x10-std-digests$suf", "v1") {
       standingDocs.select(sha2($"text", 256).as("sha")).distinct()
     }
-    val reps = FixtureCache.cached(s, dir, "x10-std-reps", "v1") {
+    val reps = FixtureCache.cached(s, dir, s"x10-std-reps$suf", "v1") {
       val exactKept = standingDocs
         .withColumn("__keep",
           min($"doc_id").over(Window.partitionBy(sha2($"text", 256))))
@@ -265,14 +279,14 @@ object CurationQueries {
           Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("rep"))
     }
-    val kept = FixtureCache.cached(s, dir, "x10-std-kept", "v1") {
+    val kept = FixtureCache.cached(s, dir, s"x10-std-kept$suf", "v1") {
       standingDocs
         .join(reps.filter($"rep" === $"doc_id").select($"doc_id"), Seq("doc_id"))
         .filter(TextOps.qualityScore($"text") >= 0.5)
         .select($"doc_id", $"lang", Curation.splitAssign($"doc_id").as("split"),
           TextOps.wordCount($"text").cast("long").as("n_words"))
     }
-    val census = FixtureCache.cached(s, dir, "x10-std-census", "v1") {
+    val census = FixtureCache.cached(s, dir, s"x10-std-census$suf", "v1") {
       kept.groupBy($"lang", $"split")
         .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("total_words"))
     }
@@ -281,7 +295,7 @@ object CurationQueries {
     // EXACT-KEPT docs — pairs with exact-dropped standing endpoints are
     // invisible to the batch pipeline too, so indexing them would be
     // wasted bytes at 100 TB
-    val shingleIdx = FixtureCache.cached(s, dir, "x10-std-shingles-sh3", "v1") {
+    val shingleIdx = FixtureCache.cached(s, dir, s"x10-std-shingles-sh3$suf", "v1") {
       Dedup.shingleCounts(
           standingDocs.join(reps.select($"doc_id"), Seq("doc_id")),
           "text", "doc_id", n = 3)
@@ -293,7 +307,7 @@ object CurationQueries {
     // band-key bucket so discovery probes it partition-pruned (round-17
     // verdict #1 — the last per-ingest O(corpus) scan in the nightly loop)
     val bandIdx = FixtureCache.cachedPartitioned(s, dir,
-        "x10-std-bands-sh3-b8-r2-bkb32", "v1", Seq("bkb")) {
+        s"x10-std-bands-sh3-b8-r2-bkb32$suf", "v1", Seq("bkb")) {
       Dedup.bucketedBandRows(
         Dedup.buildLshBandRowsFromShingles(shingleIdx, bands = 8,
           rowsPerBand = 2))
@@ -424,6 +438,19 @@ object CurationQueries {
     import s.implicits._
     val (deltaKeptExact, merged) =
       incrementalMergeState(digests, reps, touching, delta)
+    censusFromMerged(kept, census, deltaKeptExact, merged)
+  }
+
+  /** Stages 3-4 of the census patch over an already-computed merge —
+    * factored from [[incrementalCensusCore]] so the full-state transition
+    * ([[incrementalStateUpdate]]) derives every component from ONE
+    * discovery + merge instead of re-running them per component. */
+  private[graft] def censusFromMerged(kept: DataFrame, census: DataFrame,
+                                      deltaKeptExact: DataFrame,
+                                      merged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = merged.sparkSession
+    import s.implicits._
     // 3. retractions: standing canonicals that lost their component's min
     val retractions = merged.filter($"id" =!= $"cluster_id")
       .join(kept.withColumnRenamed("doc_id", "id"), Seq("id"))
@@ -467,6 +494,17 @@ object CurationQueries {
     import s.implicits._
     val (deltaKeptExact, merged) =
       incrementalMergeState(digests, reps, touching, delta)
+    repsFromMerged(reps, deltaKeptExact, merged)
+  }
+
+  /** The relabel tail of [[incrementalRepsCore]] over an already-computed
+    * merge — see [[censusFromMerged]] for why it is factored. */
+  private[graft] def repsFromMerged(reps: DataFrame,
+                                    deltaKeptExact: DataFrame,
+                                    merged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = merged.sparkSession
+    import s.implicits._
     val relabel = merged.select($"id", $"cluster_id")
     val standingNew = reps
       .join(relabel.withColumnRenamed("id", "rep"), Seq("rep"), "left")
@@ -477,11 +515,122 @@ object CurationQueries {
     standingNew.unionByName(deltaNew).orderBy($"doc_id")
   }
 
+  /** ONE night's FULL state transition: every [[X10State]] component
+    * advanced by the increment itself — the artifact set night N+1 reads
+    * as standing state, making the nightly loop a true fixed point of the
+    * state shape (round-17 verdict #3: until round 18 only census and reps
+    * had update operators; kept/digests/indexes were rebuild-only).
+    * All components derive from ONE discovery + merge (the localCheckpoints
+    * run the collision/verify/CC work once, every component reuses it):
+    *
+    *   - `digests` ∪ the delta's shas (the exact gate sees every new sha,
+    *     kept or dropped — exactly what a rebuild over the merged corpus
+    *     distincts);
+    *   - `reps` through the certified relabel ([[repsFromMerged]]);
+    *   - `kept` row-wise: merge losers retract (standing canonicals AND
+    *     delta members that lost their component min — disjoint id spaces,
+    *     one anti-join), delta keepers passing the quality floor add; a
+    *     standing non-canonical can never become canonical (labels only
+    *     decrease) so no other row changes;
+    *   - `census` through the certified patch ([[censusFromMerged]]);
+    *   - `shingleIdx`/`bandIdx` APPEND the delta's exact-kept docs' rows
+    *     (the keepers discipline — [[Dedup.appendLshBandIndex]] semantics
+    *     as frame unions; the file-level path is spec-pinned in DedupSpec),
+    *     band rows in the bucketed layout so pruned probes keep working.
+    *
+    * Equality of EVERY component with a from-scratch rebuild over the
+    * merged corpus is pinned in StreamingSpec's two-night foreachBatch
+    * test; the cross-engine hash certifies the chained census via
+    * `x10_two_night_census`. */
+  private[graft] def incrementalStateUpdate(st: X10State,
+                                            delta: DataFrame): X10State = {
+    import org.apache.spark.sql.functions._
+    val s = delta.sparkSession
+    import s.implicits._
+    val touching = discoverTouching(st, delta)
+    val (deltaKeptExact0, merged0) =
+      incrementalMergeState(st.digests, st.reps, touching, delta)
+    // bounded state: exact-kept delta rows and the touched-cluster relabel
+    // map — materialized once, consumed by four components
+    val deltaKeptExact = deltaKeptExact0.localCheckpoint(false)
+    val merged = merged0.localCheckpoint(false)
+    val losers = merged.filter($"id" =!= $"cluster_id")
+      .select($"id".as("doc_id"))
+    val deltaSh = Dedup.shingleCounts(deltaKeptExact, "text", "doc_id", n = 3)
+      .select($"id", $"shingle")
+    X10State(
+      digests = st.digests
+        .unionByName(delta.select(sha2($"text", 256).as("sha"))).distinct(),
+      reps = repsFromMerged(st.reps, deltaKeptExact, merged),
+      kept = st.kept.join(losers, Seq("doc_id"), "left_anti")
+        .unionByName(deltaKeptExact
+          .join(losers, Seq("doc_id"), "left_anti")
+          .filter(TextOps.qualityScore($"text") >= 0.5)
+          .select($"doc_id", $"lang",
+            Curation.splitAssign($"doc_id").as("split"),
+            TextOps.wordCount($"text").cast("long").as("n_words"))),
+      census = censusFromMerged(st.kept, st.census, deltaKeptExact, merged),
+      bandIdx = st.bandIdx.unionByName(Dedup.bucketedBandRows(
+        Dedup.buildLshBandRowsFromShingles(deltaSh))),
+      shingleIdx = st.shingleIdx.unionByName(deltaSh))
+  }
+
+  /** NIGHT-1 standing state for the two-night chain: the 3/5 base state
+    * advanced one increment by the [3/5, 4/5) slice — every component the
+    * INCREMENT emitted ([[incrementalStateUpdate]]), never a rebuild, then
+    * persisted as the run-level fixtures night 2 reads (nightly state is
+    * an ingest artifact; the timed entry measures night 2's work). The
+    * lazy `upd` means a fully-warm cache never touches the builder, and a
+    * cold build runs the discovery/merge once for all six components (its
+    * localCheckpoints are shared). */
+  private[graft] def x10NightOneState(s: SparkSession, dir: String): X10State = {
+    import s.implicits._
+    lazy val upd: X10State = {
+      val st0 = x10StandingStateAt(s, dir, num = 3)
+      val delta1 = documents(s, dir)
+        .crossJoin(x10ThresholdAt(s, dir, 3).withColumnRenamed("thr", "lo"))
+        .crossJoin(x10ThresholdAt(s, dir, 4).withColumnRenamed("thr", "hi"))
+        .filter($"doc_id" >= $"lo" && $"doc_id" < $"hi")
+        .select($"doc_id", $"lang", $"text")
+      incrementalStateUpdate(st0, delta1)
+    }
+    X10State(
+      digests = FixtureCache.cached(s, dir, "x10-n1-digests", "v1")(upd.digests),
+      reps = FixtureCache.cached(s, dir, "x10-n1-reps", "v1")(upd.reps),
+      kept = FixtureCache.cached(s, dir, "x10-n1-kept", "v1")(upd.kept),
+      census = FixtureCache.cached(s, dir, "x10-n1-census", "v1")(upd.census),
+      bandIdx = FixtureCache.cachedPartitioned(s, dir,
+        "x10-n1-bands-sh3-b8-r2-bkb32", "v1", Seq("bkb"))(upd.bandIdx),
+      shingleIdx = FixtureCache.cached(s, dir,
+        "x10-n1-shingles-sh3", "v1")(upd.shingleIdx))
+  }
+
+  /** X10''' — NIGHT 2 of the chained nightly build: the ≥ 4/5 slice
+    * increments against standing state that is ITSELF night 1's emitted
+    * output (base 3/5 advanced by the [3/5, 4/5) slice through
+    * [[incrementalStateUpdate]]) — the cross-night chaining certificate
+    * the single-increment entries can't give: any drift in ANY emitted
+    * component (digests, reps, kept, census, either index) surfaces here
+    * as a census hash mismatch against the batch pipeline's full-corpus
+    * SQL, which re-derives everything from raw text and knows nothing of
+    * nights. Timed body = night 2's increment only; night-1 state is a
+    * prewarmed ingest artifact. */
+  def x10_two_night_census(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st1 = x10NightOneState(s, dir)
+    val delta2 = documents(s, dir).crossJoin(x10Threshold(s, dir))
+      .filter($"doc_id" >= $"thr").drop("thr")
+      .select($"doc_id", $"lang", $"text")
+    incrementalCensusCore(st1.digests, st1.reps, st1.kept, st1.census,
+      discoverTouching(st1, delta2), delta2)
+  }
+
   /** Populate the incremental pipeline's standing-state fixtures before a
     * timed bench child forks (the [[LlmOps.prewarmFixtures]] discipline):
     * the persisted nightly state is the entry's INPUT, not its work. */
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
     x10StandingState(s, dir)
+    x10NightOneState(s, dir)
     ()
   }
 
@@ -541,6 +690,7 @@ object CurationQueries {
     "x10_pipeline" -> x10_pipeline _,
     "x10_pipeline_incremental" -> x10_pipeline_incremental _,
     "x10_state_reps" -> x10_state_reps _,
+    "x10_two_night_census" -> x10_two_night_census _,
     "x7_temperature_mix" -> x7_temperature_mix _,
     "x7_weighted_sample" -> x7_weighted_sample _,
   )
@@ -693,6 +843,9 @@ object CurationQueries {
     // the incremental pipeline must land the IDENTICAL merged-corpus
     // census as the batch pipeline — its oracle is the batch SQL verbatim
     "x10_pipeline_incremental" -> x10PipelineOracleSql,
+    // TWO chained increments must land the same full-corpus census — the
+    // oracle is night-blind by construction (batch SQL from raw text)
+    "x10_two_night_census" -> x10PipelineOracleSql,
     // the x1 + x9 + x4-quality + x7-split oracles composed end-to-end
     "x10_pipeline" -> x10PipelineOracleSql,
     // the updated contraction map must equal the batch-recomputed one:

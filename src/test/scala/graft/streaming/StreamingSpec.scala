@@ -1263,6 +1263,69 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet === batchCensus)
   }
 
+  test("x10 TWO-NIGHT chain through REAL foreachBatch rounds: night 2's " +
+    "standing state is EXACTLY night 1's emitted output, every state " +
+    "component equals a from-scratch rebuild over the full corpus, and " +
+    "the final census equals the batch pipeline (round-17 verdict #3)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import graft.queries.CurationQueries
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val Seq(thr3, thr4) = Seq(3, 4).map(n =>
+      docs.agg(expr(s"((max(doc_id) + 1) * $n) div 5")).as[Long].head())
+    def slice(lo: Long, hi: Long) = docs
+      .filter($"doc_id" >= lo && $"doc_id" < hi)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    val night1 = slice(thr3, thr4)
+    val night2 = slice(thr4, Long.MaxValue)
+    assert(night1.nonEmpty && night2.nonEmpty)
+    // night-0 base: the 3/5 standing state; each foreachBatch round
+    // REPLACES the state var with the increment's emitted components —
+    // night 2 reads night 1's outputs and nothing else
+    var state = CurationQueries.x10StandingStateAt(spark, dir, num = 3)
+    var nBatches = 0
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "lang", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          nBatches += 1
+          state = CurationQueries.incrementalStateUpdate(state,
+            batch.localCheckpoint())
+        }
+        ()
+      }.start()
+    mem.addData(night1: _*)
+    q.processAllAvailable()
+    mem.addData(night2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(nBatches === 2, s"expected two nightly micro-batches, got $nBatches")
+    // from-scratch rebuild over the FULL corpus (the 5/5 cut): every
+    // emitted component must be row-identical — the fixed-point property
+    // that makes the nightly loop actually incremental
+    val full = CurationQueries.x10StandingStateAt(spark, dir, num = 5)
+    def rows(df: DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(state.digests, "sha") === rows(full.digests, "sha"))
+    assert(rows(state.reps, "doc_id", "rep") === rows(full.reps, "doc_id", "rep"))
+    assert(rows(state.kept, "doc_id", "lang", "split", "n_words") ===
+      rows(full.kept, "doc_id", "lang", "split", "n_words"))
+    assert(rows(state.census, "lang", "split", "n_docs", "total_words") ===
+      rows(full.census, "lang", "split", "n_docs", "total_words"))
+    assert(rows(state.shingleIdx, "id", "shingle") ===
+      rows(full.shingleIdx, "id", "shingle"))
+    assert(rows(state.bandIdx, "id", "band", "band_key") ===
+      rows(full.bandIdx, "id", "band", "band_key"))
+    // and the chained census equals the batch pipeline entry
+    val batchCensus = graft.SparkEntry.queries("x10_pipeline")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(state.census.as[(String, String, Long, Long)].collect().toSet
+      === batchCensus)
+  }
+
   test("streaming vector ingest: batches append into the persisted IVF " +
     "index through a REAL foreachBatch, per-batch compaction bounds the " +
     "file counts, and the final serve equals a full rebuild") {
