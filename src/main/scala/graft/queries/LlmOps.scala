@@ -686,7 +686,18 @@ object LlmOps {
     * SimilaritySpec). The nightly vector-ingest shape at 100 TB. With
     * fixed centroids append-then-serve is bit-identical to a full
     * rebuild, so the oracle is [[ivfIndexOracleSql]] — the full-rebuild
-    * SQL — verbatim. */
+    * SQL — verbatim.
+    *
+    * Measurement note (round-18 adjudication of r17's [5.26, 8.44, 3.11]
+    * run spread): the timed body DELIBERATELY includes two partitioned
+    * parquet WRITES into a fresh temp dir per run (the standing build and
+    * the append — this is the ingest-cycle entry; the serve-only story is
+    * `x3_ann_ivf_index`'s), so run-to-run spread tracks filesystem flush /
+    * page-cache state, not the plan. Three interleaved solo forks at
+    * sf0.1 measured warms [4.82, 3.21, 3.03] (spread 1.6x) with colds
+    * 6.9-9.5 s — the r17 8.4 s run2 was one such FS hiccup landing
+    * mid-sequence. Expected variance, cause named here per the directive;
+    * the write stays on the clock because it IS the operator. */
   def x3_ann_ivf_append(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embeddings(s, dir)
