@@ -493,6 +493,25 @@ object Dedup {
     ()
   }
 
+  /** Compact the bucketed LSH band index after appends —
+    * [[appendLshBandIndex]]'s maintenance sibling and the LSH twin of
+    * [[graft.ops.Similarity.compactIvfIndexInt]]: every nightly append
+    * adds files into the keepers' `bkb` partitions, so a long-lived index
+    * accumulates the small-file pathology exactly like the IVF lists.
+    * Rewrites ONLY the bucket directories whose data-file count exceeds
+    * `maxFilesPerBucket` down to one file each (partition-pruned read of
+    * exactly those buckets); under-threshold buckets keep their standing
+    * files byte-for-byte. Band rows are only moved, never changed, so
+    * probe-after-compact is bit-identical to probe-before and every
+    * consumer's oracle is unchanged — the staged-swap commit mechanics
+    * (add-then-remove, duplicate-rows crash mode, abort on failed rename)
+    * are [[IndexMaintenance.compactPartitionedIndex]]'s, spec-pinned in
+    * DedupSpec. */
+  def compactLshBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, maxFilesPerBucket: Int): Int =
+    IndexMaintenance.compactPartitionedIndex(spark, indexDir, "bkb",
+      _.toInt, maxFilesPerBucket)
+
   /** INCREMENTAL near-dup ingest — X2's analog of [[exactIncremental]]:
     * classify each NEW document against the STANDING corpus's persisted
     * LSH band index and against earlier documents of its own batch,

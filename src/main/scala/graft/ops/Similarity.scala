@@ -1057,10 +1057,11 @@ object Similarity {
     * oracle stays the full-rebuild SQL (SimilaritySpec pins the file
     * counts and the serve equivalence).
     *
-    * Commit mechanics: the compacted lists are written to a staging dir,
-    * then swapped in per partition — the staged file RENAMES IN FIRST and
-    * the displaced standing files delete after, so a crash mid-swap
-    * leaves that partition with DUPLICATE rows (detectable: vec_id counts
+    * Commit mechanics (shared with the LSH band index's
+    * [[graft.ops.Dedup.compactLshBandIndex]] via
+    * [[IndexMaintenance.compactPartitionedIndex]], round 18): staged
+    * files RENAME IN FIRST, displaced standing files delete after — a
+    * crash mid-swap leaves DUPLICATE rows (detectable: vec_id counts
     * exceed distinct; repair: delete the non-staged files, whose names
     * the still-present staging dir identifies) rather than silently
     * MISSING rows that a re-run's under-threshold file count would mask.
@@ -1072,47 +1073,9 @@ object Similarity {
     * partitions (bounded driver-side metadata — one FileSystem listing
     * per list dir, ≤ nLists). */
   def compactIvfIndexInt(spark: org.apache.spark.sql.SparkSession,
-                         path: String, maxFilesPerList: Int): Int = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(dir: Path) = fs.listStatus(dir)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-    val over = fs.listStatus(root)
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("list="))
-      .filter(d => dataFiles(d.getPath).length > maxFilesPerList)
-      .map(_.getPath.getName.stripPrefix("list=").toLong)
-      .sorted
-    if (over.isEmpty) return 0
-    val staging = new Path(path + s".compact-staging-${ProcessHandle.current().pid()}")
-    // partition-pruned read of exactly the over-threshold lists; one
-    // shuffle task per list value -> one staged file per partition
-    spark.read.parquet(path)
-      .filter(col("list").isin(over.map(x => x: Any): _*))
-      .repartition(col("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(staging.toString)
-    over.foreach { v =>
-      val dst = new Path(root, s"list=$v")
-      // standing files listed BEFORE the staged file moves in (UUID part-
-      // names never collide), then deleted — add-then-remove ordering. A
-      // rename that reports failure ABORTS before any displaced delete:
-      // deleting after a silent rename failure would drop the partition's
-      // rows outright, which is strictly worse than the documented
-      // duplicate-rows crash mode (round-17 ADVICE).
-      val displaced = dataFiles(dst)
-      dataFiles(new Path(staging, s"list=$v")).foreach { f =>
-        val moved = new Path(dst, f.getPath.getName)
-        if (!fs.rename(f.getPath, moved))
-          throw new java.io.IOException(
-            s"compactIvfIndexInt: rename ${f.getPath} -> $moved failed; " +
-              "aborting with standing files intact (duplicate-rows repair " +
-              "mode: delete non-staged files named by the staging dir)")
-      }
-      displaced.foreach(f => fs.delete(f.getPath, false))
-    }
-    fs.delete(staging, true)
-    over.length
-  }
+                         path: String, maxFilesPerList: Int): Int =
+    IndexMaintenance.compactPartitionedIndex(spark, path, "list",
+      _.toLong, maxFilesPerList)
 
   /** Query the integer IVF index: probe selection against the broadcast
     * centroid codes, a partition-pruned read of exactly the probed lists

@@ -2407,6 +2407,44 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X2g'' — the FILE-LEVEL maintenance cycle with COMPACTION
+    * ([[Dedup.compactLshBandIndex]]): the ingest-cycle contract driven
+    * through the PERSISTED bucketed layout end-to-end — build the
+    * standing index from the small `%10=3` corpus slice
+    * (`partitionBy(bkb)` write), classify night 1 (`%10=1`) via a
+    * partition-pruned probe, APPEND its keepers' band rows (files only
+    * added), COMPACT the over-threshold bkb directories down to one file
+    * each, and classify night 2 (`%10=6`) against the compacted files.
+    * Compaction moves rows without changing them, so the oracle is the
+    * same two-night SQL as `x2_lsh_ingest_cycle` with the slices swapped
+    * ([[lshCycleOracleSqlFor]]) and knows nothing of files; probe ≡
+    * pre-compaction probe ≡ rebuild is spec-pinned in DedupSpec. Unlike
+    * the cycle entry (fixture-cached standing index, O(batch) timed
+    * economics), the standing BUILD is deliberately on the clock here:
+    * this is the maintenance-cycle entry — the `x3_ann_ivf_compact`
+    * discipline applied to the second index family, closing the
+    * build → probe → append → compact → probe lifecycle for LSH the way
+    * round 17 closed it for IVF. */
+  def x2_lsh_compact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_lsh_cmp").toString
+    deleteOnExit(idxDir)
+    Dedup.buildLshBandIndex(docs.filter($"doc_id" % 10 === 3), "text",
+      "doc_id", idxDir)
+    val b1 = docs.filter($"doc_id" % 10 === 1)
+    val keepers1 = b1.join(
+      Dedup.lshIngestClassifyBucketed(s.read.parquet(idxDir), b1,
+          "text", "doc_id")
+        .filter($"status" === "keep").select($"doc_id"),
+      Seq("doc_id"))
+    Dedup.appendLshBandIndex(keepers1, "text", "doc_id", idxDir)
+    Dedup.compactLshBandIndex(s, idxDir, maxFilesPerBucket = 1)
+    Dedup.lshIngestClassifyBucketed(s.read.parquet(idxDir),
+        docs.filter($"doc_id" % 10 === 6), "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** X3g — HYBRID retrieval with reciprocal-rank fusion (RRF), the
     * standard two-arm serving shape (Elasticsearch/Vespa "hybrid search"):
     * a lexical arm (BM25 against fixed query terms, [[TextOps.bm25]]) and a
@@ -2693,6 +2731,7 @@ object LlmOps {
     "x2_tf_cosine" -> x2_tf_cosine _,
     "x2_lsh_incremental" -> x2_lsh_incremental _,
     "x2_lsh_ingest_cycle" -> x2_lsh_ingest_cycle _,
+    "x2_lsh_compact" -> x2_lsh_compact _,
     "x4_bpe_train" -> x4_bpe_train _,
     "x4_bpe_apply" -> x4_bpe_apply _,
     "x3_hybrid_rrf" -> x3_hybrid_rrf _,
@@ -2703,7 +2742,107 @@ object LlmOps {
     "x4_sig_terms" -> x4_sig_terms _,
   )
 
-  val oracleSql: Map[String, String] = Map(
+    /** The two-night LSH ingest-cycle oracle parameterized by the corpus /
+    * night-1 / night-2 doc_id predicates (each a suffix applied to a
+    * `doc_id` reference): shared verbatim logic between
+    * `x2_lsh_ingest_cycle` (fixture-indexed, corpus %5<>0, nights 0/5)
+    * and the file-level compaction cycle `x2_lsh_compact` (corpus %10=3,
+    * nights 1/6). Substitution asserted per the round-17-ADVICE anchor
+    * discipline: an edit that renames a placeholder fails loudly at
+    * registration instead of checking an entry against the wrong slice. */
+  private def lshCycleOracleSqlFor(c: String, n1: String, n2: String): String = {
+    val out = lshCycleOracleTemplate
+      .replace("{C}", c).replace("{N1}", n1).replace("{N2}", n2)
+    require(!out.contains("{") && lshCycleOracleTemplate.contains("{N1}"),
+      "lshCycleOracleSqlFor: template anchors missing or unreplaced")
+    out
+  }
+
+  private lazy val lshCycleOracleTemplate: String =
+    """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
+        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |  FROM words),
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |sig AS (
+        |  SELECT doc_id, seed,
+        |    min(CAST(('0x' || substr(md5((seed // 2) || '|' || shingle),
+        |                             1 + 15 * (seed % 2), 15)) AS BIGINT)) AS h
+        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |bandrows AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY doc_id, seed // 2),
+        |c1_cand_c AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id {N1} AND b.doc_id {C}),
+        |c1_cand_b AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id {N1} AND b.doc_id {N1} AND b.doc_id < a.doc_id),
+        |c1_agree_c AS (
+        |  SELECT c.id_a FROM c1_cand_c c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |c1_agree_b AS (
+        |  SELECT c.id_a FROM c1_cand_b c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |keepers1 AS (
+        |  SELECT d.doc_id
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id {N1}) d
+        |  WHERE NOT EXISTS (SELECT 1 FROM c1_agree_c a WHERE a.id_a = d.doc_id)
+        |    AND NOT EXISTS (SELECT 1 FROM c1_agree_b a WHERE a.id_a = d.doc_id)),
+        |corpus2 AS (
+        |  SELECT doc_id FROM documents WHERE doc_id {C}
+        |  UNION ALL SELECT doc_id FROM keepers1),
+        |c2_cand_c AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  JOIN corpus2 c2 ON c2.doc_id = b.doc_id
+        |  WHERE a.doc_id {N2}),
+        |c2_cand_b AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id {N2} AND b.doc_id {N2} AND b.doc_id < a.doc_id),
+        |c2_agree_c AS (
+        |  SELECT c.id_a FROM c2_cand_c c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |c2_agree_b AS (
+        |  SELECT c.id_a FROM c2_cand_b c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
+        |nc AS (SELECT id_a, count(*) AS n FROM c2_agree_c GROUP BY id_a),
+        |nb AS (SELECT id_a, count(*) AS n FROM c2_agree_b GROUP BY id_a)
+        |SELECT d.doc_id,
+        |  CASE WHEN coalesce(nc.n, 0) > 0 THEN 'near_dup_of_corpus'
+        |       WHEN coalesce(nb.n, 0) > 0 THEN 'near_dup_within_batch'
+        |       ELSE 'keep' END AS status,
+        |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_corpus_matches,
+        |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_batch_matches
+        |FROM (SELECT doc_id FROM documents WHERE doc_id {N2}) d
+        |LEFT JOIN nc ON nc.id_a = d.doc_id
+        |LEFT JOIN nb ON nb.id_a = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+
+val oracleSql: Map[String, String] = Map(
     "x1_dedup_exact" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
@@ -2846,88 +2985,13 @@ object LlmOps {
     // set, keepers join the corpus side, night 2 classifies against the
     // maintained corpus — all from the same signature/band CTEs
     "x2_lsh_ingest_cycle" ->
-      """WITH words AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(
-        |    CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END,
-        |    i -> array_to_string(w[i:i+2], ' '))) AS shingle
-        |  FROM words),
-        |seeds AS (SELECT unnest(range(16)) AS seed),
-        |sig AS (
-        |  SELECT doc_id, seed,
-        |    min(CAST(('0x' || substr(md5((seed // 2) || '|' || shingle),
-        |                             1 + 15 * (seed % 2), 15)) AS BIGINT)) AS h
-        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
-        |bandrows AS (
-        |  SELECT doc_id, seed // 2 AS band,
-        |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS band_key
-        |  FROM sig GROUP BY doc_id, seed // 2),
-        |c1_cand_c AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bandrows a JOIN bandrows b
-        |    ON a.band = b.band AND a.band_key = b.band_key
-        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 5 <> 0),
-        |c1_cand_b AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bandrows a JOIN bandrows b
-        |    ON a.band = b.band AND a.band_key = b.band_key
-        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0 AND b.doc_id < a.doc_id),
-        |c1_agree_c AS (
-        |  SELECT c.id_a FROM c1_cand_c c
-        |  JOIN sig sa ON sa.doc_id = c.id_a
-        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
-        |  GROUP BY c.id_a, c.id_b
-        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
-        |c1_agree_b AS (
-        |  SELECT c.id_a FROM c1_cand_b c
-        |  JOIN sig sa ON sa.doc_id = c.id_a
-        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
-        |  GROUP BY c.id_a, c.id_b
-        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
-        |keepers1 AS (
-        |  SELECT d.doc_id
-        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-        |  WHERE NOT EXISTS (SELECT 1 FROM c1_agree_c a WHERE a.id_a = d.doc_id)
-        |    AND NOT EXISTS (SELECT 1 FROM c1_agree_b a WHERE a.id_a = d.doc_id)),
-        |corpus2 AS (
-        |  SELECT doc_id FROM documents WHERE doc_id % 5 <> 0
-        |  UNION ALL SELECT doc_id FROM keepers1),
-        |c2_cand_c AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bandrows a JOIN bandrows b
-        |    ON a.band = b.band AND a.band_key = b.band_key
-        |  JOIN corpus2 c2 ON c2.doc_id = b.doc_id
-        |  WHERE a.doc_id % 10 = 5),
-        |c2_cand_b AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bandrows a JOIN bandrows b
-        |    ON a.band = b.band AND a.band_key = b.band_key
-        |  WHERE a.doc_id % 10 = 5 AND b.doc_id % 10 = 5 AND b.doc_id < a.doc_id),
-        |c2_agree_c AS (
-        |  SELECT c.id_a FROM c2_cand_c c
-        |  JOIN sig sa ON sa.doc_id = c.id_a
-        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
-        |  GROUP BY c.id_a, c.id_b
-        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
-        |c2_agree_b AS (
-        |  SELECT c.id_a FROM c2_cand_b c
-        |  JOIN sig sa ON sa.doc_id = c.id_a
-        |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.seed = sa.seed
-        |  GROUP BY c.id_a, c.id_b
-        |  HAVING sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) >= 4),
-        |nc AS (SELECT id_a, count(*) AS n FROM c2_agree_c GROUP BY id_a),
-        |nb AS (SELECT id_a, count(*) AS n FROM c2_agree_b GROUP BY id_a)
-        |SELECT d.doc_id,
-        |  CASE WHEN coalesce(nc.n, 0) > 0 THEN 'near_dup_of_corpus'
-        |       WHEN coalesce(nb.n, 0) > 0 THEN 'near_dup_within_batch'
-        |       ELSE 'keep' END AS status,
-        |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_corpus_matches,
-        |  CAST(coalesce(nb.n, 0) AS BIGINT) AS n_batch_matches
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 5) d
-        |LEFT JOIN nc ON nc.id_a = d.doc_id
-        |LEFT JOIN nb ON nb.id_a = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      lshCycleOracleSqlFor("% 5 <> 0", "% 10 = 0", "% 10 = 5"),
+    // the FILE-LEVEL maintenance cycle with compaction: same two-night
+    // logic on its own disjoint slices (small %10=3 corpus, nights 1/6) -
+    // compaction moves rows without changing them, so the SQL knows
+    // nothing of files
+    "x2_lsh_compact" ->
+      lshCycleOracleSqlFor("% 10 = 3", "% 10 = 1", "% 10 = 6"),
     "x2_minhash_md5" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -459,6 +459,68 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compactLshBandIndex: over-threshold buckets rewrite to one file, " +
+    "under-threshold buckets stay byte-identical, probe-after-compact " +
+    "equals probe-before and a rebuild, and a second compact is a no-op") {
+    def files(dir: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+      finally st.close()
+    }
+    val idx = java.nio.file.Files.createTempDirectory("lsh-idx-cmp-").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("lsh-idx-crb-").toString
+    try {
+      val corpus = (1 to 40).map(i => (i.toLong,
+          s"corpus doc $i tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"))
+        .toDF("doc_id", "text")
+      val keepers = (100 to 140).map(i => (i.toLong,
+          s"keeper doc $i new${i}a new${i}b new${i}c new${i}d new${i}e"))
+        .toDF("doc_id", "text")
+      Dedup.buildLshBandIndex(corpus, "text", "doc_id", idx)
+      Dedup.appendLshBandIndex(keepers, "text", "doc_id", idx)
+      val before = files(idx)
+      def bucketCounts(fs: Map[String, Long]) = fs.keys
+        .groupBy(_.split("/")(0)).map { case (b, f) => b -> f.size }
+      val multi = bucketCounts(before).filter(_._2 > 1)
+      assert(multi.nonEmpty, s"append produced no multi-file bucket: $before")
+      // probe BEFORE compaction (a batch near-dup of keeper 120)
+      val batch = Seq((500L,
+          "keeper doc 120 new120a new120b new120c new120d extra"))
+        .toDF("doc_id", "text")
+      def classify() = Dedup.lshIngestClassifyBucketed(
+          spark.read.parquet(idx), batch, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val preCompact = classify()
+      val n = Dedup.compactLshBandIndex(spark, idx, maxFilesPerBucket = 1)
+      assert(n === multi.size, s"compacted $n of ${multi.size} multi-file buckets")
+      val after = files(idx)
+      // every bucket now one file; untouched buckets byte-identical in place
+      assert(bucketCounts(after).forall(_._2 == 1), s"multi-file bucket left: $after")
+      before.keys.filter(f => !multi.contains(f.split("/")(0))).foreach { f =>
+        assert(after.get(f) === before.get(f), s"untouched file $f changed")
+      }
+      // probe unchanged by the rewrite, and equal to a full rebuild's
+      assert(classify() === preCompact)
+      assert(preCompact(500L) === "near_dup_of_corpus")
+      Dedup.buildLshBandIndex(corpus.unionByName(keepers), "text", "doc_id",
+        rebuilt)
+      def rows(d: String) = spark.read.parquet(d)
+        .select($"id", $"band", $"band_key").as[(Long, Int, String)]
+        .collect().toSet
+      assert(rows(idx) === rows(rebuilt))
+      // idempotence: nothing left over threshold
+      assert(Dedup.compactLshBandIndex(spark, idx, maxFilesPerBucket = 1) === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rebuilt))
+    }
+  }
+
   test("noveltyScores: first copy keeps full score, later copies lose theirs") {
     import spark.implicits._
     val docs = Seq(
