@@ -465,6 +465,11 @@ object Dedup {
     bucketedBandRows(
         portableBandRows(corpus, textCol, idCol, shingleSize, bands,
           rowsPerBand), nBuckets)
+      // one task per bucket -> ONE file per bucket: without this every
+      // upstream task writes its own file into every bucket directory it
+      // holds rows for, and the standing layout is born with the
+      // small-file pathology compaction exists to repair
+      .repartition(col("bkb"))
       .write.mode("overwrite").partitionBy("bkb").parquet(indexDir)
     ()
   }
@@ -489,6 +494,9 @@ object Dedup {
     bucketedBandRows(
         portableBandRows(batchKeepers, textCol, idCol, shingleSize, bands,
           rowsPerBand), nBuckets)
+      // one file per touched bucket PER INGEST (the bounded append-rate
+      // that makes nightly compaction a threshold sweep, not a race)
+      .repartition(col("bkb"))
       .write.mode("append").partitionBy("bkb").parquet(indexDir)
     ()
   }

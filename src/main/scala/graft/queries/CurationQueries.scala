@@ -367,14 +367,20 @@ object CurationQueries {
     * same as the fixture path did. */
   private[graft] def discoverTouching(st: X10State, delta: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val deltaSh = Dedup.shingleCounts(delta, "text", "doc_id", n = 3)
+      .select(col("id"), col("shingle"))
     // the standing band index is the BUCKETED persisted layout: the probe
     // reads only the batch's colliding bkb partitions (plan-asserted in
-    // CurationSpec), never the whole index
-    Dedup.lshDiscoverVerifiedPairsBucketed(st.bandIdx, st.shingleIdx,
-        Dedup.shingleCounts(delta, "text", "doc_id", n = 3)
-          .select(col("id"), col("shingle")),
-        bands = 8, rowsPerBand = 2, minJaccard = 0.3)
-      .select(col("id_a"), col("id_b"))
+    // CurationSpec), never the whole index. `graft.x10.probe=full` keeps
+    // the full-scan frame form as the interleaved A/B twin (BenchScratch).
+    if (delta.sparkSession.conf.getOption("graft.x10.probe").contains("full"))
+      Dedup.lshDiscoverVerifiedPairs(st.bandIdx.drop("bkb"), st.shingleIdx,
+          deltaSh, bands = 8, rowsPerBand = 2, minJaccard = 0.3)
+        .select(col("id_a"), col("id_b"))
+    else
+      Dedup.lshDiscoverVerifiedPairsBucketed(st.bandIdx, st.shingleIdx,
+          deltaSh, bands = 8, rowsPerBand = 2, minJaccard = 0.3)
+        .select(col("id_a"), col("id_b"))
   }
 
   /** The pure increment over explicit state frames — see

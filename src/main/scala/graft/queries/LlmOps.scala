@@ -2410,11 +2410,11 @@ object LlmOps {
   /** X2g'' — the FILE-LEVEL maintenance cycle with COMPACTION
     * ([[Dedup.compactLshBandIndex]]): the ingest-cycle contract driven
     * through the PERSISTED bucketed layout end-to-end — build the
-    * standing index from the small `%10=3` corpus slice
-    * (`partitionBy(bkb)` write), classify night 1 (`%10=1`) via a
+    * standing index from the small `%20=3` corpus slice
+    * (`partitionBy(bkb)` write), classify night 1 (`%20=1`) via a
     * partition-pruned probe, APPEND its keepers' band rows (files only
     * added), COMPACT the over-threshold bkb directories down to one file
-    * each, and classify night 2 (`%10=6`) against the compacted files.
+    * each, and classify night 2 (`%20=6`) against the compacted files.
     * Compaction moves rows without changing them, so the oracle is the
     * same two-night SQL as `x2_lsh_ingest_cycle` with the slices swapped
     * ([[lshCycleOracleSqlFor]]) and knows nothing of files; probe ≡
@@ -2430,18 +2430,22 @@ object LlmOps {
     val docs = documents(s, dir)
     val idxDir = java.nio.file.Files.createTempDirectory("graft_lsh_cmp").toString
     deleteOnExit(idxDir)
-    Dedup.buildLshBandIndex(docs.filter($"doc_id" % 10 === 3), "text",
-      "doc_id", idxDir)
-    val b1 = docs.filter($"doc_id" % 10 === 1)
+    // 8 buckets, not the default 32: this index holds a 5% corpus slice,
+    // and bucket count is the layout's tuning knob (size it to the
+    // corpus/batch ratio) - fewer directories means fewer files to write,
+    // list, swap, and probe at this scale
+    Dedup.buildLshBandIndex(docs.filter($"doc_id" % 20 === 3), "text",
+      "doc_id", idxDir, nBuckets = 8)
+    val b1 = docs.filter($"doc_id" % 20 === 1)
     val keepers1 = b1.join(
       Dedup.lshIngestClassifyBucketed(s.read.parquet(idxDir), b1,
-          "text", "doc_id")
+          "text", "doc_id", nBuckets = 8)
         .filter($"status" === "keep").select($"doc_id"),
       Seq("doc_id"))
-    Dedup.appendLshBandIndex(keepers1, "text", "doc_id", idxDir)
+    Dedup.appendLshBandIndex(keepers1, "text", "doc_id", idxDir, nBuckets = 8)
     Dedup.compactLshBandIndex(s, idxDir, maxFilesPerBucket = 1)
     Dedup.lshIngestClassifyBucketed(s.read.parquet(idxDir),
-        docs.filter($"doc_id" % 10 === 6), "text", "doc_id")
+        docs.filter($"doc_id" % 20 === 6), "text", "doc_id", nBuckets = 8)
       .orderBy($"doc_id")
   }
 
@@ -2746,7 +2750,7 @@ object LlmOps {
     * night-1 / night-2 doc_id predicates (each a suffix applied to a
     * `doc_id` reference): shared verbatim logic between
     * `x2_lsh_ingest_cycle` (fixture-indexed, corpus %5<>0, nights 0/5)
-    * and the file-level compaction cycle `x2_lsh_compact` (corpus %10=3,
+    * and the file-level compaction cycle `x2_lsh_compact` (corpus %20=3,
     * nights 1/6). Substitution asserted per the round-17-ADVICE anchor
     * discipline: an edit that renames a placeholder fails loudly at
     * registration instead of checking an entry against the wrong slice. */
@@ -2987,11 +2991,11 @@ val oracleSql: Map[String, String] = Map(
     "x2_lsh_ingest_cycle" ->
       lshCycleOracleSqlFor("% 5 <> 0", "% 10 = 0", "% 10 = 5"),
     // the FILE-LEVEL maintenance cycle with compaction: same two-night
-    // logic on its own disjoint slices (small %10=3 corpus, nights 1/6) -
+    // logic on its own disjoint slices (small %20=3 corpus, nights 1/6) -
     // compaction moves rows without changing them, so the SQL knows
     // nothing of files
     "x2_lsh_compact" ->
-      lshCycleOracleSqlFor("% 10 = 3", "% 10 = 1", "% 10 = 6"),
+      lshCycleOracleSqlFor("% 20 = 3", "% 20 = 1", "% 20 = 6"),
     "x2_minhash_md5" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -65,6 +65,13 @@ object BenchScratch {
             "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false"),
           "twopass+no-bloom" -> Map("graft.x3.assembly" -> "twopass",
             "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false"))
+      else if (name.contains("x10_pipeline_incremental") ||
+        name.contains("x10_state_reps"))
+        // round-18: partition-pruned bucketed band-index probe vs the
+        // full-scan frame form (at sf0.1 the delta touches every bucket,
+        // so this isolates the pruning machinery's own cost)
+        Seq("probe-pruned" -> Map("graft.x10.probe" -> "pruned"),
+          "probe-full" -> Map("graft.x10.probe" -> "full"))
       else if (name.contains("winnow"))
         // round-15: per-doc codegen byte-offset selection vs windowed SQL
         Seq("expr" -> Map("graft.winnow.impl" -> "expr"),
