@@ -63,9 +63,10 @@ object CurationQueries {
     * remainders to the earliest groups per the SQL standard.
     *
     * Scale note: an unpartitioned ntile is a single-reducer sort — correct
-    * here (and DuckDB-checkable), but at 100 TB cut phases by APPROXIMATE
-    * quality quantiles (approx_percentile thresholds broadcast as a
-    * literal, then a map-side CASE) — same schedule, no global sort. */
+    * here (and DuckDB-checkable); [[x7_curriculum_scalable]] is the
+    * implemented no-global-sort twin (quartile thresholds from a bounded
+    * quality HISTOGRAM, exact int64 — round 18 turned this note into an
+    * operator). */
   def x7_curriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.orderBy($"quality".desc, $"entropy".desc, $"doc_id".asc)
@@ -76,6 +77,52 @@ object CurationQueries {
         TextOps.wordEntropyArr($"words").as("entropy"))
       .withColumn("phase", ntile(4).over(w))
       .select($"doc_id", $"quality", $"entropy", $"phase")
+      .orderBy($"doc_id")
+  }
+
+  /** X7g'' — the SCALABLE curriculum twin ([[x7_curriculum]]'s scale note
+    * turned into an operator, round 18): phase boundaries from a bounded
+    * HISTOGRAM of an integer-ppm quality key instead of an unpartitioned
+    * `ntile` — the corpus is NEVER globally sorted. One map-side
+    * projection computes `q_ppm = (min(n_words·20000, 10⁶) +
+    * min(n_stop·5·10⁶ div n_words, 10⁶)) div 2` (the
+    * [[graft.ops.TextOps.qualityScoreArr]] formula's exact int64-ppm
+    * formulation — length score capped at 50 words, stopword score at
+    * ratio 0.2); ONE narrow `groupBy(q_ppm)` shuffle builds the histogram,
+    * whose cardinality is bounded by the score granularity (≤ ~10⁶
+    * distinct values, corpus-size-INDEPENDENT — the unpartitioned
+    * cumulative window below runs over this tiny frame, never over rows);
+    * each distinct score takes quartile `phase = cum_before·4 div N + 1`
+    * (`cum_before` = docs strictly cleaner), and the (q_ppm → phase) map
+    * BROADCASTS back onto the projection. Tied scores share a phase —
+    * threshold semantics, the honest difference from ntile's row-split,
+    * stated rather than papered over. Every step exact int64, so the
+    * oracle replays histogram, cumulative, and phase arithmetic verbatim. */
+  def x7_curriculum_scalable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id",
+        TextOps.wordCountArr($"w").cast("long").as("n_words"),
+        TextOps.stopwordCountArr($"w").cast("long").as("n_stop"))
+      .select($"doc_id",
+        (least($"n_words" * 20000L, lit(1000000L)) +
+          least(expr("(n_stop * 5000000) div greatest(n_words, 1)"),
+            lit(1000000L))).as("qsum"))
+      .select($"doc_id", expr("qsum div 2").as("q_ppm"))
+    val hist = proj.groupBy($"q_ppm").agg(count(lit(1)).as("c"))
+    // bounded-frame window: this runs over the HISTOGRAM (score
+    // granularity), not the corpus — the whole point of the twin
+    val wDesc = Window.orderBy($"q_ppm".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val phaseMap = hist
+      .withColumn("cum_before", coalesce(sum($"c").over(wDesc), lit(0L)))
+      .withColumn("n_total",
+        sum($"c").over(Window.partitionBy(lit(1))))
+      .select($"q_ppm",
+        (expr("(cum_before * 4) div n_total") + lit(1L)).as("phase"))
+    proj.join(broadcast(phaseMap), Seq("q_ppm"))
+      .select($"doc_id", $"q_ppm", $"phase")
       .orderBy($"doc_id")
   }
 
@@ -685,6 +732,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x7_curriculum" -> x7_curriculum _,
+    "x7_curriculum_scalable" -> x7_curriculum_scalable _,
     "x7_split_assign" -> x7_split_assign _,
     "x7_quota_cap" -> x7_quota_cap _,
     "x7_binpack" -> x7_binpack _,
@@ -793,6 +841,32 @@ object CurationQueries {
         |       WHEN ((doc_id * 1000003 + 12345) % 1000000007) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the no-global-sort curriculum: integer-ppm quality key, histogram,
+    // descending cumulative, quartile thresholds — replayed verbatim
+    "x7_curriculum_scalable" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(w, x -> list_contains(
+        |      ['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id,
+        |    (least(n_words * 20000, 1000000) +
+        |     least((n_stop * 5000000) // greatest(n_words, 1), 1000000)) // 2
+        |      AS q_ppm
+        |  FROM m),
+        |h AS (SELECT q_ppm, count(*) AS c FROM q GROUP BY q_ppm),
+        |cum AS (
+        |  SELECT q_ppm,
+        |    coalesce(sum(c) OVER (ORDER BY q_ppm DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |    sum(c) OVER () AS n_total
+        |  FROM h),
+        |p AS (SELECT q_ppm,
+        |  CAST((cum_before * 4) // n_total + 1 AS BIGINT) AS phase FROM cum)
+        |SELECT q.doc_id, q.q_ppm, p.phase
+        |FROM q JOIN p USING (q_ppm) ORDER BY q.doc_id""".stripMargin,
     "x7_quota_cap" ->
       """SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars FROM (
         |  SELECT source, doc_id, n_chars,

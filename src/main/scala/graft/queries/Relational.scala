@@ -493,9 +493,14 @@ object Relational {
     * the earliest buckets per the SQL standard.
     *
     * Scale note: an unpartitioned ntile is a single-reducer sort — correct
-    * here (and DuckDB-checkable); at 100 TB cut depth boundaries with
-    * `approx_percentile` and count into the resulting ranges map-side, the
-    * same trade [[CurationQueries.x7_curriculum]] documents. */
+    * here (and DuckDB-checkable). The no-global-sort mechanism is
+    * IMPLEMENTED as [[graft.queries.CurationQueries.x7_curriculum_scalable]]
+    * (quartile thresholds from a bounded value histogram, exact int64);
+    * it applies verbatim when the bucketing key's cardinality is bounded.
+    * THIS key (price cents) has corpus-scale cardinality, so its 100 TB
+    * form trades exactness for `approx_percentile` boundaries + a
+    * map-side range count — approximate quantiles are engine-specific,
+    * hence not oracle-replayable, hence documented rather than twinned. */
   def q48_analyze_stats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = round($"l_extendedprice" * 100).cast("bigint")

@@ -28,6 +28,24 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("X7g'' scalable curriculum: phases 1..4 cover every doc, tied scores " +
+    "share a phase, and cleaner docs never land in a later phase") {
+    val out = CurationQueries.x7_curriculum_scalable(spark, dir)
+      .select($"doc_id", $"q_ppm", $"phase").as[(Long, Long, Long)]
+      .collect()
+    assert(out.length === docs.count())
+    assert(out.forall(r => r._3 >= 1 && r._3 <= 4), "phase out of range")
+    // threshold semantics: one phase per distinct score
+    val byScore = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    assert(byScore.forall(_._2.size == 1), "tied scores split across phases")
+    // monotone: descending quality walks phases non-decreasingly
+    val walk = byScore.toSeq.sortBy(-_._1).map(_._2.head)
+    assert(walk.zip(walk.drop(1)).forall { case (a, b) => a <= b },
+      s"phase not monotone over descending quality: $walk")
+    // all four phases exist on this corpus
+    assert(out.map(_._3).distinct.sorted === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("X7b quota cap: at most 20 per source, kept rows are each source's longest") {
     val out = CurationQueries.x7_quota_cap(spark, dir).cache()
     val per = out.groupBy($"source").count().as[(String, Long)].collect()
