@@ -332,6 +332,34 @@ object Dedup {
       .drop("bkb")
   }
 
+  /** Bucket column for the id-bucketed SHINGLE artifact layout — the
+    * VERIFICATION side of discovery gets the same pruned-probe discipline
+    * as the band index: candidate endpoints are a bounded id set, so the
+    * standing shingle rows they need live in a bounded bucket set. */
+  def docIdBucket(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets.toLong)).cast("int")
+
+  /** Shingle rows plus their `idb` bucket — the frame the bucketed
+    * shingle artifact persists (`partitionBy("idb")`). */
+  def bucketedShingleRows(sh: DataFrame,
+                          nBuckets: Int = LshIndexBuckets): DataFrame =
+    sh.withColumn("idb", docIdBucket(col("id"), nBuckets))
+
+  /** Prune a bucketed shingle frame to the buckets a bounded id set can
+    * live in (collect ≤ nBuckets bucket ids, literal IN partition filter
+    * — [[pruneBandIndexToBatch]]'s discipline on the id key). A strict
+    * superset filter: the exact semi-join on id still runs after it.
+    * Scan savings ∝ untouched buckets — decisive when the candidate set
+    * is small against the bucket count, a no-op degradation (never a
+    * wrong answer) when candidates touch every bucket. */
+  def pruneShinglesToIds(shingleBucketed: DataFrame, ids: DataFrame,
+                         nBuckets: Int = LshIndexBuckets): DataFrame = {
+    val buckets = ids.select(docIdBucket(col("id"), nBuckets).as("idb"))
+      .distinct().collect().map(_.getInt(0)) // bounded: ≤ nBuckets ids
+    shingleBucketed.filter(col("idb").isin(buckets.map(x => x: Any): _*))
+      .drop("idb")
+  }
+
   /** Near-dup pairs TOUCHING a new batch, DISCOVERED from the standing
     * corpus's persisted band index and then EXACTLY verified — the
     * candidate-generation + verification shape of a nightly ingest whose
@@ -377,7 +405,7 @@ object Dedup {
                                minJaccard: Double = 0.5): DataFrame = {
     val batchBands = portableBandRowsFromShingles(batchShingles, bands,
       rowsPerBand).localCheckpoint(false) // feeds the two collision joins
-    discoverVerifiedPairsCore(corpusBands, batchBands, corpusShingles,
+    discoverVerifiedPairsCore(corpusBands, batchBands, _ => corpusShingles,
       batchShingles, minJaccard)
   }
 
@@ -394,14 +422,21 @@ object Dedup {
                                        nBuckets: Int = LshIndexBuckets): DataFrame = {
     val batchBands = portableBandRowsFromShingles(batchShingles, bands,
       rowsPerBand).localCheckpoint(false) // collision joins + bucket collect
+    // a corpus shingle frame carrying the `idb` layout column is probed
+    // PRUNED to the candidate endpoints' buckets; a plain frame is used
+    // whole — both sides of verification stay exact either way
+    val shinglesFor: DataFrame => DataFrame =
+      if (corpusShingles.columns.contains("idb"))
+        ids => pruneShinglesToIds(corpusShingles, ids, nBuckets)
+      else _ => corpusShingles
     discoverVerifiedPairsCore(
       pruneBandIndexToBatch(indexBucketed, batchBands, nBuckets),
-      batchBands, corpusShingles, batchShingles, minJaccard)
+      batchBands, shinglesFor, batchShingles, minJaccard)
   }
 
   private def discoverVerifiedPairsCore(corpusBands: DataFrame,
                                         batchBands: DataFrame,
-                                        corpusShingles: DataFrame,
+                                        corpusShinglesFor: DataFrame => DataFrame,
                                         batchShingles: DataFrame,
                                         minJaccard: Double): DataFrame = {
     // the batch shingle tree (scan + explode + distinct) has two consumers
@@ -431,7 +466,7 @@ object Dedup {
     // verify work is ∝ Σ_candidates |shingles|, never ∝ |corpus|
     val ids = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
-    val sh = corpusShingles.select(col("id"), col("shingle"))
+    val sh = corpusShinglesFor(ids).select(col("id"), col("shingle"))
       .join(ids, Seq("id"), "left_semi")
       .unionByName(bsh.select(col("id"), col("shingle"))
         .join(ids, Seq("id"), "left_semi"))

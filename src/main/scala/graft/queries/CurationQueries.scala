@@ -342,11 +342,16 @@ object CurationQueries {
     // EXACT-KEPT docs — pairs with exact-dropped standing endpoints are
     // invisible to the batch pipeline too, so indexing them would be
     // wasted bytes at 100 TB
-    val shingleIdx = FixtureCache.cached(s, dir, s"x10-std-shingles-sh3$suf", "v1") {
-      Dedup.shingleCounts(
-          standingDocs.join(reps.select($"doc_id"), Seq("doc_id")),
-          "text", "doc_id", n = 3)
-        .select($"id", $"shingle")
+    // persisted PARTITIONED BY the id bucket so verification probes read
+    // only the candidate endpoints' buckets (the band-index discipline on
+    // the OTHER discovery artifact — round 18)
+    val shingleIdx = FixtureCache.cachedPartitioned(s, dir,
+        s"x10-std-shingles-sh3-idb32$suf", "v1", Seq("idb")) {
+      Dedup.bucketedShingleRows(
+        Dedup.shingleCounts(
+            standingDocs.join(reps.select($"doc_id"), Seq("doc_id")),
+            "text", "doc_id", n = 3)
+          .select($"id", $"shingle"))
     }
     // built FROM the just-persisted shingle fixture (not a second live
     // derivation of the standing shingles — round-17 review): one corpus
@@ -356,7 +361,7 @@ object CurationQueries {
     val bandIdx = FixtureCache.cachedPartitioned(s, dir,
         s"x10-std-bands-sh3-b8-r2-bkb32$suf", "v1", Seq("bkb")) {
       Dedup.bucketedBandRows(
-        Dedup.buildLshBandRowsFromShingles(shingleIdx, bands = 8,
+        Dedup.buildLshBandRowsFromShingles(shingleIdx.drop("idb"), bands = 8,
           rowsPerBand = 2))
     }
     X10State(digests, reps, kept, census, bandIdx, shingleIdx)
@@ -421,7 +426,8 @@ object CurationQueries {
     // CurationSpec), never the whole index. `graft.x10.probe=full` keeps
     // the full-scan frame form as the interleaved A/B twin (BenchScratch).
     if (delta.sparkSession.conf.getOption("graft.x10.probe").contains("full"))
-      Dedup.lshDiscoverVerifiedPairs(st.bandIdx.drop("bkb"), st.shingleIdx,
+      Dedup.lshDiscoverVerifiedPairs(st.bandIdx.drop("bkb"),
+          st.shingleIdx.drop("idb"),
           deltaSh, bands = 8, rowsPerBand = 2, minJaccard = 0.3)
         .select(col("id_a"), col("id_b"))
     else
@@ -611,6 +617,7 @@ object CurationQueries {
       .select($"id".as("doc_id"))
     val deltaSh = Dedup.shingleCounts(deltaKeptExact, "text", "doc_id", n = 3)
       .select($"id", $"shingle")
+    val deltaShBucketed = Dedup.bucketedShingleRows(deltaSh)
     X10State(
       digests = st.digests
         .unionByName(delta.select(sha2($"text", 256).as("sha"))).distinct(),
@@ -625,7 +632,7 @@ object CurationQueries {
       census = censusFromMerged(st.kept, st.census, deltaKeptExact, merged),
       bandIdx = st.bandIdx.unionByName(Dedup.bucketedBandRows(
         Dedup.buildLshBandRowsFromShingles(deltaSh))),
-      shingleIdx = st.shingleIdx.unionByName(deltaSh))
+      shingleIdx = st.shingleIdx.unionByName(deltaShBucketed))
   }
 
   /** NIGHT-1 standing state for the two-night chain: the 3/5 base state
@@ -654,8 +661,8 @@ object CurationQueries {
       census = FixtureCache.cached(s, dir, "x10-n1-census", "v1")(upd.census),
       bandIdx = FixtureCache.cachedPartitioned(s, dir,
         "x10-n1-bands-sh3-b8-r2-bkb32", "v1", Seq("bkb"))(upd.bandIdx),
-      shingleIdx = FixtureCache.cached(s, dir,
-        "x10-n1-shingles-sh3", "v1")(upd.shingleIdx))
+      shingleIdx = FixtureCache.cachedPartitioned(s, dir,
+        "x10-n1-shingles-sh3-idb32", "v1", Seq("idb"))(upd.shingleIdx))
   }
 
   /** X10''' — NIGHT 2 of the chained nightly build: the ≥ 4/5 slice

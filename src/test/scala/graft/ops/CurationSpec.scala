@@ -256,6 +256,15 @@ class CurationSpec extends SparkSpec {
       s"expected non-empty partition filter on `bkb`, got:\n$plan")
     assert(plan.contains("x10-std-bands"),
       s"probe does not scan the persisted band-index fixture:\n$plan")
+    // the VERIFICATION artifact gets the same discipline: the standing
+    // shingle fixture is read pruned to the candidate endpoints' buckets
+    val shProbe = Dedup.pruneShinglesToIds(st.shingleIdx,
+      delta.select($"doc_id".as("id")))
+    val shPlan = shProbe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*idb".r.findFirstIn(shPlan).isDefined,
+      s"expected non-empty partition filter on `idb`, got:\n$shPlan")
+    assert(shPlan.contains("x10-std-shingles"),
+      s"probe does not scan the persisted shingle fixture:\n$shPlan")
   }
 
   test("x10 pair discovery recall on the LIVE fixture: the discovered set " +
@@ -275,7 +284,7 @@ class CurationSpec extends SparkSpec {
     val deltaSh = Dedup.shingleCounts(delta, "text", "doc_id", n = 3)
       .select($"id", $"shingle")
     val exact = Dedup.ngramJaccardPairsFromShingles(
-        st.shingleIdx.unionByName(deltaSh), minJaccard = 0.3)
+        st.shingleIdx.drop("idb").unionByName(deltaSh), minJaccard = 0.3)
       .filter($"id_b" >= thr)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got === exact,

@@ -446,8 +446,10 @@ class DedupSpec extends SparkSpec {
         .select($"id", $"shingle")
       val batchSh = Dedup.shingleCounts(batch, "text", "doc_id", n = 3)
         .select($"id", $"shingle")
+      // the corpus shingle side carries the idb layout column -> the
+      // verification read is also pruned (to candidate-endpoint buckets)
       val discPruned = Dedup.lshDiscoverVerifiedPairsBucketed(idxDf,
-          corpusSh, batchSh, minJaccard = 0.3)
+          Dedup.bucketedShingleRows(corpusSh), batchSh, minJaccard = 0.3)
         .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       val discFull = Dedup.lshDiscoverVerifiedPairs(idxDf.drop("bkb"),
           corpusSh, batchSh, minJaccard = 0.3)
