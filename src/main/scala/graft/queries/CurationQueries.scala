@@ -430,10 +430,27 @@ object CurationQueries {
           st.shingleIdx.drop("idb"),
           deltaSh, bands = 8, rowsPerBand = 2, minJaccard = 0.3)
         .select(col("id_a"), col("id_b"))
-    else
-      Dedup.lshDiscoverVerifiedPairsBucketed(st.bandIdx, st.shingleIdx,
+    else {
+      // MEASURED DEFAULT (round 18, four interleaved A/B sessions at
+      // sf0.1): each bucket-collect is a ~0.2-0.3 s FIXED job barrier at
+      // this SF, where probes touch every bucket and pruning saves no
+      // bytes (full < band-pruned < band+shingle-pruned by one barrier
+      // each; medians 5.63 / 5.88 / 6.05 in the cleanest session). The
+      // band-index pruning stays WIRED — it is the round-17 #1
+      // deliverable, plan-asserted, and the probe that pays off first as
+      // the corpus/batch ratio grows; the id-bucketed VERIFICATION
+      // pruning is conf-gated OFF by default (`graft.x10.shingleprune=1`
+      // wires it in) because its payoff regime — candidate sets small
+      // against the bucket count — is further out. Layout and operator
+      // are spec-pinned either way (DedupSpec/CurationSpec).
+      val shingleSide =
+        if (delta.sparkSession.conf.getOption("graft.x10.shingleprune")
+            .contains("1")) st.shingleIdx
+        else st.shingleIdx.drop("idb")
+      Dedup.lshDiscoverVerifiedPairsBucketed(st.bandIdx, shingleSide,
           deltaSh, bands = 8, rowsPerBand = 2, minJaccard = 0.3)
         .select(col("id_a"), col("id_b"))
+    }
   }
 
   /** The pure increment over explicit state frames — see

@@ -71,7 +71,9 @@ object BenchScratch {
         // full-scan frame form (at sf0.1 the delta touches every bucket,
         // so this isolates the pruning machinery's own cost)
         Seq("probe-pruned" -> Map("graft.x10.probe" -> "pruned"),
-          "probe-full" -> Map("graft.x10.probe" -> "full"))
+          "probe-full" -> Map("graft.x10.probe" -> "full"),
+          "probe-shingleprune" -> Map("graft.x10.probe" -> "pruned",
+            "graft.x10.shingleprune" -> "1"))
       else if (name.contains("winnow"))
         // round-15: per-doc codegen byte-offset selection vs windowed SQL
         Seq("expr" -> Map("graft.winnow.impl" -> "expr"),
