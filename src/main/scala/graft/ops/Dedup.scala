@@ -42,6 +42,11 @@ object Dedup {
     val inc = incoming.select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
     val seen = corpus.select(sha2(col(textCol), 256).as("text_sha"))
       .distinct().withColumn("in_corpus", lit(1))
+    exactIncrementalCore(inc, seen, idCol)
+  }
+
+  private def exactIncrementalCore(inc: DataFrame, seen: DataFrame,
+                                   idCol: String): DataFrame = {
     val w = Window.partitionBy(col("text_sha")).orderBy(col(idCol).asc)
     inc.join(seen, Seq("text_sha"), "left")
       .withColumn("batch_rank", row_number().over(w))
@@ -49,6 +54,78 @@ object Dedup {
         when(col("in_corpus").isNotNull, "drop_vs_corpus")
           .when(col("batch_rank") > 1, "drop_within_batch")
           .otherwise("keep").as("action"))
+  }
+
+  // ---- persisted DIGEST index (X1's maintained artifact) ---------------
+  //
+  // The exact-dedup analog of the band/IVF index lifecycle: the standing
+  // corpus's distinct text shas persist PARTITIONED BY `shab` =
+  // pmod(xxhash64(text_sha), nBuckets); every ingest probes the index
+  // partition-pruned to the BATCH's sha buckets (bounded collect, literal
+  // IN — the probe reads ≈ min(1, |batch buckets|/nBuckets) of the index
+  // bytes), keepers' shas APPEND (files only added), and compaction
+  // rewrites over-threshold buckets via the shared staged swap. Until
+  // round 18 the standing side of [[exactIncremental]] was the CALLER's
+  // frame — re-hashing the corpus per ingest unless the caller maintained
+  // its own digest artifact (the x10 pipeline does; the standalone X1
+  // operator had no file-level story).
+
+  /** Bucket column for the sha-bucketed digest index layout. */
+  def shaBucket(sha: Column, nBuckets: Int): Column =
+    pmod(xxhash64(sha), lit(nBuckets.toLong)).cast("int")
+
+  /** Build (or rebuild) the persisted digest index: the standing corpus's
+    * DISTINCT text shas at `indexDir`, partitioned by [[shaBucket]] —
+    * one file per bucket (the repartition), 32 bytes per distinct doc. */
+  def buildDigestIndex(corpus: DataFrame, textCol: String, indexDir: String,
+                       nBuckets: Int = LshIndexBuckets): Unit = {
+    corpus.select(sha2(col(textCol), 256).as("text_sha")).distinct()
+      .withColumn("shab", shaBucket(col("text_sha"), nBuckets))
+      .repartition(col("shab"))
+      .write.mode("overwrite").partitionBy("shab").parquet(indexDir)
+    ()
+  }
+
+  /** MAINTAIN the digest index across ingests: append a batch's KEEPERS'
+    * shas (files only added — one per touched bucket per ingest; standing
+    * files never rewritten). Keepers' shas are distinct by construction
+    * (first-copy-wins keeps one doc per new sha), so append == rebuild
+    * over corpus ∪ keepers, spec-pinned in DedupSpec. */
+  def appendDigestIndex(batchKeepers: DataFrame, textCol: String,
+                        indexDir: String,
+                        nBuckets: Int = LshIndexBuckets): Unit = {
+    batchKeepers.select(sha2(col(textCol), 256).as("text_sha")).distinct()
+      .withColumn("shab", shaBucket(col("text_sha"), nBuckets))
+      .repartition(col("shab"))
+      .write.mode("append").partitionBy("shab").parquet(indexDir)
+    ()
+  }
+
+  /** Compact the digest index after appends — the same staged-swap
+    * rewrite as [[compactLshBandIndex]] / IVF, via
+    * [[IndexMaintenance.compactPartitionedIndex]]. */
+  def compactDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, maxFilesPerBucket: Int): Int =
+    IndexMaintenance.compactPartitionedIndex(spark, indexDir, "shab",
+      _.toInt, maxFilesPerBucket)
+
+  /** [[exactIncremental]] against the BUCKETED persisted digest index
+    * (frame carrying its `shab` partition column): only the batch is
+    * hashed, and the standing index is read PARTITION-PRUNED to the
+    * batch's sha buckets — identical routing by construction (the bucket
+    * is a pure function of the join key). */
+  def exactIncrementalBucketed(indexBucketed: DataFrame, incoming: DataFrame,
+                               textCol: String, idCol: String,
+                               nBuckets: Int = LshIndexBuckets): DataFrame = {
+    val inc = incoming
+      .select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
+      .localCheckpoint(false) // routing join + bucket collect
+    val buckets = inc.select(shaBucket(col("text_sha"), nBuckets).as("shab"))
+      .distinct().collect().map(_.getInt(0)) // bounded: ≤ nBuckets ids
+    val seen = indexBucketed
+      .filter(col("shab").isin(buckets.map(x => x: Any): _*))
+      .select(col("text_sha")).distinct().withColumn("in_corpus", lit(1))
+    exactIncrementalCore(inc, seen, idCol)
   }
 
   /** Word-level shingles of size n as a deduplicated array column.

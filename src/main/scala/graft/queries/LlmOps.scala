@@ -52,6 +52,37 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** X1d' — the FILE-LEVEL exact-dedup maintenance cycle
+    * ([[Dedup.buildDigestIndex]] family): the persisted-digest-index
+    * analog of `x2_lsh_compact`, completing the third index family's
+    * build → pruned probe → append → compact → pruned probe lifecycle.
+    * The standing corpus's distinct shas persist partitioned by sha
+    * bucket; night 1 (`%10=0`) routes against a PARTITION-PRUNED read of
+    * the index, its keepers' shas APPEND (files only added), the
+    * over-threshold buckets COMPACT, and night 2 (`%10=5`) routes against
+    * the maintained files — a night-2 copy of a night-1 keeper routes
+    * `drop_vs_corpus`, the cross-ingest first-copy-wins continuity for
+    * EXACT dedup. The oracle replays both nights' sha routing from raw
+    * text and knows nothing of files. */
+  def x1_dedup_cycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_sha_idx").toString
+    deleteOnExit(idxDir)
+    Dedup.buildDigestIndex(docs.filter($"doc_id" % 5 =!= 0), "text", idxDir)
+    val b1 = docs.filter($"doc_id" % 10 === 0)
+    val keepers1 = b1.join(
+      Dedup.exactIncrementalBucketed(s.read.parquet(idxDir), b1,
+          "text", "doc_id")
+        .filter($"action" === "keep").select($"doc_id"),
+      Seq("doc_id"))
+    Dedup.appendDigestIndex(keepers1, "text", idxDir)
+    Dedup.compactDigestIndex(s, idxDir, maxFilesPerBucket = 1)
+    Dedup.exactIncrementalBucketed(s.read.parquet(idxDir),
+        docs.filter($"doc_id" % 10 === 5), "text", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** X1c — duplicated n-gram fraction per document
     * ([[Dedup.duplicatedNgramFraction]]): the share of each doc's distinct
     * word 5-grams that also occur in another document — the boilerplate /
@@ -2723,6 +2754,7 @@ object LlmOps {
     "x4_collocations" -> x4_collocations _,
     "x1_span_removal" -> x1_span_removal _,
     "x1_dedup_incremental" -> x1_dedup_incremental _,
+    "x1_dedup_cycle" -> x1_dedup_cycle _,
     "x9_semantic_clusters" -> x9_semantic_clusters _,
     "x2_cdc_chunks" -> x2_cdc_chunks _,
     "x2_winnow" -> x2_winnow _,
@@ -2863,6 +2895,42 @@ val oracleSql: Map[String, String] = Map(
         |corp AS (
         |  SELECT DISTINCT sha256(text) AS text_sha FROM documents
         |  WHERE doc_id % 5 <> 0),
+        |r AS (
+        |  SELECT i.doc_id, i.text_sha,
+        |    EXISTS (SELECT 1 FROM corp c WHERE c.text_sha = i.text_sha)
+        |      AS in_corpus,
+        |    row_number() OVER (PARTITION BY i.text_sha ORDER BY i.doc_id ASC)
+        |      AS batch_rank
+        |  FROM inc i)
+        |SELECT doc_id, text_sha,
+        |  CASE WHEN in_corpus THEN 'drop_vs_corpus'
+        |       WHEN batch_rank > 1 THEN 'drop_within_batch'
+        |       ELSE 'keep' END AS action
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // the two-night exact cycle: night-1 keepers (sha absent from the
+    // standing set, min id within batch) join the corpus for night 2's
+    // routing — compaction and file layout are invisible to the SQL
+    "x1_dedup_cycle" ->
+      """WITH corp0 AS (
+        |  SELECT DISTINCT sha256(text) AS text_sha FROM documents
+        |  WHERE doc_id % 5 <> 0),
+        |n1 AS (
+        |  SELECT doc_id, sha256(text) AS text_sha FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |k1 AS (
+        |  SELECT text_sha FROM (
+        |    SELECT doc_id, text_sha,
+        |      EXISTS (SELECT 1 FROM corp0 c WHERE c.text_sha = n1.text_sha)
+        |        AS in_corpus,
+        |      row_number() OVER (PARTITION BY text_sha ORDER BY doc_id ASC)
+        |        AS rk
+        |    FROM n1)
+        |  WHERE NOT in_corpus AND rk = 1),
+        |corp AS (
+        |  SELECT text_sha FROM corp0 UNION SELECT text_sha FROM k1),
+        |inc AS (
+        |  SELECT doc_id, sha256(text) AS text_sha FROM documents
+        |  WHERE doc_id % 10 = 5),
         |r AS (
         |  SELECT i.doc_id, i.text_sha,
         |    EXISTS (SELECT 1 FROM corp c WHERE c.text_sha = i.text_sha)

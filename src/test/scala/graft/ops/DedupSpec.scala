@@ -523,6 +523,72 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("digest index lifecycle: build is one file per bucket, the probe is " +
+    "partition-pruned on shab with routing equal to the frame form, append " +
+    "only adds files and equals a rebuild, compact converges, and a night-2 " +
+    "copy of a night-1 keeper routes drop_vs_corpus") {
+    def files(dir: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir)
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+      finally st.close()
+    }
+    val idx = java.nio.file.Files.createTempDirectory("sha-idx-spec-").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("sha-idx-reb-").toString
+    try {
+      val corpus = (1 to 60).map(i => (i.toLong, s"standing document $i"))
+        .toDF("doc_id", "text")
+      Dedup.buildDigestIndex(corpus, "text", idx)
+      val built = files(idx)
+      // one file per bucket directory (the repartition discipline)
+      assert(built.keys.map(_.split("/")(0)).toSeq.distinct.size === built.size)
+      // night 1: 100 dups corpus doc 7; 101/102 same NEW text (one keeps);
+      // 103 unique
+      val b1 = Seq((100L, "standing document 7"), (101L, "night one text"),
+        (102L, "night one text"), (103L, "another night one text"))
+        .toDF("doc_id", "text")
+      val idxDf = spark.read.parquet(idx)
+      val pruned = Dedup.exactIncrementalBucketed(idxDf, b1, "text", "doc_id")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*shab".r.findFirstIn(plan).isDefined,
+        s"expected non-empty partition filter on `shab`, got:\n$plan")
+      def asMap(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"action").as[(Long, String)].collect().toMap
+      val c1 = asMap(pruned)
+      assert(c1 === asMap(
+        Dedup.exactIncremental(b1, corpus, "text", "doc_id")))
+      assert(c1 === Map(100L -> "drop_vs_corpus", 101L -> "keep",
+        102L -> "drop_within_batch", 103L -> "keep"))
+      val keepers1 = b1.filter($"doc_id".isin(101L, 103L))
+      Dedup.appendDigestIndex(keepers1, "text", idx)
+      val after = files(idx)
+      built.foreach { case (f, size) =>
+        assert(after.get(f).contains(size), s"standing file $f rewritten")
+      }
+      assert(after.size > built.size)
+      // compact converges and moves no rows
+      assert(Dedup.compactDigestIndex(spark, idx, maxFilesPerBucket = 1) > 0)
+      assert(Dedup.compactDigestIndex(spark, idx, maxFilesPerBucket = 1) === 0)
+      Dedup.buildDigestIndex(corpus.unionByName(keepers1), "text", rebuilt)
+      def shas(d: String) = spark.read.parquet(d)
+        .select($"text_sha").as[String].collect().toSet
+      assert(shas(idx) === shas(rebuilt))
+      // night 2: a copy of night-1 keeper 101 routes drop_vs_corpus
+      val b2 = Seq((200L, "night one text"), (201L, "brand new night two"))
+        .toDF("doc_id", "text")
+      val c2 = asMap(Dedup.exactIncrementalBucketed(
+        spark.read.parquet(idx), b2, "text", "doc_id"))
+      assert(c2 === Map(200L -> "drop_vs_corpus", 201L -> "keep"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rebuilt))
+    }
+  }
+
   test("noveltyScores: first copy keeps full score, later copies lose theirs") {
     import spark.implicits._
     val docs = Seq(
