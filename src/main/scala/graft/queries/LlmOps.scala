@@ -69,7 +69,10 @@ object LlmOps {
     val docs = documents(s, dir)
     val idxDir = java.nio.file.Files.createTempDirectory("graft_sha_idx").toString
     deleteOnExit(idxDir)
-    Dedup.buildDigestIndex(docs.filter($"doc_id" % 5 =!= 0), "text", idxDir)
+    // the standing corpus is the %5=1 slice (the cycle certifies the FILE
+    // mechanics, which don't need the 80% corpus the frame-form entry
+    // routes against - x2_lsh_compact's sizing discipline)
+    Dedup.buildDigestIndex(docs.filter($"doc_id" % 5 === 1), "text", idxDir)
     val b1 = docs.filter($"doc_id" % 10 === 0)
     val keepers1 = b1.join(
       Dedup.exactIncrementalBucketed(s.read.parquet(idxDir), b1,
@@ -2913,7 +2916,7 @@ val oracleSql: Map[String, String] = Map(
     "x1_dedup_cycle" ->
       """WITH corp0 AS (
         |  SELECT DISTINCT sha256(text) AS text_sha FROM documents
-        |  WHERE doc_id % 5 <> 0),
+        |  WHERE doc_id % 5 = 1),
         |n1 AS (
         |  SELECT doc_id, sha256(text) AS text_sha FROM documents
         |  WHERE doc_id % 10 = 0),
