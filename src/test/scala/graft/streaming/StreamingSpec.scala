@@ -1326,6 +1326,90 @@ class StreamingSpec extends SparkSpec {
       === batchCensus)
   }
 
+  test("streaming exact-dedup ingest: batches route against the persisted " +
+    "digest index through a REAL foreachBatch, keepers append, per-batch " +
+    "compaction bounds the file counts, routing matches the frame-form " +
+    "replay, and the final index equals a rebuild") {
+    // the exact-dedup twin of the streaming vector-ingest protocol: the
+    // nightly classify -> appendDigestIndex -> compactDigestIndex loop
+    // driven as foreachBatch rounds against the sha-bucketed index
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val idxDir = java.nio.file.Files.createTempDirectory("sha_stream").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("sha_stream_full").toString
+    try {
+      val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      Dedup.buildDigestIndex(corpus, "text", idxDir)
+      val rows = docs.filter($"doc_id" % 5 === 0)
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      assert(rows.nonEmpty)
+      val routed = scala.collection.mutable.Map.empty[Long, String]
+      val maxFiles = 2
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.localCheckpoint()
+            val c = Dedup.exactIncrementalBucketed(
+              spark.read.parquet(idxDir), b, "text", "doc_id")
+              .localCheckpoint()
+            routed ++= c.select($"doc_id", $"action")
+              .as[(Long, String)].collect()
+            Dedup.appendDigestIndex(
+              b.join(c.filter($"action" === "keep").select($"doc_id"),
+                Seq("doc_id")), "text", idxDir)
+            Dedup.compactDigestIndex(spark, idxDir,
+              maxFilesPerBucket = maxFiles)
+            ()
+          }
+          ()
+        }.start()
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      // frame-form replay of the same two nights, no files involved
+      def frame(s: Seq[(Long, String)]) = s.toDF("doc_id", "text")
+      val r1 = Dedup.exactIncremental(frame(b1), corpus, "text", "doc_id")
+        .select($"doc_id", $"action").as[(Long, String)].collect().toMap
+      val keepers1 = frame(b1).join(
+        r1.filter(_._2 == "keep").keys.toSeq.toDF("doc_id"), Seq("doc_id"))
+      val r2 = Dedup.exactIncremental(frame(b2),
+          corpus.unionByName(keepers1.select($"doc_id", $"text")),
+          "text", "doc_id")
+        .select($"doc_id", $"action").as[(Long, String)].collect().toMap
+      assert(routed.toMap === (r1 ++ r2))
+      // per-bucket file counts stayed bounded by the in-loop compaction
+      val perBucket = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(idxDir))
+        try st.filter(java.nio.file.Files.isRegularFile(_))
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .groupBy(p =>
+            java.nio.file.Paths.get(idxDir).relativize(p).getName(0).toString)
+          .view.mapValues(_.length).toMap
+        finally st.close()
+      }
+      assert(perBucket.values.forall(_ <= maxFiles),
+        s"compaction left over-threshold buckets: $perBucket")
+      // final index == rebuild over corpus + all keepers
+      val allKeepers = rows.filter(r => routed(r._1) == "keep")
+      Dedup.buildDigestIndex(
+        corpus.unionByName(frame(allKeepers)), "text", fullDir)
+      def shas(d: String) = spark.read.parquet(d)
+        .select($"text_sha").as[String].collect().toSet
+      assert(shas(idxDir) === shas(fullDir))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fullDir))
+    }
+  }
+
   test("streaming vector ingest: batches append into the persisted IVF " +
     "index through a REAL foreachBatch, per-batch compaction bounds the " +
     "file counts, and the final serve equals a full rebuild") {
