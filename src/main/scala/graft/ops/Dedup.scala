@@ -75,30 +75,47 @@ object Dedup {
     pmod(xxhash64(sha), lit(nBuckets.toLong)).cast("int")
 
   /** Build (or rebuild) the persisted digest index: the standing corpus's
-    * DISTINCT text shas at `indexDir`, partitioned by [[shaBucket]] —
-    * one file per bucket (the repartition), 32 bytes per distinct doc. */
+    * DISTINCT text shas at `indexDir`, partitioned by [[shaBucket]] — one
+    * file per bucket, the bucket count recorded in the `_nbuckets` sidecar
+    * (the [[IndexMaintenance]] persist shape and coordination contract). */
   def buildDigestIndex(corpus: DataFrame, textCol: String, indexDir: String,
-                       nBuckets: Int = LshIndexBuckets): Unit = {
-    corpus.select(sha2(col(textCol), 256).as("text_sha")).distinct()
-      .withColumn("shab", shaBucket(col("text_sha"), nBuckets))
-      .repartition(col("shab"))
-      .write.mode("overwrite").partitionBy("shab").parquet(indexDir)
-    ()
-  }
+                       nBuckets: Int = LshIndexBuckets): Unit =
+    IndexMaintenance.writePartitionedIndex(
+      corpus.select(sha2(col(textCol), 256).as("text_sha")).distinct()
+        .withColumn("shab", shaBucket(col("text_sha"), nBuckets)),
+      "shab", indexDir, overwrite = true, nBuckets = Some(nBuckets))
 
   /** MAINTAIN the digest index across ingests: append a batch's KEEPERS'
     * shas (files only added — one per touched bucket per ingest; standing
     * files never rewritten). Keepers' shas are distinct by construction
     * (first-copy-wins keeps one doc per new sha), so append == rebuild
-    * over corpus ∪ keepers, spec-pinned in DedupSpec. */
+    * over corpus ∪ keepers, spec-pinned in DedupSpec. Fails loudly when
+    * `nBuckets` disagrees with the index's recorded bucket count —
+    * a mismatched append would write rows into directories later probes
+    * never read (round-18 ADVICE). */
   def appendDigestIndex(batchKeepers: DataFrame, textCol: String,
                         indexDir: String,
-                        nBuckets: Int = LshIndexBuckets): Unit = {
-    batchKeepers.select(sha2(col(textCol), 256).as("text_sha")).distinct()
-      .withColumn("shab", shaBucket(col("text_sha"), nBuckets))
-      .repartition(col("shab"))
-      .write.mode("append").partitionBy("shab").parquet(indexDir)
-    ()
+                        nBuckets: Int = LshIndexBuckets): Unit =
+    IndexMaintenance.writePartitionedIndex(
+      batchKeepers.select(sha2(col(textCol), 256).as("text_sha")).distinct()
+        .withColumn("shab", shaBucket(col("text_sha"), nBuckets)),
+      "shab", indexDir, overwrite = false, nBuckets = Some(nBuckets))
+
+  /** Read a persisted digest index together with its RECORDED bucket
+    * count — the probe-side half of the coordination contract: feed the
+    * returned count to [[exactIncrementalBucketed]] and a modulus mismatch
+    * is impossible by construction. Requires a round-19+ index (sidecar
+    * present); fails loudly otherwise. */
+  def readDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): (DataFrame, Int) = {
+    val n = IndexMaintenance.readBucketMeta(spark, indexDir) match {
+      case Some(("shab", n)) => n
+      case other => throw new IllegalArgumentException(
+        s"readDigestIndex: no shab bucket-count sidecar at $indexDir " +
+          s"(found $other) — rebuild via buildDigestIndex, or probe with " +
+          "the build-time nBuckets explicitly")
+    }
+    (spark.read.parquet(indexDir), n)
   }
 
   /** Compact the digest index after appends — the same staged-swap
@@ -120,10 +137,8 @@ object Dedup {
     val inc = incoming
       .select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
       .localCheckpoint(false) // routing join + bucket collect
-    val buckets = inc.select(shaBucket(col("text_sha"), nBuckets).as("shab"))
-      .distinct().collect().map(_.getInt(0)) // bounded: ≤ nBuckets ids
-    val seen = indexBucketed
-      .filter(col("shab").isin(buckets.map(x => x: Any): _*))
+    val seen = IndexMaintenance.pruneToBuckets(indexBucketed,
+        inc.select(shaBucket(col("text_sha"), nBuckets).as("shab")), "shab")
       .select(col("text_sha")).distinct().withColumn("in_corpus", lit(1))
     exactIncrementalCore(inc, seen, idCol)
   }
@@ -401,13 +416,12 @@ object Dedup {
     * partition pruning over the persisted layout, visible as a non-empty
     * `PartitionFilters` on the index scan (spec-pinned in DedupSpec). */
   def pruneBandIndexToBatch(indexBucketed: DataFrame, batchBands: DataFrame,
-                            nBuckets: Int = LshIndexBuckets): DataFrame = {
-    val buckets = batchBands
-      .select(lshBandBucket(col("band"), col("band_key"), nBuckets).as("bkb"))
-      .distinct().collect().map(_.getInt(0)) // bounded: ≤ nBuckets ids
-    indexBucketed.filter(col("bkb").isin(buckets.map(x => x: Any): _*))
+                            nBuckets: Int = LshIndexBuckets): DataFrame =
+    IndexMaintenance.pruneToBuckets(indexBucketed,
+        batchBands.select(
+          lshBandBucket(col("band"), col("band_key"), nBuckets).as("bkb")),
+        "bkb")
       .drop("bkb")
-  }
 
   /** Bucket column for the id-bucketed SHINGLE artifact layout — the
     * VERIFICATION side of discovery gets the same pruned-probe discipline
@@ -430,12 +444,10 @@ object Dedup {
     * is small against the bucket count, a no-op degradation (never a
     * wrong answer) when candidates touch every bucket. */
   def pruneShinglesToIds(shingleBucketed: DataFrame, ids: DataFrame,
-                         nBuckets: Int = LshIndexBuckets): DataFrame = {
-    val buckets = ids.select(docIdBucket(col("id"), nBuckets).as("idb"))
-      .distinct().collect().map(_.getInt(0)) // bounded: ≤ nBuckets ids
-    shingleBucketed.filter(col("idb").isin(buckets.map(x => x: Any): _*))
+                         nBuckets: Int = LshIndexBuckets): DataFrame =
+    IndexMaintenance.pruneToBuckets(shingleBucketed,
+        ids.select(docIdBucket(col("id"), nBuckets).as("idb")), "idb")
       .drop("idb")
-  }
 
   /** Near-dup pairs TOUCHING a new batch, DISCOVERED from the standing
     * corpus's persisted band index and then EXACTLY verified — the
@@ -573,18 +585,14 @@ object Dedup {
   def buildLshBandIndex(corpus: DataFrame, textCol: String, idCol: String,
                         indexDir: String, shingleSize: Int = 3,
                         bands: Int = 8, rowsPerBand: Int = 2,
-                        nBuckets: Int = LshIndexBuckets): Unit = {
-    bucketedBandRows(
+                        nBuckets: Int = LshIndexBuckets): Unit =
+    // one file per bucket + the `_nbuckets` sidecar — the shared
+    // [[IndexMaintenance]] persist shape and coordination contract
+    IndexMaintenance.writePartitionedIndex(
+      bucketedBandRows(
         portableBandRows(corpus, textCol, idCol, shingleSize, bands,
-          rowsPerBand), nBuckets)
-      // one task per bucket -> ONE file per bucket: without this every
-      // upstream task writes its own file into every bucket directory it
-      // holds rows for, and the standing layout is born with the
-      // small-file pathology compaction exists to repair
-      .repartition(col("bkb"))
-      .write.mode("overwrite").partitionBy("bkb").parquet(indexDir)
-    ()
-  }
+          rowsPerBand), nBuckets),
+      "bkb", indexDir, overwrite = true, nBuckets = Some(nBuckets))
 
   /** MAINTAIN the persisted LSH band index across ingests: append the
     * band rows of a batch's KEEPERS (the docs an ingest classified
@@ -602,15 +610,33 @@ object Dedup {
                          idCol: String, indexDir: String,
                          shingleSize: Int = 3, bands: Int = 8,
                          rowsPerBand: Int = 2,
-                         nBuckets: Int = LshIndexBuckets): Unit = {
-    bucketedBandRows(
+                         nBuckets: Int = LshIndexBuckets): Unit =
+    // one file per touched bucket PER INGEST (the bounded append-rate that
+    // makes nightly compaction a threshold sweep, not a race); fails
+    // loudly when `nBuckets` disagrees with the index's recorded count —
+    // a mismatched append would write rows into directories later probes
+    // never read (round-18 ADVICE)
+    IndexMaintenance.writePartitionedIndex(
+      bucketedBandRows(
         portableBandRows(batchKeepers, textCol, idCol, shingleSize, bands,
-          rowsPerBand), nBuckets)
-      // one file per touched bucket PER INGEST (the bounded append-rate
-      // that makes nightly compaction a threshold sweep, not a race)
-      .repartition(col("bkb"))
-      .write.mode("append").partitionBy("bkb").parquet(indexDir)
-    ()
+          rowsPerBand), nBuckets),
+      "bkb", indexDir, overwrite = false, nBuckets = Some(nBuckets))
+
+  /** Read a persisted LSH band index together with its RECORDED bucket
+    * count ([[readDigestIndex]]'s band twin): feed the returned count to
+    * [[lshIngestClassifyBucketed]] / [[lshDiscoverVerifiedPairsBucketed]]
+    * and a modulus mismatch is impossible by construction. Requires a
+    * round-19+ index (sidecar present); fails loudly otherwise. */
+  def readLshBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): (DataFrame, Int) = {
+    val n = IndexMaintenance.readBucketMeta(spark, indexDir) match {
+      case Some(("bkb", n)) => n
+      case other => throw new IllegalArgumentException(
+        s"readLshBandIndex: no bkb bucket-count sidecar at $indexDir " +
+          s"(found $other) — rebuild via buildLshBandIndex, or probe with " +
+          "the build-time nBuckets explicitly")
+    }
+    (spark.read.parquet(indexDir), n)
   }
 
   /** Compact the bucketed LSH band index after appends —
@@ -673,10 +699,33 @@ object Dedup {
     if (!fs.exists(idxPath))
       buildLshBandIndex(corpus, textCol, idCol, indexDir,
         shingleSize, bands, rowsPerBand)
-    // probe the bucketed layout partition-pruned: only the batch's
-    // colliding bkb directories are read, never the whole standing index
-    lshIngestClassifyBucketed(spark.read.parquet(indexDir), batch, textCol,
-      idCol, shingleSize, bands, rowsPerBand, minAgree)
+    val idxDf = spark.read.parquet(indexDir)
+    if (!idxDf.columns.contains("bkb"))
+      // a pre-round-18 index written by the UNBUCKETED build: no layout to
+      // prune, so classify against the full rows instead of failing with a
+      // missing-column AnalysisException (round-18 ADVICE); the next
+      // explicit rebuild adopts the bucketed layout
+      lshIngestClassify(idxDf, batch, textCol, idCol, shingleSize, bands,
+        rowsPerBand, minAgree)
+    else {
+      // probe the bucketed layout partition-pruned — only the batch's
+      // colliding bkb directories are read, never the whole standing index
+      // — under the index's RECORDED bucket count: the sidecar is the
+      // build/probe coordination contract, so an index built with a
+      // non-default count is probed correctly without the caller carrying
+      // the number (round-18 ADVICE). A round-18 index (bucketed, no
+      // sidecar) predates non-default builds through this path; validate
+      // its directories against the default best-effort and proceed.
+      val probeBuckets = IndexMaintenance.readBucketMeta(spark, indexDir) match {
+        case Some(("bkb", n)) => n
+        case _ =>
+          IndexMaintenance.requireBucketMeta(spark, indexDir, "bkb",
+            LshIndexBuckets, "lshIncrementalPortable probe")
+          LshIndexBuckets
+      }
+      lshIngestClassifyBucketed(idxDf, batch, textCol, idCol, shingleSize,
+        bands, rowsPerBand, minAgree, probeBuckets)
+    }
   }
 
   /** The ingest-classify core of [[lshIncrementalPortable]], taking the

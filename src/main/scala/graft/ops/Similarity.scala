@@ -280,9 +280,15 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, dim: Int, nLists: Int,
                     path: String): Array[Array[Double]] = {
     val cents = trainIvfCentroids(corpus, dim, nLists)
-    corpus.select(col("vec_id"), col("embedding"),
-        array_min(distStructs(col("embedding"), cents)).getField("list").as("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(path)
+    // the IVF family's coordination contract is the centroid array the
+    // caller holds (list ids are data-adaptive, not a modulus), so no
+    // `_nbuckets` sidecar; the assignment's own output partitioning is
+    // kept as-is (no per-list repartition) — file counts per list are
+    // spec-pinned and compaction is the small-file story here
+    IndexMaintenance.writePartitionedIndex(
+      corpus.select(col("vec_id"), col("embedding"),
+        array_min(distStructs(col("embedding"), cents)).getField("list").as("list")),
+      "list", path, overwrite = true, onePerPartition = false)
     cents
   }
 
@@ -297,10 +303,8 @@ object Similarity {
         explode(slice(array_sort(distStructs(col("embedding"), cents)), 1, nProbe))
           .as("probe"))
       .select(col("query_id"), col("q_emb"), col("probe.list").as("list"))
-    val probedLists: Array[Int] =
-      probes.select(col("list")).distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(indexPath)
-      .filter(col("list").isin(probedLists.map(x => x: Any): _*))
+    val c = IndexMaintenance.pruneToBuckets(spark.read.parquet(indexPath),
+        probes.select(col("list")), "list")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("list"))
     val scored = broadcast(probes).join(c, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -982,12 +986,13 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("mv").as("cv")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2c").asc, col("cid").asc)
-    m.crossJoin(cent)
-      .select(col("vec_id"), col("mv"), col("cid"),
-        d2Milli(col("mv"), col("cv")).as("d2c"))
-      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-      .select(col("vec_id"), col("mv"), col("cid").as("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(path)
+    IndexMaintenance.writePartitionedIndex(
+      m.crossJoin(cent)
+        .select(col("vec_id"), col("mv"), col("cid"),
+          d2Milli(col("mv"), col("cv")).as("d2c"))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        .select(col("vec_id"), col("mv"), col("cid").as("list")),
+      "list", path, overwrite = true, onePerPartition = false)
     cent.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
@@ -1002,14 +1007,15 @@ object Similarity {
   def writeIvfIndexIntWith(m: DataFrame, cents: DataFrame,
                            path: String): Array[(Long, Array[Long])] = {
     val cent = broadcast(cents)
-    m.crossJoin(cent)
-      .select(col("vec_id"), col("mv"), col("cid"),
-        d2Milli(col("mv"), col("cv")).as("d2c"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("mv"), struct(col("d2c"), col("cid"))).as("mv"),
-        min_by(col("cid"), struct(col("d2c"), col("cid"))).as("list"))
-      .select(col("vec_id"), col("mv"), col("list"))
-      .write.mode("overwrite").partitionBy("list").parquet(path)
+    IndexMaintenance.writePartitionedIndex(
+      m.crossJoin(cent)
+        .select(col("vec_id"), col("mv"), col("cid"),
+          d2Milli(col("mv"), col("cv")).as("d2c"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("mv"), struct(col("d2c"), col("cid"))).as("mv"),
+          min_by(col("cid"), struct(col("d2c"), col("cid"))).as("list"))
+        .select(col("vec_id"), col("mv"), col("list")),
+      "list", path, overwrite = true, onePerPartition = false)
     cents.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
@@ -1031,15 +1037,16 @@ object Similarity {
     import spark.implicits._
     val cent = broadcast(
       cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv"))
-    newBatch.select(col("vec_id"), milliCodes(col("embedding")).as("mv"))
-      .crossJoin(cent)
-      .select(col("vec_id"), col("mv"), col("cid"),
-        d2Milli(col("mv"), col("cv")).as("d2c"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("mv"), struct(col("d2c"), col("cid"))).as("mv"),
-        min_by(col("cid"), struct(col("d2c"), col("cid"))).as("list"))
-      .select(col("vec_id"), col("mv"), col("list"))
-      .write.mode("append").partitionBy("list").parquet(path)
+    IndexMaintenance.writePartitionedIndex(
+      newBatch.select(col("vec_id"), milliCodes(col("embedding")).as("mv"))
+        .crossJoin(cent)
+        .select(col("vec_id"), col("mv"), col("cid"),
+          d2Milli(col("mv"), col("cv")).as("d2c"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("mv"), struct(col("d2c"), col("cid"))).as("mv"),
+          min_by(col("cid"), struct(col("d2c"), col("cid"))).as("list"))
+        .select(col("vec_id"), col("mv"), col("list")),
+      "list", path, overwrite = false, onePerPartition = false)
   }
 
   /** Compact an integer IVF index after appends ([[appendIvfIndexInt]]'s
@@ -1114,10 +1121,8 @@ object Similarity {
       // two consumers (probed-list collect + the broadcast join): cut the
       // lineage so the centroid ranking runs once, not per consumer
       .localCheckpoint(false)
-    val probedLists = probes.select(col("list")).distinct()
-      .collect().map(_.getLong(0)) // bounded metadata: ≤ nLists ids
-    val c = spark.read.parquet(indexPath)
-      .filter(col("list").isin(probedLists.map(x => x: Any): _*))
+    val c = IndexMaintenance.pruneToBuckets(spark.read.parquet(indexPath),
+        probes.select(col("list")), "list")
       .select(col("vec_id").as("neighbor_id"), col("mv").as("c_mv"), col("list"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("d2m").asc, col("neighbor_id").asc)

@@ -74,15 +74,19 @@ object LlmOps {
     // routes against - x2_lsh_compact's sizing discipline)
     Dedup.buildDigestIndex(docs.filter($"doc_id" % 5 === 1), "text", idxDir)
     val b1 = docs.filter($"doc_id" % 10 === 0)
+    // probes read the bucket count from the index's own sidecar
+    // (readDigestIndex) — the build/probe modulus contract enforced by
+    // construction, not by the caller carrying the number
+    val (idx1, nb1) = Dedup.readDigestIndex(s, idxDir)
     val keepers1 = b1.join(
-      Dedup.exactIncrementalBucketed(s.read.parquet(idxDir), b1,
-          "text", "doc_id")
+      Dedup.exactIncrementalBucketed(idx1, b1, "text", "doc_id", nb1)
         .filter($"action" === "keep").select($"doc_id"),
       Seq("doc_id"))
     Dedup.appendDigestIndex(keepers1, "text", idxDir)
     Dedup.compactDigestIndex(s, idxDir, maxFilesPerBucket = 1)
-    Dedup.exactIncrementalBucketed(s.read.parquet(idxDir),
-        docs.filter($"doc_id" % 10 === 5), "text", "doc_id")
+    val (idx2, nb2) = Dedup.readDigestIndex(s, idxDir)
+    Dedup.exactIncrementalBucketed(idx2,
+        docs.filter($"doc_id" % 10 === 5), "text", "doc_id", nb2)
       .orderBy($"doc_id")
   }
 
@@ -2471,15 +2475,21 @@ object LlmOps {
     Dedup.buildLshBandIndex(docs.filter($"doc_id" % 20 === 3), "text",
       "doc_id", idxDir, nBuckets = 8)
     val b1 = docs.filter($"doc_id" % 20 === 1)
+    // probes read the non-default bucket count from the index's own
+    // sidecar (readLshBandIndex) — exactly the coordination this entry's
+    // 8-bucket layout needs (a default-32 probe here would prune the
+    // wrong directories; the sidecar contract makes that unrepresentable)
+    val (idx1, nb1) = Dedup.readLshBandIndex(s, idxDir)
     val keepers1 = b1.join(
-      Dedup.lshIngestClassifyBucketed(s.read.parquet(idxDir), b1,
-          "text", "doc_id", nBuckets = 8)
+      Dedup.lshIngestClassifyBucketed(idx1, b1,
+          "text", "doc_id", nBuckets = nb1)
         .filter($"status" === "keep").select($"doc_id"),
       Seq("doc_id"))
     Dedup.appendLshBandIndex(keepers1, "text", "doc_id", idxDir, nBuckets = 8)
     Dedup.compactLshBandIndex(s, idxDir, maxFilesPerBucket = 1)
-    Dedup.lshIngestClassifyBucketed(s.read.parquet(idxDir),
-        docs.filter($"doc_id" % 20 === 6), "text", "doc_id", nBuckets = 8)
+    val (idx2, nb2) = Dedup.readLshBandIndex(s, idxDir)
+    Dedup.lshIngestClassifyBucketed(idx2,
+        docs.filter($"doc_id" % 20 === 6), "text", "doc_id", nBuckets = nb2)
       .orderBy($"doc_id")
   }
 

@@ -692,4 +692,94 @@ class DedupSpec extends SparkSpec {
       assert(census(id)._4 > 0L && census(id)._4 <= 1000000L)
     }
   }
+
+  test("bucket-count contract: build records the sidecar, readers return " +
+    "it, a mismatched append fails loudly, the portable probe adopts the " +
+    "recorded count, and a legacy larger-modulus index is caught " +
+    "best-effort") {
+    val band = java.nio.file.Files.createTempDirectory("lsh-idx-meta-").toString
+    val sha = java.nio.file.Files.createTempDirectory("sha-idx-meta-").toString
+    val legacy = java.nio.file.Files.createTempDirectory("lsh-idx-leg-").toString
+    try {
+      val corpus = (1 to 60).map(i => (i.toLong,
+          s"corpus doc $i tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"))
+        .toDF("doc_id", "text")
+      // band index built with a NON-default bucket count
+      Dedup.buildLshBandIndex(corpus, "text", "doc_id", band, nBuckets = 8)
+      val (bandDf, bandN) = Dedup.readLshBandIndex(spark, band)
+      assert(bandN === 8)
+      // a default-count append against the 8-bucket layout must fail
+      // LOUDLY — it would write rows into bkb directories >= 8 that every
+      // 8-modulus probe computes ids below (round-18 ADVICE)
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.appendLshBandIndex(docs.filter($"doc_id" === 5L), "text",
+          "doc_id", band) // default nBuckets = 32
+      }
+      assert(e1.getMessage.contains("bkb=8"))
+      // a matching append succeeds and keeps the sidecar
+      Dedup.appendLshBandIndex(docs.filter($"doc_id" === 5L), "text",
+        "doc_id", band, nBuckets = 8)
+      assert(Dedup.readLshBandIndex(spark, band)._2 === 8)
+      // the portable probe reads the count from the sidecar: its
+      // classification equals the explicit nBuckets=8 call (a default-32
+      // probe would prune the wrong directories)
+      val batch = Seq((200L,
+          "corpus doc 7 tok7a tok7b tok7c tok7d extra")).toDF("doc_id", "text")
+      def asMap(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val viaPortable = asMap(Dedup.lshIncrementalPortable(
+        corpus.limit(0), batch, "text", "doc_id", band))
+      val viaExplicit = asMap(Dedup.lshIngestClassifyBucketed(
+        spark.read.parquet(band), batch, "text", "doc_id", nBuckets = 8))
+      assert(viaPortable === viaExplicit)
+      assert(viaPortable(200L) === "near_dup_of_corpus")
+      // digest family: same contract
+      Dedup.buildDigestIndex(corpus, "text", sha, nBuckets = 8)
+      assert(Dedup.readDigestIndex(spark, sha)._2 === 8)
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.appendDigestIndex(docs.filter($"doc_id" === 5L), "text", sha)
+      }
+      assert(e2.getMessage.contains("shab=8"))
+      // legacy (pre-sidecar) index built under a LARGER modulus: directory
+      // values >= the assumed count prove the mismatch without a sidecar
+      Dedup.buildLshBandIndex(corpus, "text", "doc_id", legacy) // 32 buckets
+      val fs = new org.apache.hadoop.fs.Path(legacy)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(legacy,
+        IndexMaintenance.BucketMetaFile), false)
+      val e3 = intercept[IllegalArgumentException] {
+        Dedup.appendLshBandIndex(docs.filter($"doc_id" === 5L), "text",
+          "doc_id", legacy, nBuckets = 8)
+      }
+      assert(e3.getMessage.contains("outside [0, 8)"))
+      // no-sidecar readers fail loudly rather than guessing a modulus
+      intercept[IllegalArgumentException](Dedup.readLshBandIndex(spark, legacy))
+    } finally {
+      Seq(band, sha, legacy).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
+  test("lshIncrementalPortable: an UNBUCKETED (pre-round-18) index falls " +
+    "back to the full-scan classify instead of failing on the missing " +
+    "bkb column") {
+    val idx = java.nio.file.Files.createTempDirectory("lsh-idx-flat-").toString
+    try {
+      val corpus = docs.filter($"doc_id" <= 2)
+      val batch = docs.filter($"doc_id" > 2)
+      // the old layout: band rows with NO bkb column, no sidecar
+      Dedup.buildLshBandRows(corpus, "text", "doc_id")
+        .write.mode("overwrite").parquet(idx)
+      val got = Dedup.lshIncrementalPortable(
+          corpus.limit(0), batch, "text", "doc_id", idx)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val expected = Dedup.lshIngestClassify(
+          spark.read.parquet(idx), batch, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got === expected)
+      assert(got(5L) === "keep" && got(3L) != "keep")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    }
+  }
 }
