@@ -136,7 +136,11 @@ private[ops] object IndexMaintenance {
     * filter the index with a literal IN — STATIC partition pruning over
     * the persisted layout, visible as a non-empty `PartitionFilters` on
     * the index scan and as strictly fewer files/bytes read than the full
-    * scan (both spec-pinned: DedupSpec / SimilaritySpec). The bucket is a
+    * scan — both spec-pinned with MEASURED footprints from the scan nodes'
+    * own post-pruning listings (DedupSpec/SimilaritySpec "measured pruning
+    * payoff": band 7/32 files at 0.22x bytes, digest 1/30 at 0.03x,
+    * shingles 1/27 at 0.04x, IVF 7/16 at 0.44x on the spec fixtures; the
+    * production saving is ~|touched buckets|/nBuckets). The bucket is a
     * pure function of the join/probe key, so pruning is a strict superset
     * filter — layout-invariant semantics; a batch touching every bucket
     * degenerates to the full scan, never to a wrong answer. */

@@ -760,6 +760,73 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("measured pruning payoff: a bucket-subset probe reads STRICTLY " +
+    "fewer index files and bytes than the full-scan twin, for the band " +
+    "(bkb), digest (shab) and shingle (idb) layouts — scan-node listing " +
+    "vs on-disk ground truth") {
+    import graft.ScanStats
+    val band = java.nio.file.Files.createTempDirectory("lsh-idx-fp-").toString
+    val sha = java.nio.file.Files.createTempDirectory("sha-idx-fp-").toString
+    val shingles = java.nio.file.Files.createTempDirectory("shg-idx-fp-").toString
+    try {
+      spark.catalog.clearCache()
+      val corpus = (1 to 60).map(i => (i.toLong,
+          s"corpus doc $i tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e " +
+            s"tok${i}f tok${i}g tok${i}h"))
+        .toDF("doc_id", "text")
+      val batch = Seq((100L,
+          "corpus doc 7 tok7a tok7b tok7c tok7d tok7e tok7f tok7g extra"))
+        .toDF("doc_id", "text")
+      // ---- band index: classify probe --------------------------------
+      Dedup.buildLshBandIndex(corpus, "text", "doc_id", band)
+      val idxDf = spark.read.parquet(band)
+      val (fullF, fullB) = ScanStats.indexScanFootprint(
+        Dedup.lshIngestClassify(idxDf.drop("bkb"), batch, "text", "doc_id"),
+        band)
+      val (fsF, fsB) = ScanStats.dirFootprint(band)
+      // the un-pruned twin selects the WHOLE index — the baseline is real
+      assert((fullF, fullB) === ((fsF, fsB)))
+      val (prF, prB) = ScanStats.indexScanFootprint(
+        Dedup.lshIngestClassifyBucketed(idxDf, batch, "text", "doc_id"),
+        band)
+      // measured at this fixture: the 1-doc batch touches 7 of 32 bkb
+      // directories — 7/32 files, 0.22x bytes (digest below: 1/30 files,
+      // 0.03x; shingles: 1/27, 0.04x); at a production corpus/batch ratio
+      // the saving is ~|batch buckets|/nBuckets of the standing index
+      assert(prF < fullF && prB < fullB,
+        s"band probe not cheaper: files $prF/$fullF bytes $prB/$fullB")
+      // ---- digest index: exact routing probe (vs on-disk ground truth,
+      // which IS what the unfiltered scan of the frame form selects) ----
+      Dedup.buildDigestIndex(corpus, "text", sha)
+      val shaDf = spark.read.parquet(sha)
+      val (dFsF, dFsB) = ScanStats.dirFootprint(sha)
+      val (dPrF, dPrB) = ScanStats.indexScanFootprint(
+        Dedup.exactIncrementalBucketed(shaDf, batch, "text", "doc_id"),
+        sha)
+      assert(dPrF < dFsF && dPrB < dFsB,
+        s"digest probe not cheaper: files $dPrF/$dFsF bytes $dPrB/$dFsB")
+      // ---- shingle artifact: verification-side probe -----------------
+      Dedup.bucketedShingleRows(
+          Dedup.shingleCounts(corpus, "text", "doc_id", n = 3)
+            .select($"id", $"shingle"))
+        .repartition($"idb")
+        .write.mode("overwrite").partitionBy("idb").parquet(shingles)
+      val shgDf = spark.read.parquet(shingles)
+      val ids = Seq(7L).toDF("id")
+      val (sPrF, sPrB) = ScanStats.indexScanFootprint(
+        Dedup.pruneShinglesToIds(shgDf, ids), shingles)
+      val (sFsF, sFsB) = ScanStats.dirFootprint(shingles)
+      assert(sPrF < sFsF && sPrB < sFsB,
+        s"shingle probe not cheaper: files $sPrF/$sFsF bytes $sPrB/$sFsB")
+      info(f"band $prF/$fullF files ${prB.toDouble / fullB}%.2fx bytes; " +
+        f"digest $dPrF/$dFsF files ${dPrB.toDouble / dFsB}%.2fx bytes; " +
+        f"shingles $sPrF/$sFsF files ${sPrB.toDouble / sFsB}%.2fx bytes")
+    } finally {
+      Seq(band, sha, shingles).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("lshIncrementalPortable: an UNBUCKETED (pre-round-18) index falls " +
     "back to the full-scan classify instead of failing on the missing " +
     "bkb column") {
