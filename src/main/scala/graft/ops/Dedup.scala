@@ -514,20 +514,22 @@ object Dedup {
     // a corpus shingle frame carrying the `idb` layout column is probed
     // PRUNED to the candidate endpoints' buckets; a plain frame is used
     // whole — both sides of verification stay exact either way
+    val pruneShingles = corpusShingles.columns.contains("idb")
     val shinglesFor: DataFrame => DataFrame =
-      if (corpusShingles.columns.contains("idb"))
-        ids => pruneShinglesToIds(corpusShingles, ids, nBuckets)
+      if (pruneShingles) ids => pruneShinglesToIds(corpusShingles, ids, nBuckets)
       else _ => corpusShingles
     discoverVerifiedPairsCore(
       pruneBandIndexToBatch(indexBucketed, batchBands, nBuckets),
-      batchBands, shinglesFor, batchShingles, minJaccard)
+      batchBands, shinglesFor, batchShingles, minJaccard,
+      checkpointIds = pruneShingles)
   }
 
   private def discoverVerifiedPairsCore(corpusBands: DataFrame,
                                         batchBands: DataFrame,
                                         corpusShinglesFor: DataFrame => DataFrame,
                                         batchShingles: DataFrame,
-                                        minJaccard: Double): DataFrame = {
+                                        minJaccard: Double,
+                                        checkpointIds: Boolean = false): DataFrame = {
     // the batch shingle tree (scan + explode + distinct) has two consumers
     // (the band rows the caller built and the verification side's union)
     // and is LEFT UNMATERIALIZED on purpose: an interleaved A/B at sf0.1
@@ -552,9 +554,17 @@ object Dedup {
       .localCheckpoint(false) // feeds the id restriction + the verify join
     // exact verification over candidate ids only: the standing shingle
     // artifact is touched through a semi-join on candidate endpoints, so
-    // verify work is ∝ Σ_candidates |shingles|, never ∝ |corpus|
-    val ids = cand.select(col("id_a").as("id"))
+    // verify work is ∝ Σ_candidates |shingles|, never ∝ |corpus|. When the
+    // shingle side will be BUCKET-PRUNED, pruneShinglesToIds adds a
+    // driver-side bucket collect as a THIRD consumer of `ids` — cut the
+    // lineage so the collect and the two semi-joins share one
+    // materialization instead of each re-running the union+distinct over
+    // the checkpointed candidates (round-18 ADVICE); on the default
+    // (unpruned) path the two semi-joins re-run that cheap tree, which the
+    // barrier-vs-reeval A/Bs consistently favor at this frame size
+    val ids0 = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
+    val ids = if (checkpointIds) ids0.localCheckpoint(false) else ids0
     val sh = corpusShinglesFor(ids).select(col("id"), col("shingle"))
       .join(ids, Seq("id"), "left_semi")
       .unionByName(bsh.select(col("id"), col("shingle"))

@@ -85,10 +85,17 @@ object CurationQueries {
     * HISTOGRAM of an integer-ppm quality key instead of an unpartitioned
     * `ntile` — the corpus is NEVER globally sorted. One map-side
     * projection computes `q_ppm = (min(n_words·20000, 10⁶) +
-    * min(n_stop·5·10⁶ div n_words, 10⁶)) div 2` (the
-    * [[graft.ops.TextOps.qualityScoreArr]] formula's exact int64-ppm
-    * formulation — length score capped at 50 words, stopword score at
-    * ratio 0.2); ONE narrow `groupBy(q_ppm)` shuffle builds the histogram,
+    * min(n_stop·5·10⁶ div n_words, 10⁶)) div 2` — the
+    * [[graft.ops.TextOps.qualityScoreArr]] formula carried in int64 ppm
+    * (length score capped at 50 words, stopword score at ratio 0.2).
+    * NEAR-EQUIVALENT, not identical, to the float key: the stopword term
+    * here is a FLOOR division while qualityScoreArr rounds the ratio
+    * half-up at 4 decimals before scaling, so the two keys can order
+    * documents differently within ~½·10⁻⁴ of a rounding boundary (e.g.
+    * 1 stopword in 7 words: 714285 ppm vs the rounded 0.7145·10⁶) — this
+    * operator's phase key is its own exact int64 contract, not a bitwise
+    * re-derivation of [[x7_curriculum]]'s. ONE narrow `groupBy(q_ppm)`
+    * shuffle builds the histogram,
     * whose cardinality is bounded by the score granularity (≤ ~10⁶
     * distinct values, corpus-size-INDEPENDENT — the unpartitioned
     * cumulative window below runs over this tiny frame, never over rows);
