@@ -32,7 +32,12 @@ import scala.jdk.CollectionConverters._
   * runs — the shared-JVM GC-interaction signature round 14 measured on
   * cdc_join_maintain, [3.60, 7.87, 16.59] s on unchanged code) is
   * re-measured in a private fork in the same run; the detail records both
-  * numbers (`batch_warm` + the clean fork's `warm`).
+  * numbers (`batch_warm` + the clean fork's `warm`). Entries over 4 s that
+  * land above 1.35× their prior get that retry UNCONDITIONALLY — isolated
+  * forks included, which previously had no retry path (round-18 verdict
+  * #1: the two most expensive board entries landed at 1.477–1.498×, just
+  * under the 1.5× bar, and their possibly-drifted warms fed the next
+  * round's prior).
   *
   * Budget telemetry: the parent logs cumulative wall clock after every fork
   * so an overrun is visible in the driver log BEFORE the kill; past 60% of
@@ -111,6 +116,7 @@ object Bench {
                                   tiebreak: Option[String] = None,
                                   batchWarm: Option[Double] = None,
                                   soloWarm: Option[Double] = None,
+                                  otherForkWarm: Option[Double] = None,
                                   censusPos: Option[Int] = None)
 
   /** Prior-round warm seconds per query, parsed from the COMMITTED
@@ -157,6 +163,16 @@ object Bench {
                         prior: Map[String, Double]): Seq[Timing] = {
     val spark = EngineSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Measurement-harness-only knob (never set by the driver): session
+    // confs as `k=v;k2=v2`, applied before any timed run — lets a FORKED
+    // interleaved A/B toggle operator variants (e.g. graft.x10.probe=full)
+    // in the board regime, not just BenchScratch's one-JVM loop.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => ()
+      }
+    })
     // Warm the shared machinery (parquet reader, codegen compiler, shuffle,
     // noop sink) before the first measured query: a cold JVM otherwise bills
     // ~3-4 s of one-time class loading to whichever query runs first — which
@@ -313,8 +329,11 @@ object Bench {
         // regression stays slow; transient machine state usually shakes
         // out), and the artifact records both numbers either way.
         val priorWarm = prior.get(name)
+        // heavy entries (>4 s) adjudicate at the tighter 1.35x (round-18
+        // verdict #1: 1.477-1.498x landings slipped under the 1.5x bar)
         val runs: Seq[Double] =
-          if (priorWarm.exists(p => runs0.min > p * 1.5) &&
+          if (priorWarm.exists(p => runs0.min > p * 1.5 ||
+                (runs0.min > 4 && runs0.min > p * 1.35)) &&
               runs0.min <= warmCutoff && runs0.size > 1) {
             reasons :+= "gt_1.5x_prior"
             val (t4, ok4) = runOnce(name, fn)
@@ -492,6 +511,19 @@ object Bench {
     val driftRetryCap =
       sys.env.getOrElse("SPARK_GRAFT_DRIFT_RETRIES", "8").toInt
     var driftRetries = 0
+    // Heavy-entry mandatory retry (round-18 verdict #1): the board's two
+    // most expensive entries landed at 1.477-1.498x their prior — a hair
+    // UNDER the 1.5x trigger — so the board kept possibly-drifted numbers
+    // for exactly the rows where a retry matters most. Entries whose warm
+    // exceeds 4 s AND 1.35x their committed prior now ALWAYS earn a
+    // private re-fork (isolated/solo entries included — they previously
+    // had no retry path at all), the one place where ~11 s of fork cost is
+    // always cheaper than a drifted multi-second number feeding next
+    // round's prior_warm.
+    val heavyRetryWarmS =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_RETRY_WARM_S", "4").toDouble
+    def heavyDrifted(t: Timing): Boolean =
+      t.warm > heavyRetryWarmS && t.prior.exists(p => t.warm > p * 1.35)
     def drifted(t: Timing): Boolean = {
       val vsPrior = t.prior.exists(p => t.warm > p * 1.5) && t.warm > 0.5
       // the monotone branch carries the same 0.5 s absolute floor as
@@ -501,7 +533,7 @@ object Bench {
       val monotone = t.runs.size >= 3 && t.warm > 0.5 &&
         t.runs.last > t.runs.head * 1.2 &&
         t.runs.sliding(2).forall(p => p(1) > p(0))
-      vsPrior || monotone
+      vsPrior || monotone || heavyDrifted(t)
     }
     groups.foreach { case (g, prewarm) =>
       val first0 = forkGroup(g, prior, singleRun, prewarm)
@@ -517,27 +549,46 @@ object Bench {
       else first0
       val (missing, ok0) = first.partition(_.failed)
       val ok = ok0.map { t =>
-        if (g.size > 1 && drifted(t) && !singleRun &&
+        val batchCase = g.size > 1 && drifted(t)
+        // an isolated/census-shared entry only re-forks on the HEAVY
+        // condition — its first fork was already private (or the shared
+        // census fork, whose members the heavy clause still covers), so
+        // the cheap-entry drift signatures don't apply
+        val heavyCase = g.size == 1 && heavyDrifted(t)
+        if ((batchCase || heavyCase) && !singleRun &&
             driftRetries < driftRetryCap) {
           driftRetries += 1
-          System.err.println(f"[bench] ${t.name} batch warm ${t.warm}%.3f s " +
+          val kind = if (heavyCase) "heavy" else "batch"
+          System.err.println(f"[bench] ${t.name} $kind warm ${t.warm}%.3f s " +
             s"looks drifted (prior ${t.prior.getOrElse(-1.0)}, runs " +
             s"${t.runs.mkString("[", ",", "]")}); re-measuring in a private fork")
           forkGroup(Seq(t.name), prior, singleRun, prewarm).headOption match {
             case Some(solo) if !solo.failed && solo.warm <= t.warm =>
-              // adopt the clean fork; the polluted number rides as batch_warm
-              solo.copy(batchWarm = Some(t.warm),
-                tiebreak = Some((solo.tiebreak.toSeq :+ "batch_drift")
-                  .mkString("+")))
+              // adopt the clean fork; the displaced number rides along
+              // (batch_warm for a polluted shared-JVM number, or
+              // other_fork_warm for a heavy entry's first private fork)
+              if (heavyCase)
+                solo.copy(otherForkWarm = Some(t.warm),
+                  tiebreak = Some((solo.tiebreak.toSeq :+ "heavy_drift")
+                    .mkString("+")))
+              else
+                solo.copy(batchWarm = Some(t.warm),
+                  tiebreak = Some((solo.tiebreak.toSeq :+ "batch_drift")
+                    .mkString("+")))
             case Some(solo) if !solo.failed =>
-              // the private fork CONFIRMED the batch number (came back
-              // slower): keep the batch measurement, record the solo
+              // the private re-fork CONFIRMED the first number (came back
+              // slower): keep the first measurement, record the retry
               // evidence instead of discarding it — warm/cold/runs still
-              // describe the batch here, so no batch_warm is stamped
-              t.copy(soloWarm = Some(solo.warm),
-                tiebreak = Some((t.tiebreak.toSeq :+ "batch_drift_confirmed")
-                  .mkString("+")))
-            case _ => t // solo fork died: keep the batch measurement
+              // describe the first fork here
+              if (heavyCase)
+                t.copy(otherForkWarm = Some(solo.warm),
+                  tiebreak = Some((t.tiebreak.toSeq :+ "heavy_drift_confirmed")
+                    .mkString("+")))
+              else
+                t.copy(soloWarm = Some(solo.warm),
+                  tiebreak = Some((t.tiebreak.toSeq :+ "batch_drift_confirmed")
+                    .mkString("+")))
+            case _ => t // retry fork died: keep the first measurement
           }
         } else t
       }
@@ -592,8 +643,14 @@ object Bench {
       // replaced (warm/cold/runs then describe the clean private fork);
       // solo_warm = the private fork's number when the retry CONFIRMED the
       // batch measurement instead (warm/cold/runs stay the batch numbers)
+      // other_fork_warm = the evidence number from a HEAVY entry's
+      // mandatory drift re-fork (warm>4s and >1.35x prior — round-18
+      // verdict #1): the displaced first-fork warm when the retry was
+      // adopted (tiebreak: heavy_drift), or the retry fork's warm when the
+      // first number was confirmed (tiebreak: heavy_drift_confirmed)
       val bw = t.batchWarm.map(b => f""", "batch_warm": $b%.3f""").getOrElse("") +
-        t.soloWarm.map(v => f""", "solo_warm": $v%.3f""").getOrElse("")
+        t.soloWarm.map(v => f""", "solo_warm": $v%.3f""").getOrElse("") +
+        t.otherForkWarm.map(v => f""", "other_fork_warm": $v%.3f""").getOrElse("")
       // position in the census family's shared fork (1 = first): the
       // first-position member pays the residual one-time streaming cost
       // (~0.3-1.0 s, round-18 interleaved A/B) - adjudicate a census
@@ -609,7 +666,7 @@ object Bench {
          |""".stripMargin).getOrElse("")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork (the four p-census stream entries share ONE fork, amortizing the one-time streaming machinery the same way batches amortize boot), the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift when the clean fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); batches are ordered by DESCENDING prior_warm (new entries first) so the budget switch lands on the cheap tail; past 60%% of the wall budget remaining entries run once (tiebreak: single_run; n_single_run in this header counts them), except that a single run exceeding 1.5x prior_warm earns one rescue run (tiebreak: single_run+gt_1.5x_prior, warm = min of the two) so austerity never records an obvious fork-boot artifact as warm; cache_hit = this run served every FixtureCache lookup from the persisted parquet; census_pos = the member's run position inside the census family's shared fork (position 1 carries ~0.3-1.0 s of residual one-time streaming cost — round-18 interleaved A/B — so adjudicate a census regression against its position first); raw per-run times in `runs`",
+         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork (the four p-census stream entries share ONE fork, amortizing the one-time streaming machinery the same way batches amortize boot), the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm, or > 1.35x prior for entries over 4 s (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift when the clean fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); any entry — isolated and census-shared included — whose warm exceeds 4 s AND 1.35x prior_warm earns a MANDATORY private re-fork (tiebreak: heavy_drift when the retry is adopted, heavy_drift_confirmed when the first number stands; the other fork's warm rides as other_fork_warm either way) so the board's most expensive rows can never keep an unadjudicated drifted number; batches are ordered by DESCENDING prior_warm (new entries first) so the budget switch lands on the cheap tail; past 60%% of the wall budget remaining entries run once (tiebreak: single_run; n_single_run in this header counts them), except that a single run exceeding 1.5x prior_warm earns one rescue run (tiebreak: single_run+gt_1.5x_prior, warm = min of the two) so austerity never records an obvious fork-boot artifact as warm; cache_hit = this run served every FixtureCache lookup from the persisted parquet; census_pos = the member's run position inside the census family's shared fork (position 1 carries ~0.3-1.0 s of residual one-time streaming cost — round-18 interleaved A/B — so adjudicate a census regression against its position first); raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}

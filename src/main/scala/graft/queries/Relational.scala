@@ -171,6 +171,34 @@ object Relational {
     // duplicate-insensitive). The exact NDV exists only to feed the
     // measured-evidence columns; the production plan keeps the sketch
     // alone, one narrow shuffle either way.
+    //
+    // Bench baseline note (round-18 verdict #4, evidence moved here from
+    // commit ca8069b): this is the only shared entry above 1.5x its r7
+    // warm (0.72 -> ~1.4 s) BECAUSE the body grew since r7 — the r7 form
+    // was the two approx aggregates alone; the exact-NDV evidence arm
+    // (the distinct-triples first level + exact counts + *_err_ppm
+    // columns) was added in round 9 and is the measured driver of the
+    // delta: an interleaved A/B at sf0.1 (graft.q10.evidence=0 keeps the
+    // production shape — approx_count_distinct straight over the stacked
+    // pairs, no distinct level; BenchScratch q10 variant) measured
+    // medians of 2.03 s with evidence vs 1.17 s sketch-only — the
+    // evidence arm is ~40-45% of the wall, the size of the r7→today gap
+    // (0.72 → ~1.4 s board warm). The evidence arm stays: the
+    // driver artifact showing the ACHIEVED error per flag is the round-9
+    // contract, and the production economics are documented rather than
+    // silently billed.
+    if (s.conf.getOption("graft.q10.evidence").contains("0"))
+      return lineitem(s, dir)
+        .select($"l_returnflag", explode(array(
+          struct(lit("orders").as("which"), $"l_orderkey".as("v")),
+          struct(lit("parts").as("which"), $"l_partkey".as("v")))).as("wv"))
+        .filter($"wv.v".isNotNull)
+        .groupBy($"l_returnflag", $"wv.which".as("which"))
+        .agg(approx_count_distinct($"wv.v").as("approx"))
+        .groupBy($"l_returnflag")
+        .agg(max(when($"which" === "orders", $"approx")).as("approx_orders"),
+          max(when($"which" === "parts", $"approx")).as("approx_parts"))
+        .orderBy($"l_returnflag")
     val stacked = lineitem(s, dir)
       .select($"l_returnflag", explode(array(
         struct(lit("orders").as("which"), $"l_orderkey".as("v")),

@@ -74,6 +74,11 @@ object BenchScratch {
           "probe-full" -> Map("graft.x10.probe" -> "full"),
           "probe-shingleprune" -> Map("graft.x10.probe" -> "pruned",
             "graft.x10.shingleprune" -> "1"))
+      else if (name.contains("q10_approx"))
+        // round-19: the exact-NDV evidence arm vs the sketch-only
+        // production shape (the r7 body) — the q10 re-baseline split
+        Seq("evidence" -> Map.empty[String, String],
+          "sketch-only" -> Map("graft.q10.evidence" -> "0"))
       else if (name.contains("winnow"))
         // round-15: per-doc codegen byte-offset selection vs windowed SQL
         Seq("expr" -> Map("graft.winnow.impl" -> "expr"),
