@@ -520,6 +520,15 @@ object Bench {
     // had no retry path at all), the one place where ~11 s of fork cost is
     // always cheaper than a drifted multi-second number feeding next
     // round's prior_warm.
+    // Round-19 drift-band adjudication (the r18 watch list): the six small
+    // regressions flagged at 1.41-1.49x their r17 warms (q42_window_funnel,
+    // p10_sessions, cdc_message_status, cdc_wire_latest, q21_array_fns,
+    // x1_span_removal) were re-measured in fresh-session board-regime
+    // batches: p10_sessions and q21_array_fns landed AT their r17 warms
+    // (0.71/0.22 s — pure drift), and q42_window_funnel swung 2.50 -> 1.31 s
+    // between same-session reps on unchanged code — the 30-60% late-session
+    // drift signature, not regressions. Plans untouched; the 1.5x batch
+    // retry remains their defense.
     val heavyRetryWarmS =
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_RETRY_WARM_S", "4").toDouble
     def heavyDrifted(t: Timing): Boolean =

@@ -126,6 +126,15 @@ object Dedup {
     IndexMaintenance.compactPartitionedIndex(spark, indexDir, "shab",
       _.toInt, maxFilesPerBucket)
 
+  /** Repair a digest-index compaction interrupted mid-swap — roll the
+    * staged swap forward from its staging manifest
+    * ([[IndexMaintenance.repairPartitionedIndex]]; run at pipeline
+    * startup, before any concurrent build/append/compact). Returns the
+    * number of partitions repaired (0 when there is nothing to do). */
+  def repairDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Int =
+    IndexMaintenance.repairPartitionedIndex(spark, indexDir)
+
   /** [[exactIncremental]] against the BUCKETED persisted digest index
     * (frame carrying its `shab` partition column): only the batch is
     * hashed, and the standing index is read PARTITION-PRUNED to the
@@ -667,6 +676,14 @@ object Dedup {
                           indexDir: String, maxFilesPerBucket: Int): Int =
     IndexMaintenance.compactPartitionedIndex(spark, indexDir, "bkb",
       _.toInt, maxFilesPerBucket)
+
+  /** Repair a band-index compaction interrupted mid-swap
+    * ([[repairDigestIndex]]'s band twin — the crash-recovery half of
+    * [[compactLshBandIndex]]'s contract, spec-pinned in
+    * IndexMaintenanceSpec). */
+  def repairLshBandIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String): Int =
+    IndexMaintenance.repairPartitionedIndex(spark, indexDir)
 
   /** INCREMENTAL near-dup ingest — X2's analog of [[exactIncremental]]:
     * classify each NEW document against the STANDING corpus's persisted

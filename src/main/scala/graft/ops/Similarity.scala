@@ -1084,6 +1084,15 @@ object Similarity {
     IndexMaintenance.compactPartitionedIndex(spark, path, "list",
       _.toLong, maxFilesPerList)
 
+  /** Repair an IVF-index compaction interrupted mid-swap — roll the
+    * staged swap forward from its staging manifest
+    * ([[IndexMaintenance.repairPartitionedIndex]]; run at pipeline
+    * startup, before any concurrent build/append/compact; serve-after-
+    * repair ≡ full rebuild spec-pinned in IndexMaintenanceSpec). */
+  def repairIvfIndexInt(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Int =
+    IndexMaintenance.repairPartitionedIndex(spark, path)
+
   /** Query the integer IVF index: probe selection against the broadcast
     * centroid codes, a partition-pruned read of exactly the probed lists
     * (the only driver step is collecting ≤ nLists probed ids), then exact
