@@ -436,7 +436,7 @@ object Bench {
   private final case class RunStats(wallS: Double, budgetS: Double,
                                     nIsolated: Int, nBatched: Int,
                                     nCensusShared: Int, nDriftRetries: Int,
-                                    nSingleRun: Int)
+                                    nHeavyRetries: Int, nSingleRun: Int)
   private var runStats: Option[RunStats] = None
 
   /** Tiered forked execution: isolated (streaming / heavy) entries one fork
@@ -531,6 +531,12 @@ object Bench {
     // retry remains their defense.
     val heavyRetryWarmS =
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_RETRY_WARM_S", "4").toDouble
+    // heavy retries draw from their OWN budget: "mandatory" must not be
+    // starvable by a run that already spent the batch-drift cap on cheap
+    // entries (the board has <10 entries over 4 s; 6 retries is ample)
+    val heavyRetryCap =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_RETRIES", "6").toInt
+    var heavyRetries = 0
     def heavyDrifted(t: Timing): Boolean =
       t.warm > heavyRetryWarmS && t.prior.exists(p => t.warm > p * 1.35)
     def drifted(t: Timing): Boolean = {
@@ -564,9 +570,11 @@ object Bench {
         // census fork, whose members the heavy clause still covers), so
         // the cheap-entry drift signatures don't apply
         val heavyCase = g.size == 1 && heavyDrifted(t)
-        if ((batchCase || heavyCase) && !singleRun &&
-            driftRetries < driftRetryCap) {
-          driftRetries += 1
+        val allowed =
+          if (heavyCase) heavyRetries < heavyRetryCap
+          else driftRetries < driftRetryCap
+        if ((batchCase || heavyCase) && !singleRun && allowed) {
+          if (heavyCase) heavyRetries += 1 else driftRetries += 1
           val kind = if (heavyCase) "heavy" else "batch"
           System.err.println(f"[bench] ${t.name} $kind warm ${t.warm}%.3f s " +
             s"looks drifted (prior ${t.prior.getOrElse(-1.0)}, runs " +
@@ -625,7 +633,8 @@ object Bench {
     // is min-of-2 but still came from the austerity window)
     val nSingleRun = buf.count(_.tiebreak.exists(_.contains("single_run")))
     runStats = Some(RunStats((System.nanoTime() - t0) / 1e9, budgetS,
-      solo.size, small.size, census.size, driftRetries, nSingleRun))
+      solo.size, small.size, census.size, driftRetries, heavyRetries,
+      nSingleRun))
     // restore the caller's name order so the artifact stays diff-stable
     val byName = buf.map(t => t.name -> t).toMap
     names.map(byName)
@@ -671,7 +680,7 @@ object Bench {
         f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs$taken$tb$bw$cp$cache$prior}"""
     }
     val header = runStats.map(s =>
-      f""" "wall_s": ${s.wallS}%.1f, "budget_s": ${s.budgetS}%.0f, "headroom_s": ${s.budgetS - s.wallS}%.1f, "n_isolated": ${s.nIsolated}, "n_batched": ${s.nBatched}, "n_census_shared": ${s.nCensusShared}, "n_drift_retries": ${s.nDriftRetries}, "n_single_run": ${s.nSingleRun},
+      f""" "wall_s": ${s.wallS}%.1f, "budget_s": ${s.budgetS}%.0f, "headroom_s": ${s.budgetS - s.wallS}%.1f, "n_isolated": ${s.nIsolated}, "n_batched": ${s.nBatched}, "n_census_shared": ${s.nCensusShared}, "n_drift_retries": ${s.nDriftRetries}, "n_heavy_retries": ${s.nHeavyRetries}, "n_single_run": ${s.nSingleRun},
          |""".stripMargin).getOrElse("")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
