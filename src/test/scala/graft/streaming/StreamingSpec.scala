@@ -1354,6 +1354,10 @@ class StreamingSpec extends SparkSpec {
         .outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           if (!batch.isEmpty) {
+            // the documented startup discipline: every night opens with the
+            // crash-recovery sweep, a no-op (0 repaired, no staging
+            // residue) whenever the previous night's compaction committed
+            assert(Dedup.repairDigestIndex(spark, idxDir) === 0)
             val b = batch.localCheckpoint()
             val c = Dedup.exactIncrementalBucketed(
               spark.read.parquet(idxDir), b, "text", "doc_id")
