@@ -97,6 +97,9 @@ class IndexMaintenanceSpec extends SparkSpec {
       // idempotent: nothing left to repair, nothing left to compact
       assert(IndexMaintenance.repairPartitionedIndex(spark, idx) === 0)
       assert(Dedup.compactLshBandIndex(spark, idx, maxFilesPerBucket = 1) === 0)
+      // the bucket-count sidecar survives the crash + repair + compact
+      // cycle (compaction/repair touch partition dirs, never root files)
+      assert(Dedup.readLshBandIndex(spark, idx)._2 === Dedup.LshIndexBuckets)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rebuilt))
