@@ -827,6 +827,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("empty-batch probes: a nightly with no new documents routes to an " +
+    "empty result through the bucketed probes (zero collected buckets -> " +
+    "empty literal IN), never an error") {
+    val band = java.nio.file.Files.createTempDirectory("lsh-idx-empty-").toString
+    val sha = java.nio.file.Files.createTempDirectory("sha-idx-empty-").toString
+    try {
+      val corpus = (1 to 10).map(i => (i.toLong, s"doc $i a$i b$i c$i d$i"))
+        .toDF("doc_id", "text")
+      val empty = corpus.limit(0)
+      Dedup.buildLshBandIndex(corpus, "text", "doc_id", band)
+      Dedup.buildDigestIndex(corpus, "text", sha)
+      assert(Dedup.lshIngestClassifyBucketed(
+        spark.read.parquet(band), empty, "text", "doc_id").count() === 0)
+      assert(Dedup.exactIncrementalBucketed(
+        spark.read.parquet(sha), empty, "text", "doc_id").count() === 0)
+      assert(Dedup.lshDiscoverVerifiedPairsBucketed(
+        spark.read.parquet(band),
+        Dedup.shingleCounts(corpus, "text", "doc_id", n = 3)
+          .select($"id", $"shingle"),
+        Dedup.shingleCounts(empty, "text", "doc_id", n = 3)
+          .select($"id", $"shingle"),
+        minJaccard = 0.3).count() === 0)
+      // a batch colliding in NO standing bucket (all-new content) keeps
+      // everything — the pruned seen-side is empty, not wrong
+      val novel = Seq((100L, "entirely novel content qq ww ee rr tt"))
+        .toDF("doc_id", "text")
+      val got = Dedup.exactIncrementalBucketed(
+          spark.read.parquet(sha), novel, "text", "doc_id")
+        .select($"doc_id", $"action")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got === Map(100L -> "keep"))
+    } finally {
+      Seq(band, sha).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
+
   test("lshIncrementalPortable: an UNBUCKETED (pre-round-18) index falls " +
     "back to the full-scan classify instead of failing on the missing " +
     "bkb column") {
