@@ -31,13 +31,17 @@ import scala.jdk.CollectionConverters._
   * DRIFTED (warm > 1.5× the committed prior, or monotonically degrading
   * runs — the shared-JVM GC-interaction signature round 14 measured on
   * cdc_join_maintain, [3.60, 7.87, 16.59] s on unchanged code) is
-  * re-measured in a private fork in the same run; the detail records both
-  * numbers (`batch_warm` + the clean fork's `warm`). Entries over 4 s that
-  * land above 1.35× their prior get that retry UNCONDITIONALLY — isolated
-  * forks included, which previously had no retry path (round-18 verdict
-  * #1: the two most expensive board entries landed at 1.477–1.498×, just
-  * under the 1.5× bar, and their possibly-drifted warms fed the next
-  * round's prior).
+  * re-measured in a private fork; the detail records both numbers
+  * (`batch_warm` + the clean fork's `warm`), and under budget contention
+  * the retries are spent MOST-EXPENSIVE-FIRST (round-19 verdict #1b).
+  * Entries over 4 s that land above their heavy ratio vs prior (1.2× for
+  * isolated forks — calibrated by two rounds of x10 near-misses just under
+  * the wider triggers — 1.35× for shared-JVM members) get a retry
+  * UNCONDITIONALLY from a separate heavy budget, whichever regime they ran
+  * in: round-18 verdict #1 added it for isolated forks, and round-19
+  * verdict #1a extended it to batched/census entries after x9_keepers —
+  * batched because isolation keys off its small PRIOR warm — kept a
+  * 13.9×-prior stall number that neither retry path could reach.
   *
   * Budget telemetry: the parent logs cumulative wall clock after every fork
   * so an overrun is visible in the driver log BEFORE the kill; past 60% of
@@ -239,6 +243,11 @@ object Bench {
     // (> warmCutoff) so one slow query can't double the bench wall time —
     // at that magnitude the one-time costs are noise anyway.
     val warmCutoff = sys.env.getOrElse("SPARK_GRAFT_WARM_CUTOFF_S", "90").toDouble
+    // the heavy-entry threshold, shared with the fork-level retry in
+    // [[runForked]] (round-19 ADVICE: the in-JVM trigger hardcoded 4 s, so
+    // overriding the env var desynchronized the two tiers of one policy)
+    val heavyWarmS =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_RETRY_WARM_S", "4").toDouble
     // Returns (elapsed seconds, succeeded). A failure's elapsed time is
     // fail-fast noise — the caller marks the Timing failed instead of
     // recording it as a measurement.
@@ -329,11 +338,19 @@ object Bench {
         // regression stays slow; transient machine state usually shakes
         // out), and the artifact records both numbers either way.
         val priorWarm = prior.get(name)
-        // heavy entries (>4 s) adjudicate at the tighter 1.35x (round-18
-        // verdict #1: 1.477-1.498x landings slipped under the 1.5x bar)
+        // heavy entries (> the fork-level retry threshold, same env knob so
+        // the two tiers of the policy can't desynchronize — round-19
+        // ADVICE) adjudicate at a tighter ratio than 1.5x (round-18
+        // verdict #1: 1.477-1.498x landings slipped under the 1.5x bar):
+        // 1.2x when this JVM runs a single entry (an isolated fork or a
+        // private re-fork, where the extra in-JVM run is the cheapest
+        // possible adjudication — round-19 verdict #3: x10_state_reps
+        // near-missed the 1.35x trigger two rounds running, by <=0.1),
+        // 1.35x in shared batches
+        val heavyRatio = if (names.size == 1) 1.2 else 1.35
         val runs: Seq[Double] =
           if (priorWarm.exists(p => runs0.min > p * 1.5 ||
-                (runs0.min > 4 && runs0.min > p * 1.35)) &&
+                (runs0.min > heavyWarmS && runs0.min > p * heavyRatio)) &&
               runs0.min <= warmCutoff && runs0.size > 1) {
             reasons :+= "gt_1.5x_prior"
             val (t4, ok4) = runOnce(name, fn)
@@ -537,8 +554,18 @@ object Bench {
     val heavyRetryCap =
       sys.env.getOrElse("SPARK_GRAFT_HEAVY_RETRIES", "6").toInt
     var heavyRetries = 0
-    def heavyDrifted(t: Timing): Boolean =
-      t.warm > heavyRetryWarmS && t.prior.exists(p => t.warm > p * 1.35)
+    // Ratio calibration (round-19 verdict #3): an ISOLATED entry's heavy
+    // retry fires at 1.2x prior — the x10 heavy entries near-missed the
+    // previous 1.35x trigger two rounds running (1.477-1.498x in r18 where
+    // the trigger was 1.5x, 1.26x in r19 under 1.35x), each time by less
+    // than the trigger's own margin, leaving possibly-drifted multi-second
+    // warms to feed the next round's prior. Batched and census-shared
+    // members keep 1.35x: their numbers also carry the 1.5x/monotone
+    // batch-drift defenses, and the shared-JVM regime has more benign
+    // sub-1.35x spread.
+    def heavyDrifted(t: Timing, isolated: Boolean): Boolean =
+      t.warm > heavyRetryWarmS &&
+        t.prior.exists(p => t.warm > p * (if (isolated) 1.2 else 1.35))
     def drifted(t: Timing): Boolean = {
       val vsPrior = t.prior.exists(p => t.warm > p * 1.5) && t.warm > 0.5
       // the monotone branch carries the same 0.5 s absolute floor as
@@ -548,8 +575,14 @@ object Bench {
       val monotone = t.runs.size >= 3 && t.warm > 0.5 &&
         t.runs.last > t.runs.head * 1.2 &&
         t.runs.sliding(2).forall(p => p(1) > p(0))
-      vsPrior || monotone || heavyDrifted(t)
+      vsPrior || monotone
     }
+    // Batch-drift candidates queue here and the shared budget is spent
+    // MOST-EXPENSIVE-FIRST after the measuring pass (round-19 verdict #1b:
+    // the old first-come spend let eight 1.3-2.5 s entries exhaust the cap
+    // before the board's 11.94 s worst case arrived in batch order).
+    val deferredDrift =
+      scala.collection.mutable.ArrayBuffer.empty[(Timing, Boolean)]
     groups.foreach { case (g, prewarm) =>
       val first0 = forkGroup(g, prior, singleRun, prewarm)
       // census-family members carry their RUN POSITION in the shared fork:
@@ -564,49 +597,47 @@ object Bench {
       else first0
       val (missing, ok0) = first.partition(_.failed)
       val ok = ok0.map { t =>
-        val batchCase = g.size > 1 && drifted(t)
-        // an isolated/census-shared entry only re-forks on the HEAVY
-        // condition — its first fork was already private (or the shared
-        // census fork, whose members the heavy clause still covers), so
-        // the cheap-entry drift signatures don't apply
-        val heavyCase = g.size == 1 && heavyDrifted(t)
-        val allowed =
-          if (heavyCase) heavyRetries < heavyRetryCap
-          else driftRetries < driftRetryCap
-        if ((batchCase || heavyCase) && !singleRun && allowed) {
-          if (heavyCase) heavyRetries += 1 else driftRetries += 1
-          val kind = if (heavyCase) "heavy" else "batch"
-          System.err.println(f"[bench] ${t.name} $kind warm ${t.warm}%.3f s " +
+        // The HEAVY condition is mandatory for ANY entry — isolated,
+        // census-shared, AND batched (round-19 verdict #1a: requiring
+        // g.size == 1 here left x9_keepers, batched because isolation keys
+        // off its 0.86 s PRIOR warm, unreachable by both retry paths while
+        // it carried an 11.94 s stall number). It draws from the heavy
+        // budget and stamps heavy_drift; a batched entry's displaced
+        // shared-JVM number rides as batch_warm exactly as the batch_drift
+        // path records it, an isolated/census entry's as other_fork_warm.
+        val heavyCase = heavyDrifted(t, isolated = g.size == 1)
+        if (heavyCase && !singleRun && heavyRetries < heavyRetryCap) {
+          heavyRetries += 1
+          System.err.println(f"[bench] ${t.name} heavy warm ${t.warm}%.3f s " +
             s"looks drifted (prior ${t.prior.getOrElse(-1.0)}, runs " +
             s"${t.runs.mkString("[", ",", "]")}); re-measuring in a private fork")
           forkGroup(Seq(t.name), prior, singleRun, prewarm).headOption match {
             case Some(solo) if !solo.failed && solo.warm <= t.warm =>
               // adopt the clean fork; the displaced number rides along
-              // (batch_warm for a polluted shared-JVM number, or
-              // other_fork_warm for a heavy entry's first private fork)
-              if (heavyCase)
-                solo.copy(otherForkWarm = Some(t.warm),
+              if (g.size > 1)
+                solo.copy(batchWarm = Some(t.warm),
                   tiebreak = Some((solo.tiebreak.toSeq :+ "heavy_drift")
                     .mkString("+")))
               else
-                solo.copy(batchWarm = Some(t.warm),
-                  tiebreak = Some((solo.tiebreak.toSeq :+ "batch_drift")
+                solo.copy(otherForkWarm = Some(t.warm),
+                  tiebreak = Some((solo.tiebreak.toSeq :+ "heavy_drift")
                     .mkString("+")))
             case Some(solo) if !solo.failed =>
               // the private re-fork CONFIRMED the first number (came back
               // slower): keep the first measurement, record the retry
               // evidence instead of discarding it — warm/cold/runs still
               // describe the first fork here
-              if (heavyCase)
-                t.copy(otherForkWarm = Some(solo.warm),
-                  tiebreak = Some((t.tiebreak.toSeq :+ "heavy_drift_confirmed")
-                    .mkString("+")))
-              else
-                t.copy(soloWarm = Some(solo.warm),
-                  tiebreak = Some((t.tiebreak.toSeq :+ "batch_drift_confirmed")
-                    .mkString("+")))
+              t.copy(otherForkWarm = Some(solo.warm),
+                tiebreak = Some((t.tiebreak.toSeq :+ "heavy_drift_confirmed")
+                  .mkString("+")))
             case _ => t // retry fork died: keep the first measurement
           }
+        } else if (g.size > 1 && drifted(t) && !singleRun) {
+          // batched entry with a drift signature: queue it for the shared
+          // budget's most-expensive-first pass after the loop (a heavy
+          // entry only lands here when the heavy budget is spent — the
+          // drift budget is then its fallback, as before round 19)
+          deferredDrift += ((t, prewarm)); t
         } else t
       }
       buf ++= ok
@@ -627,16 +658,52 @@ object Bench {
           f"$budgetS%.0f s - remaining forks switch to single-run mode")
       }
     }
+    // Spend the shared batch-drift budget MOST-EXPENSIVE-FIRST over the
+    // queued candidates (round-19 verdict #1b): the entries where a
+    // drifted number costs the board most adjudicate first, and only then
+    // the cheap tail — under contention the 11.94 s case wins the budget
+    // over the 1.3 s ones instead of losing it to batch arrival order.
+    val driftRetried = scala.collection.mutable.Map.empty[String, Timing]
+    val driftQueue = deferredDrift.sortBy { case (t, _) => -t.warm }
+    driftQueue.foreach { case (t, prewarm) =>
+      if (singleRun || driftRetries >= driftRetryCap) {
+        System.err.println(f"[bench] ${t.name} batch warm ${t.warm}%.3f s " +
+          "looks drifted but the drift budget is spent " +
+          s"(${driftRetries}/$driftRetryCap used, singleRun=$singleRun)")
+      } else {
+        driftRetries += 1
+        System.err.println(f"[bench] ${t.name} batch warm ${t.warm}%.3f s " +
+          s"looks drifted (prior ${t.prior.getOrElse(-1.0)}, runs " +
+          s"${t.runs.mkString("[", ",", "]")}); re-measuring in a private fork")
+        forkGroup(Seq(t.name), prior, singleRun, prewarm).headOption match {
+          case Some(solo) if !solo.failed && solo.warm <= t.warm =>
+            // adopt the clean fork; the polluted shared-JVM number rides
+            // along as batch_warm
+            driftRetried(t.name) = solo.copy(batchWarm = Some(t.warm),
+              tiebreak = Some((solo.tiebreak.toSeq :+ "batch_drift")
+                .mkString("+")))
+          case Some(solo) if !solo.failed =>
+            // the fork CONFIRMED the batch number: keep it, record the
+            // fork's warm as the retry evidence
+            driftRetried(t.name) = t.copy(soloWarm = Some(solo.warm),
+              tiebreak = Some((t.tiebreak.toSeq :+ "batch_drift_confirmed")
+                .mkString("+")))
+          case _ => () // retry fork died: keep the first measurement
+        }
+      }
+    }
     // the artifact declares its own blind spots (round-16 verdict #1c):
     // how many entries were measured in the degraded single-run regime
     // (a rescued entry — single_run+gt_1.5x_prior — counts too: its warm
     // is min-of-2 but still came from the austerity window)
-    val nSingleRun = buf.count(_.tiebreak.exists(_.contains("single_run")))
+    val finalTimings = buf.map(t => driftRetried.getOrElse(t.name, t))
+    val nSingleRun =
+      finalTimings.count(_.tiebreak.exists(_.contains("single_run")))
     runStats = Some(RunStats((System.nanoTime() - t0) / 1e9, budgetS,
       solo.size, small.size, census.size, driftRetries, heavyRetries,
       nSingleRun))
     // restore the caller's name order so the artifact stays diff-stable
-    val byName = buf.map(t => t.name -> t).toMap
+    val byName = finalTimings.map(t => t.name -> t).toMap
     names.map(byName)
   }
 
@@ -647,6 +714,25 @@ object Bench {
   /** Full per-query record — the artifact the bounded tail cannot clip. */
   private def writeDetail(path: String, results: Seq[Timing],
                           total: Double, sfDir: String): Unit = {
+    // Stall self-declaration (round-19 verdict #4): r19's artifact forced
+    // the judge to infer machine stalls from raw run vectors (a 53.7 s
+    // run-2 on a 3.9 s entry). An entry whose observed numbers — its own
+    // runs plus any displaced/retry-fork warms — span more than
+    // STALL_RATIO x (default 5x) AND more than MIN_SPREAD seconds
+    // (default 2 s, so a tiny entry's cold-vs-warm codegen gap can't
+    // masquerade as a machine stall) carries `stall: true`, and the header
+    // counts them, the same self-identification n_single_run gives the
+    // austerity regime.
+    val stallRatio = sys.env.getOrElse("SPARK_GRAFT_STALL_RATIO", "5").toDouble
+    val stallSpreadS =
+      sys.env.getOrElse("SPARK_GRAFT_STALL_MIN_SPREAD_S", "2").toDouble
+    def stalled(t: Timing): Boolean = {
+      val vals = t.runs ++ t.batchWarm.toSeq ++ t.soloWarm.toSeq ++
+        t.otherForkWarm.toSeq
+      vals.size >= 2 && vals.min > 0 &&
+        vals.max > vals.min * stallRatio && vals.max - vals.min > stallSpreadS
+    }
+    val nStalled = results.count(t => !t.failed && stalled(t))
     val rows = results.map { t =>
       val runs = t.runs.map(v => f"$v%.3f").mkString("[", ", ", "]")
       val cache = t.cacheHit.map(h => s""", "cache_hit": $h""").getOrElse("")
@@ -674,17 +760,19 @@ object Bench {
       // (~0.3-1.0 s, round-18 interleaved A/B) - adjudicate a census
       // regression against its position before suspecting the plan
       val cp = t.censusPos.map(x => s""", "census_pos": $x""").getOrElse("")
+      // the in-run stall flag — see `stalled` above
+      val st = if (!t.failed && stalled(t)) s""", "stall": true""" else ""
       if (t.failed)
         f"""  "${t.name}": {"failed": true, "elapsed": ${t.warm}%.3f, "runs": $runs}"""
       else
-        f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs$taken$tb$bw$cp$cache$prior}"""
+        f"""  "${t.name}": {"cold": ${t.cold}%.3f, "warm": ${t.warm}%.3f, "runs": $runs$taken$tb$bw$cp$st$cache$prior}"""
     }
     val header = runStats.map(s =>
-      f""" "wall_s": ${s.wallS}%.1f, "budget_s": ${s.budgetS}%.0f, "headroom_s": ${s.budgetS - s.wallS}%.1f, "n_isolated": ${s.nIsolated}, "n_batched": ${s.nBatched}, "n_census_shared": ${s.nCensusShared}, "n_drift_retries": ${s.nDriftRetries}, "n_heavy_retries": ${s.nHeavyRetries}, "n_single_run": ${s.nSingleRun},
+      f""" "wall_s": ${s.wallS}%.1f, "budget_s": ${s.budgetS}%.0f, "headroom_s": ${s.budgetS - s.wallS}%.1f, "n_isolated": ${s.nIsolated}, "n_batched": ${s.nBatched}, "n_census_shared": ${s.nCensusShared}, "n_drift_retries": ${s.nDriftRetries}, "n_heavy_retries": ${s.nHeavyRetries}, "n_single_run": ${s.nSingleRun}, "n_stalled": $nStalled,
          |""".stripMargin).getOrElse("")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork (the four p-census stream entries share ONE fork, amortizing the one-time streaming machinery the same way batches amortize boot), the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm, or > 1.35x prior for entries over 4 s (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically is re-measured in a private fork in the same run (tiebreak: batch_drift when the clean fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); any entry — isolated and census-shared included — whose warm exceeds 4 s AND 1.35x prior_warm earns a MANDATORY private re-fork (tiebreak: heavy_drift when the retry is adopted, heavy_drift_confirmed when the first number stands; the other fork's warm rides as other_fork_warm either way) so the board's most expensive rows can never keep an unadjudicated drifted number; batches are ordered by DESCENDING prior_warm (new entries first) so the budget switch lands on the cheap tail; past 60%% of the wall budget remaining entries run once (tiebreak: single_run; n_single_run in this header counts them), except that a single run exceeding 1.5x prior_warm earns one rescue run (tiebreak: single_run+gt_1.5x_prior, warm = min of the two) so austerity never records an obvious fork-boot artifact as warm; cache_hit = this run served every FixtureCache lookup from the persisted parquet; census_pos = the member's run position inside the census family's shared fork (position 1 carries ~0.3-1.0 s of residual one-time streaming cost — round-18 interleaved A/B — so adjudicate a census regression against its position first); raw per-run times in `runs`",
+         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork (the four p-census stream entries share ONE fork, amortizing the one-time streaming machinery the same way batches amortize boot), the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm, or > 1.35x prior for entries over 4 s (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically queues for the shared drift budget, which is spent MOST-EXPENSIVE-FIRST after the measuring pass — under contention the board's worst drifted number wins the budget instead of losing it to batch arrival order (tiebreak: batch_drift when the clean private fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); any entry — isolated, census-shared, AND batched — whose warm exceeds 4 s AND its heavy ratio vs prior_warm (1.2x for isolated entries, whose two prior rounds of near-misses calibrated the trigger; 1.35x for shared-JVM members, which also carry the batch-drift defenses) earns a MANDATORY private re-fork from its OWN budget (tiebreak: heavy_drift when the retry is adopted — the displaced number rides as batch_warm for a shared-JVM first measurement, other_fork_warm for a private one; heavy_drift_confirmed when the first number stands, the retry fork's warm as other_fork_warm) so the board's most expensive rows can never keep an unadjudicated drifted number, whichever regime they ran in; batches are ordered by DESCENDING prior_warm (new entries first) so the budget switch lands on the cheap tail; past 60%% of the wall budget remaining entries run once (tiebreak: single_run; n_single_run in this header counts them), except that a single run exceeding 1.5x prior_warm earns one rescue run (tiebreak: single_run+gt_1.5x_prior, warm = min of the two) so austerity never records an obvious fork-boot artifact as warm; stall: true marks an entry whose observed numbers (runs + displaced/retry warms) span >5x AND >2 s — an in-run machine stall self-identified in the artifact (n_stalled counts them) instead of left for the reader to infer from run vectors; cache_hit = this run served every FixtureCache lookup from the persisted parquet; census_pos = the member's run position inside the census family's shared fork (position 1 carries ~0.3-1.0 s of residual one-time streaming cost — round-18 interleaved A/B — so adjudicate a census regression against its position first); raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}
