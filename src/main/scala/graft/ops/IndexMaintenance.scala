@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions.col
   * parquet reads ignore it), and append/probe REQUIRE it to match, failing
   * loudly on mismatch. A pre-sidecar (round-18) index gets best-effort
   * validation — every existing partition value must fall in [0, nBuckets)
-  * — and is upgraded with a sidecar on its next append. The IVF family's
+  * — and STAYS sidecar-less until an explicit rebuild: best-effort
+  * validation cannot prove a smaller-modulus build, so recording its
+  * assumed count would certify exactly what it cannot verify (round-19
+  * ADVICE). The IVF family's
   * partition values are centroid ids, not a modulus; its coordination
   * contract is the centroid array the caller holds, so it carries no
   * sidecar. */
@@ -120,14 +123,28 @@ private[ops] object IndexMaintenance {
                             nBuckets: Option[Int] = None,
                             onePerPartition: Boolean = true): Unit = {
     val spark = rows.sparkSession
+    // Legacy-append posture (round-19 ADVICE): an append onto a
+    // pre-sidecar index only validates the bucket contract BEST-EFFORT
+    // (every partition value in [0, nBuckets) — a build under a SMALLER
+    // modulus is unprovable from directories alone), so writing a sidecar
+    // after such an append would record an UNPROVEN count as the layout's
+    // source of truth and make a silent mixed-modulus misclassification
+    // permanent and confidently certified. Only a build (overwrite)
+    // records the count; an append REFRESHES an existing sidecar but never
+    // creates one — adopting the contract on a legacy index requires an
+    // explicit rebuild.
+    val hadSidecar = !overwrite && nBuckets.isDefined &&
+      readBucketMeta(spark, dir).isDefined
     if (!overwrite)
       nBuckets.foreach(requireBucketMeta(spark, dir, partCol, _, "append"))
     val out = if (onePerPartition) rows.repartition(col(partCol)) else rows
     out.write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy(partCol).parquet(dir)
-    // after the data write: an overwrite clears the directory first, and a
-    // legacy append upgrades the index with the sidecar it predates
-    nBuckets.foreach(writeBucketMeta(spark, dir, partCol, _))
+    // after the data write: an overwrite clears the directory first (the
+    // build is the count's source of truth), a sidecar-carrying append
+    // re-records the verified-matching count
+    if (overwrite || hadSidecar)
+      nBuckets.foreach(writeBucketMeta(spark, dir, partCol, _))
   }
 
   /** The shared bounded pruned probe: collect the batch's DISTINCT bucket
@@ -287,6 +304,12 @@ private[ops] object IndexMaintenance {
     val root = new Path(path)
     val fs = fsFor(spark, root)
     val parent = root.getParent
+    // Fresh-deployment guard (round-19 ADVICE): the documented discipline
+    // is to run this sweep at every pipeline startup — on a FIRST-EVER
+    // startup the index (and possibly its parent directory) does not exist
+    // yet, and the parent listing below would throw FileNotFoundException
+    // instead of reporting "nothing to repair".
+    if (parent == null || !fs.exists(parent)) return 0
     val stagePrefix = s"${root.getName}.compact-staging-"
     val stagings = fs.listStatus(parent)
       .filter(d => d.isDirectory && d.getPath.getName.startsWith(stagePrefix))

@@ -19,10 +19,15 @@ object ScanStats {
     * bounded bucket collect), so it is already resolved at this stage. */
   def indexScanFootprint(df: DataFrame, dir: String): (Long, Long) = {
     val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    // path-equality or a separator-bounded prefix — a raw startsWith would
+    // wrongly count a sibling dir sharing the prefix, /tmp/idx2 under
+    // /tmp/idx (round-19 ADVICE)
+    def under(p: String): Boolean =
+      p == root || p.startsWith(root + java.io.File.separator)
     val scans = df.queryExecution.sparkPlan.collectWithSubqueries {
       case s: FileSourceScanExec
           if s.relation.location.rootPaths.exists(
-            _.toUri.getPath.startsWith(root)) => s
+            rp => under(rp.toUri.getPath)) => s
     }
     require(scans.nonEmpty, s"no parquet scan rooted under $dir in the plan")
     (scans.map(_.selectedPartitions.totalNumberOfFiles).sum,

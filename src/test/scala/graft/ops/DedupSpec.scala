@@ -754,7 +754,16 @@ class DedupSpec extends SparkSpec {
       assert(e3.getMessage.contains("outside [0, 8)"))
       // no-sidecar readers fail loudly rather than guessing a modulus
       intercept[IllegalArgumentException](Dedup.readLshBandIndex(spark, legacy))
-    } finally {
+      // a legacy append that PASSES best-effort validation (its modulus
+      // matches the layout) must NOT mint a sidecar: best-effort cannot
+      // prove a smaller-modulus build, so recording the assumed count
+      // would certify what it cannot verify — the index stays legacy
+      // until an explicit rebuild (round-19 ADVICE)
+      Dedup.appendLshBandIndex(docs.filter($"doc_id" === 5L), "text",
+        "doc_id", legacy) // default nBuckets = 32, matches the 32 build
+      assert(IndexMaintenance.readBucketMeta(spark, legacy).isEmpty,
+        "append minted a sidecar from best-effort-only validation")
+      intercept[IllegalArgumentException](Dedup.readLshBandIndex(spark, legacy))
       Seq(band, sha, legacy).foreach(d =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }

@@ -153,6 +153,23 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("fresh-deployment startup sweep: repair on a not-yet-created index " +
+    "(and a not-yet-created parent dir) reports nothing to repair instead " +
+    "of throwing") {
+    val base = java.nio.file.Files.createTempDirectory("repair-fresh-").toString
+    try {
+      // the documented discipline runs the sweep at EVERY pipeline
+      // startup; on the first-ever startup neither the index nor (for a
+      // nested layout) its parent exists yet (round-19 ADVICE)
+      assert(IndexMaintenance.repairPartitionedIndex(spark,
+        s"$base/nested/never-built-idx") === 0)
+      assert(IndexMaintenance.repairPartitionedIndex(spark,
+        s"$base/never-built-idx") === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("a manifest-less staging dir (pre-rename crash) is swept with the " +
     "standing index untouched") {
     val idx = java.nio.file.Files.createTempDirectory("lsh-idx-sweep-").toString
