@@ -726,7 +726,20 @@ object CurationQueries {
     * the cluster state. The oracle re-derives the full map from raw text
     * (exact-dedup survivors → pair graph → connected components → min
     * label per doc, self when unclustered), so the incremental relabel
-    * must land the IDENTICAL map the batch pipeline would recompute. */
+    * must land the IDENTICAL map the batch pipeline would recompute.
+    *
+    * Round-20 close-out of the two-round heavy-trigger near-miss watch
+    * (r18 6.35 s at 1.48x prior under the then-1.5x bar; r19 8.01 s at
+    * 1.26x under the 1.35x bar — each miss smaller than the trigger's own
+    * margin): four interleaved board-regime forks this round measured
+    * [8.50, 7.54, 6.80, 6.31] — descending with session warmup toward the
+    * builder's standing clean band (~5.5-6.4 s) on a box whose unchanged
+    * controls ran 1.4-1.5x their r19 warms, so no code movement (the plan
+    * is untouched since r18). The structural close is in Bench.scala:
+    * ISOLATED entries' heavy retry now fires at 1.2x prior (and the
+    * in-JVM extra-run tier at the same ratio), so a third near-miss in
+    * this band is no longer possible — the trigger now sits below the
+    * drift amplitudes this entry has actually exhibited. */
   def x10_state_reps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val delta = documents(s, dir).crossJoin(x10Threshold(s, dir))
