@@ -105,13 +105,20 @@ object CdcApply {
   def maintainCounts(events: DataFrame, attr: String,
                      pkCol: String = "id"): DataFrame = {
     // project to scalars BEFORE the identity dedup: the exchange then
-    // carries 7 narrow columns instead of the full data/old_data maps
+    // carries 7 narrow columns instead of the full data/old_data maps.
+    // distinct() over the whole projection, not dropDuplicates on the
+    // identity columns: a redelivered event is byte-identical (the
+    // one-image-per-(key, op)-per-commit contract above), so __new/__old
+    // are functions of the identity and the row set is the same — but
+    // dropDuplicates would hold them in first() aggregates whose STRING
+    // buffers force a SortAggregate pair, where all-columns grouping
+    // hash-aggregates with map-side partials (round-20 plan audit).
     val deduped = events.select(
         col("database"), col("table"), col("op"), col("timestamp"),
         element_at(col("data"), pkCol).as("__pk"),
         element_at(col("data"), attr).as("__new"),
         element_at(col("old_data"), attr).as("__old"))
-      .dropDuplicates(Seq("database", "table", "op", "timestamp", "__pk"))
+      .distinct()
     // three delta branches read ONE materialization: without it the
     // per-branch op filters push into the dedup subtrees, the canonical
     // plans diverge, exchange reuse dies, and the input is scanned and
@@ -168,7 +175,10 @@ object CdcApply {
           element_at(col("data"), groupCol)).as("__gOld"),
         coalesce(element_at(col("old_data"), measureCol),
           element_at(col("data"), measureCol)).cast("long").as("__mOld"))
-      .dropDuplicates(Seq("database", "table", "op", "timestamp", "__pk"))
+      // all-columns distinct, not keyed dropDuplicates: same row set under
+      // the redelivery contract, HashAggregate instead of the SortAggregate
+      // that first(__g: string) would force (see maintainCounts)
+      .distinct()
     // one materialization for the three delta branches (see
     // maintainCounts — pushed filters otherwise triple the scan+shuffle;
     // streaming plans can't checkpoint, the micro-batch engine owns it)
@@ -238,11 +248,21 @@ object CdcApply {
     // net effect of the batch per fact pk: logical-identity dedup (the
     // maintainCounts redelivery rule), then latest image per pk
     def batchLatest(events: DataFrame, valCols: Map[String, Column]): DataFrame = {
+      // logical-identity collapse as a groupBy over identity + values with
+      // min(offset), not dropDuplicates on the identity alone: the payload
+      // values are functions of the identity (redelivery ships the same
+      // image, possibly at a NEW coordinate), so the groups ARE the
+      // identities — but this shape hash-aggregates with a long buffer and
+      // keeps a DETERMINISTIC offset where dropDuplicates held the values
+      // in first() aggregates (string payloads force SortAggregate) and an
+      // arbitrary offset (round-20 plan audit)
       val projected = events.select(
         Seq(col("op"), col("offset"), unix_millis(col("timestamp")).as("es_ms"),
           element_at(col("data"), pkCol).cast("bigint").as("pk")) ++
           valCols.map { case (n, c) => c.as(n) }: _*)
-        .dropDuplicates(Seq("op", "es_ms", "pk"))
+        .groupBy(Seq(col("op"), col("es_ms"), col("pk")) ++
+          valCols.keys.toSeq.sorted.map(col): _*)
+        .agg(min(col("offset")).as("offset"))
       val w = Window.partitionBy(col("pk"))
         .orderBy(col("es_ms").desc, col("offset").desc)
       projected.withColumn("__rn", row_number().over(w))
@@ -326,7 +346,15 @@ object CdcApply {
         unix_millis(col("timestamp")).as("es_ms"),
         element_at(col("data"), pkCol).as("pk"),
         element_at(col("data"), attr).as("__v"))
-      .dropDuplicates(Seq("database", "table", "op", "es_ms", "pk"))
+      // identity collapse via groupBy(identity + __v) + min(offset): __v is
+      // a function of the identity (redelivery ships the same image, even
+      // at a new coordinate — CdcApplySpec pins that case), so this is the
+      // same one-row-per-identity set with a DETERMINISTIC offset, and the
+      // plan is a hash aggregate instead of the SortAggregate that
+      // first(__v: string) forced (round-20 plan audit)
+      .groupBy(col("database"), col("table"), col("op"), col("es_ms"),
+        col("pk"), col("__v"))
+      .agg(min(col("offset")).as("offset"))
 
   /** The SCD2 timeline pass over a projected event frame
     * (database, table, op, offset, es_ms, pk, __v): boundary detection,
@@ -453,7 +481,12 @@ object CdcApply {
         element_at(col("data"), pkCol).cast("bigint").as("pk"),
         element_at(col("data"), groupCol).as("g_new"),
         element_at(col("data"), measureCol).cast("bigint").as("m_new"))
-      .dropDuplicates(Seq("op", "es_ms", "pk"))
+      // identity collapse via groupBy(identity + values) + min(offset) —
+      // same row set (values are functions of the identity), deterministic
+      // offset, HashAggregate instead of first(g_new: string)'s
+      // SortAggregate (see scd2Project; round-20 plan audit)
+      .groupBy(col("op"), col("es_ms"), col("pk"), col("g_new"), col("m_new"))
+      .agg(min(col("offset")).as("offset"))
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .localCheckpoint(false) // touched-set, post-snapshot, dirty all read it
     val touched = net.select(col("pk"))

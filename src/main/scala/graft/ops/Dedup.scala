@@ -798,8 +798,22 @@ object Dedup {
       .join(other.select(col("band"), col("band_key"),
         col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "band_key"))
       .filter(cond)
-      .dropDuplicates("id_a", "id_b") // multi-band collisions count once
+      // agree BEFORE the pair dedup, then project to the bare id pair:
+      // `agree` depends only on (sig_a, sig_b), which are per-doc constants
+      // carried on every band row, so every multi-band collision row of a
+      // pair passes or fails identically and filter-then-dedup ≡
+      // dedup-then-filter. Order matters for the PLAN, not the result:
+      // deduping first kept sig_a/sig_b alive through first() aggregates
+      // whose ARRAY buffers HashAggregate cannot hold, forcing a
+      // SortAggregate pair (sort both sides of the exchange, 16-element
+      // array payloads on the wire); this way the dedup exchange carries
+      // two longs and hash-aggregates with map-side partials, and the
+      // agree compare is 16 codegen'd int compares per collision row —
+      // cheap where the editDistance1Pairs confirm (levenshtein) was not
+      // (round-20 plan audit; plans/r20).
       .filter(agree >= minAgree)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b") // multi-band collisions count once
       .groupBy(col("id_a")).agg(count(lit(1)).as("n"))
     val vsCorpus = matchCounts(corpusBands, lit(true))
     val withinBatch = matchCounts(batchBands, col("id_b") < col("id_a"))
@@ -1534,23 +1548,33 @@ object Dedup {
          |       ELSE concat(substring($strCol, 1, i - 1), substring($strCol, i + 1)) END)
          |""".stripMargin)
     val keyed = df
-      .select(col(idCol).as("id"), col(strCol).as("s"),
+      .select(col(idCol).as("id"),
         explode(array_distinct(variants)).as("variant"))
-      .select(col("id"), col("s"), xxhash64(col("variant")).as("variant_h"))
-    val a = keyed.select(col("variant_h"), col("id").as("id_a"), col("s").as("s_a"))
-    val b = keyed.select(col("variant_h"), col("id").as("id_b"), col("s").as("s_b"))
+      .select(col("id"), xxhash64(col("variant")).as("variant_h"))
+    val a = keyed.select(col("variant_h"), col("id").as("id_a"))
+    val b = keyed.select(col("variant_h"), col("id").as("id_b"))
+    // the (id, s) lookup the confirm re-attaches strings from — a plain
+    // re-scan of the input, no explode
+    val names = df.select(col(idCol).as("id"), col(strCol).as("s"))
     a.join(b, Seq("variant_h"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       // dedup BEFORE the confirm: a candidate pair surfaces once per shared
       // variant key — up to L+2 times for a true pair, and repeatedly for
       // the distance-2 impostors the neighborhood admits — so confirming
       // first multiplies the levenshtein work by that key-overlap factor.
-      // Measured at sf0.1: confirm-first 5.13 s vs dedup-first 2.87 s
-      // (the round-13 "smaller exchange" theory lost — dropDuplicates'
-      // map-side partial aggregation already collapses the duplicate
-      // candidates before the wire, so the string-bearing exchange is
-      // ~|distinct pairs| either way and the CPU saving dominates).
+      // Measured at sf0.1: confirm-first 5.13 s vs dedup-first 2.87 s.
+      // The dedup itself runs over the BARE id pair (round 20): carrying
+      // s_a/s_b through it forced first(string) aggregates HashAggregate
+      // cannot buffer — a SortAggregate pair — and the all-columns-
+      // distinct alternative hash-aggregates but ships and hashes the
+      // strings per candidate row (measured slower: 4.45 s vs 3.40 s
+      // board-regime at sf0.1); deduping two longs and re-attaching the
+      // strings to the ~|distinct pairs| survivors via the (id, s) lookup
+      // keeps the exchange narrow AND the aggregate hash-based.
       .dropDuplicates("id_a", "id_b")
+      .join(names.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .filter(levenshtein(col("s_a"), col("s_b")) === 1)
       .select("id_a", "id_b")
   }
