@@ -117,13 +117,25 @@ object GraftExtensions {
       // cost of this route; the binding trick removes the recomputation
       // while keeping every term and fold order bit-identical, so the
       // DuckDB oracle is untouched)
+      // single sorted run-length fold, mirroring TextOps.wordEntropyArr's
+      // round-20 form: the same terms in the same sorted-distinct order
+      // (bit-identical sum), one pass instead of a filter() rescan per
+      // distinct word
       """CREATE OR REPLACE TEMPORARY FUNCTION word_entropy(t STRING)
         |RETURNS DOUBLE RETURN
         |element_at(transform(array(split(t, ' ')), ws ->
-        |  round(aggregate(transform(array_sort(array_distinct(ws)), d ->
-        |    -(CAST(size(filter(ws, x -> x = d)) AS DOUBLE) / size(ws))
-        |      * log2(CAST(size(filter(ws, x -> x = d)) AS DOUBLE) / size(ws))),
-        |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) + 0.0, 4)), 1)""".stripMargin,
+        |  round(aggregate(array_sort(ws),
+        |    named_struct('prev', '', 'run', 0, 'sum', CAST(0.0 AS DOUBLE)),
+        |    (acc, w) -> CASE
+        |      WHEN acc.run = 0 THEN named_struct('prev', w, 'run', 1, 'sum', acc.sum)
+        |      WHEN w = acc.prev THEN
+        |        named_struct('prev', acc.prev, 'run', acc.run + 1, 'sum', acc.sum)
+        |      ELSE named_struct('prev', w, 'run', 1, 'sum', acc.sum +
+        |        (-(CAST(acc.run AS DOUBLE) / size(ws))
+        |          * log2(CAST(acc.run AS DOUBLE) / size(ws)))) END,
+        |    acc -> CASE WHEN acc.run = 0 THEN acc.sum ELSE acc.sum +
+        |      (-(CAST(acc.run AS DOUBLE) / size(ws))
+        |        * log2(CAST(acc.run AS DOUBLE) / size(ws))) END) + 0.0, 4)), 1)""".stripMargin,
       """CREATE OR REPLACE TEMPORARY FUNCTION repetition_ratio(t STRING)
         |RETURNS DOUBLE RETURN
         |element_at(transform(array(split(t, ' ')), ws ->

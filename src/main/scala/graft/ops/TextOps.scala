@@ -111,11 +111,35 @@ object TextOps {
     * the single-word `-0.0` case before rounding. */
   def wordEntropyArr(words: Column): Column = {
     val n = size(words).cast("double")
-    val terms = transform(array_sort(array_distinct(words)), w => {
-      val p = size(filter(words, x => x === w)).cast("double") / n
+    // ONE O(n log n) pass (round 20): sort the words and fold runs of equal
+    // words, emitting each run's term at its boundary. The former
+    // transform/filter form rescanned the array per DISTINCT word
+    // (`filter(words, x === w)` — O(d·n) with an array allocation per
+    // term, all interpreted: higher-order functions don't codegen), which
+    // made the per-doc cost quadratic-ish in document length. The fold
+    // visits the same distinct words in the same sorted order and adds the
+    // same IEEE terms in the same sequence, so the result is BIT-IDENTICAL
+    // (oracle-checked) — only the element count collapses from d·n to n.
+    def term(run: Column): Column = {
+      val p = run.cast("double") / n
       -p * log2(p)
-    })
-    round(aggregate(terms, lit(0.0), (acc, t) => acc + t) + lit(0.0), 4)
+    }
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0.0).as("sum"))
+    val folded = aggregate(array_sort(words), zero,
+      (acc, w) => {
+        val prev = acc.getField("prev")
+        val run = acc.getField("run")
+        val sum = acc.getField("sum")
+        // run == 0 marks the fold's start (prev is not a real word yet)
+        when(run === 0, struct(w.as("prev"), lit(1).as("run"), sum.as("sum")))
+          .when(w === prev,
+            struct(prev.as("prev"), (run + 1).as("run"), sum.as("sum")))
+          .otherwise(struct(w.as("prev"), lit(1).as("run"),
+            (sum + term(run)).as("sum")))
+      },
+      acc => when(acc.getField("run") === 0, acc.getField("sum"))
+        .otherwise(acc.getField("sum") + term(acc.getField("run"))))
+    round(folded + lit(0.0), 4)
   }
 
   def wordEntropy(text: Column): Column = wordEntropyArr(split(text, " "))
@@ -140,12 +164,30 @@ object TextOps {
     * oracle. */
   def crossEntropyArr(words: Column, model: Column, total: Column): Column = {
     val n = size(words).cast("double")
-    val terms = transform(array_sort(array_distinct(words)), w => {
-      val p = size(filter(words, x => x === w)).cast("double") / n
+    // same single sorted run-length fold as [[wordEntropyArr]] (round 20) —
+    // identical terms in identical order, one model lookup per DISTINCT
+    // word at its run boundary instead of a filter() rescan per word
+    def term(run: Column, w: Column): Column = {
+      val p = run.cast("double") / n
       val cnt = coalesce(element_at(model, w).cast("double"), lit(0.5))
       p * log(total.cast("double") / cnt)
-    })
-    round(aggregate(terms, lit(0.0), (acc, t) => acc + t) + lit(0.0), 4)
+    }
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0.0).as("sum"))
+    val folded = aggregate(array_sort(words), zero,
+      (acc, w) => {
+        val prev = acc.getField("prev")
+        val run = acc.getField("run")
+        val sum = acc.getField("sum")
+        when(run === 0, struct(w.as("prev"), lit(1).as("run"), sum.as("sum")))
+          .when(w === prev,
+            struct(prev.as("prev"), (run + 1).as("run"), sum.as("sum")))
+          .otherwise(struct(w.as("prev"), lit(1).as("run"),
+            (sum + term(run, prev)).as("sum")))
+      },
+      acc => when(acc.getField("run") === 0, acc.getField("sum"))
+        .otherwise(acc.getField("sum") +
+          term(acc.getField("run"), acc.getField("prev"))))
+    round(folded + lit(0.0), 4)
   }
 
   /** Distinct-word hits against the model vocabulary — the coverage gauge
@@ -177,9 +219,27 @@ object TextOps {
   /** Most-frequent-word dominance (max word count / word count): catches
     * keyword stuffing that n-gram repetition misses when filler varies. */
   def topWordRatioArr(words: Column): Column = {
-    val counts = transform(array_distinct(words),
-      w => size(filter(words, x => x === w)))
-    round(array_max(counts).cast("double") / size(words), 4)
+    // max run length over the sorted array (round 20): max of the same
+    // per-distinct-word counts the old transform/filter form computed at
+    // O(d·n) — max is order-independent, value unchanged
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("mx"))
+    val maxRun = aggregate(array_sort(words), zero,
+      (acc, w) => {
+        val prev = acc.getField("prev")
+        val run = acc.getField("run")
+        val mx = acc.getField("mx")
+        when(acc.getField("run") === 0,
+          struct(w.as("prev"), lit(1).as("run"), mx.as("mx")))
+          .when(w === prev,
+            struct(prev.as("prev"), (run + 1).as("run"), mx.as("mx")))
+          .otherwise(struct(w.as("prev"), lit(1).as("run"),
+            greatest(mx, run).as("mx")))
+      },
+      acc => greatest(acc.getField("mx"), acc.getField("run")))
+    // empty-array parity with the old array_max(empty) = null form (split
+    // never yields an empty array, but keep the edge identical)
+    when(size(words) === 0, lit(null).cast("double"))
+      .otherwise(round(maxRun.cast("double") / size(words), 4))
   }
 
   /** Email / phone shapes for [[redactPii]] — deliberately the regex subset
