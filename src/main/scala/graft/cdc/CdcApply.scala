@@ -27,10 +27,25 @@ object CdcApply {
 
   /** Deduplicate at-least-once redelivery: same kafka coordinate + row
     * position = same physical row (exactly the idempotency key the reference
-    * lacks). Note map-typed `data` cannot be a dedup key in Spark — the
-    * coordinate triple is the correct identity anyway. */
-  def dedupDelivery(events: DataFrame): DataFrame =
-    events.dropDuplicates(Seq("partition", "offset", "pos"))
+    * lacks). Map-typed `data`/`old_data` cannot be GROUPING keys in Spark,
+    * and keyed dropDuplicates would hold them in first(map) aggregates
+    * whose buffers force a SortAggregate pair — so the maps cross the
+    * dedup as their entry ARRAYS (order-preserving: duplicates are parses
+    * of identical bytes, so entry order matches) and come back via
+    * map_from_entries. All-columns distinct then hash-aggregates with
+    * map-side partials (round-20 plan audit; same row set either way
+    * because a redelivery is the identical physical row). */
+  def dedupDelivery(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.MapType
+    val mapCols = events.schema.fields
+      .filter(_.dataType.isInstanceOf[MapType]).map(_.name)
+    val asEntries = mapCols.foldLeft(events)((df, m) =>
+      df.withColumn(m, map_entries(col(m))))
+    val deduped = asEntries.distinct()
+    mapCols.foldLeft(deduped)((df, m) =>
+      df.withColumn(m, map_from_entries(col(m))))
+      .select(events.columns.map(col).toSeq: _*)
+  }
 
   /** Materialize latest state per key from a flattened event DataFrame
     * (output of [[CanalJson.events]]): keep the newest image per

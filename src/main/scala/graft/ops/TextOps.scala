@@ -268,6 +268,14 @@ object TextOps {
     * Docs shorter than 3 chars yield nothing; the explicit `, 1` step keeps
     * `sequence` from silently counting DOWN on an empty range. */
   private def charTrigrams(df: DataFrame, textCol: String): DataFrame =
+    // per-position substring IS an O(i) char-boundary scan in UTF8String
+    // (the contentDefinedChunks lesson), but a round-20 A/B measured the
+    // array-materialized alternative (split to a char array once, trigrams
+    // via interpreted transform+slice+concat_ws lambdas) SLOWER at this
+    // corpus's doc lengths — 3.0-3.1 s vs ~2.5 s for x4_lang_profile at
+    // sf0.1: the higher-order-function interpreter's per-element constant
+    // beats the native byte scan until documents get much longer. Kept the
+    // codegen'd substring form; revisit only for a long-document corpus.
     df.filter(length(col(textCol)) >= 3)
       .withColumn("i", explode(expr(s"sequence(1, length($textCol) - 2, 1)")))
       .withColumn("g", expr(s"substring($textCol, i, 3)"))
