@@ -849,6 +849,21 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The (d2 asc, cid asc) lexicographic argmin of the integer assignment
+    * paths, packed into ONE long so the aggregate is a min over a mutable
+    * long buffer — HashAggregate with map-side partials — where
+    * `min_by(cid, struct(d2, cid))`'s struct ordering key forced a
+    * SortAggregate fallback (round 20). Sound because both components are
+    * bounded non-negative integers: cid is a centroid/codebook id
+    * (< nLists/ksub ≤ 16 ≪ 2¹⁶) and d2 a milli-scale squared L2 —
+    * Σ_dim (Δmilli)² ≤ 64 · (2·16·10³)² < 2⁴⁰, so d2·2¹⁶ + cid < 2⁵⁶
+    * never overflows and the packed order IS the lexicographic order. */
+  private def packedArgmin(d2: Column, cid: Column): Column =
+    min(d2 * lit(1L << 16) + cid)
+
+  /** The cid component of a [[packedArgmin]] result. */
+  private def unpackArgmin(packed: Column): Column = packed % lit(1L << 16)
+
   /** One exact-integer Lloyd round over SUBSPACE slices — the
     * [[lloydRoundInt]] update keyed by (subspace, entry) so ALL `m`
     * codebooks train in the same two frames: assignment argmin per
@@ -856,18 +871,22 @@ object Similarity {
     * (j, cid, dim) partial sums, floor-div means, empty entries keep their
     * previous value. */
   private def lloydRoundSubInt(sl: DataFrame, cb: DataFrame, dsub: Int): DataFrame = {
-    // argmin as a map-side-combinable min_by aggregate, not a window sort:
-    // the (d2, cid) struct ordering IS the (d2 asc, cid asc) tie-break, and
-    // sv is functionally dependent on the group key so min_by returns the
-    // same row's slice — value-identical to the row_number form (the
-    // serve-equivalence spec pins it), one hash-agg instead of a sort
+    // argmin as a PACKED-LONG min, not min_by-over-struct and not a window
+    // sort: min_by's struct ordering key is an immutable aggregation
+    // buffer, which silently falls back to SortAggregate (a sort on both
+    // sides of the exchange — round-20 plan audit); min(d2 · 2¹⁶ + cid) is
+    // the identical (d2 asc, cid asc) lexicographic argmin as ONE
+    // long-buffer hash aggregate with map-side partials ([[packedArgmin]]
+    // for the bound argument). sv rides in the GROUP KEY — it is
+    // functionally dependent on (vec_id, j), so the groups are unchanged
+    // and hash aggregation permits array-typed keys. Value-identical to
+    // the row_number form (the serve-equivalence spec pins it).
     val assigned = sl.join(broadcast(cb), Seq("j"))
       .select(col("vec_id"), col("j"), col("sv"), col("cid"),
         d2Milli(col("sv"), col("bv")).as("d2"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
-        min_by(col("sv"), struct(col("d2"), col("cid"))).as("sv"))
-      .select(col("j"), col("cid"), col("sv"))
+      .groupBy(col("vec_id"), col("j"), col("sv"))
+      .agg(packedArgmin(col("d2"), col("cid")).as("__p"))
+      .select(col("j"), unpackArgmin(col("__p")).as("cid"), col("sv"))
     // entry update fused into ONE aggregation: dsub per-dimension sums as
     // separate agg columns (dsub is small), no posexplode, no regroup —
     // each round is exactly two map-side-combined shuffles
@@ -928,8 +947,12 @@ object Similarity {
       .select(col("vec_id"), col("j"), col("cid"),
         d2Milli(col("sv"), col("bv")).as("d2"))
       .groupBy(col("vec_id"), col("j"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
-      .select(col("vec_id").as("neighbor_id"), col("j"), col("code"))
+      // packed-long argmin: same (d2 asc, cid asc) tie-break as the former
+      // min_by-over-struct, but a long-buffer HASH aggregate instead of
+      // its SortAggregate fallback (see [[packedArgmin]])
+      .agg(packedArgmin(col("d2"), col("cid")).as("__p"))
+      .select(col("vec_id").as("neighbor_id"), col("j"),
+        unpackArgmin(col("__p")).as("code"))
 
   /** PQ ADC serve from a PRE-ENCODED codes frame ([[pqEncodeInt]] output,
     * however materialized — live or a persisted ingest artifact): codebook
@@ -1011,10 +1034,11 @@ object Similarity {
       m.crossJoin(cent)
         .select(col("vec_id"), col("mv"), col("cid"),
           d2Milli(col("mv"), col("cv")).as("d2c"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("mv"), struct(col("d2c"), col("cid"))).as("mv"),
-          min_by(col("cid"), struct(col("d2c"), col("cid"))).as("list"))
-        .select(col("vec_id"), col("mv"), col("list")),
+        // mv rides in the group key (functionally dependent on vec_id) so
+        // the packed-long argmin hash-aggregates — see [[packedArgmin]]
+        .groupBy(col("vec_id"), col("mv"))
+        .agg(packedArgmin(col("d2c"), col("cid")).as("__p"))
+        .select(col("vec_id"), col("mv"), unpackArgmin(col("__p")).as("list")),
       "list", path, overwrite = true, onePerPartition = false)
     cents.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
@@ -1025,7 +1049,7 @@ object Similarity {
     * the index's FIXED centroids — the nightly vector-ingest path for the
     * 100 TB serving layout: assignment touches only the batch (one
     * broadcast nested-loop against the `nLists` centroid codes, argmin as
-    * a map-side-combinable min_by), and the write APPENDS files into the
+    * the map-side-combinable packed-long min), and the write APPENDS files into the
     * assigned list partitions; standing partition files are never
     * rewritten (spec-pinned at the file level). With fixed centroids,
     * append-then-serve is bit-identical to a full rebuild — the
@@ -1042,10 +1066,10 @@ object Similarity {
         .crossJoin(cent)
         .select(col("vec_id"), col("mv"), col("cid"),
           d2Milli(col("mv"), col("cv")).as("d2c"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("mv"), struct(col("d2c"), col("cid"))).as("mv"),
-          min_by(col("cid"), struct(col("d2c"), col("cid"))).as("list"))
-        .select(col("vec_id"), col("mv"), col("list")),
+        // same packed-long argmin shape as [[writeIvfIndexIntWith]]
+        .groupBy(col("vec_id"), col("mv"))
+        .agg(packedArgmin(col("d2c"), col("cid")).as("__p"))
+        .select(col("vec_id"), col("mv"), unpackArgmin(col("__p")).as("list")),
       "list", path, overwrite = false, onePerPartition = false)
   }
 
