@@ -338,4 +338,41 @@ class CdcApplySpec extends SparkSpec {
       assert(canon(got) === expected, s"cutover $cut")
     }
   }
+
+  test("dedupDelivery entries-array carrier: collapses exact coordinate " +
+    "duplicates, maps survive byte-identical (incl. null old_data), " +
+    "column order preserved") {
+    // round-20 internals change: the maps cross the dedup as entry arrays
+    // (map_entries -> distinct -> map_from_entries) so the aggregate
+    // hashes instead of SortAggregate-ing first(map) buffers — this pins
+    // the carrier's roundtrip against the old keyed-dropDuplicates
+    // semantics on a crafted frame with every payload edge: null old_data,
+    // empty data, multi-entry maps, and a redelivered coordinate.
+    val rows = Seq(
+      (ts(1L), "d", "t", "insert", Map("id" -> "1", "v" -> "a"),
+        Option.empty[Map[String, String]], 0, 10L, 0),
+      // exact redelivery of the row above (same coordinate, same bytes)
+      (ts(1L), "d", "t", "insert", Map("id" -> "1", "v" -> "a"),
+        Option.empty[Map[String, String]], 0, 10L, 0),
+      (ts(2L), "d", "t", "update", Map("id" -> "1", "v" -> "b", "w" -> "x"),
+        Some(Map("v" -> "a")), 0, 11L, 0),
+      (ts(3L), "d", "t", "delete", Map.empty[String, String],
+        Some(Map("v" -> "b")), 1, 5L, 2))
+      .toDF("timestamp", "database", "table", "op", "data", "old_data",
+        "partition", "offset", "pos")
+    val got = CdcApply.dedupDelivery(rows)
+    val want = rows.dropDuplicates(Seq("partition", "offset", "pos"))
+    assert(got.columns.toSeq === rows.columns.toSeq,
+      "carrier must restore the original column order")
+    assert(got.schema("data").dataType === rows.schema("data").dataType,
+      "carrier must restore the map type")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"offset", $"pos", to_json(struct(df.columns.map(col): _*)))
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(canon(got) === canon(want),
+      "entries-array dedup must equal keyed dropDuplicates row-for-row")
+    assert(got.count() === 3, "the redelivered coordinate must collapse")
+  }
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 }

@@ -624,4 +624,33 @@ class SimilaritySpec extends SparkSpec {
     // a doc present in BOTH arms outranks the same ranks split across docs
     assert(out.map(_._4).max === out.head._4)
   }
+
+  test("packed-long argmin (pqEncodeInt): (d2 asc, cid asc) tie-break " +
+    "identical to a min_by-over-struct reference, including exact ties") {
+    // round-20 internals change: the integer assignment argmin is
+    // min(d2 * 2^16 + cid) instead of min_by(cid, struct(d2, cid)) — this
+    // pins the packed order against the struct reference on a frame with
+    // a deliberate EXACT distance tie (the packed form must still take
+    // the smaller cid) and a case where the larger cid wins on distance.
+    val corpus = Seq(
+      (100L, Seq(0L, 0L, 5L, 5L)),   // sub 0: tie between cid 0 and 1
+      (101L, Seq(9L, 9L, 0L, 0L)))   // sub 0: cid 1 strictly closer
+      .toDF("vec_id", "mv")
+    val cb = Seq(
+      (0, 0L, Seq(1L, 1L)), (0, 1L, Seq(-1L, -1L)),
+      (1, 0L, Seq(0L, 0L)), (1, 1L, Seq(6L, 6L)))
+      .toDF("j", "cid", "bv")
+    val got = Similarity.pqEncodeInt(corpus, cb, mSub = 2, dsub = 2)
+      .select($"neighbor_id", $"j", $"code").as[(Long, Int, Long)]
+      .collect().toSet
+    // hand-computed lexicographic reference:
+    //   vec 100 sub 0, slice (0,0): d2(cid0 @ (1,1)) = 2 = d2(cid1 @ (-1,-1))
+    //     — EXACT tie, smaller cid wins → 0
+    //   vec 100 sub 1, slice (5,5): d2(cid0 @ (0,0)) = 50, d2(cid1 @ (6,6)) = 2 → 1
+    //   vec 101 sub 0, slice (9,9): d2(cid0) = 128, d2(cid1) = 200 → 0
+    //   vec 101 sub 1, slice (0,0): d2(cid0) = 0 → 0
+    assert(got === Set((100L, 0, 0L), (100L, 1, 1L),
+      (101L, 0, 0L), (101L, 1, 0L)),
+      s"packed argmin must match the (d2 asc, cid asc) reference, got $got")
+  }
 }
