@@ -44,14 +44,21 @@ import scala.jdk.CollectionConverters._
   * 13.9×-prior stall number that neither retry path could reach.
   *
   * Budget telemetry: the parent logs cumulative wall clock after every fork
-  * so an overrun is visible in the driver log BEFORE the kill; past 60% of
-  * SPARK_GRAFT_BUDGET_S (default 2100 s) remaining children switch to
-  * single-run mode (skip the warm rerun; warm = the one measured run,
-  * marked `tiebreak: "single_run"` in the detail artifact). Round-16
-  * hardening: batches run in DESCENDING prior_warm order so the switch
-  * lands on the cheap fork-boot-dominated tail, a single run that exceeds
-  * 1.5x its committed prior still earns one rescue run
-  * (`single_run+gt_1.5x_prior`), and the detail header counts the
+  * so an overrun is visible in the driver log BEFORE the kill. Remaining
+  * children switch to single-run mode (skip the warm rerun; warm = the one
+  * measured run, marked `tiebreak: "single_run"` in the detail artifact)
+  * only when a PROJECTION says the run would otherwise overrun
+  * SPARK_GRAFT_BUDGET_S (default 2100 s): every remaining fork is priced
+  * at boot + ~2.2x its members' committed priors, a 1.25 safety factor on
+  * top — round-20 verdict #2 replaced the previous fixed wall>60% trigger,
+  * which pushed the driver's 32-core run into austerity (and denied every
+  * queued drift retry) while ~800 s of genuine headroom remained. Retry
+  * spending (batch-drift and heavy) is likewise gated on the ACTUAL
+  * remaining budget at spend time, never on the austerity mode bit.
+  * Round-16 hardening: batches run in DESCENDING prior_warm order so a
+  * genuine budget squeeze lands on the cheap fork-boot-dominated tail, a
+  * single run that exceeds 1.5x its committed prior still earns one rescue
+  * run (`single_run+gt_1.5x_prior`), and the detail header counts the
   * degraded entries (`n_single_run`) so the artifact declares its own
   * blind spots.
   *
@@ -446,6 +453,13 @@ object Bench {
     }
   }
 
+  /** Nominal fixed cost of one child fork (JVM boot + session init +
+    * machinery prewarm) — the planning constant the austerity projection
+    * and the retry-headroom checks price forks with. Measured ~10-12 s on
+    * this class of box across rounds 13-20; priced at the high end so
+    * projections err toward caution. */
+  private val forkBootS = 12.0
+
   /** Headroom telemetry captured by [[runForked]] for the detail header
     * (round-14 verdict #5): r13 died at the driver's wall clock with zero
     * warning; the header now records how much margin the run had left so
@@ -583,7 +597,7 @@ object Bench {
     // before the board's 11.94 s worst case arrived in batch order).
     val deferredDrift =
       scala.collection.mutable.ArrayBuffer.empty[(Timing, Boolean)]
-    groups.foreach { case (g, prewarm) =>
+    groups.zipWithIndex.foreach { case ((g, prewarm), gi) =>
       val first0 = forkGroup(g, prior, singleRun, prewarm)
       // census-family members carry their RUN POSITION in the shared fork:
       // an interleaved prewarm-on/off x order-permutation A/B (round-18, 8
@@ -605,13 +619,24 @@ object Bench {
         // budget and stamps heavy_drift; a batched entry's displaced
         // shared-JVM number rides as batch_warm exactly as the batch_drift
         // path records it, an isolated/census entry's as other_fork_warm.
+        // A retry is gated on REAL remaining budget (can this ~boot +
+        // 2 runs fork still fit?), not on the austerity flag: the r20
+        // driver run denied every queued retry "because single-run"
+        // while ~800 s of budget sat unused (round-20 verdict #2). The
+        // retry fork itself always gets the full two-run regime — it
+        // exists to adjudicate, so starving it of the warm rerun would
+        // buy a cheaper but weaker number.
         val heavyCase = heavyDrifted(t, isolated = g.size == 1)
-        if (heavyCase && !singleRun && heavyRetries < heavyRetryCap) {
+        def retryHeadroom(warm: Double): Boolean =
+          (System.nanoTime() - t0) / 1e9 + forkBootS + 2.2 * warm <
+            budgetS * 0.95
+        if (heavyCase && heavyRetries < heavyRetryCap &&
+            retryHeadroom(t.warm)) {
           heavyRetries += 1
           System.err.println(f"[bench] ${t.name} heavy warm ${t.warm}%.3f s " +
             s"looks drifted (prior ${t.prior.getOrElse(-1.0)}, runs " +
             s"${t.runs.mkString("[", ",", "]")}); re-measuring in a private fork")
-          forkGroup(Seq(t.name), prior, singleRun, prewarm).headOption match {
+          forkGroup(Seq(t.name), prior, singleRun = false, prewarm).headOption match {
             case Some(solo) if !solo.failed && solo.warm <= t.warm =>
               // adopt the clean fork; the displaced number rides along
               if (g.size > 1)
@@ -632,11 +657,14 @@ object Bench {
                   .mkString("+")))
             case _ => t // retry fork died: keep the first measurement
           }
-        } else if (g.size > 1 && drifted(t) && !singleRun) {
+        } else if (g.size > 1 && drifted(t)) {
           // batched entry with a drift signature: queue it for the shared
           // budget's most-expensive-first pass after the loop (a heavy
           // entry only lands here when the heavy budget is spent — the
-          // drift budget is then its fallback, as before round 19)
+          // drift budget is then its fallback, as before round 19).
+          // Queued even when this entry ran in austerity single-run mode:
+          // whether the retry can afford to run is decided AT SPEND TIME
+          // from the actual remaining budget, not pre-denied here.
           deferredDrift += ((t, prewarm)); t
         } else t
       }
@@ -652,10 +680,26 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       System.err.println(
         f"[bench] cumulative wall $wall%.1f s after $done/${names.size} entries")
-      if (!singleRun && wall > budgetS * 0.6) {
-        singleRun = true
-        System.err.println(f"[bench] wall $wall%.1f s > 60%% of budget " +
-          f"$budgetS%.0f s - remaining forks switch to single-run mode")
+      // Austerity switch (round-20 verdict #2): the old FIXED trigger
+      // (wall > 60% of budget) fired on the driver's 32-core run while
+      // ~800 s of genuine headroom remained — 10 tail entries kept
+      // flagged-drifted single-run numbers that inflated the board by
+      // ~5-8 s. Switch on a PROJECTION instead: price every remaining
+      // fork (boot + ~2.2x each member's committed prior + slop for
+      // tie-break runs), apply a 1.25 safety factor, and degrade only
+      // when the projected finish would actually overrun the budget.
+      // Entries with no prior are priced at 1 s (they sort first, so the
+      // projection over them matters least by the time wall is large).
+      if (!singleRun) {
+        val projected = groups.drop(gi + 1).map { case (rg, _) =>
+          forkBootS + rg.map(n => 2.2 * prior.getOrElse(n, 1.0) + 0.3).sum
+        }.sum
+        if (wall + 1.25 * projected > budgetS) {
+          singleRun = true
+          System.err.println(f"[bench] wall $wall%.1f s + projected " +
+            f"${projected}%.1f s (x1.25) exceeds budget $budgetS%.0f s - " +
+            "remaining forks switch to single-run mode")
+        }
       }
     }
     // Spend the shared batch-drift budget MOST-EXPENSIVE-FIRST over the
@@ -666,16 +710,28 @@ object Bench {
     val driftRetried = scala.collection.mutable.Map.empty[String, Timing]
     val driftQueue = deferredDrift.sortBy { case (t, _) => -t.warm }
     driftQueue.foreach { case (t, prewarm) =>
-      if (singleRun || driftRetries >= driftRetryCap) {
+      // Spend gated on the ACTUAL remaining budget, not the austerity
+      // flag (round-20 verdict #2: the r20 driver run printed "drift
+      // budget is spent (0/8 used, singleRun=true)" for 10 tail entries —
+      // a misleading message for a retry denied by a mode bit while the
+      // budget had ~800 s of real headroom). Each message now names the
+      // true reason: cap exhausted vs no wall-clock headroom.
+      val wallNow = (System.nanoTime() - t0) / 1e9
+      val retryCost = forkBootS + 2.2 * t.warm
+      if (driftRetries >= driftRetryCap) {
         System.err.println(f"[bench] ${t.name} batch warm ${t.warm}%.3f s " +
-          "looks drifted but the drift budget is spent " +
-          s"(${driftRetries}/$driftRetryCap used, singleRun=$singleRun)")
+          "looks drifted but the drift retry cap is spent " +
+          s"(${driftRetries}/$driftRetryCap used)")
+      } else if (wallNow + retryCost > budgetS * 0.95) {
+        System.err.println(f"[bench] ${t.name} batch warm ${t.warm}%.3f s " +
+          f"looks drifted but wall $wallNow%.1f s leaves no headroom for " +
+          f"a ~$retryCost%.0f s retry inside budget $budgetS%.0f s")
       } else {
         driftRetries += 1
         System.err.println(f"[bench] ${t.name} batch warm ${t.warm}%.3f s " +
           s"looks drifted (prior ${t.prior.getOrElse(-1.0)}, runs " +
           s"${t.runs.mkString("[", ",", "]")}); re-measuring in a private fork")
-        forkGroup(Seq(t.name), prior, singleRun, prewarm).headOption match {
+        forkGroup(Seq(t.name), prior, singleRun = false, prewarm).headOption match {
           case Some(solo) if !solo.failed && solo.warm <= t.warm =>
             // adopt the clean fork; the polluted shared-JVM number rides
             // along as batch_warm
@@ -772,7 +828,7 @@ object Bench {
          |""".stripMargin).getOrElse("")
     val json =
       f"""{"metric": "total", "value": $total%.3f, "unit": "sec",
-         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork (the four p-census stream entries share ONE fork, amortizing the one-time streaming machinery the same way batches amortize boot), the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm, or > 1.35x prior for entries over 4 s (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically queues for the shared drift budget, which is spent MOST-EXPENSIVE-FIRST after the measuring pass — under contention the board's worst drifted number wins the budget instead of losing it to batch arrival order (tiebreak: batch_drift when the clean private fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); any entry — isolated, census-shared, AND batched — whose warm exceeds 4 s AND its heavy ratio vs prior_warm (1.2x for isolated entries, whose two prior rounds of near-misses calibrated the trigger; 1.35x for shared-JVM members, which also carry the batch-drift defenses) earns a MANDATORY private re-fork from its OWN budget (tiebreak: heavy_drift when the retry is adopted — the displaced number rides as batch_warm for a shared-JVM first measurement, other_fork_warm for a private one; heavy_drift_confirmed when the first number stands, the retry fork's warm as other_fork_warm) so the board's most expensive rows can never keep an unadjudicated drifted number, whichever regime they ran in; batches are ordered by DESCENDING prior_warm (new entries first) so the budget switch lands on the cheap tail; past 60%% of the wall budget remaining entries run once (tiebreak: single_run; n_single_run in this header counts them), except that a single run exceeding 1.5x prior_warm earns one rescue run (tiebreak: single_run+gt_1.5x_prior, warm = min of the two) so austerity never records an obvious fork-boot artifact as warm; stall: true marks an entry whose observed numbers (runs + displaced/retry warms) span >5x AND >2 s — an in-run machine stall self-identified in the artifact (n_stalled counts them) instead of left for the reader to infer from run vectors; cache_hit = this run served every FixtureCache lookup from the persisted parquet; census_pos = the member's run position inside the census family's shared fork (position 1 carries ~0.3-1.0 s of residual one-time streaming cost — round-18 interleaved A/B — so adjudicate a census regression against its position first); raw per-run times in `runs`",
+         |$header "methodology": "tiered forked JVMs: streaming/heavy entries get a private fork (the four p-census stream entries share ONE fork, amortizing the one-time streaming machinery the same way batches amortize boot), the rest run in shared-fork batches (default 24/JVM) so ~11 s of fork overhead is paid per batch, not per query; within a JVM warm = min of runs (run_taken = its 1-based index), cold = first run; a 3rd run tie-breaks when run2 >= run1 (tiebreak: warm_ge_cold), and one more when warm > 1.5x prior_warm, the committed prior round's warm, or > 1.35x prior for entries over 4 s (tiebreak: gt_1.5x_prior); a batched entry whose warm still exceeds 1.5x prior_warm or whose runs degrade monotonically queues for the shared drift budget, which is spent MOST-EXPENSIVE-FIRST after the measuring pass — under contention the board's worst drifted number wins the budget instead of losing it to batch arrival order (tiebreak: batch_drift when the clean private fork is adopted, its displaced shared-JVM number kept as batch_warm; tiebreak: batch_drift_confirmed when the fork came back slower, the batch numbers kept and the fork's warm recorded as solo_warm); any entry — isolated, census-shared, AND batched — whose warm exceeds 4 s AND its heavy ratio vs prior_warm (1.2x for isolated entries, whose two prior rounds of near-misses calibrated the trigger; 1.35x for shared-JVM members, which also carry the batch-drift defenses) earns a MANDATORY private re-fork from its OWN budget (tiebreak: heavy_drift when the retry is adopted — the displaced number rides as batch_warm for a shared-JVM first measurement, other_fork_warm for a private one; heavy_drift_confirmed when the first number stands, the retry fork's warm as other_fork_warm) so the board's most expensive rows can never keep an unadjudicated drifted number, whichever regime they ran in; batches are ordered by DESCENDING prior_warm (new entries first) so a budget squeeze lands on the cheap tail; remaining entries run once (tiebreak: single_run; n_single_run in this header counts them) only when a projection — boot + ~2.2x committed priors per remaining fork, x1.25 safety — says two-run mode would overrun the wall budget (the round-20 fixed 60%% trigger degraded runs that had hundreds of seconds of real headroom), a single run exceeding 1.5x prior_warm still earns one rescue run (tiebreak: single_run+gt_1.5x_prior, warm = min of the two) so austerity never records an obvious fork-boot artifact as warm, and retry spending is gated on the budget actually remaining at spend time, not on the austerity bit; stall: true marks an entry whose observed numbers (runs + displaced/retry warms) span >5x AND >2 s — an in-run machine stall self-identified in the artifact (n_stalled counts them) instead of left for the reader to infer from run vectors; cache_hit = this run served every FixtureCache lookup from the persisted parquet; census_pos = the member's run position inside the census family's shared fork (position 1 carries ~0.3-1.0 s of residual one-time streaming cost — round-18 interleaved A/B — so adjudicate a census regression against its position first); raw per-run times in `runs`",
          | "sf": "$sfDir",
          | "queries": {
          |${rows.mkString(",\n")}
