@@ -488,21 +488,29 @@ object CurationQueries {
       .select($"doc_id", $"lang", $"text")
     val deltaIds = deltaKeptExact.select($"doc_id")
     // 2. both endpoints exact-kept; standing endpoints contract to their
-    // canonical
+    // canonical. ONE admissibility+contraction lookup per endpoint
+    // (round-21, guide §2.4) instead of the round-20 two (reps, then
+    // deltaIds): standing exact-kept docs carry their canonical, delta
+    // exact-kept docs carry a NULL rep (they contract to themselves), and
+    // an endpoint is admissible iff it matches the lookup at all —
+    // otherwise the pair involves an exact-dropped doc and the batch
+    // pipeline never sees it either. Sound because the standing and delta
+    // id spaces are DISJOINT (delta ids sit above standing ids — the same
+    // invariant the min-id-per-sha exact gate in stage 1 relies on), so
+    // each endpoint matches at most one lookup row and the left joins can
+    // never fan out; CurationSpec pins the merge mechanics on a crafted
+    // fixture either way. Halves the join count on the pair-contraction
+    // path: 4 joins → 2.
+    val repType = reps.schema("rep").dataType
+    val lookup = reps.select($"doc_id", $"rep")
+      .unionByName(deltaIds.select($"doc_id",
+        lit(null).cast(repType).as("rep")))
     val contractedPairs = touching
-      .join(reps.select($"doc_id".as("id_a"), $"rep".as("id_a_rep")),
-        Seq("id_a"), "left")
-      .join(reps.select($"doc_id".as("id_b"), $"rep".as("id_b_rep")),
-        Seq("id_b"), "left")
-      // an endpoint is admissible iff standing-exact-kept (rep found) or
-      // delta-exact-kept; otherwise the pair involves an exact-dropped doc
-      // and the batch pipeline never sees it either
-      .join(deltaIds.select($"doc_id".as("id_a"), lit(1L).as("a_new")),
-        Seq("id_a"), "left")
-      .join(deltaIds.select($"doc_id".as("id_b"), lit(1L).as("b_new")),
-        Seq("id_b"), "left")
-      .filter(($"id_a_rep".isNotNull || $"a_new".isNotNull) &&
-        ($"id_b_rep".isNotNull || $"b_new".isNotNull))
+      .join(lookup.select($"doc_id".as("id_a"), $"rep".as("id_a_rep"),
+        lit(1L).as("a_ok")), Seq("id_a"), "left")
+      .join(lookup.select($"doc_id".as("id_b"), $"rep".as("id_b_rep"),
+        lit(1L).as("b_ok")), Seq("id_b"), "left")
+      .filter($"a_ok".isNotNull && $"b_ok".isNotNull)
       .select(coalesce($"id_a_rep", $"id_a").as("id_a"),
         coalesce($"id_b_rep", $"id_b").as("id_b"))
       .filter($"id_a" =!= $"id_b")
@@ -534,28 +542,36 @@ object CurationQueries {
     import org.apache.spark.sql.functions._
     val s = merged.sparkSession
     import s.implicits._
-    // 3. retractions: standing canonicals that lost their component's min
-    val retractions = merged.filter($"id" =!= $"cluster_id")
+    // 3. SIGNED per-group deltas, one aggregation for retractions AND adds
+    // (round-21, guide §2.4 — the round-20 shape aggregated each stream
+    // separately and full_outer-joined the census twice; the patch only
+    // ever reads the NET delta per (lang, split), so the two exchanges and
+    // two joins collapse into one union + one aggregate + one join; exact
+    // long arithmetic, so add-then-subtract ≡ net either way):
+    //   retractions — standing canonicals that lost their component's min
+    //   contribute (−1, −n_words); delta keepers (non-losers passing the
+    //   quality floor) contribute (+1, +n_words).
+    val losers = merged.filter($"id" =!= $"cluster_id").select($"id")
+    val retRows = losers
       .join(kept.withColumnRenamed("doc_id", "id"), Seq("id"))
-      .groupBy($"lang", $"split")
-      .agg(count(lit(1)).as("ret_docs"), sum($"n_words").as("ret_words"))
-    // delta docs dropped by clustering = non-canonical members of merged
-    val deltaDropped = merged.filter($"id" =!= $"cluster_id").select($"id")
-    val deltaAdds = deltaKeptExact
-      .join(deltaDropped.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
+      .select($"lang", $"split", lit(-1L).as("d_docs"),
+        (-$"n_words").as("d_words"))
+    val addRows = deltaKeptExact
+      .join(losers.select($"id".as("doc_id")), Seq("doc_id"), "left_anti")
       .filter(TextOps.qualityScore($"text") >= 0.5)
       .select($"lang", Curation.splitAssign($"doc_id").as("split"),
-        TextOps.wordCount($"text").cast("long").as("n_words"))
+        lit(1L).as("d_docs"),
+        TextOps.wordCount($"text").cast("long").as("d_words"))
+    val deltas = retRows.unionByName(addRows)
       .groupBy($"lang", $"split")
-      .agg(count(lit(1)).as("add_docs"), sum($"n_words").as("add_words"))
+      .agg(sum($"d_docs").as("d_docs"), sum($"d_words").as("d_words"))
     // 4. patch the standing census; drop groups emptied to zero
-    census.join(deltaAdds, Seq("lang", "split"), "full_outer")
-      .join(retractions, Seq("lang", "split"), "full_outer")
+    census.join(deltas, Seq("lang", "split"), "full_outer")
       .select($"lang", $"split",
-        (coalesce($"n_docs", lit(0L)) + coalesce($"add_docs", lit(0L))
-          - coalesce($"ret_docs", lit(0L))).as("n_docs"),
-        (coalesce($"total_words", lit(0L)) + coalesce($"add_words", lit(0L))
-          - coalesce($"ret_words", lit(0L))).as("total_words"))
+        (coalesce($"n_docs", lit(0L)) + coalesce($"d_docs", lit(0L)))
+          .as("n_docs"),
+        (coalesce($"total_words", lit(0L)) + coalesce($"d_words", lit(0L)))
+          .as("total_words"))
       .filter($"n_docs" > 0)
       .orderBy($"lang", $"split")
   }
