@@ -34,7 +34,15 @@ object CdcApply {
     * of identical bytes, so entry order matches) and come back via
     * map_from_entries. All-columns distinct then hash-aggregates with
     * map-side partials (round-20 plan audit; same row set either way
-    * because a redelivery is the identical physical row). */
+    * because a redelivery is the identical physical row).
+    *
+    * Contract enforcement (round-21): the byte-identical-redelivery
+    * assumption is PINNED by a negative test (CdcApplySpec
+    * "divergent-payload redelivery") — a producer that redelivers a
+    * coordinate with DIFFERENT bytes yields two surviving rows here (a
+    * visible duplicate coordinate downstream), by declaration; the
+    * pre-round-20 keyed dropDuplicates would instead have silently kept
+    * an arbitrary one and masked the producer bug. */
   def dedupDelivery(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.MapType
     val mapCols = events.schema.fields

@@ -803,6 +803,10 @@ object Similarity {
     * fixed sample is not expressible in the oracle's SQL" — it is, when
     * the arithmetic is integer and the round count is fixed). */
   def trainIvfCentroidsInt(m: DataFrame, nLists: Int, rounds: Int): DataFrame = {
+    // cid must fit the packed-long argmin's low 16 bits — fail at the
+    // entry point, not with a corrupted assignment (round-20 ADVICE)
+    require(nLists < (1 << 16),
+      s"trainIvfCentroidsInt: nLists=$nLists must be < 2^16 (packed argmin)")
     val seed = m.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("cid"), col("mv").as("cv"))
     // each round MATERIALIZES its nLists-row output (eager, tiny): without
@@ -857,9 +861,22 @@ object Similarity {
     * bounded non-negative integers: cid is a centroid/codebook id
     * (< nLists/ksub ≤ 16 ≪ 2¹⁶) and d2 a milli-scale squared L2 —
     * Σ_dim (Δmilli)² ≤ 64 · (2·16·10³)² < 2⁴⁰, so d2·2¹⁶ + cid < 2⁵⁶
-    * never overflows and the packed order IS the lexicographic order. */
+    * never overflows and the packed order IS the lexicographic order.
+    * The bound is ENFORCED, not narrative (round-20 verdict #6 / ADVICE):
+    * a row outside the domain (d2 > 2⁴⁶ — far above any 64-dim milli
+    * corpus, far below the 2⁴⁷ overflow line — or cid ≥ 2¹⁶) fails loudly
+    * via raise_error instead of silently corrupting the argmin; the
+    * codegen'd branch costs one compare per candidate row (the
+    * [[graft.ops.Dedup.tfCosinePairs]] fail-loud discipline). */
+  private val packedArgminMaxD2 = 1L << 46
   private def packedArgmin(d2: Column, cid: Column): Column =
-    min(d2 * lit(1L << 16) + cid)
+    min(when(d2 > lit(packedArgminMaxD2) || cid >= lit(1L << 16),
+      raise_error(concat(
+        lit("packedArgmin: (d2, cid) = ("), d2.cast("string"), lit(", "),
+        cid.cast("string"),
+        lit(") outside the packed-long domain (d2 <= 2^46, cid < 2^16) - " +
+          "re-scale the milli codes or reduce nLists/ksub"))))
+      .otherwise(d2 * lit(1L << 16) + cid))
 
   /** The cid component of a [[packedArgmin]] result. */
   private def unpackArgmin(packed: Column): Column = packed % lit(1L << 16)
@@ -910,6 +927,10 @@ object Similarity {
     * codebooks bit-for-bit. Returns (j, cid, bv) sliced entries. */
   def trainPqCodebooksInt(m: DataFrame, mSub: Int, dsub: Int, ksub: Int,
                           rounds: Int): DataFrame = {
+    // codebook ids must fit the packed-long argmin's low 16 bits — fail
+    // at the entry point, not with a corrupted assignment (round-20 ADVICE)
+    require(ksub < (1 << 16),
+      s"trainPqCodebooksInt: ksub=$ksub must be < 2^16 (packed argmin)")
     val sl = pqSlices(m, mSub, dsub)
     val seed = sl.filter(col("vec_id") < ksub)
       .select(col("j"), col("vec_id").as("cid"), col("sv").as("bv"))
@@ -1059,6 +1080,10 @@ object Similarity {
                         newBatch: DataFrame,
                         cents: Array[(Long, Array[Long])], path: String): Unit = {
     import spark.implicits._
+    // centroid ids must fit the packed-long argmin's low 16 bits; the
+    // array is bounded driver-side metadata, so the check is free
+    require(cents.forall(_._1 < (1L << 16)),
+      "appendIvfIndexInt: centroid ids must be < 2^16 (packed argmin)")
     val cent = broadcast(
       cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cid", "cv"))
     IndexMaintenance.writePartitionedIndex(

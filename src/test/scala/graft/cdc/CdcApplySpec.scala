@@ -374,5 +374,47 @@ class CdcApplySpec extends SparkSpec {
     assert(got.count() === 3, "the redelivered coordinate must collapse")
   }
 
+  test("dedupDelivery divergent-payload redelivery: DECLARED behavior is " +
+    "both rows survive (contract violation surfaces, never a silent pick)") {
+    // Round-20 verdict #5 / ADVICE: the all-columns distinct rides on the
+    // byte-identical-redelivery contract (a redelivered coordinate is the
+    // SAME physical row). This pins what happens when an upstream VIOLATES
+    // it — two rows at one coordinate with DIFFERENT payload bytes:
+    //   - declared outcome: BOTH rows survive the dedup (they are distinct
+    //     tuples), so the violation propagates as a visible duplicate
+    //     coordinate downstream instead of the pre-round-20 silent
+    //     arbitrary keep-one, which would mask the producer bug;
+    //   - the invariant a healthy feed satisfies — rows out == distinct
+    //     coordinates — is asserted on the compliant subset.
+    // If a future round changes the declared outcome, this test is the
+    // contract document to update alongside the dedupDelivery scaladoc.
+    val rows = Seq(
+      (ts(1L), "d", "t", "insert", Map("id" -> "1", "v" -> "a"),
+        Option.empty[Map[String, String]], 0, 10L, 0),
+      // REDELIVERY AT THE SAME COORDINATE with divergent bytes (v=b!=a):
+      // a contract-violating producer
+      (ts(1L), "d", "t", "insert", Map("id" -> "1", "v" -> "b"),
+        Option.empty[Map[String, String]], 0, 10L, 0),
+      // a compliant byte-identical redelivery elsewhere, for contrast
+      (ts(2L), "d", "t", "insert", Map("id" -> "2", "v" -> "c"),
+        Option.empty[Map[String, String]], 0, 11L, 0),
+      (ts(2L), "d", "t", "insert", Map("id" -> "2", "v" -> "c"),
+        Option.empty[Map[String, String]], 0, 11L, 0))
+      .toDF("timestamp", "database", "table", "op", "data", "old_data",
+        "partition", "offset", "pos")
+    val got = CdcApply.dedupDelivery(rows).cache()
+    assert(got.count() === 3,
+      "divergent payloads at one coordinate must BOTH survive; the " +
+        "compliant redelivery must collapse")
+    assert(got.filter($"offset" === 10L).count() === 2,
+      "the violated coordinate carries a VISIBLE duplicate")
+    val coords = got.select("partition", "offset", "pos").distinct().count()
+    assert(coords === 2 && got.count() > coords,
+      "rows out exceeding distinct coordinates is exactly the loud " +
+        "signature a contract-violating producer must leave")
+    got.unpersist()
+    ()
+  }
+
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
 }

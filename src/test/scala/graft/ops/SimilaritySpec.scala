@@ -653,4 +653,37 @@ class SimilaritySpec extends SparkSpec {
       (101L, 0, 0L), (101L, 1, 0L)),
       s"packed argmin must match the (d2 asc, cid asc) reference, got $got")
   }
+
+  test("packed-long argmin domain guard: out-of-domain d2 fails loudly " +
+    "instead of mis-assigning; oversized nLists/ksub fail at the entry") {
+    // Round-20 verdict #6 / ADVICE: the 2^46 d2 bound and the 2^16 cid
+    // bound were argued in comments only — a vector domain with larger
+    // coordinates would silently corrupt the argmin (d2*2^16 wraps). Now
+    // enforced: a crafted slice whose squared distance exceeds 2^46
+    // (1e8 deltas -> d2 = 2e16 > 7.04e13) must raise, not return codes.
+    val corpus = Seq((100L, Seq(100000000L, 100000000L))).toDF("vec_id", "mv")
+    val cb = Seq((0, 0L, Seq(0L, 0L))).toDF("j", "cid", "bv")
+    val e = intercept[Exception] {
+      Similarity.pqEncodeInt(corpus, cb, mSub = 1, dsub = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("packedArgmin")),
+      s"expected the packedArgmin domain error, got: ${msgs(e).take(2)}")
+    // the integer-id bounds fail at the public entry points (bounded
+    // driver-side checks, no job runs)
+    val m = Seq((0L, Seq(1L, 1L))).toDF("vec_id", "mv")
+    intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroidsInt(m, nLists = 1 << 16, rounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooksInt(m, mSub = 1, dsub = 2, ksub = 1 << 16,
+        rounds = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndexInt(spark, m.toDF("vec_id", "embedding"),
+        Array((1L << 16, Array(0L, 0L))), "/tmp/never-written")
+    }
+    ()
+  }
 }
