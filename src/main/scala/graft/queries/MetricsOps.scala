@@ -1282,6 +1282,12 @@ object MetricsOps {
       .agg(count(lit(1)).as("total_5m"),
         sum(when($"event_type" === "error", 1L).otherwise(0L)).as("err_5m"))
       .select($"window.start".as("bucket_start"), $"total_5m", $"err_5m")
+    // unpartitioned by construction BUT bounded: the frame is the 5-min
+    // BUCKET series (rows = time span / 5 min, corpus-size-independent —
+    // the groupBy above already collapsed events), so the single-partition
+    // window sort is over thousands of rows at any corpus scale; a
+    // multi-series deployment partitions by the series labels exactly as
+    // p11_over_time does
     val w = Window.orderBy(unix_timestamp($"bucket_start")).rangeBetween(-3300, 0)
     buckets
       .withColumn("total_1h", sum($"total_5m").over(w))

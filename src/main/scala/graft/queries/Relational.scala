@@ -1059,8 +1059,16 @@ object Relational {
     * on heavily tied frequencies; monetary is exact integer cents
     * (`round(price·100)` — the money discipline, never raw double sums).
     * One shuffle on custkey for the per-customer rollup; the three ntile
-    * windows share one global sort each — at scale these become range
-    * partitions (Spark's window exchange), no driver involvement. */
+    * windows are UNPARTITIONED (single-partition sorts — the WindowExec
+    * warning is this site), but they run over the PER-CUSTOMER ROLLUP, one
+    * row per customer after the aggregate, never over raw orders — the
+    * frame is |customers|, already reduced by the shuffle above. At 100 TB
+    * (billions of customers) the exact-quartile form stops fitting one
+    * reducer; the implemented no-global-sort mechanism is
+    * [[graft.queries.CurationQueries.x7_curriculum_scalable]] (bounded
+    * value-histogram thresholds) — not twinned here because ntile's exact
+    * row-split on corpus-cardinality keys is the oracle-replayable
+    * contract this entry certifies (the q48 scale note's trade, verbatim). */
   def q43_rfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
