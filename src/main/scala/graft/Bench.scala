@@ -537,10 +537,15 @@ object Bench {
     // triggers ONE private-fork re-measure in the SAME run; the detail
     // artifact records both numbers (`warm` = the cleaner min, `batch_warm`
     // = the shared-JVM one) so drift is adjudicable from the artifact.
-    // Capped (default 8 retries/run, ~11 s fork cost each) and suppressed
-    // once the budget degrades the run to single-run mode.
+    // Capped (default 16 retries/run, ~11 s fork cost each). The cap was 8
+    // through round 20; with retry spending now gated on ACTUAL remaining
+    // budget (round-20 verdict #2) the cap is a runaway backstop, not the
+    // budget itself, and a fully-drifted session — a round-21 run measured
+    // a uniform 1.2x late-session inflation that queued 19 candidates —
+    // deserves more than 8 adjudications when the wall clock can pay for
+    // them (16 retries ≈ 220 s, inside any run's 0.95x-budget gate).
     val driftRetryCap =
-      sys.env.getOrElse("SPARK_GRAFT_DRIFT_RETRIES", "8").toInt
+      sys.env.getOrElse("SPARK_GRAFT_DRIFT_RETRIES", "16").toInt
     var driftRetries = 0
     // Heavy-entry mandatory retry (round-18 verdict #1): the board's two
     // most expensive entries landed at 1.477-1.498x their prior — a hair
