@@ -297,13 +297,24 @@ object CdcApply {
       .join(factSnap.select(col("pk"), col("fk").as("fk_old"), col("m").as("m_old")),
         Seq("pk"), "left")
       .localCheckpoint(false) // two delta branches read one materialization
+    // dMeas and dTouch are each consumed TWICE below (the affected-fk id
+    // union AND a join) — without a materialization the column pruning
+    // pushed into each consumer diverges the canonical subtrees, exchange
+    // reuse dies, and the measure-delta aggregate and the dim batchLatest
+    // (groupBy + window, 2 exchanges each) compute twice (the
+    // maintainCounts multi-branch pathology; round-21 plan audit counted
+    // 16 real exchanges on this entry, the board's worst). One lazy
+    // localCheckpoint each runs them once; batchLatest's window already
+    // precludes streaming through this operator.
     val dMeas = fTouch.filter(col("fk_old").isNotNull)
       .select(col("fk_old").as("fk"), (-col("m_old")).as("dm"), lit(-1L).as("dn"))
       .unionByName(fTouch.filter(col("op") =!= "delete")
         .select(col("fk_new").as("fk"), col("m_new").as("dm"), lit(1L).as("dn")))
       .groupBy("fk").agg(sum("dm").as("dm"), sum("dn").as("dn"))
+      .localCheckpoint(false)
     val dTouch = batchLatest(dimEvents, Map(
       "attr_new" -> element_at(col("data"), attrCol)))
+      .localCheckpoint(false)
     // every fk whose mass or group could move
     val aff = dMeas.select(col("fk"))
       .unionByName(dTouch.select(col("pk").as("fk"))).distinct()
