@@ -300,9 +300,18 @@ object LlmOps {
     // membership AND order purely by the quantized integer dots
     val wP = Window.partitionBy($"query_id")
       .orderBy($"q_dot".desc, $"neighbor_id".asc)
+    // pred and truth each feed BOTH metric frames below (retrievalEval and
+    // the ndcg join) — without a materialization the int8 scoring pass and
+    // the brute-force cosine top-k compute twice (the maintainJoinAgg
+    // twice-consumed pathology; round-21 plan audit: 15 exchanges,
+    // same-scan multiplicity 2 on this entry). One lazy localCheckpoint
+    // each runs them once; the CosineTopKRewrite still fires when the
+    // truth fragment plans (at checkpoint creation), it just fires once
+    // instead of twice.
     val pred = Similarity.int8TopK(queries, emb, k = k, rerank = k)
       .select($"query_id", $"neighbor_id",
         row_number().over(wP).as("rank"))
+      .localCheckpoint(false)
     val c = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
     val wT = Window.partitionBy($"query_id")
       .orderBy($"sim".desc, $"neighbor_id".asc)
@@ -314,6 +323,7 @@ object LlmOps {
       .withColumn("rank", row_number().over(wT))
       .filter($"rank" <= k)
       .select($"query_id", $"neighbor_id", $"rank")
+      .localCheckpoint(false)
     Similarity.retrievalEval(pred, truth, k)
       // graded companion: DCG/NDCG over the same rankings, log2 discounts
       // as shared integer literals (Similarity.log2DiscountsPpm5 — the
